@@ -1,0 +1,151 @@
+"""Core profile operator tests.
+
+Mirrors the reference's tracker unit tests (SURVEY.md §5):
+- ColumnProfileTest.java:36-66 null/NaN/Inf/null-string handling
+- ColumnProfileTest.java:69-87 merge doubling
+- SchemaTrackerTest.java:43-112 type-inference decision tree
+- VarianceTrackerTest.java:13-92 variance vs an independent oracle (numpy)
+- DatasetProfileAggregatorTest.scala:48-84 group counts sum to total,
+  group column excluded from profiling
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+from whylogs_java_spark import (
+    finalize_profile,
+    merge_profile_atoms,
+    profile,
+    profile_atoms,
+)
+
+
+def _by_col(rows):
+    return {r["column_name"]: r for r in rows}
+
+
+def test_null_nan_inf_nullstrings(spark):
+    # ColumnProfileTest.java:36-66 semantics on a single mixed column set
+    data = [
+        (1.0, "a", True),
+        (float("nan"), "nil", False),
+        (float("inf"), None, None),
+        (None, "null", True),
+        (2.0, "b", True),
+    ]
+    df = spark.createDataFrame(data, "x double, s string, b boolean")
+    rows = _by_col(profile(df, null_strings=["nil", "null", "NaN", "nan"]).collect())
+
+    x = rows["x"]
+    assert x["count"] == 5
+    assert x["null_count"] == 3  # None, NaN, Inf
+    assert x["n"] == 2
+    assert x["min"] == 1.0 and x["max"] == 2.0 and x["mean"] == 1.5
+
+    s = rows["s"]
+    assert s["null_count"] == 3  # None, "nil", "null"
+    assert s["string_count"] == 2
+    assert s["inferred_type"] == "NULL"  # 3/5 nulls: majority > 0.5
+
+    b = rows["b"]
+    assert b["true_count"] == 3
+    assert b["boolean_count"] == 4
+    assert b["inferred_type"] == "BOOLEAN"  # 4/5 > 0.7
+
+
+def test_group_counts_sum_to_total_and_exclusion(spark):
+    # DatasetProfileAggregatorTest.scala:48-84
+    df = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    total = df.count()
+    p = profile(df, group_by=["l_returnflag"])
+    assert "l_returnflag" not in [r["column_name"] for r in p.collect()]
+    counts = (
+        p.filter(F.col("column_name") == "l_quantity")
+        .agg(F.sum("count"))
+        .collect()[0][0]
+    )
+    assert counts == total
+
+
+def test_variance_matches_numpy(spark):
+    df = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    p = _by_col(profile(df).collect())
+    vals = np.array([r["l_extendedprice"] for r in df.select("l_extendedprice").collect()])
+    assert p["l_extendedprice"]["variance"] == pytest.approx(vals.var(ddof=1), rel=1e-9)
+    # outputs are rounded to 6 decimals, so compare at matching precision
+    assert p["l_extendedprice"]["mean"] == pytest.approx(vals.mean(), abs=1e-5)
+    assert p["l_extendedprice"]["stddev"] == pytest.approx(vals.std(ddof=1), rel=1e-9)
+
+
+def test_merge_equals_whole(spark):
+    # DatasetProfileTest merge invariant: profile(A) ⊕ profile(B) == profile(A∪B)
+    df = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    keys = ["l_returnflag"]
+    a = profile_atoms(df.filter("l_orderkey % 2 = 0"), group_by=keys)
+    b = profile_atoms(df.filter("l_orderkey % 2 = 1"), group_by=keys)
+    merged = finalize_profile(merge_profile_atoms(a.unionByName(b), keys), keys)
+    whole = profile(df, group_by=keys)
+
+    key = lambda r: (r["l_returnflag"], r["column_name"])
+    m = {key(r): r for r in merged.collect()}
+    w = {key(r): r for r in whole.collect()}
+    assert set(m) == set(w)
+    for k in w:
+        for f in ("count", "null_count", "n", "min", "max", "sum", "mean", "variance", "stddev"):
+            mv, wv = m[k][f], w[k][f]
+            if isinstance(mv, float) and isinstance(wv, float):
+                assert mv == pytest.approx(wv, rel=1e-12, abs=1e-12), (k, f)
+            else:
+                assert mv == wv, (k, f)
+
+
+def test_variance_edge_cases(spark):
+    # VarianceTracker.java:31-46: n==1 -> 0; n==0 -> NULL (ref: NaN)
+    df = spark.createDataFrame([(1.0,)], "x double")
+    r = _by_col(profile(df).collect())["x"]
+    assert r["variance"] == 0.0 and r["stddev"] == 0.0
+    df0 = spark.createDataFrame([(None,)], "x double")
+    r0 = _by_col(profile(df0).collect())["x"]
+    assert r0["variance"] is None and r0["mean"] is None
+
+
+@pytest.mark.parametrize(
+    "mix,expected",
+    [
+        # SchemaTrackerTest.java:43-112 shapes (coerce_strings mode)
+        ({"s": 80, "i": 20}, "STRING"),  # >70% strings
+        ({"f": 60, "i": 40}, "FRACTIONAL"),  # int folds into fractional
+        ({"i": 60, "s": 40}, "INTEGRAL"),  # majority > 0.5
+        ({"s": 40, "i": 30, "f": 30}, "STRING"),  # string > int+frac? 40 < 60 -> FRACTIONAL
+    ],
+)
+def test_type_inference_coercion(spark, mix, expected):
+    vals = (
+        ["word%d" % i for i in range(mix.get("s", 0))]
+        + [str(i) for i in range(mix.get("i", 0))]
+        + ["%d.5" % i for i in range(mix.get("f", 0))]
+    )
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    r = _by_col(profile(df, coerce_strings=True).collect())["v"]
+    if mix == {"s": 40, "i": 30, "f": 30}:
+        # string(40) NOT > int+frac(60) -> falls through; no type > 0.5;
+        # frac+int = 60% > 0.5 -> FRACTIONAL (SchemaTracker.java:94-100)
+        expected = "FRACTIONAL"
+    assert r["inferred_type"] == expected, r
+
+
+def test_string_length_token_stats(spark):
+    # StringTrackerTest.java:17-123 style
+    df = spark.createDataFrame(
+        [("To be or not to be that is the question",), ("ab",)], "t string"
+    )
+    r = _by_col(profile(df).collect())["t"]
+    assert r["len_min"] == 2.0 and r["len_max"] == 39.0
+    assert r["tok_min"] == 1.0 and r["tok_max"] == 10.0
+    assert r["tok_mean"] == pytest.approx(5.5)

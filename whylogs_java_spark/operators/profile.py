@@ -1,0 +1,146 @@
+"""DatasetProfile as a DataFrame: the flagship grouped profiling operator.
+
+Reference flow (WhyLogs.scala:125-177): session builder -> groupBy(tags, ts)
+-> custom Aggregator with Java-serialized DatasetProfile buffers -> union of
+100-column batches -> second merge pass. Here the whole pipeline is ONE
+declarative aggregation:
+
+    df.groupBy(*group_by, time_bucket) .agg(<all column atom exprs>)
+
+followed by a zero-shuffle explode into long format
+``(group keys..., column_name, <atom fields>)``. Catalyst runs it as a
+partial+final HashAggregate with whole-stage codegen; state per group is
+O(columns x constants) just like the reference's profile footprint
+(README.md:56-60), so the same plan holds at 100 TB: the shuffle carries
+only partial aggregate rows, never data rows.
+
+Scale notes:
+- No second pass / union: wide inputs (600+ cols, WhyLogs.scala:146-148's
+  100-column batching) are handled by the single agg; for 5k+ columns use
+  ``melt=True`` which goes through a long-format stack first (one shuffle on
+  (keys, column_name) — the reference's column-batch rationale, Spark-first).
+- No ``coalesce(defaultParallelism)`` (WhyLogs.scala:134-137): built-in aggs
+  have small per-group state; AQE picks partitioning.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.metrics import ATOM_METRICS, ColumnProfileSpec, finalize_exprs
+
+
+_DATE_GRAINS = {"day", "week", "month", "quarter", "year"}
+
+
+def _time_bucket(time_column: str, granularity: str | None) -> Column:
+    c = F.col(time_column)
+    if not granularity:
+        return c
+    b = F.date_trunc(granularity, c)
+    # date-grained buckets surface as DateType (matches ANSI date_trunc
+    # return conventions and keeps oracle comparison type-stable)
+    return b.cast("date") if granularity in _DATE_GRAINS else b
+
+
+def profile_atoms(
+    df: DataFrame,
+    group_by: Sequence[str] = (),
+    time_column: str | None = None,
+    time_granularity: str | None = "day",
+    columns: Sequence[str] | None = None,
+    null_strings: Sequence[str] = (),
+    coerce_strings: bool = False,
+) -> DataFrame:
+    """Mergeable long-format profile atoms.
+
+    Output: one row per (group key values, profiled column) with the
+    ATOM_METRICS fields. Group-by / time columns are excluded from profiling
+    (DatasetProfileAggregator.scala:92-95 semantics).
+    """
+    keys: list[Column] = [F.col(c) for c in group_by]
+    key_names = list(group_by)
+    if time_column is not None:
+        keys.append(_time_bucket(time_column, time_granularity).alias("dataset_timestamp"))
+        key_names.append("dataset_timestamp")
+
+    excluded = set(group_by) | ({time_column} if time_column else set())
+    profiled = [c for c in (columns or df.columns) if c not in excluded]
+    dtypes = dict(df.dtypes)
+    schema = {f.name: f.dataType for f in df.schema.fields}
+    specs = [
+        ColumnProfileSpec(
+            c, schema[c], tuple(null_strings), coerce_strings
+        )
+        for c in profiled
+    ]
+
+    agg_exprs = [e for s in specs for e in s.atom_exprs()]
+    grouped = df.groupBy(*keys) if keys else df.groupBy()
+    wide = grouped.agg(*agg_exprs)
+
+    # wide -> long: explode an array of per-column structs (no extra shuffle;
+    # the array is built from the already-aggregated row)
+    structs = F.array(*[s.atom_struct() for s in specs])
+    return wide.select(*key_names, F.explode(structs).alias("m")).select(
+        *key_names, "m.*"
+    )
+
+
+def finalize_profile(atoms: DataFrame, key_names: Sequence[str]) -> DataFrame:
+    """Atoms -> summary metrics (mean/variance/stddev/inferred type...)."""
+    return atoms.select(*key_names, F.col("column_name"), *finalize_exprs())
+
+
+def profile(
+    df: DataFrame,
+    group_by: Sequence[str] = (),
+    time_column: str | None = None,
+    time_granularity: str | None = "day",
+    columns: Sequence[str] | None = None,
+    null_strings: Sequence[str] = (),
+    coerce_strings: bool = False,
+) -> DataFrame:
+    """Grouped dataset profile in long format — the flagship query.
+
+    Equivalent of ``df.newProfilingSession(name).withTimeColumn(ts)
+    .groupBy(cols).aggProfiles()`` (WhyLogs.scala:36-177) with summary
+    finalization applied (DatasetProfile.toSummary,
+    DatasetProfile.java:174-188).
+    """
+    key_names = list(group_by) + (["dataset_timestamp"] if time_column else [])
+    atoms = profile_atoms(
+        df, group_by, time_column, time_granularity, columns, null_strings, coerce_strings
+    )
+    return finalize_profile(atoms, key_names)
+
+
+def merge_profile_atoms(atoms: DataFrame, key_names: Sequence[str]) -> DataFrame:
+    """Merge profile atoms sharing (keys, column_name) — DatasetProfile.merge.
+
+    The algebra of DatasetProfile.merge / ColumnProfile.merge
+    (DatasetProfile.java:251-300, ColumnProfile.java:158-196): counts add,
+    extremes min/max, exact sums add — which subsumes Chan's parallel
+    variance combine (VarianceTracker.java:49-69) since variance is derived
+    from (n, Σx, Σx²). Column-name alignment across profiles is the groupBy
+    itself (full outer union on column_name, DatasetProfile.java:284-291).
+
+    Usage: ``merge_profile_atoms(atoms_a.unionByName(atoms_b), keys)``.
+    """
+    aggs: list[Column] = []
+    for fname, _ in ATOM_METRICS:
+        if fname.endswith("_min"):
+            aggs.append(F.min(fname).alias(fname))
+        elif fname.endswith("_max"):
+            aggs.append(F.max(fname).alias(fname))
+        else:
+            # counts and exact decimal sums both merge by addition
+            aggs.append(F.sum(fname).alias(fname))
+    merged = atoms.groupBy(*key_names, "column_name").agg(*aggs)
+    # F.sum widens decimal scale/precision and long->bigint stays; re-cast to
+    # the canonical atom schema so merged output unions cleanly with fresh atoms
+    casts = [F.col(f).cast(t).alias(f) for f, t in ATOM_METRICS]
+    return merged.select(*key_names, "column_name", *casts)

@@ -1,0 +1,174 @@
+"""ANSI-SQL (DuckDB) oracle generators mirroring the Spark operators.
+
+Every profile query in ``__spark_entry__.py`` pairs with SQL generated here
+so the two sides stay structurally in sync: the SQL builds the same atoms
+(COUNT / MIN / MAX / exact DECIMAL(38,6) sums) and applies the same
+finalizers (``numeric_final_sql``) and the same type-inference CASE tree
+(``inferred_type_sql``) the Spark plan uses.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from ..constants import SUM_DECIMAL
+from ..functions.inference import inferred_type_sql
+from ..functions.metrics import numeric_final_sql
+
+# simplified column kinds for SQL generation
+INTEGRAL = "integral"
+FRACTIONAL = "fractional"
+STRING = "string"
+BOOLEAN = "boolean"
+UNKNOWN = "unknown"  # timestamps & anything untracked (TypedData.java:54-57)
+
+# Static schemas of the driver's testdata tables (TESTDATA.md), as kinds.
+TESTDATA_KINDS: dict[str, dict[str, str]] = {
+    "lineitem": {
+        "l_orderkey": INTEGRAL, "l_partkey": INTEGRAL, "l_suppkey": INTEGRAL,
+        "l_linenumber": INTEGRAL, "l_quantity": FRACTIONAL,
+        "l_extendedprice": FRACTIONAL, "l_discount": FRACTIONAL,
+        "l_tax": FRACTIONAL, "l_returnflag": STRING, "l_linestatus": STRING,
+        "l_shipdate": UNKNOWN,
+    },
+    "orders": {
+        "o_orderkey": INTEGRAL, "o_custkey": INTEGRAL, "o_orderstatus": STRING,
+        "o_totalprice": FRACTIONAL, "o_orderdate": UNKNOWN,
+        "o_orderpriority": STRING,
+    },
+    "customer": {
+        "c_custkey": INTEGRAL, "c_name": STRING, "c_nationkey": INTEGRAL,
+        "c_acctbal": FRACTIONAL, "c_mktsegment": STRING,
+    },
+    "events": {
+        "event_id": INTEGRAL, "ts": UNKNOWN, "user_id": INTEGRAL,
+        "event_type": STRING, "value": FRACTIONAL, "props": STRING,
+    },
+    "documents": {
+        "doc_id": INTEGRAL, "text": STRING, "lang": STRING,
+        "source": STRING, "n_chars": INTEGRAL,
+    },
+    "part": {
+        "p_partkey": INTEGRAL, "p_name": STRING, "p_brand": STRING,
+        "p_type": STRING, "p_size": INTEGRAL, "p_retailprice": FRACTIONAL,
+    },
+    "supplier": {
+        "s_suppkey": INTEGRAL, "s_name": STRING, "s_nationkey": INTEGRAL,
+        "s_acctbal": FRACTIONAL,
+    },
+    "nation": {"n_nationkey": INTEGRAL, "n_name": STRING, "n_regionkey": INTEGRAL},
+    "region": {"r_regionkey": INTEGRAL, "r_name": STRING},
+}
+
+DEC = f"DECIMAL{SUM_DECIMAL[len('decimal'):]}".upper()  # DECIMAL(38,6)
+
+
+def _null_pred(col: str, kind: str, null_strings: Sequence[str]) -> str:
+    preds = [f"{col} IS NULL"]
+    if kind == FRACTIONAL:
+        preds.append(f"isnan({col})")
+        preds.append(f"isinf({col})")
+    if kind == STRING and null_strings:
+        inlist = ", ".join("'" + s.replace("'", "''") + "'" for s in null_strings)
+        preds.append(f"{col} IN ({inlist})")
+    return " OR ".join(preds)
+
+
+def _masked(col: str, kind: str, null_strings: Sequence[str]) -> str:
+    return f"CASE WHEN NOT ({_null_pred(col, kind, null_strings)}) THEN {col} END"
+
+
+def _num_atoms(val: str, prefix: str) -> str:
+    from ..functions.metrics import numeric_atom_sql
+
+    return numeric_atom_sql(val, prefix)
+
+
+def _null_atoms(prefix: str) -> str:
+    return (
+        f"CAST(0 AS BIGINT) AS {prefix}_n, "
+        f"CAST(NULL AS DOUBLE) AS {prefix}_min, CAST(NULL AS DOUBLE) AS {prefix}_max, "
+        f"CAST(NULL AS DECIMAL(38,0)) AS {prefix}_sum_hi, CAST(NULL AS {DEC}) AS {prefix}_sum_lo, "
+        f"CAST(NULL AS DECIMAL(38,0)) AS {prefix}_sum2_hi, CAST(NULL AS {DEC}) AS {prefix}_sum2_lo"
+    )
+
+
+def _branch(
+    table: str,
+    col: str,
+    kind: str,
+    group_cols: Sequence[str],
+    time_column: str | None,
+    time_granularity: str | None,
+    null_strings: Sequence[str],
+) -> str:
+    np = _null_pred(col, kind, null_strings)
+    m = _masked(col, kind, null_strings)
+    nn = f"COUNT({m})"
+
+    true_count = (
+        f"SUM(CASE WHEN {m} = TRUE THEN 1 ELSE 0 END)" if kind == BOOLEAN else "0"
+    )
+    tc = {k: "CAST(0 AS BIGINT)" for k in ("integral", "fractional", "boolean", "string", "unknown")}
+    if kind in tc:
+        tc[kind] = f"CAST({nn} AS BIGINT)"
+
+    num = _num_atoms(m, "num") if kind in (INTEGRAL, FRACTIONAL) else _null_atoms("num")
+    if kind == STRING:
+        ln = _num_atoms(f"LENGTH({m})", "len")
+        tok = _num_atoms(f"len(str_split({m}, ' '))", "tok")
+    else:
+        ln, tok = _null_atoms("len"), _null_atoms("tok")
+
+    keys = list(group_cols)
+    key_select = list(group_cols)
+    if time_column is not None:
+        grain = time_granularity or "day"
+        key_select.append(f"date_trunc('{grain}', {time_column}) AS dataset_timestamp")
+        keys.append("dataset_timestamp")
+
+    inner_keys = (", ".join(key_select) + ", ") if key_select else ""
+    group_by = ("GROUP BY " + ", ".join(str(i + 1) for i in range(len(key_select)))) if key_select else ""
+
+    inner = f"""SELECT {inner_keys}'{col}' AS column_name,
+      CAST(COUNT(*) AS BIGINT) AS "count",
+      CAST(SUM(CASE WHEN {np} THEN 1 ELSE 0 END) AS BIGINT) AS null_count,
+      CAST({true_count} AS BIGINT) AS true_count,
+      {tc['integral']} AS integral_count, {tc['fractional']} AS fractional_count,
+      {tc['boolean']} AS boolean_count, {tc['string']} AS string_count,
+      {tc['unknown']} AS unknown_count,
+      {num}, {ln}, {tok}
+    FROM {table} {group_by}"""
+
+    outer_keys = (", ".join(keys) + ", ") if keys else ""
+    itype = inferred_type_sql(
+        "null_count", "fractional_count", "integral_count",
+        "boolean_count", "string_count", "unknown_count",
+    )
+    return f"""SELECT {outer_keys}column_name, "count", null_count, true_count,
+      integral_count, fractional_count, boolean_count, string_count, unknown_count,
+      {itype} AS inferred_type,
+      {numeric_final_sql('num', '')},
+      {numeric_final_sql('len', 'len_')},
+      {numeric_final_sql('tok', 'tok_')}
+    FROM ({inner}) atoms_{col}"""
+
+
+def profile_oracle_sql(
+    table: str,
+    group_by: Sequence[str] = (),
+    time_column: str | None = None,
+    time_granularity: str | None = "day",
+    columns: Sequence[str] | None = None,
+    null_strings: Sequence[str] = (),
+    kinds: dict[str, str] | None = None,
+) -> str:
+    """Long-format profile oracle: UNION ALL of one branch per column."""
+    kinds = kinds or TESTDATA_KINDS[table]
+    excluded = set(group_by) | ({time_column} if time_column else set())
+    cols = [c for c in (columns or kinds) if c not in excluded]
+    branches = [
+        _branch(table, c, kinds[c], group_by, time_column, time_granularity, null_strings)
+        for c in cols
+    ]
+    return "\nUNION ALL\n".join(branches)

@@ -1,0 +1,27 @@
+"""Parquet scans with schema normalization.
+
+The driver's ``events`` table stores ``ts`` as parquet TIMESTAMP(NANOS),
+which Spark refuses to read natively (PARQUET_TYPE_ILLEGAL). With
+``spark.sql.legacy.parquet.nanosAsLong=true`` (set in session.get_spark)
+nano timestamps load as LongType nanoseconds; ``load_table`` converts them
+back to TimestampType (microsecond precision — Spark's native resolution).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# columns known to be nano-precision timestamps in the driver testdata
+NANO_TS_COLUMNS: dict[str, list[str]] = {"events": ["ts"]}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for c in NANO_TS_COLUMNS.get(name, []):
+        if c in df.columns and isinstance(df.schema[c].dataType, T.LongType):
+            # integer division: double division would lose precision on
+            # epoch-nano magnitudes (~1.7e18 > 2^53)
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
