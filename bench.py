@@ -1,0 +1,78 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "total_bench_sec", "value": N, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": 0.1}
+
+Each query materializes fully through the noop sink (no driver collect,
+no output cost — measures the distributed plan only).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entry_mod  # noqa: E402
+from whylogs_java_spark import get_spark  # noqa: E402
+
+BENCH_QUERIES = [
+    "profile_lineitem",
+    "profile_events_daily",
+    "profile_merge",
+    "quantiles_lineitem",
+    "histogram_lineitem",
+    "topk_orders",
+    "uniques_lineitem",
+    "confusion_events",
+    "regression_lineitem",
+    "dedup_exact_documents",
+    "dedup_near_documents",
+    "similarity_topk",
+    "langid_documents",
+    "quality_documents",
+    "tokens_documents",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("bench")
+    qs = entry_mod.queries()
+
+    # warmup: JVM + parquet footer caches
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    times: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        if name not in qs:
+            continue
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = -1.0
+    print(
+        json.dumps(
+            {
+                "metric": "total_bench_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

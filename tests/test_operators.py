@@ -1,0 +1,236 @@
+"""Tests for summary, model, dedup, similarity, text, segmentation operators."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+from whylogs_java_spark.operators.dedup import (
+    exact_dedup,
+    hamming_distance,
+    minhash_candidate_pairs,
+    near_dup_pairs,
+    simhash,
+)
+from whylogs_java_spark.operators.model import confusion_matrix, regression_metrics
+from whylogs_java_spark.operators.segmentation import (
+    estimate_segments,
+    simple_entropy,
+)
+from whylogs_java_spark.operators.similarity import cosine_topk, lsh_bucket_topk
+from whylogs_java_spark.operators.summary import (
+    frequent_items,
+    histogram,
+    quantile_summary,
+    unique_counts,
+)
+from whylogs_java_spark.operators.text import language_id, quality_metrics
+
+
+def test_quantile_summary_matches_numpy(spark):
+    df = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    out = {
+        (r["column_name"], r["quantile"]): r["value"]
+        for r in quantile_summary(df, ["l_quantity"]).collect()
+    }
+    vals = np.array([r[0] for r in df.select("l_quantity").collect()])
+    for q in (0.0, 0.25, 0.5, 0.75, 1.0):
+        assert out[("l_quantity", q)] == pytest.approx(
+            np.quantile(vals, q), abs=1e-5
+        ), q
+
+
+def test_histogram_counts_sum_to_n(spark):
+    df = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    h = histogram(df, "l_quantity", bins=10).collect()
+    assert sum(r["count"] for r in h) == df.count()
+    assert all(0 <= r["bin"] < 10 for r in h)
+
+
+def test_frequent_items_topk(spark):
+    df = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    top = frequent_items(df, "o_orderpriority", k=2).collect()
+    assert len(top) == 2 and top[0]["rank"] == 1
+    # rank-1 really is the modal value
+    true_counts = dict(
+        df.groupBy("o_orderpriority").count().rdd.map(tuple).collect()
+    )
+    assert top[0]["count"] == max(true_counts.values())
+
+
+def test_unique_counts_exact(spark):
+    df = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    u = {r["column_name"]: r["unique_count"] for r in unique_counts(df, ["l_returnflag"]).collect()}
+    assert u["l_returnflag"] == 3
+
+
+def test_confusion_matrix_counts(spark):
+    # FIXTURES.md §3-style: known binary confusion counts
+    rows = [(1, 1)] * 40 + [(1, 0)] * 7 + [(0, 1)] * 11 + [(0, 0)] * 42
+    df = spark.createDataFrame(rows, "pred int, tgt int")
+    cm = {
+        (r["prediction"], r["target"]): r["count"]
+        for r in confusion_matrix(df, "pred", "tgt").collect()
+    }
+    assert cm == {("1", "1"): 40, ("1", "0"): 7, ("0", "1"): 11, ("0", "0"): 42}
+
+
+def test_confusion_matrix_bool_labels(spark):
+    # booleans rendered "1"/"0" (ClassificationMetrics.java:118-127)
+    df = spark.createDataFrame([(True, False), (False, False)], "pred boolean, tgt boolean")
+    labels = {
+        (r["prediction"], r["target"]) for r in confusion_matrix(df, "pred", "tgt").collect()
+    }
+    assert labels == {("1", "0"), ("0", "0")}
+
+
+def test_regression_metrics(spark):
+    df = spark.createDataFrame(
+        [(1.0, 2.0), (3.0, 1.0), (5.0, 5.0)], "p double, t double"
+    )
+    r = regression_metrics(df, "p", "t").collect()[0]
+    assert r["count"] == 3
+    assert r["sum_abs_diff"] == pytest.approx(3.0)
+    assert r["sum_diff"] == pytest.approx(1.0)
+    assert r["sum2_diff"] == pytest.approx(5.0)
+    assert r["mae"] == pytest.approx(1.0)
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c"), (3, "x y z"), (4, "A  B C")],
+        "doc_id long, text string",
+    )
+    kept = sorted(r["doc_id"] for r in exact_dedup(df, "text", "doc_id").collect())
+    # "A  B C" normalizes (lower + whitespace collapse) to "a b c" -> dup of 1
+    assert kept == [1, 3]
+
+
+def test_near_dup_finds_mutations(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    mut = docs.where("doc_id < 20").select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.concat("text", F.lit(" tail")).alias("text"),
+    )
+    corpus = docs.unionByName(mut)
+    pairs = near_dup_pairs(corpus, "text", "doc_id", threshold=0.7).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    # every mutated doc should pair with its source at jaccard ~= (n-1)/(n+1)
+    hits = sum((i, i + 10000) in found for i in range(20))
+    assert hits >= 18, f"only {hits}/20 mutations recovered"
+    assert all(r["jaccard"] >= 0.7 for r in pairs)
+
+
+def test_minhash_no_false_negatives_on_identical(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over the lazy dog"),
+         (3, "completely different words entirely here now")],
+        "doc_id long, text string",
+    )
+    pairs = {(r["id_a"], r["id_b"]) for r in minhash_candidate_pairs(df, "text", "doc_id").collect()}
+    assert (1, 2) in pairs and (1, 3) not in pairs
+
+
+def test_simhash_similar_texts_close(spark):
+    df = spark.createDataFrame(
+        [(1, "spark sql engine for large scale data processing"),
+         (2, "spark sql engine for large scale data processing today"),
+         (3, "entirely unrelated content about cooking recipes and food")],
+        "doc_id long, text string",
+    )
+    s = simhash(df, "text", "doc_id")
+    joined = (
+        s.alias("a")
+        .crossJoin(s.alias("b"))
+        .where("a.doc_id < b.doc_id")
+        .select(
+            "a.doc_id",
+            "b.doc_id",
+            hamming_distance(F.col("a.simhash_bits"), F.col("b.simhash_bits")).alias("d"),
+        )
+        .collect()
+    )
+    d = {(r[0], r[1]): r["d"] for r in joined}
+    assert d[(1, 2)] < d[(1, 3)]
+    assert d[(1, 2)] < d[(2, 3)]
+
+
+def test_cosine_topk_agrees_with_numpy(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = emb.where("vec_id = 0")
+    got = [
+        r["neighbor_id"]
+        for r in cosine_topk(emb, queries, k=5).orderBy("rank").collect()
+    ]
+    mat = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in emb.collect()}
+    q = mat[0]
+    sims = {
+        i: float(v @ q / (np.linalg.norm(v) * np.linalg.norm(q)))
+        for i, v in mat.items()
+        if i != 0
+    }
+    expect = [i for i, _ in sorted(sims.items(), key=lambda kv: (-kv[1], kv[0]))[:5]]
+    assert got == expect
+
+
+def test_lsh_bucket_topk_recall(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = emb.where("vec_id < 20")
+    exact = cosine_topk(emb, queries, k=1)
+    approx = lsh_bucket_topk(emb, queries, k=1, planes=4)
+    e = {r["query_id"]: r["neighbor_id"] for r in exact.collect()}
+    a = {r["query_id"]: r["neighbor_id"] for r in approx.collect()}
+    # LSH with few planes should answer most queries; recall is approximate
+    answered = sum(1 for qid in e if qid in a)
+    assert answered >= 10, f"LSH answered only {answered}/20"
+
+
+def test_language_id_english_soup(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    pred = language_id(docs, "text", "doc_id")
+    counts = dict(pred.groupBy("predicted_lang").count().rdd.map(tuple).collect())
+    # corpus is english-ish word soup: en should dominate
+    assert counts.get("en", 0) > 0.5 * sum(counts.values())
+
+
+def test_quality_metrics_ranges(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    rows = quality_metrics(docs, "text", "doc_id").collect()
+    for r in rows:
+        assert 0.0 <= r["quality"] <= 1.0
+        assert r["word_count"] > 0
+
+
+def _df_a(spark):
+    # the reference's dfA fixture (test_autosegmentation.py:18-26)
+    rows = [
+        (8.6, "Orange", "Blue", "cat"),
+        (31.0, "Brown", "Green", "dog"),
+        (14.8, "White", "Black", "dog"),
+        (15.2, "White", "Green", "cat"),
+        (10.0, "Black", "Blue", "cat"),
+        (9.1, "Orange", "Blue", "cat"),
+    ]
+    return spark.createDataFrame(
+        rows, "weight_lbs double, color string, eye_color string, animal string"
+    )
+
+
+def test_entropy_golden_values(spark):
+    # scipy-checked goldens pinned by the reference
+    # (test_autosegmentation.py:59-63)
+    df = _df_a(spark)
+    assert simple_entropy(df, "animal") == pytest.approx(0.9182958340544896)
+    assert simple_entropy(df, "color") == pytest.approx(1.9182958340544893)
+    assert simple_entropy(df, "eye_color") == pytest.approx(1.4591479170272448)
+
+
+def test_estimate_segments_golden(spark):
+    # reference-pinned selections (test_autosegmentation.py:40-56)
+    df = _df_a(spark)
+    assert set(estimate_segments(df, target_field="animal")) == {"eye_color", "color"}
+    assert set(estimate_segments(df, target_field="animal", max_segments=5)) == {"eye_color"}
+    assert set(estimate_segments(df, max_segments=2)) == set()

@@ -1,0 +1,99 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media are opaque ``binary`` columns plus typed metadata structs. The Spark
+side — schemas, partition-sized Arrow batches through ``mapInPandas``,
+deterministic partitioning by content hash — is real and tested; the codec
+step is stubbed (decode libraries are not in this container) behind
+``decode_stub=True`` which produces a deterministic fake decode from the
+content hash, or raises NotImplementedError when a real decode is demanded.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_META_SCHEMA = (
+    "media_id long, kind string, mime string, width int, height int, "
+    "duration_ms long, content_sha string"
+)
+
+FEATURE_SCHEMA = "media_id long, content_sha string, feat array<float>, n_bytes long"
+
+
+def attach_media_metadata(
+    df: DataFrame, binary_col: str, id_col: str, kind: str, mime: str
+) -> DataFrame:
+    """Standard media envelope: id, kind, mime, sizes unknown until decode,
+    content hash for dedup/partitioning."""
+    return df.select(
+        F.col(id_col).alias("media_id"),
+        F.lit(kind).alias("kind"),
+        F.lit(mime).alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+        F.sha2(F.col(binary_col), 256).alias("content_sha"),
+        F.col(binary_col).alias("data"),
+    )
+
+
+def extract_features(
+    media: DataFrame,
+    feat_dim: int = 8,
+    decode_stub: bool = True,
+) -> DataFrame:
+    """Arrow-batched feature extraction over media binaries.
+
+    Real pipeline shape: ``mapInPandas`` so each task decodes a batch of
+    binaries without a per-row Python round trip. The stub derives a
+    deterministic pseudo-feature vector from the sha256 so tests can assert
+    end-to-end plumbing (schema, batching, partitioning) without codecs.
+    """
+    if not decode_stub:
+        raise NotImplementedError(
+            "real media decode requires image/audio codecs not present in "
+            "this environment; run with decode_stub=True"
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for sha in pdf["content_sha"]:
+                # deterministic fake: bytes of the sha -> floats in [0, 1)
+                feats.append(
+                    [int(sha[i * 2 : i * 2 + 2], 16) / 256.0 for i in range(feat_dim)]
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "content_sha": pdf["content_sha"],
+                    "feat": feats,
+                    "n_bytes": [len(d) for d in pdf["data"]],
+                }
+            )
+
+    return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def frame_sample_plan(
+    media: DataFrame, every_ms: int = 1000, max_frames: int = 16
+) -> DataFrame:
+    """Frame-sampling plan rows for video media: (media_id, frame_idx, ts_ms).
+
+    Pure JVM sequence expansion — the decode of each planned frame is the
+    stubbed step. Bounded by ``max_frames`` per media row.
+    """
+    return media.select(
+        "media_id",
+        F.posexplode(
+            F.sequence(F.lit(0), F.lit(max_frames - 1))
+        ).alias("frame_idx", "_i"),
+    ).select(
+        "media_id",
+        "frame_idx",
+        (F.col("frame_idx") * every_ms).cast("long").alias("ts_ms"),
+    )

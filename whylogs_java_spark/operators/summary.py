@@ -1,0 +1,201 @@
+"""Summary finalizer operators: quantiles, histogram, frequent items, uniques.
+
+Reference semantics:
+- quantile summary at {0,.01,.05,.25,.5,.75,.95,.99,1}
+  (core/.../SummaryConverters.java:110-124; KLL k=256 sketch in the
+  reference, exact interpolated percentiles in the correctness tier here,
+  ``approx_percentile`` in the approx tier).
+- histogram: equal-width bins over [min, max], counts scaled from PMF
+  (core/.../SummaryConverters.java:161-222). Here: exact counts via
+  ``floor((x-min)/width)`` with the last bin right-closed.
+- frequent items: ItemsSketch(128) with no-false-negatives extraction
+  (core/.../FrequentStringsSketch.java:18-48); exact tier = true top-k with
+  deterministic (count desc, value) tie-break.
+- unique counts: Theta/HLL estimates (core/.../NumberTracker.java:31,46);
+  exact tier = COUNT(DISTINCT), approx tier = approx_count_distinct /
+  hll_sketch_agg(lgK=12).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..constants import (
+    FREQUENT_ITEMS_K,
+    HISTOGRAM_DEFAULT_BINS,
+    HLL_LGK,
+    ROUND_DIGITS,
+    SUMMARY_QUANTILES,
+)
+from ..functions.predicates import masked, truncated_text
+
+
+def quantile_summary(
+    df: DataFrame,
+    columns: Sequence[str],
+    group_by: Sequence[str] = (),
+    quantiles: Sequence[float] = tuple(SUMMARY_QUANTILES),
+    exact: bool = True,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Long-format quantiles: (keys..., column_name, quantile, value).
+
+    One aggregation pass for all columns; the per-(column, quantile) rows
+    are exploded from the already-aggregated arrays (no extra shuffle).
+    """
+    schema = {f.name: f.dataType for f in df.schema.fields}
+    qs = list(quantiles)
+    aggs = []
+    for c in columns:
+        m = masked(F.col(c), schema[c]).cast("double")
+        agg = (
+            F.percentile(m, F.lit(qs))
+            if exact
+            else F.percentile_approx(m, F.lit(qs), F.lit(accuracy))
+        )
+        aggs.append(agg.alias(f"{c}__q"))
+    grouped = df.groupBy(*group_by) if group_by else df.groupBy()
+    wide = grouped.agg(*aggs)
+
+    elems = []
+    for c in columns:
+        for i, q in enumerate(qs):
+            elems.append(
+                F.struct(
+                    F.lit(c).alias("column_name"),
+                    F.lit(float(q)).alias("quantile"),
+                    (F.round(F.col(f"{c}__q").getItem(i), ROUND_DIGITS) + 0.0).alias("value"),
+                )
+            )
+    return wide.select(*group_by, F.explode(F.array(*elems)).alias("e")).select(
+        *group_by, "e.*"
+    )
+
+
+def histogram(
+    df: DataFrame,
+    column: str,
+    group_by: Sequence[str] = (),
+    bins: int = HISTOGRAM_DEFAULT_BINS,
+) -> DataFrame:
+    """Equal-width histogram with exact counts.
+
+    Two passes (per-group min/max, then binning) joined via broadcast —
+    the stats side is one row per group, so the join never shuffles the
+    data side; at 100 TB the scan dominates and both passes are
+    column-pruned parquet scans of one column.
+    Output: (keys..., column_name, bin, bin_start, bin_end, count).
+    """
+    schema = {f.name: f.dataType for f in df.schema.fields}
+    m = masked(F.col(column), schema[column]).cast("double")
+    keys = list(group_by)
+
+    grouped = df.groupBy(*keys) if keys else df.groupBy()
+    stats = grouped.agg(
+        F.min(m).alias("__min"), F.max(m).alias("__max"), F.count(m).alias("__n")
+    )
+
+    data = df.select(*keys, m.alias("__v")).where(F.col("__v").isNotNull())
+    joined = (
+        data.join(F.broadcast(stats), on=keys) if keys else data.crossJoin(F.broadcast(stats))
+    )
+
+    width = (F.col("__max") - F.col("__min")) / F.lit(float(bins))
+    # degenerate min==max -> everything lands in bin 0 (reference pads width
+    # by ulp; SummaryConverters.java:196-198)
+    bin_idx = F.when(F.col("__max") == F.col("__min"), F.lit(0)).otherwise(
+        F.least(
+            F.floor((F.col("__v") - F.col("__min")) / width).cast("int"),
+            F.lit(bins - 1),
+        )
+    )
+    binned = joined.select(*keys, F.col("__min"), F.col("__max"), bin_idx.alias("bin"))
+    out = binned.groupBy(*keys, "__min", "__max", "bin").agg(
+        F.count(F.lit(1)).alias("count")
+    )
+    width2 = (F.col("__max") - F.col("__min")) / F.lit(float(bins))
+    return out.select(
+        *keys,
+        F.lit(column).alias("column_name"),
+        F.col("bin").cast("int").alias("bin"),
+        (F.round(F.col("__min") + F.col("bin") * width2, ROUND_DIGITS) + 0.0).alias("bin_start"),
+        (F.round(F.col("__min") + (F.col("bin") + 1) * width2, ROUND_DIGITS) + 0.0).alias("bin_end"),
+        F.col("count"),
+    )
+
+
+def frequent_items(
+    df: DataFrame,
+    column: str,
+    group_by: Sequence[str] = (),
+    k: int = FREQUENT_ITEMS_K,
+) -> DataFrame:
+    """Exact top-k items by count with deterministic tie-break.
+
+    Values are tracked as 256-char-truncated strings
+    (ColumnProfile.trackText, ColumnProfile.java:132-138). The window runs
+    over the *aggregated counts* (one row per distinct value), not the data,
+    so the rank is cheap even at scale; skew lives in the groupBy, which
+    map-side combines.
+    Output: (keys..., column_name, value, count, rank).
+    """
+    keys = list(group_by)
+    v = truncated_text(F.col(column)).alias("value")
+    counts = df.select(*keys, v).groupBy(*keys, "value").agg(
+        F.count(F.lit(1)).alias("count")
+    )
+    w = Window.partitionBy(*keys).orderBy(F.desc("count"), F.asc_nulls_last("value"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(*keys, F.lit(column).alias("column_name"), "value", "count", "rank")
+    )
+
+
+def unique_counts(
+    df: DataFrame,
+    columns: Sequence[str],
+    group_by: Sequence[str] = (),
+    exact: bool = True,
+) -> DataFrame:
+    """Per-column distinct counts, long format.
+
+    Exact tier uses count_distinct (oracle-comparable); approx tier is the
+    scale path — approx_count_distinct (HLL++, one pass, no expand).
+    Output: (keys..., column_name, unique_count).
+    """
+    keys = list(group_by)
+    agg_fn = F.count_distinct if exact else (lambda c: F.approx_count_distinct(c, 0.01))
+    grouped = df.groupBy(*keys) if keys else df.groupBy()
+    wide = grouped.agg(
+        *[agg_fn(F.col(c)).alias(f"{c}__u") for c in columns]
+    )
+    elems = [
+        F.struct(
+            F.lit(c).alias("column_name"), F.col(f"{c}__u").cast("long").alias("unique_count")
+        )
+        for c in columns
+    ]
+    return wide.select(*keys, F.explode(F.array(*elems)).alias("e")).select(*keys, "e.*")
+
+
+def hll_sketch_profile(
+    df: DataFrame, columns: Sequence[str], group_by: Sequence[str] = ()
+) -> DataFrame:
+    """Mergeable HLL sketch binaries per column (lgK=12, ColumnProfile.java:39).
+
+    The sketch binary column is re-mergeable with ``hll_union_agg`` — the
+    direct analogue of the reference's serialized HllSketch inside profile
+    blobs, but Catalyst-native.
+    """
+    keys = list(group_by)
+    grouped = df.groupBy(*keys) if keys else df.groupBy()
+    return grouped.agg(
+        *[
+            F.hll_sketch_agg(truncated_text(F.col(c)), F.lit(HLL_LGK)).alias(f"{c}__hll")
+            for c in columns
+        ]
+    )

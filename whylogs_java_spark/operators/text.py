@@ -1,0 +1,162 @@
+"""Text-analysis operators for training-data pipelines.
+
+All pure JVM expressions (split/filter/regexp/aggregate) — no UDFs in the
+hot path; every operator is a narrow projection or one aggregation, so the
+plans scale linearly with corpus size and stay inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Minimal stopword lexicons for the n-gram/stopword language heuristic.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "that", "for", "it"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "auf"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une", "pour", "dans", "que"),
+    "es": ("el", "la", "los", "y", "es", "un", "una", "para", "en", "que"),
+}
+CJK_RE = r"[一-鿿]"
+
+# BPE-ish tokenization: letter runs, digit runs, or single non-space symbols
+REGEX_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+PUNCT_RE = r"[^A-Za-z0-9\s]"
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokens (the reference's tokenizer — StringTracker.java:25)."""
+    return F.filter(F.split(col, " "), lambda t: t != "")
+
+
+def token_counts(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Whitespace + regex token counts per document.
+
+    Output: (id, ws_tokens, re_tokens, n_chars).
+    """
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        F.size(tokens(t)).alias("ws_tokens"),
+        F.size(F.regexp_extract_all(t, F.lit(REGEX_TOKEN_PATTERN), 0)).alias("re_tokens"),
+        F.length(t).alias("n_chars"),
+    )
+
+
+def language_scores(col: Column) -> dict[str, Column]:
+    """Per-language stopword-hit counts over lowercase whitespace tokens."""
+    toks = tokens(F.lower(col))
+    scores = {
+        lang: F.size(F.filter(toks, lambda t: t.isin(*sw)))
+        for lang, sw in LANG_STOPWORDS.items()
+    }
+    # CJK: character-level evidence instead of stopwords
+    scores["zh"] = F.size(F.regexp_extract_all(col, F.lit(CJK_RE), 0))
+    return scores
+
+
+def language_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Heuristic language ID: argmax stopword evidence, ties -> lexicographic
+    first language, no evidence -> 'und'. Output: (id, predicted_lang)."""
+    scores = language_scores(F.col(text_col))
+    langs = sorted(scores)  # deterministic tie-break order
+    best_lang = F.lit("und")
+    best_score = F.lit(0)
+    for lang in reversed(langs):  # earlier langs win ties via >=
+        s = scores[lang]
+        cond = s >= F.greatest(best_score, F.lit(1))
+        best_lang = F.when(cond, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(cond, s).otherwise(best_score)
+    return df.select(F.col(id_col), best_lang.alias("predicted_lang"))
+
+
+def language_scores_sql(text_expr: str) -> dict[str, str]:
+    """DuckDB SQL for the same per-language scores (oracle parity)."""
+    toks = f"str_split(lower({text_expr}), ' ')"
+    out = {}
+    for lang, sw in LANG_STOPWORDS.items():
+        inlist = ", ".join(f"'{w}'" for w in sw)
+        out[lang] = f"len(list_filter({toks}, t -> t IN ({inlist})))"
+    out["zh"] = f"len(regexp_extract_all({text_expr}, '{CJK_RE}'))"
+    return out
+
+
+def language_id_sql(text_expr: str) -> str:
+    """DuckDB CASE tree replicating language_id's priority walk exactly."""
+    scores = language_scores_sql(text_expr)
+    langs = sorted(scores)
+    best_lang, best_score = "'und'", "0"
+    for lang in reversed(langs):
+        s = scores[lang]
+        cond = f"{s} >= GREATEST({best_score}, 1)"
+        best_lang = f"CASE WHEN {cond} THEN '{lang}' ELSE {best_lang} END"
+        best_score = f"CASE WHEN {cond} THEN {s} ELSE {best_score} END"
+    return best_lang
+
+
+def quality_metrics(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Gopher-style quality signals + a composite score.
+
+    Signals: word count, mean word length, stopword ratio, punctuation
+    ratio, digit ratio. Composite ``quality`` is the fraction of gates
+    passed (word count in [5, 10000], mean word len in [2, 12], stopword
+    ratio ≥ 0.01, punct ratio ≤ 0.2, digit ratio ≤ 0.3).
+    Output: (id, word_count, mean_word_len, stopword_ratio, punct_ratio,
+    digit_ratio, quality).
+    """
+    t = F.col(text_col)
+    toks = tokens(t)
+    wc = F.size(toks)
+    nch = F.length(t)
+    mean_wl = F.when(
+        wc > 0,
+        F.round(
+            F.aggregate(toks, F.lit(0), lambda a, x: a + F.length(x)).cast("double") / wc, 6
+        )
+        + 0.0,
+    )
+    en_sw = LANG_STOPWORDS["en"]
+    sw_ratio = F.when(
+        wc > 0,
+        F.round(
+            F.size(F.filter(F.transform(toks, F.lower), lambda x: x.isin(*en_sw))).cast("double")
+            / wc,
+            6,
+        )
+        + 0.0,
+    )
+    punct_ratio = F.when(
+        nch > 0,
+        F.round(F.size(F.regexp_extract_all(t, F.lit(PUNCT_RE), 0)).cast("double") / nch, 6) + 0.0,
+    )
+    digit_ratio = F.when(
+        nch > 0,
+        F.round(F.size(F.regexp_extract_all(t, F.lit(r"[0-9]"), 0)).cast("double") / nch, 6) + 0.0,
+    )
+    out = df.select(
+        F.col(id_col),
+        wc.alias("word_count"),
+        mean_wl.alias("mean_word_len"),
+        sw_ratio.alias("stopword_ratio"),
+        punct_ratio.alias("punct_ratio"),
+        digit_ratio.alias("digit_ratio"),
+    )
+    gates = (
+        F.when((F.col("word_count") >= 5) & (F.col("word_count") <= 10000), 1).otherwise(0)
+        + F.when((F.col("mean_word_len") >= 2) & (F.col("mean_word_len") <= 12), 1).otherwise(0)
+        + F.when(F.col("stopword_ratio") >= 0.01, 1).otherwise(0)
+        + F.when(F.col("punct_ratio") <= 0.2, 1).otherwise(0)
+        + F.when(F.col("digit_ratio") <= 0.3, 1).otherwise(0)
+    )
+    return out.withColumn("quality", (F.round(gates / 5.0, 6) + 0.0))
+
+
+def fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Deterministic document fingerprint: md5 of normalized text plus a
+    64-char prefix key for blocking. Output: (id, fp, prefix_key)."""
+    norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+    return df.select(
+        F.col(id_col),
+        F.md5(norm).alias("fp"),
+        F.md5(F.substring(norm, 1, 64)).alias("prefix_key"),
+    )

@@ -1,0 +1,69 @@
+"""Structured Streaming profiling.
+
+The reference claims batch+stream fit but implements no streaming operators
+(SURVEY.md §2.10; README.md:18-20 vs the source). Because every metric here
+is a built-in mergeable aggregate, the exact same atom expressions run
+under Structured Streaming: tumbling/sliding windows + watermark give the
+time-bucketed profiles the reference produces per (tag, timestamp) group —
+with late-data semantics the reference never had.
+
+State per (window, tags) group is the same O(columns × constants) atom row
+as batch, so streaming state stays bounded.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.metrics import ColumnProfileSpec
+
+
+def profile_stream(
+    stream_df: DataFrame,
+    time_column: str,
+    window_duration: str = "1 hour",
+    slide_duration: str | None = None,
+    watermark: str = "10 minutes",
+    group_by: Sequence[str] = (),
+    columns: Sequence[str] | None = None,
+    null_strings: Sequence[str] = (),
+) -> DataFrame:
+    """Windowed streaming profile atoms.
+
+    Output: (window_start, window_end, group keys..., one wide atom column
+    set per profiled column). Use ``outputMode("update")`` with a mergeable
+    sink, or ``append`` after watermark expiry.
+    """
+    excluded = set(group_by) | {time_column}
+    profiled = [c for c in (columns or stream_df.columns) if c not in excluded]
+    schema = {f.name: f.dataType for f in stream_df.schema.fields}
+    specs = [
+        ColumnProfileSpec(c, schema[c], tuple(null_strings)) for c in profiled
+    ]
+    agg_exprs = [e for s in specs for e in s.atom_exprs()]
+
+    win = (
+        F.window(F.col(time_column), window_duration, slide_duration)
+        if slide_duration
+        else F.window(F.col(time_column), window_duration)
+    )
+    out = (
+        stream_df.withWatermark(time_column, watermark)
+        .groupBy(win.alias("window"), *group_by)
+        .agg(*agg_exprs)
+    )
+    return out.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        *group_by,
+        *[F.col(f"{s.key}_{m}") for s in specs for m, _ in _atom_fields()],
+    )
+
+
+def _atom_fields():
+    from ..functions.metrics import ATOM_METRICS
+
+    return ATOM_METRICS
