@@ -78,8 +78,8 @@ def regression_metrics(
     diff = (F.col(prediction) - F.col(target)).cast("double")
 
     def split_sum(d: Column, name: str) -> list[Column]:
-        hi = F.sum(F.floor(d).cast("decimal(38,0)")).alias(f"{name}_hi")
-        lo = F.sum((d - F.floor(d)).cast("decimal(38,6)")).alias(f"{name}_lo")
+        hi = F.sum(F.floor(d)).alias(f"{name}_hi")
+        lo = F.sum(F.round((d - F.floor(d)) * 1000000.0, 0).cast("long")).alias(f"{name}_lo")
         return [hi, lo]
 
     grouped = df.groupBy(*keys) if keys else df.groupBy()
@@ -91,7 +91,10 @@ def regression_metrics(
     )
 
     def tot(name: str) -> Column:
-        return F.col(f"{name}_hi").cast("double") + F.col(f"{name}_lo").cast("double")
+        return (
+            F.col(f"{name}_hi").cast("double")
+            + F.col(f"{name}_lo").cast("double") / 1000000.0
+        )
 
     n = F.col("count")
     return wide.select(

@@ -30,20 +30,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.metrics import ATOM_METRICS, ColumnProfileSpec, finalize_exprs
-
-
-_DATE_GRAINS = {"day", "week", "month", "quarter", "year"}
-
-
-def _time_bucket(time_column: str, granularity: str | None) -> Column:
-    c = F.col(time_column)
-    if not granularity:
-        return c
-    b = F.date_trunc(granularity, c)
-    # date-grained buckets surface as DateType (matches ANSI date_trunc
-    # return conventions and keeps oracle comparison type-stable)
-    return b.cast("date") if granularity in _DATE_GRAINS else b
+from ..functions.metrics import ATOM_METRICS, finalize_exprs
 
 
 def profile_atoms(
@@ -60,34 +47,27 @@ def profile_atoms(
     Output: one row per (group key values, profiled column) with the
     ATOM_METRICS fields. Group-by / time columns are excluded from profiling
     (DatasetProfileAggregator.scala:92-95 semantics).
+
+    The plan is emitted as ONE generated Spark-SQL statement
+    (plans.spark_sql): building the ~400 expressions of a wide profile via
+    the Column API costs seconds of py4j round trips per query; the SQL
+    text is a single JVM call producing the identical Catalyst plan
+    (projection -> partial+final hash-agg -> inline explode).
     """
-    keys: list[Column] = [F.col(c) for c in group_by]
-    key_names = list(group_by)
-    if time_column is not None:
-        keys.append(_time_bucket(time_column, time_granularity).alias("dataset_timestamp"))
-        key_names.append("dataset_timestamp")
+    from ..plans.spark_sql import build_atoms_sql
 
-    excluded = set(group_by) | ({time_column} if time_column else set())
-    profiled = [c for c in (columns or df.columns) if c not in excluded]
-    dtypes = dict(df.dtypes)
     schema = {f.name: f.dataType for f in df.schema.fields}
-    specs = [
-        ColumnProfileSpec(
-            c, schema[c], tuple(null_strings), coerce_strings
-        )
-        for c in profiled
-    ]
-
-    agg_exprs = [e for s in specs for e in s.atom_exprs()]
-    grouped = df.groupBy(*keys) if keys else df.groupBy()
-    wide = grouped.agg(*agg_exprs)
-
-    # wide -> long: explode an array of per-column structs (no extra shuffle;
-    # the array is built from the already-aggregated row)
-    structs = F.array(*[s.atom_struct() for s in specs])
-    return wide.select(*key_names, F.explode(structs).alias("m")).select(
-        *key_names, "m.*"
+    sql, _ = build_atoms_sql(
+        "{src}",
+        schema,
+        group_by,
+        time_column,
+        time_granularity,
+        columns,
+        null_strings,
+        coerce_strings,
     )
+    return df.sparkSession.sql(sql, src=df)
 
 
 def finalize_profile(atoms: DataFrame, key_names: Sequence[str]) -> DataFrame:

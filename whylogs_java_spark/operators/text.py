@@ -57,17 +57,25 @@ def language_scores(col: Column) -> dict[str, Column]:
 
 def language_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Heuristic language ID: argmax stopword evidence, ties -> lexicographic
-    first language, no evidence -> 'und'. Output: (id, predicted_lang)."""
+    first language, no evidence -> 'und'. Output: (id, predicted_lang).
+
+    Two-phase: scores project once per row, then the argmax walk runs over
+    plain attributes — the naive nested-CASE walk re-evaluates every score
+    expression O(2^langs) times.
+    """
     scores = language_scores(F.col(text_col))
     langs = sorted(scores)  # deterministic tie-break order
+    scored = df.select(
+        F.col(id_col), *[scores[lang].alias(f"__s_{lang}") for lang in langs]
+    )
     best_lang = F.lit("und")
     best_score = F.lit(0)
     for lang in reversed(langs):  # earlier langs win ties via >=
-        s = scores[lang]
+        s = F.col(f"__s_{lang}")
         cond = s >= F.greatest(best_score, F.lit(1))
         best_lang = F.when(cond, F.lit(lang)).otherwise(best_lang)
         best_score = F.when(cond, s).otherwise(best_score)
-    return df.select(F.col(id_col), best_lang.alias("predicted_lang"))
+    return scored.select(F.col(id_col), best_lang.alias("predicted_lang"))
 
 
 def language_scores_sql(text_expr: str) -> dict[str, str]:
@@ -81,9 +89,13 @@ def language_scores_sql(text_expr: str) -> dict[str, str]:
     return out
 
 
-def language_id_sql(text_expr: str) -> str:
-    """DuckDB CASE tree replicating language_id's priority walk exactly."""
-    scores = language_scores_sql(text_expr)
+def language_id_sql(score_cols: dict[str, str] | None = None) -> str:
+    """DuckDB CASE tree replicating language_id's priority walk exactly.
+
+    ``score_cols`` maps language -> SQL expression (typically a projected
+    column name such as ``__s_en``); defaults to ``__s_<lang>``.
+    """
+    scores = score_cols or {lang: f"__s_{lang}" for lang in [*LANG_STOPWORDS, "zh"]}
     langs = sorted(scores)
     best_lang, best_score = "'und'", "0"
     for lang in reversed(langs):

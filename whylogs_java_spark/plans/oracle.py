@@ -2,7 +2,7 @@
 
 Every profile query in ``__spark_entry__.py`` pairs with SQL generated here
 so the two sides stay structurally in sync: the SQL builds the same atoms
-(COUNT / MIN / MAX / exact DECIMAL(38,6) sums) and applies the same
+(COUNT / MIN / MAX / exact hi-lo long sums) and applies the same
 finalizers (``numeric_final_sql``) and the same type-inference CASE tree
 (``inferred_type_sql``) the Spark plan uses.
 """
@@ -11,7 +11,6 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from ..constants import SUM_DECIMAL
 from ..functions.inference import inferred_type_sql
 from ..functions.metrics import numeric_final_sql
 
@@ -60,8 +59,6 @@ TESTDATA_KINDS: dict[str, dict[str, str]] = {
     "region": {"r_regionkey": INTEGRAL, "r_name": STRING},
 }
 
-DEC = f"DECIMAL{SUM_DECIMAL[len('decimal'):]}".upper()  # DECIMAL(38,6)
-
 
 def _null_pred(col: str, kind: str, null_strings: Sequence[str]) -> str:
     preds = [f"{col} IS NULL"]
@@ -88,8 +85,8 @@ def _null_atoms(prefix: str) -> str:
     return (
         f"CAST(0 AS BIGINT) AS {prefix}_n, "
         f"CAST(NULL AS DOUBLE) AS {prefix}_min, CAST(NULL AS DOUBLE) AS {prefix}_max, "
-        f"CAST(NULL AS DECIMAL(38,0)) AS {prefix}_sum_hi, CAST(NULL AS {DEC}) AS {prefix}_sum_lo, "
-        f"CAST(NULL AS DECIMAL(38,0)) AS {prefix}_sum2_hi, CAST(NULL AS {DEC}) AS {prefix}_sum2_lo"
+        f"CAST(NULL AS BIGINT) AS {prefix}_sum_hi, CAST(NULL AS BIGINT) AS {prefix}_sum_lo, "
+        f"CAST(NULL AS BIGINT) AS {prefix}_sum2_hi, CAST(NULL AS BIGINT) AS {prefix}_sum2_lo"
     )
 
 

@@ -1,0 +1,271 @@
+"""Spark-SQL text generator for the profile aggregation.
+
+Why text instead of Column trees: building the ~400 expressions of a wide
+profile through the PySpark Column API costs seconds of py4j round trips
+per query (measured 2.4 s for an 11-column profile — comparable to the
+whole cluster-side execution at sf0.1). Emitting one SQL statement makes
+plan construction a single JVM call; Catalyst sees the identical logical
+plan.
+
+The numeric atoms / finalizers / type-inference CASE tree are shared with
+the DuckDB oracle generator (same SQL in both dialects); only the null
+predicate (isinf spelling), tokenizer (split vs str_split) and identifier
+quoting differ and are parameterized here.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import types as T
+
+from ..functions.inference import inferred_type_sql
+from ..functions.metrics import ATOM_METRICS, numeric_atom_sql, numeric_final_sql
+from ..functions.predicates import BOOLEAN_RE, FRACTIONAL_RE, INTEGRAL_RE
+
+INTEGRAL = "integral"
+FRACTIONAL = "fractional"
+STRING = "string"
+BOOLEAN = "boolean"
+UNKNOWN = "unknown"
+
+
+def kind_of(dt: T.DataType) -> str:
+    if isinstance(dt, T.BooleanType):
+        return BOOLEAN
+    if isinstance(dt, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
+        return INTEGRAL
+    if isinstance(dt, (T.DoubleType, T.FloatType, T.DecimalType)):
+        return FRACTIONAL
+    if isinstance(dt, T.StringType):
+        return STRING
+    return UNKNOWN
+
+
+def _q(name: str) -> str:
+    return f"`{name}`"
+
+
+def _null_pred(col: str, kind: str, null_strings: Sequence[str]) -> str:
+    preds = [f"{col} IS NULL"]
+    if kind == FRACTIONAL:
+        preds.append(f"isnan({col})")
+        preds.append(f"abs({col}) = CAST('Infinity' AS DOUBLE)")
+    if kind == STRING and null_strings:
+        inlist = ", ".join("'" + s.replace("'", "''") + "'" for s in null_strings)
+        preds.append(f"{col} IN ({inlist})")
+    return " OR ".join(preds)
+
+
+def _num_projection_sql(d: str, prefix: str) -> list[str]:
+    """Row-level pieces of one numeric suite (mirrors metrics._num_projection)."""
+    return [
+        f"{d} AS {prefix}_v",
+        f"FLOOR({d}) AS {prefix}_hi",
+        f"CAST(ROUND(({d} - FLOOR({d})) * 1000000.0, 0) AS BIGINT) AS {prefix}_lo",
+        f"FLOOR({d} * {d}) AS {prefix}_hi2",
+        f"CAST(ROUND(({d} * {d} - FLOOR({d} * {d})) * 1000000.0, 0) AS BIGINT) AS {prefix}_lo2",
+    ]
+
+
+def _num_aggs_sql(in_prefix: str, out_prefix: str) -> list[str]:
+    v = f"{in_prefix}_v"
+    return [
+        f"COUNT({v}) AS {out_prefix}_n",
+        f"MIN({v}) AS {out_prefix}_min",
+        f"MAX({v}) AS {out_prefix}_max",
+        f"SUM({in_prefix}_hi) AS {out_prefix}_sum_hi",
+        f"SUM({in_prefix}_lo) AS {out_prefix}_sum_lo",
+        f"SUM({in_prefix}_hi2) AS {out_prefix}_sum2_hi",
+        f"SUM({in_prefix}_lo2) AS {out_prefix}_sum2_lo",
+    ]
+
+
+def _null_num_aggs(prefix: str) -> list[str]:
+    return [
+        f"CAST(0 AS BIGINT) AS {prefix}_n",
+        f"CAST(NULL AS DOUBLE) AS {prefix}_min",
+        f"CAST(NULL AS DOUBLE) AS {prefix}_max",
+        f"CAST(NULL AS BIGINT) AS {prefix}_sum_hi",
+        f"CAST(NULL AS BIGINT) AS {prefix}_sum_lo",
+        f"CAST(NULL AS BIGINT) AS {prefix}_sum2_hi",
+        f"CAST(NULL AS BIGINT) AS {prefix}_sum2_lo",
+    ]
+
+
+class _ColumnSql:
+    """Per-column SQL fragments (projection, aggregation, struct fields),
+    mirroring metrics.ColumnProfileSpec exactly."""
+
+    def __init__(
+        self,
+        name: str,
+        dt: T.DataType,
+        null_strings: Sequence[str],
+        coerce_strings: bool,
+        tokenizer_delim: str = " ",
+    ) -> None:
+        self.name = name
+        self.kind = kind_of(dt)
+        self.null_strings = null_strings
+        self.coerce = coerce_strings and self.kind == STRING
+        self.delim = tokenizer_delim
+
+    # -- projection -------------------------------------------------------
+    def projection(self) -> list[str]:
+        c = _q(self.name)
+        k = self.kind
+        p = self.name
+        np = _null_pred(c, k, self.null_strings)
+        m = f"CASE WHEN NOT ({np}) THEN {c} END"
+        out = [f"CAST(({np}) AS INT) AS {p}__isnull"]
+        if k == BOOLEAN:
+            out.append(f"CAST(({m}) = TRUE AS INT) AS {p}__true")
+        if k in (INTEGRAL, FRACTIONAL):
+            out += _num_projection_sql(f"CAST({m} AS DOUBLE)", f"{p}__num")
+        if k == STRING:
+            out += _num_projection_sql(f"CAST(LENGTH({m}) AS DOUBLE)", f"{p}__len")
+            out += _num_projection_sql(
+                f"CAST(size(split({m}, '{self.delim}')) AS DOUBLE)", f"{p}__tok"
+            )
+            if self.coerce:
+                # Spark SQL string literals process backslash escapes:
+                # regexes must double them to survive parsing
+                i_re, f_re, b_re = (
+                    r.replace("\\", "\\\\")
+                    for r in (INTEGRAL_RE, FRACTIONAL_RE, BOOLEAN_RE)
+                )
+                out += [
+                    f"CAST(({m}) RLIKE '{i_re}' AS INT) AS {p}__is_int",
+                    f"CAST(({m}) RLIKE '{f_re}' AS INT) AS {p}__is_frac",
+                    f"CAST(({m}) RLIKE '{b_re}' AS INT) AS {p}__is_bool",
+                ]
+        return out
+
+    # -- aggregation ------------------------------------------------------
+    def aggs(self) -> list[str]:
+        p = self.name
+        k = self.kind
+        cnt = "COUNT(1)"
+        nullc = f"SUM({p}__isnull)"
+        nn = f"CAST({cnt} - {nullc} AS BIGINT)"
+        zero = "CAST(0 AS BIGINT)"
+
+        out = [
+            f"CAST({cnt} AS BIGINT) AS {p}_count",
+            f"CAST({nullc} AS BIGINT) AS {p}_null_count",
+            (
+                f"CAST(SUM({p}__true) AS BIGINT) AS {p}_true_count"
+                if k == BOOLEAN
+                else f"{zero} AS {p}_true_count"
+            ),
+        ]
+        tc = dict.fromkeys(
+            ("integral", "fractional", "boolean", "string", "unknown"), zero
+        )
+        if self.coerce:
+            tc["integral"] = f"CAST(SUM({p}__is_int) AS BIGINT)"
+            tc["fractional"] = f"CAST(SUM({p}__is_frac) AS BIGINT)"
+            tc["boolean"] = f"CAST(SUM({p}__is_bool) AS BIGINT)"
+            tc["string"] = (
+                f"CAST({cnt} - {nullc} - SUM({p}__is_int) - SUM({p}__is_frac)"
+                f" - SUM({p}__is_bool) AS BIGINT)"
+            )
+        elif k in tc:
+            tc[k] = nn
+        for key in ("integral", "fractional", "boolean", "string", "unknown"):
+            out.append(f"{tc[key]} AS {p}_{key}_count")
+
+        if k in (INTEGRAL, FRACTIONAL):
+            out += _num_aggs_sql(f"{p}__num", f"{p}_num")
+        else:
+            out += _null_num_aggs(f"{p}_num")
+        if k == STRING:
+            out += _num_aggs_sql(f"{p}__len", f"{p}_len")
+            out += _num_aggs_sql(f"{p}__tok", f"{p}_tok")
+        else:
+            out += _null_num_aggs(f"{p}_len")
+            out += _null_num_aggs(f"{p}_tok")
+        return out
+
+    # -- long-format struct ----------------------------------------------
+    def struct_sql(self) -> str:
+        fields = [f"'column_name', '{self.name}'"]
+        for fname, _ in ATOM_METRICS:
+            fields.append(f"'{fname}', {self.name}_{fname}")
+        return f"named_struct({', '.join(fields)})"
+
+
+_DATE_GRAINS = {"day", "week", "month", "quarter", "year"}
+
+
+def build_atoms_sql(
+    view: str,
+    schema: dict[str, T.DataType],
+    group_by: Sequence[str] = (),
+    time_column: str | None = None,
+    time_granularity: str | None = "day",
+    columns: Sequence[str] | None = None,
+    null_strings: Sequence[str] = (),
+    coerce_strings: bool = False,
+) -> tuple[str, list[str]]:
+    """One Spark-SQL statement producing long-format profile atoms.
+
+    Returns (sql, key_names). Shape:
+    projection -> wide hash-agg -> inline(array(named_struct...)) explode.
+    """
+    key_exprs = [f"{_q(c)}" for c in group_by]
+    key_names = list(group_by)
+    if time_column is not None:
+        grain = time_granularity or "day"
+        b = f"date_trunc('{grain}', {_q(time_column)})"
+        if grain in _DATE_GRAINS:
+            b = f"CAST({b} AS DATE)"
+        key_exprs.append(f"{b} AS dataset_timestamp")
+        key_names.append("dataset_timestamp")
+
+    excluded = set(group_by) | ({time_column} if time_column else set())
+    profiled = [c for c in (columns or schema) if c not in excluded]
+    specs = [
+        _ColumnSql(c, schema[c], null_strings, coerce_strings) for c in profiled
+    ]
+
+    proj = ",\n      ".join(key_exprs + [e for s in specs for e in s.projection()])
+    aggs = ",\n      ".join(e for s in specs for e in s.aggs())
+    structs = ",\n        ".join(s.struct_sql() for s in specs)
+    keys_sel = (", ".join(_q(k) for k in key_names) + ",") if key_names else ""
+    group_clause = (
+        "GROUP BY " + ", ".join(_q(k) for k in key_names) if key_names else ""
+    )
+    sql = f"""
+    SELECT {keys_sel} inline(array(
+        {structs}
+    ))
+    FROM (
+      SELECT {keys_sel} {aggs}
+      FROM (SELECT {proj} FROM {view}) __wjs_proj
+      {group_clause}
+    ) __wjs_agg
+    """
+    return sql, key_names
+
+
+def finalize_select_sql(key_names: Sequence[str]) -> str:
+    """SELECT-list turning atom rows into the finalized summary (shared
+    finalizer/type-inference SQL — identical text to the DuckDB oracle)."""
+    itype = inferred_type_sql(
+        "null_count", "fractional_count", "integral_count",
+        "boolean_count", "string_count", "unknown_count",
+    )
+    keys = "".join(f"{_q(k)}, " for k in key_names)
+    return (
+        f"SELECT {keys}column_name, `count`, null_count, true_count, "
+        f"integral_count, fractional_count, boolean_count, string_count, "
+        f"unknown_count, {itype} AS inferred_type, "
+        f"{numeric_final_sql('num', '')}, "
+        f"{numeric_final_sql('len', 'len_')}, "
+        f"{numeric_final_sql('tok', 'tok_')}"
+    )
+
+
+__all__ = ["build_atoms_sql", "finalize_select_sql", "kind_of", "numeric_atom_sql"]

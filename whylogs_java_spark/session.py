@@ -25,6 +25,10 @@ def get_spark(app_name: str = "whylogs_java_spark", master: str | None = None) -
         # driver testdata stores events.ts as TIMESTAMP(NANOS); read as long
         # and convert in sources.parquet.load_table
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # profile plans carry ~30 aggregate columns per profiled source
+        # column; the default maxFields=100 silently disables whole-stage
+        # codegen for them (measured 3x slowdown on the sf0.1 flagship)
+        .config("spark.sql.codegen.maxFields", "2000")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )

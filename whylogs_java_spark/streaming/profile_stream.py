@@ -43,7 +43,12 @@ def profile_stream(
     specs = [
         ColumnProfileSpec(c, schema[c], tuple(null_strings)) for c in profiled
     ]
-    agg_exprs = [e for s in specs for e in s.atom_exprs()]
+    projected = stream_df.select(
+        F.col(time_column),
+        *group_by,
+        *[e for s in specs for e in s.projection_exprs()],
+    )
+    agg_exprs = [e for s in specs for e in s.agg_exprs()]
 
     win = (
         F.window(F.col(time_column), window_duration, slide_duration)
@@ -51,7 +56,7 @@ def profile_stream(
         else F.window(F.col(time_column), window_duration)
     )
     out = (
-        stream_df.withWatermark(time_column, watermark)
+        projected.withWatermark(time_column, watermark)
         .groupBy(win.alias("window"), *group_by)
         .agg(*agg_exprs)
     )
