@@ -1,0 +1,278 @@
+"""CSV datetime parsing, profile sinks round-trip, session API, charpos,
+approx tier, streaming, multimodal plumbing."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+from whylogs_java_spark import profile, profile_atoms
+from whylogs_java_spark.operators.approx import (
+    approx_unique_counts,
+    merge_sketch_profiles,
+    sketch_profile,
+    sketch_summary,
+)
+from whylogs_java_spark.operators.charpos import char_pos_stats
+from whylogs_java_spark.operators.multimodal import (
+    attach_media_metadata,
+    extract_features,
+    frame_sample_plan,
+)
+from whylogs_java_spark.plans.session_api import new_profiling_session
+from whylogs_java_spark.sources.csv import parse_datetime, read_csv
+from whylogs_java_spark.sources.sinks import (
+    merge_stored_profiles,
+    write_profile_atoms,
+    write_profile_summary_json,
+)
+from whylogs_java_spark.streaming.profile_stream import profile_stream
+
+
+# ---------------------------------------------------------------------------
+# CSV / datetime (EasyDateTimeParserTest.java:22-165 shapes)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize(
+    "value,fmt,expected",
+    [
+        ("2021-03-04 10:20:30", "yyyy-MM-dd HH:mm:ss", dt.datetime(2021, 3, 4, 10, 20, 30)),
+        ("2021-03-04", "yyyy-MM-dd", dt.datetime(2021, 3, 4)),
+        ("2021-03", "yyyy-MM", dt.datetime(2021, 3, 1)),
+        ("2021", "yyyy", dt.datetime(2021, 1, 1)),
+        ("1614852030", "epoch", dt.datetime(2021, 3, 4, 10, 0, 30)),
+        ("1614852030000", "epochMillis", dt.datetime(2021, 3, 4, 10, 0, 30)),
+        # null-ish -> epoch 0 (EasyDateTimeParser.java:30-37)
+        ("nan", "yyyy-MM-dd", dt.datetime(1970, 1, 1)),
+        ("null", "epoch", dt.datetime(1970, 1, 1)),
+        (None, "yyyy-MM-dd", dt.datetime(1970, 1, 1)),
+    ],
+)
+def test_parse_datetime_formats(spark, value, fmt, expected):
+    df = spark.createDataFrame([(value,)], "v string")
+    got = df.select(parse_datetime(F.col("v"), fmt).alias("t")).collect()[0]["t"]
+    assert got == expected, (value, fmt)
+
+
+def test_read_csv_roundtrip(spark, tmp_path):
+    path = os.path.join(str(tmp_path), "data.csv")
+    with open(path, "w") as f:
+        f.write("id,when,val\n1,2021-03-04,10.5\n2,,3.25\n3,2021-03-05,\n")
+    df = read_csv(spark, path, datetime_column="when", datetime_format="yyyy-MM-dd")
+    rows = {r["id"]: r for r in df.collect()}
+    assert rows["1"]["when"] == dt.datetime(2021, 3, 4)
+    assert rows["2"]["when"] == dt.datetime(1970, 1, 1)  # "" -> null -> epoch 0
+    assert rows["3"]["val"] is None  # "" -> null
+    p = profile(df.select("val"), coerce_strings=True).collect()
+    assert p[0]["fractional_count"] == 2
+
+
+# ---------------------------------------------------------------------------
+# sinks: parquet atom round-trip merge (DatasetProfileTest.java:160-258 analog)
+# ---------------------------------------------------------------------------
+
+def test_stored_profile_merge_roundtrip(spark, tmp_path):
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    keys = ["l_returnflag"]
+    a = profile_atoms(li.filter("l_orderkey % 2 = 0"), group_by=keys)
+    b = profile_atoms(li.filter("l_orderkey % 2 = 1"), group_by=keys)
+    pa, pb = str(tmp_path / "a"), str(tmp_path / "b")
+    write_profile_atoms(a, pa)
+    write_profile_atoms(b, pb)
+    merged = merge_stored_profiles(spark, [pa, pb], keys)
+    whole = profile_atoms(li, group_by=keys)
+    key = lambda r: (r["l_returnflag"], r["column_name"])
+    m = {key(r): r["count"] for r in merged.collect()}
+    w = {key(r): r["count"] for r in whole.collect()}
+    assert m == w
+
+
+def test_json_summary_sink(spark, tmp_path):
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    atoms = profile_atoms(li, group_by=["l_returnflag"])
+    out = str(tmp_path / "sum")
+    write_profile_summary_json(atoms, ["l_returnflag"], out)
+    back = spark.read.json(out)
+    assert back.count() == 30 and "inferred_type" in back.columns
+
+
+# ---------------------------------------------------------------------------
+# session API (WhyLogs.scala behaviors)
+# ---------------------------------------------------------------------------
+
+def test_session_api_flow(spark):
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").withColumn(
+        "ts2", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    out = (
+        new_profiling_session(ev, "s1")
+        .with_time_column("ts2")
+        .group_by_columns("event_type")
+        .agg_profiles()
+    )
+    assert "dataset_timestamp" in out.columns
+    cols = {r["column_name"] for r in out.select("column_name").distinct().collect()}
+    assert "event_type" not in cols and "ts2" not in cols
+
+
+def test_session_api_validation(spark):
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    s = new_profiling_session(ev)
+    with pytest.raises(ValueError):
+        s.group_by_columns("nope")
+    with pytest.raises(TypeError):
+        s.with_time_column("event_type")  # not a timestamp (WhyLogs.scala:57-66)
+    with pytest.raises(TypeError):
+        s.with_regression_model("event_type", "value")  # non-numeric pred
+
+
+def test_session_model_metrics(spark):
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    cm = (
+        new_profiling_session(ev)
+        .with_classification_model("event_type", "event_type")
+        .agg_model_metrics()
+    )
+    rows = cm.collect()
+    assert all(r["prediction"] == r["target"] for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# charpos (CharPosTracker.java:48-126)
+# ---------------------------------------------------------------------------
+
+def test_char_pos_stats(spark):
+    df = spark.createDataFrame([("aba",), ("xq",)], "t string")
+    rows = {r["character"]: r for r in char_pos_stats(df, "t").collect()}
+    assert rows["a"]["n"] == 2 and rows["a"]["min"] == 0.0 and rows["a"]["max"] == 2.0
+    assert rows["b"]["n"] == 1 and rows["b"]["mean"] == 1.0
+    # 'x' is (sic) not in the reference charset -> NITL; 'q' is in set
+    assert rows["NITL"]["n"] == 1 and rows["NITL"]["min"] == 0.0
+    assert rows["q"]["n"] == 1
+
+
+# ---------------------------------------------------------------------------
+# approx tier (DataSketches-native)
+# ---------------------------------------------------------------------------
+
+def test_sketch_profile_estimates_close_to_exact(spark):
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    sk = sketch_profile(li, columns=["l_orderkey", "l_returnflag", "l_quantity"])
+    summ = {r["column_name"]: r for r in sketch_summary(sk).collect()}
+    exact = li.agg(
+        F.count_distinct("l_orderkey").alias("ok"),
+        F.count_distinct("l_returnflag").alias("rf"),
+    ).collect()[0]
+    assert summ["l_orderkey"]["unique_theta"] == pytest.approx(exact["ok"], rel=0.05)
+    assert summ["l_returnflag"]["unique_hll"] == pytest.approx(exact["rf"], rel=0.05)
+    med = summ["l_quantity"]["quantiles"][4]  # 0.5
+    assert 20 <= med <= 30  # true median ~25
+
+
+def test_sketch_merge_equals_whole(spark):
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    a = sketch_profile(li.filter("l_orderkey % 2 = 0"), columns=["l_orderkey"])
+    b = sketch_profile(li.filter("l_orderkey % 2 = 1"), columns=["l_orderkey"])
+    merged = merge_sketch_profiles(a.unionByName(b))
+    est = sketch_summary(merged).collect()[0]["unique_theta"]
+    whole = sketch_summary(sketch_profile(li, columns=["l_orderkey"])).collect()[0][
+        "unique_theta"
+    ]
+    assert est == pytest.approx(whole, rel=0.01)
+
+
+def test_approx_unique_counts(spark):
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    u = {
+        r["column_name"]: r["unique_count"]
+        for r in approx_unique_counts(li, ["l_returnflag"]).collect()
+    }
+    assert u["l_returnflag"] == 3
+
+
+# ---------------------------------------------------------------------------
+# streaming (SURVEY.md §2.10 — additive)
+# ---------------------------------------------------------------------------
+
+def test_streaming_profile_matches_batch(spark, tmp_path):
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    src = str(tmp_path / "stream_src")
+    ev.write.parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    atoms = profile_stream(
+        stream,
+        time_column="ts",
+        window_duration="1 day",
+        watermark="0 seconds",
+        group_by=["event_type"],
+        columns=["value"],
+    )
+    q = (
+        atoms.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("stream_prof")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql(
+            "SELECT window_start, event_type, value_count, value_num_sum_hi FROM stream_prof"
+        ).collect()
+    finally:
+        q.stop()
+    batch = profile_atoms(
+        ev, group_by=["event_type"], time_column="ts", time_granularity="day",
+        columns=["value"],
+    ).collect()
+    bk = {
+        (str(r["dataset_timestamp"]), r["event_type"]): (r["count"], r["num_sum_hi"])
+        for r in batch
+    }
+    sk = {
+        (str(r["window_start"].date()), r["event_type"]): (
+            r["value_count"],
+            r["value_num_sum_hi"],
+        )
+        for r in got
+    }
+    assert sk == bk
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+# ---------------------------------------------------------------------------
+
+def test_multimodal_feature_plumbing(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(b"\x89PNGfake")), (2, bytearray(b"RIFFfake"))],
+        "media_id long, data binary",
+    )
+    media = attach_media_metadata(df, "data", "media_id", kind="image", mime="image/png")
+    feats = extract_features(media, feat_dim=4).collect()
+    assert len(feats) == 2
+    by_id = {r["media_id"]: r for r in feats}
+    assert len(by_id[1]["feat"]) == 4 and by_id[1]["n_bytes"] == 8
+    # deterministic: same content -> same features
+    again = {r["media_id"]: r for r in extract_features(media, feat_dim=4).collect()}
+    assert again[1]["feat"] == by_id[1]["feat"]
+
+
+def test_multimodal_decode_stub_raises(spark):
+    df = spark.createDataFrame([(1, bytearray(b"x"))], "media_id long, data binary")
+    media = attach_media_metadata(df, "data", "media_id", kind="image", mime="image/png")
+    with pytest.raises(NotImplementedError):
+        extract_features(media, decode_stub=False)
+
+
+def test_frame_sample_plan(spark):
+    df = spark.createDataFrame([(1, bytearray(b"v"))], "media_id long, data binary")
+    media = attach_media_metadata(df, "data", "media_id", kind="video", mime="video/mp4")
+    plan = frame_sample_plan(media, every_ms=500, max_frames=4).collect()
+    assert [r["ts_ms"] for r in plan] == [0, 500, 1000, 1500]

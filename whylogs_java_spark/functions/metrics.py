@@ -16,11 +16,11 @@ summing counts/sums and min/max-ing extremes, exactly the algebra of
 DatasetProfile.merge (DatasetProfile.java:251-300) and Chan's variance
 combine (VarianceTracker.java:49-69) re-expressed on (n, Σx, Σx²).
 
-Determinism note: floating sums use exact integer accumulation (floor part
-+ 1e-6-quantized fractional part as LONGs), which is order-independent and
-reproduces bit-identically in DuckDB oracles; all derived doubles
-(mean/variance/stddev) are computed from those exact atoms with the same
-double arithmetic on both engines. See _split_sum for overflow bounds.
+Determinism note: floating sums use magnitude-tiered exact integer
+accumulation (see the tiering note above _suite_projection), which is
+order-independent and reproduces bit-identically in DuckDB oracles; all
+derived doubles (mean/variance/stddev) are computed from those exact atoms
+with the same double arithmetic on both engines.
 """
 
 from __future__ import annotations
@@ -53,43 +53,102 @@ def _cnt(cond: Column) -> Column:
     return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
 
 
-def _split_sum(d: Column, prefix: str, suffix: str) -> list[Column]:
-    """Exact order-independent sum of doubles, split hi/lo, as LONG sums.
+# Magnitude-tiered exact summation
+# --------------------------------
+# Goal: Σx and Σx² that are (a) order/partitioning-independent — so results
+# are bit-reproducible across engines and runs — and (b) never silently
+# wrong at scale (a naive Σ floor(x²) AS BIGINT wraps for |x|~1e6 columns
+# in the hundreds of millions of rows, and errors outright for id/epoch
+# magnitudes).
+#
+# Per value, chosen by the VALUE (not data order, so determinism holds):
+# - |x| < 2^31 ("small"): exact integer path.
+#   Σx:  floor(x) as LONG (|term| < 2^31 -> safe to ~4.3e9 rows/group) +
+#        1e-6-quantized fraction as LONG (safe to ~9.2e12 rows/group).
+#   Σx²: p = floor(x²) < 2^62 splits base-2^31 into (p DIV 2^31, p MOD
+#        2^31) — two LONG sums, each term < 2^31, safe to ~4.3e9
+#        rows/group — plus the quantized fraction.
+# - |x| >= 2^31 ("big": ids, epoch-nanos...): accumulate x and x² in
+#   DOUBLE sums. These are order-dependent in the last ulp, but such
+#   magnitudes exceed exact double range anyway; columns without big
+#   values keep full determinism.
+#
+# All accumulators are LONG/DOUBLE -> whole-stage codegen (~10x faster
+# than DECIMAL(38,_) aggregation, measured on the sf0.1 flagship).
 
-    ``hi`` accumulates floor(x); ``lo`` the fractional remainder quantized
-    to 1e-6 (the engine's 6-decimal sum resolution). Integer sums are
-    associative/commutative -> results are independent of partitioning and
-    merge order, and LONG->DOUBLE conversion is correctly rounded in every
-    engine, so finalized doubles are bit-identical in the DuckDB oracles.
-    LONG aggregation also stays inside whole-stage codegen — ~10x faster
-    than DECIMAL(38,_) aggregation (BigDecimal-backed, measured on sf0.1).
+BIG = 2147483648  # 2^31
 
-    Overflow bounds (long max ~9.2e18): ``lo`` ≤ 1e6/row -> safe to ~9e12
-    rows/group; ``hi`` of x² for |x|~1e5 -> safe to ~7e8 rows/group. For
-    extreme single-group scans beyond that, swap SUM_LONG_MODE for the
-    DECIMAL(38,6) variants (same algebra, slower path).
+
+def _suite_projection(d: Column, prefix: str) -> list[Column]:
+    """Row-level pieces of one numeric suite (see tiering note above).
+
+    Branch-minimized: the value is CLAMPED to 0 outside the small range
+    (``dc``), so floor/shift/round run unguarded (overflow-safe) and
+    Catalyst's subexpression elimination shares them across the output
+    columns — CASE WHEN around each expression would block CSE and
+    re-evaluate d² per column (measured 4x slower). Big values contribute 0
+    through the integer path and flow through the two ``big`` doubles.
+    NULL values yield NULL pieces (skipped by SUM), identical totals.
     """
-    hi = F.floor(d)  # long for double input
-    lo = F.round((d - F.floor(d)) * 1000000.0, 0).cast("long")
+    small = F.abs(d) < F.lit(float(BIG))
+    dc = F.when(small, d).otherwise(F.lit(0.0))  # clamped: |dc| < 2^31
+    dc2 = dc * dc
+    flc = F.floor(dc)
+    p = F.floor(dc2)  # < 2^62, exact long
     return [
-        F.sum(hi).alias(f"{prefix}_{suffix}_hi"),
-        F.sum(lo).alias(f"{prefix}_{suffix}_lo"),
+        d.alias(f"{prefix}_v"),
+        flc.alias(f"{prefix}_hi"),
+        F.round((dc - flc) * 1000000.0, 0).cast("long").alias(f"{prefix}_lo"),
+        F.when(small, F.lit(0.0)).otherwise(d).alias(f"{prefix}_big"),
+        # p >= 0, so shiftright/bitand give exact (p DIV 2^31, p MOD 2^31)
+        F.shiftright(p, 31).alias(f"{prefix}_a31"),
+        p.bitwiseAND(F.lit(BIG - 1)).alias(f"{prefix}_b31"),
+        F.round((dc2 - p) * 1000000.0, 0).cast("long").alias(f"{prefix}_lo2"),
+        F.when(small, F.lit(0.0)).otherwise(d * d).alias(f"{prefix}_big2"),
+    ]
+
+
+def _suite_aggs(in_prefix: str, out_prefix: str) -> list[Column]:
+    """Aggregates of a projected numeric suite (plain attribute aggs)."""
+    v = F.col(f"{in_prefix}_v")
+    return [
+        F.count(v).alias(f"{out_prefix}_n"),
+        F.min(v).alias(f"{out_prefix}_min"),
+        F.max(v).alias(f"{out_prefix}_max"),
+        F.sum(f"{in_prefix}_hi").alias(f"{out_prefix}_sum_hi"),
+        F.sum(f"{in_prefix}_lo").alias(f"{out_prefix}_sum_lo"),
+        F.sum(f"{in_prefix}_big").alias(f"{out_prefix}_sum_big"),
+        F.sum(f"{in_prefix}_a31").alias(f"{out_prefix}_sum2_a"),
+        F.sum(f"{in_prefix}_b31").alias(f"{out_prefix}_sum2_b"),
+        F.sum(f"{in_prefix}_lo2").alias(f"{out_prefix}_sum2_lo"),
+        F.sum(f"{in_prefix}_big2").alias(f"{out_prefix}_sum2_big"),
     ]
 
 
 def numeric_atom_exprs(val: Column, prefix: str) -> list[Column]:
-    """Atoms for one NumberTracker suite: n, min, max, Σx, Σx² (exact).
+    """Single-phase atoms for one NumberTracker suite: n, min, max, Σx, Σx².
 
     ``val`` must already be null-masked; NULLs are skipped by the aggregates
     just as the reference skips isNull values (ColumnProfile.java:87-117).
+    Prefer the two-phase projection+agg path for wide profiles.
     """
     d = val.cast("double")
+    pieces = _suite_projection(d, "x")
+    # strip the projection aliases and aggregate the raw expressions
+    exprs = dict(zip(
+        ["v", "hi", "lo", "big", "a31", "b31", "lo2", "big2"], pieces
+    ))
     return [
         F.count(val).alias(f"{prefix}_n"),
         F.min(d).alias(f"{prefix}_min"),
         F.max(d).alias(f"{prefix}_max"),
-        *_split_sum(d, prefix, "sum"),
-        *_split_sum(d * d, prefix, "sum2"),
+        F.sum(exprs["hi"]).alias(f"{prefix}_sum_hi"),
+        F.sum(exprs["lo"]).alias(f"{prefix}_sum_lo"),
+        F.sum(exprs["big"]).alias(f"{prefix}_sum_big"),
+        F.sum(exprs["a31"]).alias(f"{prefix}_sum2_a"),
+        F.sum(exprs["b31"]).alias(f"{prefix}_sum2_b"),
+        F.sum(exprs["lo2"]).alias(f"{prefix}_sum2_lo"),
+        F.sum(exprs["big2"]).alias(f"{prefix}_sum2_big"),
     ]
 
 
@@ -104,10 +163,13 @@ def numeric_final_exprs(row_prefix: str, out_prefix: str = "") -> dict[str, Colu
     sx = (
         F.col(f"{row_prefix}_sum_hi").cast("double")
         + F.col(f"{row_prefix}_sum_lo").cast("double") / 1000000.0
+        + F.col(f"{row_prefix}_sum_big")
     )
     sx2 = (
-        F.col(f"{row_prefix}_sum2_hi").cast("double")
+        F.col(f"{row_prefix}_sum2_a").cast("double") * 2147483648.0
+        + F.col(f"{row_prefix}_sum2_b").cast("double")
         + F.col(f"{row_prefix}_sum2_lo").cast("double") / 1000000.0
+        + F.col(f"{row_prefix}_sum2_big")
     )
     mean = sx / n
     # clamp tiny negative cancellation residue to 0 (also keeps the SQL
@@ -120,31 +182,65 @@ def numeric_final_exprs(row_prefix: str, out_prefix: str = "") -> dict[str, Colu
         f"{o}n": n,
         f"{o}min": F.col(f"{row_prefix}_min"),
         f"{o}max": F.col(f"{row_prefix}_max"),
-        f"{o}sum": F.round(sx, ROUND_DIGITS) + 0.0,
+        f"{o}sum": F.when(n > 0, F.round(sx, ROUND_DIGITS) + 0.0),
         f"{o}mean": F.when(n > 0, F.round(mean, ROUND_DIGITS) + 0.0),
         f"{o}variance": F.round(var, ROUND_DIGITS) + 0.0,
         f"{o}stddev": F.round(F.sqrt(var), ROUND_DIGITS) + 0.0,
     }
 
 
-def numeric_atom_sql(val_sql: str, prefix: str) -> str:
-    """DuckDB aggregate SQL for the same atoms (``val_sql`` pre-masked)."""
+def numeric_atom_sql(val_sql: str, prefix: str, dialect: str = "duckdb") -> str:
+    """Aggregate SQL for the same tiered atoms (``val_sql`` pre-masked).
+
+    The only dialect differences are integer shift/and spellings.
+    """
     d = f"CAST({val_sql} AS DOUBLE)"
     d2 = f"({d} * {d})"
+    small = f"ABS({d}) < 2147483648.0"
+    p = f"CAST(FLOOR({d2}) AS BIGINT)"
+    if dialect == "duckdb":
+        a = f"({p} >> 31)"
+        b = f"({p} & 2147483647)"
+    else:  # spark
+        a = f"SHIFTRIGHT({p}, 31)"
+        b = f"({p} & 2147483647)"
+    case = "CASE WHEN {c} THEN {v} ELSE {e} END"
+    hi = case.format(c=small, v=f"CAST(FLOOR({d}) AS BIGINT)", e="0")
+    lo = case.format(
+        c=small, v=f"CAST(ROUND(({d} - FLOOR({d})) * 1000000.0, 0) AS BIGINT)", e="0"
+    )
+    bigv = case.format(c=f"NOT ({small})", v=d, e="0.0")
+    av = case.format(c=small, v=a, e="0")
+    bv = case.format(c=small, v=b, e="0")
+    lo2 = case.format(
+        c=small, v=f"CAST(ROUND(({d2} - FLOOR({d2})) * 1000000.0, 0) AS BIGINT)", e="0"
+    )
+    big2 = case.format(c=f"NOT ({small})", v=d2, e="0.0")
     return (
         f"COUNT({val_sql}) AS {prefix}_n, "
         f"MIN({d}) AS {prefix}_min, MAX({d}) AS {prefix}_max, "
-        f"SUM(CAST(FLOOR({d}) AS BIGINT)) AS {prefix}_sum_hi, "
-        f"SUM(CAST(ROUND(({d} - FLOOR({d})) * 1000000.0, 0) AS BIGINT)) AS {prefix}_sum_lo, "
-        f"SUM(CAST(FLOOR({d2}) AS BIGINT)) AS {prefix}_sum2_hi, "
-        f"SUM(CAST(ROUND(({d2} - FLOOR({d2})) * 1000000.0, 0) AS BIGINT)) AS {prefix}_sum2_lo"
+        f"SUM({hi}) AS {prefix}_sum_hi, "
+        f"SUM({lo}) AS {prefix}_sum_lo, "
+        f"SUM({bigv}) AS {prefix}_sum_big, "
+        f"SUM({av}) AS {prefix}_sum2_a, "
+        f"SUM({bv}) AS {prefix}_sum2_b, "
+        f"SUM({lo2}) AS {prefix}_sum2_lo, "
+        f"SUM({big2}) AS {prefix}_sum2_big"
     )
 
 
 def numeric_final_sql(row_prefix: str, out_prefix: str = "") -> str:
     n = f"{row_prefix}_n"
-    sx = f"(CAST({row_prefix}_sum_hi AS DOUBLE) + CAST({row_prefix}_sum_lo AS DOUBLE) / 1000000.0)"
-    sx2 = f"(CAST({row_prefix}_sum2_hi AS DOUBLE) + CAST({row_prefix}_sum2_lo AS DOUBLE) / 1000000.0)"
+    sx = (
+        f"(CAST({row_prefix}_sum_hi AS DOUBLE) + CAST({row_prefix}_sum_lo AS DOUBLE) / 1000000.0"
+        f" + {row_prefix}_sum_big)"
+    )
+    sx2 = (
+        f"(CAST({row_prefix}_sum2_a AS DOUBLE) * 2147483648.0"
+        f" + CAST({row_prefix}_sum2_b AS DOUBLE)"
+        f" + CAST({row_prefix}_sum2_lo AS DOUBLE) / 1000000.0"
+        f" + {row_prefix}_sum2_big)"
+    )
     var = (
         f"CASE WHEN {n} > 1 THEN GREATEST(({sx2} - {sx} * {sx} / {n}) / ({n} - 1), 0.0) "
         f"WHEN {n} = 1 THEN 0.0 END"
@@ -152,7 +248,7 @@ def numeric_final_sql(row_prefix: str, out_prefix: str = "") -> str:
     o = out_prefix
     return (
         f"{n} AS {o}n, {row_prefix}_min AS {o}min, {row_prefix}_max AS {o}max, "
-        f"ROUND({sx}, {ROUND_DIGITS}) + 0.0 AS {o}sum, "
+        f"CASE WHEN {n} > 0 THEN ROUND({sx}, {ROUND_DIGITS}) + 0.0 END AS {o}sum, "
         f"CASE WHEN {n} > 0 THEN ROUND({sx} / {n}, {ROUND_DIGITS}) + 0.0 END AS {o}mean, "
         f"ROUND({var}, {ROUND_DIGITS}) + 0.0 AS {o}variance, "
         f"ROUND(SQRT({var}), {ROUND_DIGITS}) + 0.0 AS {o}stddev"
@@ -178,22 +274,31 @@ ATOM_METRICS = [
     ("num_max", "double"),
     ("num_sum_hi", "long"),
     ("num_sum_lo", "long"),
-    ("num_sum2_hi", "long"),
+    ("num_sum_big", "double"),
+    ("num_sum2_a", "long"),
+    ("num_sum2_b", "long"),
     ("num_sum2_lo", "long"),
+    ("num_sum2_big", "double"),
     ("len_n", "long"),
     ("len_min", "double"),
     ("len_max", "double"),
     ("len_sum_hi", "long"),
     ("len_sum_lo", "long"),
-    ("len_sum2_hi", "long"),
+    ("len_sum_big", "double"),
+    ("len_sum2_a", "long"),
+    ("len_sum2_b", "long"),
     ("len_sum2_lo", "long"),
+    ("len_sum2_big", "double"),
     ("tok_n", "long"),
     ("tok_min", "double"),
     ("tok_max", "double"),
     ("tok_sum_hi", "long"),
     ("tok_sum_lo", "long"),
-    ("tok_sum2_hi", "long"),
+    ("tok_sum_big", "double"),
+    ("tok_sum2_a", "long"),
+    ("tok_sum2_b", "long"),
     ("tok_sum2_lo", "long"),
+    ("tok_sum2_big", "double"),
 ]
 
 
@@ -238,10 +343,10 @@ class ColumnProfileSpec:
         if isinstance(dt, T.BooleanType):
             out.append((m == F.lit(True)).cast("int").alias(f"{p}__true"))
         if is_numeric(dt) and not isinstance(dt, T.BooleanType):
-            out += _num_projection(m.cast("double"), f"{p}__num")
+            out += _suite_projection(m.cast("double"), f"{p}__num")
         if isinstance(dt, T.StringType):
-            out += _num_projection(F.length(m).cast("double"), f"{p}__len")
-            out += _num_projection(
+            out += _suite_projection(F.length(m).cast("double"), f"{p}__len")
+            out += _suite_projection(
                 F.size(F.split(m, self.tokenizer_delim)).cast("double"), f"{p}__tok"
             )
             if self.coerce_strings:
@@ -298,12 +403,12 @@ class ColumnProfileSpec:
             exprs.append(e.alias(f"{p}_{k}_count"))
 
         if is_numeric(dt) and not isinstance(dt, T.BooleanType):
-            exprs += _num_aggs(f"{p}__num", f"{p}_num")
+            exprs += _suite_aggs(f"{p}__num", f"{p}_num")
         else:
             exprs += _null_numeric_atoms(f"{p}_num")
         if isinstance(dt, T.StringType):
-            exprs += _num_aggs(f"{p}__len", f"{p}_len")
-            exprs += _num_aggs(f"{p}__tok", f"{p}_tok")
+            exprs += _suite_aggs(f"{p}__len", f"{p}_len")
+            exprs += _suite_aggs(f"{p}__tok", f"{p}_tok")
         else:
             exprs += _null_numeric_atoms(f"{p}_len")
             exprs += _null_numeric_atoms(f"{p}_tok")
@@ -385,41 +490,20 @@ class ColumnProfileSpec:
         return F.struct(*fields)
 
 
-def _num_projection(d: Column, prefix: str) -> list[Column]:
-    """Row-level pieces of one numeric suite: value + hi/lo of x and x²."""
-    d2 = d * d
-    return [
-        d.alias(f"{prefix}_v"),
-        F.floor(d).alias(f"{prefix}_hi"),
-        F.round((d - F.floor(d)) * 1000000.0, 0).cast("long").alias(f"{prefix}_lo"),
-        F.floor(d2).alias(f"{prefix}_hi2"),
-        F.round((d2 - F.floor(d2)) * 1000000.0, 0).cast("long").alias(f"{prefix}_lo2"),
-    ]
-
-
-def _num_aggs(in_prefix: str, out_prefix: str) -> list[Column]:
-    """Aggregates of a projected numeric suite (plain attribute aggs)."""
-    v = F.col(f"{in_prefix}_v")
-    return [
-        F.count(v).alias(f"{out_prefix}_n"),
-        F.min(v).alias(f"{out_prefix}_min"),
-        F.max(v).alias(f"{out_prefix}_max"),
-        F.sum(f"{in_prefix}_hi").alias(f"{out_prefix}_sum_hi"),
-        F.sum(f"{in_prefix}_lo").alias(f"{out_prefix}_sum_lo"),
-        F.sum(f"{in_prefix}_hi2").alias(f"{out_prefix}_sum2_hi"),
-        F.sum(f"{in_prefix}_lo2").alias(f"{out_prefix}_sum2_lo"),
-    ]
-
-
 def _null_numeric_atoms(prefix: str) -> list[Column]:
+    nl = F.max(F.lit(None).cast("long"))
+    nd = F.max(F.lit(None).cast("double"))
     return [
         F.max(F.lit(0)).cast("long").alias(f"{prefix}_n"),
-        F.max(F.lit(None).cast("double")).alias(f"{prefix}_min"),
-        F.max(F.lit(None).cast("double")).alias(f"{prefix}_max"),
-        F.max(F.lit(None).cast("long")).alias(f"{prefix}_sum_hi"),
-        F.max(F.lit(None).cast("long")).alias(f"{prefix}_sum_lo"),
-        F.max(F.lit(None).cast("long")).alias(f"{prefix}_sum2_hi"),
-        F.max(F.lit(None).cast("long")).alias(f"{prefix}_sum2_lo"),
+        nd.alias(f"{prefix}_min"),
+        nd.alias(f"{prefix}_max"),
+        nl.alias(f"{prefix}_sum_hi"),
+        nl.alias(f"{prefix}_sum_lo"),
+        nd.alias(f"{prefix}_sum_big"),
+        nl.alias(f"{prefix}_sum2_a"),
+        nl.alias(f"{prefix}_sum2_b"),
+        nl.alias(f"{prefix}_sum2_lo"),
+        nd.alias(f"{prefix}_sum2_big"),
     ]
 
 

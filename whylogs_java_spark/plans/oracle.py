@@ -86,7 +86,9 @@ def _null_atoms(prefix: str) -> str:
         f"CAST(0 AS BIGINT) AS {prefix}_n, "
         f"CAST(NULL AS DOUBLE) AS {prefix}_min, CAST(NULL AS DOUBLE) AS {prefix}_max, "
         f"CAST(NULL AS BIGINT) AS {prefix}_sum_hi, CAST(NULL AS BIGINT) AS {prefix}_sum_lo, "
-        f"CAST(NULL AS BIGINT) AS {prefix}_sum2_hi, CAST(NULL AS BIGINT) AS {prefix}_sum2_lo"
+        f"CAST(NULL AS DOUBLE) AS {prefix}_sum_big, "
+        f"CAST(NULL AS BIGINT) AS {prefix}_sum2_a, CAST(NULL AS BIGINT) AS {prefix}_sum2_b, "
+        f"CAST(NULL AS BIGINT) AS {prefix}_sum2_lo, CAST(NULL AS DOUBLE) AS {prefix}_sum2_big"
     )
 
 

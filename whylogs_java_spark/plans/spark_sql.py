@@ -58,13 +58,23 @@ def _null_pred(col: str, kind: str, null_strings: Sequence[str]) -> str:
 
 
 def _num_projection_sql(d: str, prefix: str) -> list[str]:
-    """Row-level pieces of one numeric suite (mirrors metrics._num_projection)."""
+    """Row-level pieces of one numeric suite — the magnitude-tiered scheme
+    (mirrors metrics._suite_projection; see the tiering + branch-minimizing
+    notes there: the clamped value keeps floor/shift unguarded and
+    CSE-able)."""
+    small = f"ABS({d}) < 2147483648.0"
+    dc = f"(CASE WHEN {small} THEN {d} ELSE 0.0 END)"
+    dc2 = f"({dc} * {dc})"
+    p = f"CAST(FLOOR({dc2}) AS BIGINT)"
     return [
         f"{d} AS {prefix}_v",
-        f"FLOOR({d}) AS {prefix}_hi",
-        f"CAST(ROUND(({d} - FLOOR({d})) * 1000000.0, 0) AS BIGINT) AS {prefix}_lo",
-        f"FLOOR({d} * {d}) AS {prefix}_hi2",
-        f"CAST(ROUND(({d} * {d} - FLOOR({d} * {d})) * 1000000.0, 0) AS BIGINT) AS {prefix}_lo2",
+        f"FLOOR({dc}) AS {prefix}_hi",
+        f"CAST(ROUND(({dc} - FLOOR({dc})) * 1000000.0, 0) AS BIGINT) AS {prefix}_lo",
+        f"CASE WHEN {small} THEN 0.0 ELSE {d} END AS {prefix}_big",
+        f"SHIFTRIGHT({p}, 31) AS {prefix}_a31",
+        f"({p} & 2147483647) AS {prefix}_b31",
+        f"CAST(ROUND(({dc2} - {p}) * 1000000.0, 0) AS BIGINT) AS {prefix}_lo2",
+        f"CASE WHEN {small} THEN 0.0 ELSE {d} * {d} END AS {prefix}_big2",
     ]
 
 
@@ -76,8 +86,11 @@ def _num_aggs_sql(in_prefix: str, out_prefix: str) -> list[str]:
         f"MAX({v}) AS {out_prefix}_max",
         f"SUM({in_prefix}_hi) AS {out_prefix}_sum_hi",
         f"SUM({in_prefix}_lo) AS {out_prefix}_sum_lo",
-        f"SUM({in_prefix}_hi2) AS {out_prefix}_sum2_hi",
+        f"SUM({in_prefix}_big) AS {out_prefix}_sum_big",
+        f"SUM({in_prefix}_a31) AS {out_prefix}_sum2_a",
+        f"SUM({in_prefix}_b31) AS {out_prefix}_sum2_b",
         f"SUM({in_prefix}_lo2) AS {out_prefix}_sum2_lo",
+        f"SUM({in_prefix}_big2) AS {out_prefix}_sum2_big",
     ]
 
 
@@ -88,8 +101,11 @@ def _null_num_aggs(prefix: str) -> list[str]:
         f"CAST(NULL AS DOUBLE) AS {prefix}_max",
         f"CAST(NULL AS BIGINT) AS {prefix}_sum_hi",
         f"CAST(NULL AS BIGINT) AS {prefix}_sum_lo",
-        f"CAST(NULL AS BIGINT) AS {prefix}_sum2_hi",
+        f"CAST(NULL AS DOUBLE) AS {prefix}_sum_big",
+        f"CAST(NULL AS BIGINT) AS {prefix}_sum2_a",
+        f"CAST(NULL AS BIGINT) AS {prefix}_sum2_b",
         f"CAST(NULL AS BIGINT) AS {prefix}_sum2_lo",
+        f"CAST(NULL AS DOUBLE) AS {prefix}_sum2_big",
     ]
 
 

@@ -29,6 +29,18 @@ def get_spark(app_name: str = "whylogs_java_spark", master: str | None = None) -
         # column; the default maxFields=100 silently disables whole-stage
         # codegen for them (measured 3x slowdown on the sf0.1 flagship)
         .config("spark.sql.codegen.maxFields", "2000")
+        # wide profile aggregations generate >8KB update methods; HotSpot
+        # refuses to JIT those by default (DontCompileHugeMethods) and runs
+        # them interpreted — measured 5x slowdown on the sf0.1 flagship.
+        # Local mode: driver == executor, so the driver flag covers tasks.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:-DontCompileHugeMethods -XX:MaxInlineLevel=18",
+        )
+        .config(
+            "spark.executor.extraJavaOptions",
+            "-XX:-DontCompileHugeMethods -XX:MaxInlineLevel=18",
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )
