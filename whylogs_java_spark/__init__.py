@@ -20,4 +20,7 @@ __all__ = [
     "finalize_profile",
     "merge_profile_atoms",
     "get_spark",
+    # subpackages provide: operators.{summary,model,segmentation,dedup,
+    # similarity,text,charpos,approx,multimodal}, plans.session_api,
+    # sources.{csv,parquet,sinks}, streaming.profile_stream
 ]

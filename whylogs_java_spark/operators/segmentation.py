@@ -52,6 +52,34 @@ def column_entropy(df: DataFrame, columns: Sequence[str]) -> DataFrame:
     return out
 
 
+def conditional_entropy_df(
+    df: DataFrame, split_columns: Sequence[str], target_column: str
+) -> DataFrame:
+    """Weighted conditional entropy H(target | splits) as a 1-row DataFrame.
+
+    The reference's _weighted_entropy core (autosegmentation.py:19-45) with
+    data-count weights: per split cell, p from an analytic window sum, then
+    Σ_split weight · (-Σ p log2 p). Deterministic to 6 decimals.
+    """
+    total = df.count()
+    grouped = df.groupBy(*split_columns, target_column).agg(
+        F.count(F.lit(1)).alias("group_count")
+    )
+    w = Window.partitionBy(*split_columns)
+    per = grouped.withColumn(
+        "p", F.col("group_count") / F.sum("group_count").over(w)
+    )
+    ent = per.groupBy(*split_columns).agg(
+        (-F.sum(F.col("p") * F.log2("p"))).alias("entropy"),
+        (F.sum("group_count") / F.lit(total)).alias("weight"),
+    )
+    return ent.agg(
+        (F.round(F.sum(F.col("entropy") * F.col("weight")), 6) + 0.0).alias(
+            "weighted_entropy"
+        )
+    )
+
+
 def simple_entropy(df: DataFrame, column: str) -> float:
     """H(col) = -Σ p·log2 p over the value distribution (excluding NULL keys
     from probability mass the same way the reference's count/groupBy does)."""

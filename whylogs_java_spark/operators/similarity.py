@@ -126,6 +126,49 @@ def cosine_topk_exact(
     )
 
 
+def cosine_pairs_exact(
+    embeddings: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-duplicate pairs: all (id_a < id_b) with cosine ≥ τ.
+
+    Oracle-deterministic brute force (exact DECIMAL dot products over
+    exploded dims) — the correctness baseline for embedding dedup. The
+    scale path is ``lsh_bucket_topk``-style bucketing followed by this
+    verification within buckets.
+    Output: (id_a, id_b, cosine).
+    """
+    flat = embeddings.select(
+        F.col(id_col), F.posexplode(_as_double(F.col(vec_col))).alias("dim", "v")
+    )
+    dec = "decimal(38,12)"
+    norms = flat.groupBy(id_col).agg(
+        F.sum((F.col("v") * F.col("v")).cast(dec)).alias("n2")
+    )
+    a = flat.select(F.col(id_col).alias("id_a"), "dim", F.col("v").alias("va"))
+    b = flat.select(F.col(id_col).alias("id_b"), "dim", F.col("v").alias("vb"))
+    dots = (
+        a.join(b, on="dim")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum((F.col("va") * F.col("vb")).cast(dec)).alias("dp"))
+    )
+    na = norms.select(F.col(id_col).alias("id_a"), F.col("n2").alias("na2"))
+    nb = norms.select(F.col(id_col).alias("id_b"), F.col("n2").alias("nb2"))
+    cos = (
+        F.col("dp").cast("double")
+        / (F.sqrt(F.col("na2").cast("double")) * F.sqrt(F.col("nb2").cast("double")))
+    )
+    return (
+        dots.join(F.broadcast(na), "id_a")
+        .join(F.broadcast(nb), "id_b")
+        .select("id_a", "id_b", (F.round(cos, 6) + 0.0).alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )
+
+
 # ---------------------------------------------------------------------------
 # LSH bucketing (random hyperplanes, deterministic)
 # ---------------------------------------------------------------------------

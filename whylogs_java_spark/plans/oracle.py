@@ -100,6 +100,7 @@ def _branch(
     time_column: str | None,
     time_granularity: str | None,
     null_strings: Sequence[str],
+    coerce_strings: bool = False,
 ) -> str:
     np = _null_pred(col, kind, null_strings)
     m = _masked(col, kind, null_strings)
@@ -109,7 +110,23 @@ def _branch(
         f"SUM(CASE WHEN {m} = TRUE THEN 1 ELSE 0 END)" if kind == BOOLEAN else "0"
     )
     tc = {k: "CAST(0 AS BIGINT)" for k in ("integral", "fractional", "boolean", "string", "unknown")}
-    if kind in tc:
+    if kind == STRING and coerce_strings:
+        # TypedDataConverter.java:62-84 regex coercion (anchored patterns,
+        # so partial-match regexp_matches ≡ full match)
+        from ..functions.predicates import BOOLEAN_RE, FRACTIONAL_RE, INTEGRAL_RE
+
+        def cnt_re(pattern: str) -> str:
+            esc = pattern.replace("'", "''")
+            return f"CAST(SUM(CASE WHEN regexp_matches({m}, '{esc}') THEN 1 ELSE 0 END) AS BIGINT)"
+
+        tc["integral"] = cnt_re(INTEGRAL_RE)
+        tc["fractional"] = cnt_re(FRACTIONAL_RE)
+        tc["boolean"] = cnt_re(BOOLEAN_RE)
+        tc["string"] = (
+            f"CAST({nn} - {cnt_re(INTEGRAL_RE)} - {cnt_re(FRACTIONAL_RE)}"
+            f" - {cnt_re(BOOLEAN_RE)} AS BIGINT)"
+        )
+    elif kind in tc:
         tc[kind] = f"CAST({nn} AS BIGINT)"
 
     num = _num_atoms(m, "num") if kind in (INTEGRAL, FRACTIONAL) else _null_atoms("num")
@@ -161,13 +178,21 @@ def profile_oracle_sql(
     columns: Sequence[str] | None = None,
     null_strings: Sequence[str] = (),
     kinds: dict[str, str] | None = None,
+    coerce_strings: bool = False,
 ) -> str:
-    """Long-format profile oracle: UNION ALL of one branch per column."""
+    """Long-format profile oracle: UNION ALL of one branch per column.
+
+    ``table`` may be a subquery like ``(SELECT ... FROM t) d`` when paired
+    with explicit ``kinds``.
+    """
     kinds = kinds or TESTDATA_KINDS[table]
     excluded = set(group_by) | ({time_column} if time_column else set())
     cols = [c for c in (columns or kinds) if c not in excluded]
     branches = [
-        _branch(table, c, kinds[c], group_by, time_column, time_granularity, null_strings)
+        _branch(
+            table, c, kinds[c], group_by, time_column, time_granularity,
+            null_strings, coerce_strings,
+        )
         for c in cols
     ]
     return "\nUNION ALL\n".join(branches)
