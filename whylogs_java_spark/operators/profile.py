@@ -70,6 +70,49 @@ def profile_atoms(
     return df.sparkSession.sql(sql, src=df)
 
 
+def profile_atoms_melted(
+    df: DataFrame,
+    group_by: Sequence[str] = (),
+    time_column: str | None = None,
+    time_granularity: str | None = "day",
+    columns: Sequence[str] | None = None,
+    null_strings: Sequence[str] = (),
+) -> DataFrame:
+    """Wide-table (1000s of columns) melt-path atoms.
+
+    Same output schema as ``profile_atoms`` but with an O(1)-in-width plan:
+    rows melt into per-column entries and ONE generic suite aggregates by
+    (keys, column_name). Trade-off: the shuffle carries rows x columns
+    entries (map-side combined), vs the wide path's tiny partials — use
+    when plan width, not data volume, is the binding constraint (the
+    Spark-first equivalent of the reference's 100-column batching,
+    WhyLogs.scala:146-176).
+    """
+    from ..plans.spark_sql import build_melted_atoms_sql
+
+    schema = {f.name: f.dataType for f in df.schema.fields}
+    sql, _ = build_melted_atoms_sql(
+        "{src}", schema, group_by, time_column, time_granularity, columns, null_strings
+    )
+    return df.sparkSession.sql(sql, src=df)
+
+
+def profile_melted(
+    df: DataFrame,
+    group_by: Sequence[str] = (),
+    time_column: str | None = None,
+    time_granularity: str | None = "day",
+    columns: Sequence[str] | None = None,
+    null_strings: Sequence[str] = (),
+) -> DataFrame:
+    """Finalized profile via the melt path (see profile_atoms_melted)."""
+    key_names = list(group_by) + (["dataset_timestamp"] if time_column else [])
+    atoms = profile_atoms_melted(
+        df, group_by, time_column, time_granularity, columns, null_strings
+    )
+    return finalize_profile(atoms, key_names)
+
+
 def finalize_profile(atoms: DataFrame, key_names: Sequence[str]) -> DataFrame:
     """Atoms -> summary metrics (mean/variance/stddev/inferred type...)."""
     return atoms.select(*key_names, F.col("column_name"), *finalize_exprs())

@@ -75,6 +75,45 @@ def quantile_summary(
     )
 
 
+def histogram_custom_splits(
+    df: DataFrame,
+    column: str,
+    split_points: Sequence[float],
+    group_by: Sequence[str] = (),
+) -> DataFrame:
+    """Histogram over caller-supplied split points
+    (SummaryConverters.fromUpdateDoublesSketch splitPoints variant,
+    core/.../SummaryConverters.java:165-168, 200-206): bins are
+    (-inf, s0), [s0, s1), ..., [s_{n-1}, +inf).
+    Output: (keys..., column_name, bin, bin_start, bin_end, count)."""
+    schema = {f.name: f.dataType for f in df.schema.fields}
+    m = masked(F.col(column), schema[column]).cast("double")
+    keys = list(group_by)
+    pts = sorted(float(s) for s in split_points)
+
+    data = df.select(*keys, m.alias("__v")).where(F.col("__v").isNotNull())
+    bin_idx = F.lit(0)
+    for i, s in enumerate(pts):
+        bin_idx = F.when(F.col("__v") >= s, F.lit(i + 1)).otherwise(bin_idx)
+    out = data.select(*keys, bin_idx.alias("bin")).groupBy(*keys, "bin").agg(
+        F.count(F.lit(1)).alias("count")
+    )
+    edges = [float("-inf"), *pts, float("inf")]
+    start = F.lit(None).cast("double")
+    end = F.lit(None).cast("double")
+    for i in range(len(pts) + 1):
+        start = F.when(F.col("bin") == i, F.lit(edges[i])).otherwise(start)
+        end = F.when(F.col("bin") == i, F.lit(edges[i + 1])).otherwise(end)
+    return out.select(
+        *keys,
+        F.lit(column).alias("column_name"),
+        F.col("bin").cast("int").alias("bin"),
+        start.alias("bin_start"),
+        end.alias("bin_end"),
+        F.col("count"),
+    )
+
+
 def histogram(
     df: DataFrame,
     column: str,

@@ -266,6 +266,107 @@ def build_atoms_sql(
     return sql, key_names
 
 
+def build_melted_atoms_sql(
+    view: str,
+    schema: dict[str, T.DataType],
+    group_by: Sequence[str] = (),
+    time_column: str | None = None,
+    time_granularity: str | None = "day",
+    columns: Sequence[str] | None = None,
+    null_strings: Sequence[str] = (),
+) -> tuple[str, list[str]]:
+    """Melt-path profile atoms for very wide tables (1000s of columns).
+
+    The wide path's plan/codegen size grows with column count (~30
+    aggregates per column); past a few thousand columns analyzer and
+    codegen costs dominate — the reason the reference batches 100 columns
+    per pass (WhyLogs.scala:146-176). Spark-first alternative: melt each
+    row into (keys, column_name, kind, value) entries via one
+    ``inline(array(...))`` generate, then run ONE generic metric suite
+    grouped by (keys, column_name). Plan size is O(1) in width (the melt
+    array is data, not operators); the shuffle carries rows x columns
+    entries reduced by map-side partial aggregation to
+    groups x columns atom rows.
+
+    Output schema == the wide path's atom schema, so finalize/merge are
+    shared. String coercion is not supported on this path.
+    """
+    key_exprs = [f"{_q(c)}" for c in group_by]
+    key_names = list(group_by)
+    if time_column is not None:
+        grain = time_granularity or "day"
+        b = f"date_trunc('{grain}', {_q(time_column)})"
+        if grain in _DATE_GRAINS:
+            b = f"CAST({b} AS DATE)"
+        key_exprs.append(f"{b} AS dataset_timestamp")
+        key_names.append("dataset_timestamp")
+
+    excluded = set(group_by) | ({time_column} if time_column else set())
+    profiled = [c for c in (columns or schema) if c not in excluded]
+
+    entries = []
+    for c in profiled:
+        kind = kind_of(schema[c])
+        qc = _q(c)
+        np = _null_pred(qc, kind, null_strings)
+        m = f"CASE WHEN NOT ({np}) THEN {qc} END"
+        num_v = f"CAST({m} AS DOUBLE)" if kind in (INTEGRAL, FRACTIONAL) else "CAST(NULL AS DOUBLE)"
+        str_v = m if kind == STRING else "CAST(NULL AS STRING)"
+        is_true = (
+            f"CAST(({m}) = TRUE AS INT)" if kind == BOOLEAN else "CAST(0 AS INT)"
+        )
+        entries.append(
+            f"named_struct('column_name', '{c}', 'kind', '{kind}', "
+            f"'isnull', CAST(({np}) AS INT), 'num_v', {num_v}, "
+            f"'str_v', {str_v}, 'is_true', {is_true})"
+        )
+
+    keys_sel = (", ".join(_q(k) for k in key_names) + ",") if key_names else ""
+    melt = f"""SELECT {keys_sel} inline(array(
+        {", ".join(entries)}
+    )) FROM {view}"""
+
+    # generic per-entry suite projection (shared across all columns)
+    proj_pieces = (
+        _num_projection_sql("num_v", "gnum")
+        + _num_projection_sql("CAST(LENGTH(str_v) AS DOUBLE)", "glen")
+        + _num_projection_sql("CAST(size(split(str_v, ' ')) AS DOUBLE)", "gtok")
+    )
+    keysel2 = (", ".join(_q(k) for k in key_names) + ",") if key_names else ""
+    proj = f"""SELECT {keysel2} column_name, kind, isnull, is_true,
+        {", ".join(proj_pieces)}
+    FROM ({melt}) __wjs_melt"""
+
+    def kind_count(k: str) -> str:
+        return (
+            f"CAST(SUM(CASE WHEN kind = '{k}' AND isnull = 0 THEN 1 ELSE 0 END) AS BIGINT)"
+        )
+
+    aggs = [
+        "CAST(COUNT(1) AS BIGINT) AS `count`",
+        "CAST(SUM(isnull) AS BIGINT) AS null_count",
+        "CAST(SUM(is_true) AS BIGINT) AS true_count",
+        f"{kind_count('integral')} AS integral_count",
+        f"{kind_count('fractional')} AS fractional_count",
+        f"{kind_count('boolean')} AS boolean_count",
+        f"{kind_count('string')} AS string_count",
+        f"{kind_count('unknown')} AS unknown_count",
+    ]
+    aggs += _num_aggs_sql("gnum", "num")
+    aggs += _num_aggs_sql("glen", "len")
+    aggs += _num_aggs_sql("gtok", "tok")
+
+    group_clause = "GROUP BY " + ", ".join(
+        [_q(k) for k in key_names] + ["column_name"]
+    )
+    sql = f"""
+    SELECT {keysel2} column_name, {", ".join(aggs)}
+    FROM ({proj}) __wjs_mproj
+    {group_clause}
+    """
+    return sql, key_names
+
+
 def finalize_select_sql(key_names: Sequence[str]) -> str:
     """SELECT-list turning atom rows into the finalized summary (shared
     finalizer/type-inference SQL — identical text to the DuckDB oracle)."""
