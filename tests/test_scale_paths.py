@@ -10,6 +10,7 @@ from tests.conftest import SF_DIR
 from whylogs_java_spark import profile
 from whylogs_java_spark.operators.profile import profile_melted
 from whylogs_java_spark.operators.summary import histogram_custom_splits
+from whylogs_java_spark.operators.summary import frequent_items as frequent_items_mod
 from whylogs_java_spark.streaming.profile_stream import profile_stream
 
 
@@ -82,3 +83,47 @@ def test_streaming_sliding_window(spark, tmp_path):
     # sliding windows double-count: total windowed count == 2x row count
     # (each event falls in exactly 2 overlapping 2d/1d windows)
     assert sum(r["value_count"] for r in rows) == ev.count() * 2
+
+
+def test_frequent_items_unique_gate(spark):
+    # SummaryConverters.java:54-60: frequent strings emitted only when the
+    # unique count stays under the gate
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    gated = frequent_items_mod(orders, "o_orderpriority", unique_gate=100).count()
+    assert gated > 0  # 5 distinct priorities < 100
+    blocked = frequent_items_mod(orders, "o_orderkey", unique_gate=100).count()
+    assert blocked == 0  # ~1500 distinct keys >= 100
+
+
+def test_streaming_session_window(spark, tmp_path):
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    src = str(tmp_path / "s3")
+    ev.write.parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    # streaming session windows need a partitioning key besides the window
+    atoms = profile_stream(
+        stream,
+        time_column="ts",
+        session_gap="30 minutes",
+        watermark="0 seconds",
+        group_by=["event_type"],
+        columns=["value"],
+    )
+    q = (
+        atoms.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("sess_prof")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql(
+            "SELECT window_start, window_end, value_count FROM sess_prof"
+        ).collect()
+    finally:
+        q.stop()
+    # sessions partition all events exactly once
+    assert sum(r["value_count"] for r in rows) == ev.count()
+    assert all(r["window_end"] > r["window_start"] for r in rows)

@@ -171,6 +171,7 @@ def frequent_items(
     column: str,
     group_by: Sequence[str] = (),
     k: int = FREQUENT_ITEMS_K,
+    unique_gate: int | None = None,
 ) -> DataFrame:
     """Exact top-k items by count with deterministic tie-break.
 
@@ -186,6 +187,17 @@ def frequent_items(
     counts = df.select(*keys, v).groupBy(*keys, "value").agg(
         F.count(F.lit(1)).alias("count")
     )
+    if unique_gate is not None:
+        # the reference emits frequent strings only while the estimated
+        # unique count stays below 100 (SummaryConverters.java:54-60); the
+        # distinct count per group falls out of the same counts table,
+        # evaluated BEFORE the top-k cut
+        wk = Window.partitionBy(*keys)
+        counts = (
+            counts.withColumn("__uniq", F.count(F.lit(1)).over(wk))
+            .where(F.col("__uniq") < unique_gate)
+            .drop("__uniq")
+        )
     w = Window.partitionBy(*keys).orderBy(F.desc("count"), F.asc_nulls_last("value"))
     return (
         counts.withColumn("rank", F.row_number().over(w))

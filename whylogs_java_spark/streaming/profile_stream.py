@@ -26,6 +26,7 @@ def profile_stream(
     time_column: str,
     window_duration: str = "1 hour",
     slide_duration: str | None = None,
+    session_gap: str | None = None,
     watermark: str = "10 minutes",
     group_by: Sequence[str] = (),
     columns: Sequence[str] | None = None,
@@ -50,11 +51,15 @@ def profile_stream(
     )
     agg_exprs = [e for s in specs for e in s.agg_exprs()]
 
-    win = (
-        F.window(F.col(time_column), window_duration, slide_duration)
-        if slide_duration
-        else F.window(F.col(time_column), window_duration)
-    )
+    if session_gap is not None:
+        # session windows: activity-gap bucketing (additive over the
+        # reference — SURVEY.md §2.10; Spark's session_window handles state
+        # merging of overlapping sessions)
+        win = F.session_window(F.col(time_column), session_gap)
+    elif slide_duration:
+        win = F.window(F.col(time_column), window_duration, slide_duration)
+    else:
+        win = F.window(F.col(time_column), window_duration)
     out = (
         projected.withWatermark(time_column, watermark)
         .groupBy(win.alias("window"), *group_by)
