@@ -174,10 +174,22 @@ def jaccard_verify_pairs(
     sets; |A∩B| via an equi-join on shingle, sizes via per-doc counts.
     Output: (id_a, id_b, inter, size_a, size_b, jaccard).
     """
-    sh = df.select(
-        F.col(id_col).alias("doc"),
-        F.explode(word_shingles(F.col(text_col), shingle_size)).alias("shingle"),
-    ).distinct()
+    # only docs that appear in a candidate pair need shingle sets — at scale
+    # candidates are a tiny fraction of the corpus, so the semi-join cuts
+    # the explode+distinct+join volume to the verification working set
+    cand_ids = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .unionByName(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    sh = (
+        df.join(cand_ids, on=id_col, how="left_semi")  # AQE picks broadcast when small
+        .select(
+            F.col(id_col).alias("doc"),
+            F.explode(word_shingles(F.col(text_col), shingle_size)).alias("shingle"),
+        )
+        .distinct()
+    )
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
 
     sa = sh.select(F.col("doc").alias("id_a"), "shingle")
@@ -217,9 +229,19 @@ def near_dup_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     shingle_size: int = 3,
+    persist_candidates: bool = True,
 ) -> DataFrame:
-    """MinHash-LSH candidates verified by exact Jaccard ≥ threshold."""
+    """MinHash-LSH candidates verified by exact Jaccard ≥ threshold.
+
+    The candidate pair set is persisted before verification: it is consumed
+    twice (once to prune the shingle sets to the verification working set,
+    once as the join spine) and is tiny relative to the corpus — without
+    persistence the whole LSH pipeline would recompute per consumer. At
+    cluster scale, write candidates to a checkpoint table instead.
+    """
     pairs = minhash_candidate_pairs(df, text_col, id_col, num_hashes, bands, shingle_size)
+    if persist_candidates:
+        pairs = pairs.persist()
     verified = jaccard_verify_pairs(df, pairs, text_col, id_col, shingle_size)
     return verified.where(F.col("jaccard") >= threshold)
 

@@ -242,6 +242,11 @@ def build_atoms_sql(
 
     excluded = set(group_by) | ({time_column} if time_column else set())
     profiled = [c for c in (columns or schema) if c not in excluded]
+    if not profiled:
+        raise ValueError(
+            "no columns to profile (all columns are group/time keys or the "
+            "columns list is empty)"
+        )
     specs = [
         _ColumnSql(c, schema[c], null_strings, coerce_strings) for c in profiled
     ]
