@@ -98,12 +98,15 @@ def _suite_projection(d: Column, prefix: str) -> list[Column]:
     return [
         d.alias(f"{prefix}_v"),
         flc.alias(f"{prefix}_hi"),
-        F.round((dc - flc) * 1000000.0, 0).cast("long").alias(f"{prefix}_lo"),
+        # quantize via floor(y+0.5): identical to ROUND half-up for y >= 0
+        # but pure double arithmetic (Spark's Round on doubles goes through
+        # BigDecimal — measured 8x slower per row)
+        F.floor((dc - flc) * 1000000.0 + 0.5).alias(f"{prefix}_lo"),
         F.when(small, F.lit(0.0)).otherwise(d).alias(f"{prefix}_big"),
         # p >= 0, so shiftright/bitand give exact (p DIV 2^31, p MOD 2^31)
         F.shiftright(p, 31).alias(f"{prefix}_a31"),
         p.bitwiseAND(F.lit(BIG - 1)).alias(f"{prefix}_b31"),
-        F.round((dc2 - p) * 1000000.0, 0).cast("long").alias(f"{prefix}_lo2"),
+        F.floor((dc2 - p) * 1000000.0 + 0.5).alias(f"{prefix}_lo2"),
         F.when(small, F.lit(0.0)).otherwise(d * d).alias(f"{prefix}_big2"),
     ]
 
@@ -207,13 +210,13 @@ def numeric_atom_sql(val_sql: str, prefix: str, dialect: str = "duckdb") -> str:
     case = "CASE WHEN {c} THEN {v} ELSE {e} END"
     hi = case.format(c=small, v=f"CAST(FLOOR({d}) AS BIGINT)", e="0")
     lo = case.format(
-        c=small, v=f"CAST(ROUND(({d} - FLOOR({d})) * 1000000.0, 0) AS BIGINT)", e="0"
+        c=small, v=f"CAST(FLOOR(({d} - FLOOR({d})) * 1000000.0 + 0.5) AS BIGINT)", e="0"
     )
     bigv = case.format(c=f"NOT ({small})", v=d, e="0.0")
     av = case.format(c=small, v=a, e="0")
     bv = case.format(c=small, v=b, e="0")
     lo2 = case.format(
-        c=small, v=f"CAST(ROUND(({d2} - FLOOR({d2})) * 1000000.0, 0) AS BIGINT)", e="0"
+        c=small, v=f"CAST(FLOOR(({d2} - FLOOR({d2})) * 1000000.0 + 0.5) AS BIGINT)", e="0"
     )
     big2 = case.format(c=f"NOT ({small})", v=d2, e="0.0")
     return (

@@ -167,29 +167,32 @@ def jaccard_verify_pairs(
     text_col: str,
     id_col: str,
     shingle_size: int = 3,
+    prune_to_candidates: bool = False,
 ) -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs.
 
-    Joins the (small) candidate pair set against per-doc distinct shingle
-    sets; |A∩B| via an equi-join on shingle, sizes via per-doc counts.
+    Joins the candidate pair set against per-doc distinct shingle sets;
+    |A∩B| via an equi-join on shingle, sizes via per-doc counts.
     Output: (id_a, id_b, inter, size_a, size_b, jaccard).
+
+    ``prune_to_candidates`` semi-joins the shingle sets to docs appearing
+    in a pair before exploding. Enable it when candidates are a small
+    fraction of a huge corpus (the typical 100 TB regime) AND ``pairs`` is
+    persisted/checkpointed — the prune consumes ``pairs`` a second time and
+    the extra stage only pays off when it removes most of the explode.
     """
-    # only docs that appear in a candidate pair need shingle sets — at scale
-    # candidates are a tiny fraction of the corpus, so the semi-join cuts
-    # the explode+distinct+join volume to the verification working set
-    cand_ids = (
-        pairs.select(F.col("id_a").alias(id_col))
-        .unionByName(pairs.select(F.col("id_b").alias(id_col)))
-        .distinct()
-    )
-    sh = (
-        df.join(cand_ids, on=id_col, how="left_semi")  # AQE picks broadcast when small
-        .select(
-            F.col(id_col).alias("doc"),
-            F.explode(word_shingles(F.col(text_col), shingle_size)).alias("shingle"),
+    src = df
+    if prune_to_candidates:
+        cand_ids = (
+            pairs.select(F.col("id_a").alias(id_col))
+            .unionByName(pairs.select(F.col("id_b").alias(id_col)))
+            .distinct()
         )
-        .distinct()
-    )
+        src = df.join(cand_ids, on=id_col, how="left_semi")
+    sh = src.select(
+        F.col(id_col).alias("doc"),
+        F.explode(word_shingles(F.col(text_col), shingle_size)).alias("shingle"),
+    ).distinct()
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
 
     sa = sh.select(F.col("doc").alias("id_a"), "shingle")
@@ -229,20 +232,23 @@ def near_dup_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     shingle_size: int = 3,
-    persist_candidates: bool = True,
+    prune_to_candidates: bool = False,
 ) -> DataFrame:
     """MinHash-LSH candidates verified by exact Jaccard ≥ threshold.
 
-    The candidate pair set is persisted before verification: it is consumed
-    twice (once to prune the shingle sets to the verification working set,
-    once as the join spine) and is tiny relative to the corpus — without
-    persistence the whole LSH pipeline would recompute per consumer. At
-    cluster scale, write candidates to a checkpoint table instead.
+    With ``prune_to_candidates`` the candidate set is persisted (it gets
+    consumed twice) and shingle verification is restricted to candidate
+    docs — the right shape when the corpus dwarfs the candidate set; at
+    cluster scale, checkpoint the candidates to a table instead of
+    ``persist``. Default keeps the single-job pipeline, which is faster
+    when candidates are a sizable fraction of the corpus.
     """
     pairs = minhash_candidate_pairs(df, text_col, id_col, num_hashes, bands, shingle_size)
-    if persist_candidates:
+    if prune_to_candidates:
         pairs = pairs.persist()
-    verified = jaccard_verify_pairs(df, pairs, text_col, id_col, shingle_size)
+    verified = jaccard_verify_pairs(
+        df, pairs, text_col, id_col, shingle_size, prune_to_candidates
+    )
     return verified.where(F.col("jaccard") >= threshold)
 
 

@@ -79,7 +79,7 @@ def regression_metrics(
 
     def split_sum(d: Column, name: str) -> list[Column]:
         hi = F.sum(F.floor(d)).alias(f"{name}_hi")
-        lo = F.sum(F.round((d - F.floor(d)) * 1000000.0, 0).cast("long")).alias(f"{name}_lo")
+        lo = F.sum(F.floor((d - F.floor(d)) * 1000000.0 + 0.5)).alias(f"{name}_lo")
         return [hi, lo]
 
     grouped = df.groupBy(*keys) if keys else df.groupBy()

@@ -69,11 +69,11 @@ def _num_projection_sql(d: str, prefix: str) -> list[str]:
     return [
         f"{d} AS {prefix}_v",
         f"FLOOR({dc}) AS {prefix}_hi",
-        f"CAST(ROUND(({dc} - FLOOR({dc})) * 1000000.0, 0) AS BIGINT) AS {prefix}_lo",
+        f"FLOOR(({dc} - FLOOR({dc})) * 1000000.0 + 0.5) AS {prefix}_lo",
         f"CASE WHEN {small} THEN 0.0 ELSE {d} END AS {prefix}_big",
         f"SHIFTRIGHT({p}, 31) AS {prefix}_a31",
         f"({p} & 2147483647) AS {prefix}_b31",
-        f"CAST(ROUND(({dc2} - {p}) * 1000000.0, 0) AS BIGINT) AS {prefix}_lo2",
+        f"FLOOR(({dc2} - {p}) * 1000000.0 + 0.5) AS {prefix}_lo2",
         f"CASE WHEN {small} THEN 0.0 ELSE {d} * {d} END AS {prefix}_big2",
     ]
 
