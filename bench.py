@@ -33,6 +33,7 @@ BENCH_QUERIES = [
     "dedup_exact_documents",
     "dedup_near_documents",
     "similarity_topk",
+    "similarity_topk_fast",
     "langid_documents",
     "quality_documents",
     "tokens_documents",

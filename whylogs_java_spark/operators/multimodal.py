@@ -79,6 +79,31 @@ def extract_features(
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+def resize_plan(
+    media: DataFrame, width: int, height: int, decode_stub: bool = True
+) -> DataFrame:
+    """Resize step for image media: plumbing is real (Arrow batches through
+    mapInPandas, output schema with target dims), the pixel work is the
+    stubbed codec step — the stub echoes content identity so downstream
+    dedup/feature tests can run without imaging libraries."""
+    if not decode_stub:
+        raise NotImplementedError(
+            "real image resize requires imaging codecs not present in this "
+            "environment; run with decode_stub=True"
+        )
+
+    schema = "media_id long, content_sha string, width int, height int, data binary"
+
+    def run(batches):
+        for pdf in batches:
+            out = pdf[["media_id", "content_sha", "data"]].copy()
+            out["width"] = width
+            out["height"] = height
+            yield out[["media_id", "content_sha", "width", "height", "data"]]
+
+    return media.select("media_id", "content_sha", "data").mapInPandas(run, schema=schema)
+
+
 def frame_sample_plan(
     media: DataFrame, every_ms: int = 1000, max_frames: int = 16
 ) -> DataFrame:
