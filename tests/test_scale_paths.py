@@ -127,3 +127,22 @@ def test_streaming_session_window(spark, tmp_path):
     # sessions partition all events exactly once
     assert sum(r["value_count"] for r in rows) == ev.count()
     assert all(r["window_end"] > r["window_start"] for r in rows)
+
+
+def test_sessionize_semantics(spark):
+    import datetime as dt
+    from whylogs_java_spark.operators.sessions import session_stats, sessionize
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    rows = [
+        (1, 1, t0),
+        (1, 2, t0 + dt.timedelta(minutes=10)),   # same session (gap 10m < 30m)
+        (1, 3, t0 + dt.timedelta(minutes=50)),   # new session (gap 40m)
+        (2, 4, t0),                              # other user
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp")
+    s = {r["event_id"]: r["session_idx"] for r in sessionize(df, "user_id", "ts", 1800, "event_id").collect()}
+    assert s == {1: 0, 2: 0, 3: 1, 4: 0}
+    stats = {(r["user_id"], r["session_idx"]): r for r in session_stats(df, "user_id", "ts", 1800, "event_id").collect()}
+    assert stats[(1, 0)]["n_events"] == 2 and stats[(1, 0)]["duration_sec"] == 600
+    assert stats[(1, 1)]["n_events"] == 1 and stats[(1, 1)]["duration_sec"] == 0
