@@ -417,82 +417,6 @@ class ColumnProfileSpec:
             exprs += _null_numeric_atoms(f"{p}_tok")
         return exprs
 
-    # -- single-phase atoms (kept for narrow/ad-hoc callers) ---------------
-    def atom_exprs(self) -> list[Column]:
-        c = F.col(self.name)
-        dt = self.dt
-        p = self.key
-        null_pred = null_predicate(c, dt, self.null_strings)
-        m = masked(c, dt, self.null_strings)
-
-        exprs: list[Column] = [
-            F.count(F.lit(1)).alias(f"{p}_count"),
-            _cnt(null_pred).alias(f"{p}_null_count"),
-        ]
-
-        zero = F.lit(0).cast("long")
-        nn = F.count(m).cast("long")  # non-(reference-)null occurrences
-
-        if isinstance(dt, T.BooleanType):
-            exprs.append(_cnt(m == F.lit(True)).alias(f"{p}_true_count"))
-        else:
-            exprs.append(F.max(zero).alias(f"{p}_true_count"))
-
-        # type counts (SchemaTracker.typeCounts — SchemaTracker.java:29-31)
-        tc = {k: F.max(zero) for k in ("integral", "fractional", "boolean", "string", "unknown")}
-        if is_integral(dt):
-            tc["integral"] = nn
-        elif is_floating(dt) or isinstance(dt, T.DecimalType):
-            tc["fractional"] = nn
-        elif isinstance(dt, T.BooleanType):
-            tc["boolean"] = nn
-        elif isinstance(dt, T.StringType):
-            if self.coerce_strings:
-                # TypedDataConverter.java:62-84 regex coercion
-                s = m
-                tc["integral"] = _cnt(s.rlike(INTEGRAL_RE))
-                tc["fractional"] = _cnt(s.rlike(FRACTIONAL_RE))
-                tc["boolean"] = _cnt(s.rlike(BOOLEAN_RE))
-                tc["string"] = _cnt(
-                    s.isNotNull()
-                    & ~s.rlike(INTEGRAL_RE)
-                    & ~s.rlike(FRACTIONAL_RE)
-                    & ~s.rlike(BOOLEAN_RE)
-                )
-            else:
-                tc["string"] = nn
-        else:
-            # timestamps/dates/complex: not tracked -> UNKNOWN
-            # (TypedData.java:54-57)
-            tc["unknown"] = nn
-        for k, e in tc.items():
-            exprs.append(e.alias(f"{p}_{k}_count"))
-
-        # NumberTracker suite
-        if is_numeric(dt) and not isinstance(dt, T.BooleanType):
-            exprs += numeric_atom_exprs(m, f"{p}_num")
-        else:
-            exprs += _null_numeric_atoms(f"{p}_num")
-
-        # StringTracker length + token suites (StringTracker.java:36-37,87-89)
-        if isinstance(dt, T.StringType):
-            exprs += numeric_atom_exprs(F.length(m), f"{p}_len")
-            exprs += numeric_atom_exprs(
-                F.size(F.split(m, self.tokenizer_delim)), f"{p}_tok"
-            )
-        else:
-            exprs += _null_numeric_atoms(f"{p}_len")
-            exprs += _null_numeric_atoms(f"{p}_tok")
-        return exprs
-
-    # -- long-format struct ----------------------------------------------
-    def atom_struct(self) -> Column:
-        fields = [F.lit(self.name).alias("column_name")]
-        for fname, ftype in ATOM_METRICS:
-            fields.append(F.col(f"{self.key}_{fname}").cast(ftype).alias(fname))
-        return F.struct(*fields)
-
-
 def _null_numeric_atoms(prefix: str) -> list[Column]:
     nl = F.max(F.lit(None).cast("long"))
     nd = F.max(F.lit(None).cast("double"))
