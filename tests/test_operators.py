@@ -234,3 +234,88 @@ def test_estimate_segments_golden(spark):
     assert set(estimate_segments(df, target_field="animal")) == {"eye_color", "color"}
     assert set(estimate_segments(df, target_field="animal", max_segments=5)) == {"eye_color"}
     assert set(estimate_segments(df, max_segments=2)) == set()
+
+
+def test_frequent_items_ignores_null_values(spark):
+    # the reference never calls trackText for null values
+    # (ColumnProfile.java:82-85): NULL must not surface as a top-k item
+    df = spark.createDataFrame(
+        [("a",), ("a",), (None,), (None,), (None,), ("b",)], "v string"
+    )
+    rows = frequent_items(df, "v", k=10).collect()
+    assert [(r["value"], r["count"]) for r in rows] == [("a", 2), ("b", 1)]
+    # null_strings behave like SQL NULL
+    df2 = spark.createDataFrame([("a",), ("NA",), ("NA",), ("NA",)], "v string")
+    rows2 = frequent_items(df2, "v", k=10, null_strings=["NA"]).collect()
+    assert [(r["value"], r["count"]) for r in rows2] == [("a", 1)]
+
+
+def test_frequent_items_high_cardinality_bounded(spark):
+    # 1M distinct singleton values + known hot values: the ungrouped global
+    # top-k must run two-phase (partial top-k inside hash-salt buckets,
+    # final rank over <= buckets*k candidates) — no single-partition window
+    # ever sees the full distinct-value table
+    base = spark.range(1_000_000).select(
+        F.concat(F.lit("u"), F.col("id").cast("string")).alias("v")
+    )
+    hot = spark.range(3_000).select(
+        F.concat(F.lit("hot"), (F.col("id") % 3).cast("string")).alias("v")
+    )
+    out = frequent_items(base.unionByName(hot), "v", k=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the full-counts rank partitions by the salt (projected as _w0) and
+    # Spark pushes a partial WindowGroupLimit below the salt shuffle, so
+    # every task holds <= k rows per bucket; only the tiny candidate set
+    # (<= buckets*k rows) reaches the empty-partition final rank
+    assert "WindowGroupLimit" in plan
+    assert plan.count("Window [") == 2
+    rows = out.collect()
+    assert [(r["value"], r["count"], r["rank"]) for r in rows[:3]] == [
+        ("hot0", 1000, 1),
+        ("hot1", 1000, 2),
+        ("hot2", 1000, 3),
+    ]
+    # ranks 4..5 are singleton values tie-broken by value asc
+    assert [r["count"] for r in rows[3:]] == [1, 1]
+    assert rows[3]["value"] == "u0" and rows[4]["value"] == "u1"
+
+
+def test_near_dup_materialize_matches_lazy(spark):
+    docs = [(i, f"tok{i} common words shared by docs number {i} end") for i in range(40)]
+    docs += [(100 + i, f"tok{i} common words shared by docs number {i} ending") for i in range(0, 40, 4)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    lazy = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in near_dup_pairs(df, "text", "doc_id", threshold=0.5).collect()
+    }
+    staged = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in near_dup_pairs(
+            df, "text", "doc_id", threshold=0.5, materialize=True
+        ).collect()
+    }
+    assert lazy == staged and len(lazy) >= 5
+    # staged path must not leak intermediate caches: the only persisted RDD
+    # left is the localCheckpointed result itself (caller-owned)
+    jsc = spark.sparkContext._jsc.sc()
+    assert jsc.getPersistentRDDs().size() <= 1
+
+
+def test_minhash_num_hashes_overflow_guard(spark):
+    from whylogs_java_spark.operators.dedup import minhash_signatures
+
+    df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="224"):
+        minhash_signatures(df, "text", "doc_id", num_hashes=225)
+
+
+def test_simhash_empty_doc_gets_zero_fingerprint(spark):
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, ""), (3, "   ")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in simhash(df, "text", "doc_id").collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[2]["simhash_bits"] == [0] * 64
+    assert rows[2]["simhash_hex"] == "0" * 16
+    assert rows[3]["simhash_bits"] == [0] * 64
+    assert any(b == 1 for b in rows[1]["simhash_bits"])

