@@ -319,3 +319,30 @@ def test_simhash_empty_doc_gets_zero_fingerprint(spark):
     assert rows[2]["simhash_hex"] == "0" * 16
     assert rows[3]["simhash_bits"] == [0] * 64
     assert any(b == 1 for b in rows[1]["simhash_bits"])
+
+
+def test_cosine_pairs_bucketed_recall(spark):
+    from whylogs_java_spark.operators.similarity import (
+        cosine_pairs_bucketed,
+        cosine_pairs_exact,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select("vec_id", "embedding")
+    mut = emb.where(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: (x * F.lit(0.9) + F.lit(0.01)).cast("float")
+        ).alias("embedding"),
+    )
+    corpus = emb.unionByName(mut)
+    exact = {
+        (r["id_a"], r["id_b"]) for r in cosine_pairs_exact(corpus, 0.9).collect()
+    }
+    bucketed = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_pairs_bucketed(corpus, 0.9, planes=8).collect()
+    }
+    # candidates are verified exactly, so no false positives; recall bounded
+    # by the 8-plane collision probability
+    assert bucketed <= exact
+    assert len(bucketed) / len(exact) >= 0.5

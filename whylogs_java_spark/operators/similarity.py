@@ -201,6 +201,107 @@ def hyperplane_signature(vec: Column, planes: int = 16) -> Column:
     return F.concat(*sig_bits)
 
 
+def _plane_sign(plane: int, dim: Column) -> Column:
+    """Deterministic pseudo-random ±1 from md5(plane|dim) first-nibble parity
+    (integer-valued twin of ``_plane_component`` for exact-DECIMAL math)."""
+    h = F.md5(F.concat(F.lit(f"p{plane}|"), dim.cast("string")))
+    nibble = F.conv(F.substring(h, 1, 1), 16, 10).cast("int")
+    return F.when(nibble % 2 == 0, F.lit(1)).otherwise(F.lit(-1))
+
+
+def hyperplane_buckets_exact(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = 8,
+) -> DataFrame:
+    """Per-vector LSH bucket string via DECIMAL-exact hyperplane projections.
+
+    Unlike ``hyperplane_signature`` (a double fold, whose sign could differ
+    across engines for near-zero projections), each projection accumulates
+    as DECIMAL(38,12) over exploded (id, dim, v) rows — order-independent
+    and bit-reproducible in DuckDB, so bucket assignments are
+    oracle-checkable. Output: (id, bucket string of '0'/'1').
+    """
+    flat = embeddings.select(
+        F.col(id_col), F.posexplode(_as_double(F.col(vec_col))).alias("dim", "v")
+    )
+    dec = "decimal(38,12)"
+    aggs = [
+        F.sum((F.col("v") * _plane_sign(p, F.col("dim"))).cast(dec)).alias(f"proj{p}")
+        for p in range(planes)
+    ]
+    projs = flat.groupBy(id_col).agg(*aggs)
+    bits = [
+        F.when(F.col(f"proj{p}") >= 0, F.lit("1")).otherwise(F.lit("0"))
+        for p in range(planes)
+    ]
+    return projs.select(F.col(id_col), F.concat(*bits).alias("bucket"))
+
+
+def cosine_pairs_bucketed(
+    embeddings: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = 8,
+) -> DataFrame:
+    """Embedding near-duplicate pairs at scale: hyperplane-bucket candidates,
+    exact verification within buckets.
+
+    The scale fix for ``cosine_pairs_exact``'s all-pairs O(n²·d) dim-join:
+    candidates come from a self-equi-join on the bucket string (shuffle on
+    the bucket key only — no cross product; two vectors collide only if
+    every hyperplane puts them on the same side), then the exact DECIMAL
+    cosine runs on the candidate pairs alone, with the corpus semi-joined
+    down to candidate ids before the dim explode. Recall trades off with
+    ``planes`` (P planes ≈ (1 - θ/π)^P collision rate for angle θ);
+    near-duplicates (θ→0) almost always collide.
+    Output: (id_a, id_b, cosine) with cosine ≥ threshold.
+    """
+    sig = hyperplane_buckets_exact(embeddings, id_col, vec_col, planes)
+    a = sig.select(F.col(id_col).alias("id_a"), "bucket")
+    b = sig.select(F.col(id_col).alias("id_b"), "bucket")
+    pairs = (
+        a.join(b, on="bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    cand = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .unionByName(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    sub = embeddings.join(cand, on=id_col, how="left_semi")
+    flat = sub.select(
+        F.col(id_col), F.posexplode(_as_double(F.col(vec_col))).alias("dim", "v")
+    )
+    dec = "decimal(38,12)"
+    norms = flat.groupBy(id_col).agg(
+        F.sum((F.col("v") * F.col("v")).cast(dec)).alias("n2")
+    )
+    fa = flat.select(F.col(id_col).alias("id_a"), "dim", F.col("v").alias("va"))
+    fb = flat.select(F.col(id_col).alias("id_b"), "dim", F.col("v").alias("vb"))
+    dots = (
+        pairs.join(fa, on="id_a")
+        .join(fb, on=["id_b", "dim"])
+        .groupBy("id_a", "id_b")
+        .agg(F.sum((F.col("va") * F.col("vb")).cast(dec)).alias("dp"))
+    )
+    na = norms.select(F.col(id_col).alias("id_a"), F.col("n2").alias("na2"))
+    nb = norms.select(F.col(id_col).alias("id_b"), F.col("n2").alias("nb2"))
+    cos = (
+        F.col("dp").cast("double")
+        / (F.sqrt(F.col("na2").cast("double")) * F.sqrt(F.col("nb2").cast("double")))
+    )
+    return (
+        dots.join(F.broadcast(na), "id_a")
+        .join(F.broadcast(nb), "id_b")
+        .select("id_a", "id_b", (F.round(cos, 6) + 0.0).alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )
+
+
 def lsh_bucket_topk(
     embeddings: DataFrame,
     queries: DataFrame,
