@@ -186,6 +186,54 @@ def test_sketch_merge_equals_whole(spark):
     assert est == pytest.approx(whole, rel=0.01)
 
 
+def test_theta_bounds_bracket_exact(spark):
+    # exact count must lie within [lower, upper] (1 std err) across sketch
+    # regimes: empty, single-item, exact-mode, estimation-mode
+    # (SummaryConverters.java:29-36 parity; deterministic data -> stable)
+    from whylogs_java_spark.operators.approx import theta_bounds
+
+    cases = [0, 1, 100, 3000, 15000, 200000]
+    dfs = []
+    for n in cases:
+        if n == 0:
+            d = spark.range(1).selectExpr("CAST(NULL AS DOUBLE) AS v", "0 AS n")
+        else:
+            d = spark.range(n * 3).selectExpr(f"CAST(id % {n} AS DOUBLE) AS v", f"{n} AS n")
+        dfs.append(d)
+    df = dfs[0]
+    for d in dfs[1:]:
+        df = df.unionByName(d)
+    sk = df.groupBy("n").agg(F.theta_sketch_agg("v").alias("s"))
+    tb = theta_bounds(F.col("s"))
+    rows = {
+        r["n"]: r
+        for r in sk.select(
+            "n",
+            tb["estimate"].alias("est"),
+            tb["lower"].alias("lo"),
+            tb["upper"].alias("hi"),
+            F.theta_sketch_estimate("s").alias("native_est"),
+        ).collect()
+    }
+    for n in cases:
+        r = rows[n]
+        # native theta_sketch_estimate rounds to a long
+        assert r["est"] == pytest.approx(r["native_est"], abs=1.0), n
+        assert r["lo"] <= n <= r["hi"], (n, r["lo"], r["hi"])
+        if n <= 4096 :
+            # exact mode: bounds collapse onto the estimate
+            assert r["lo"] == r["hi"] == r["est"] == float(n)
+
+
+def test_sketch_summary_exposes_theta_bounds(spark):
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    sk = sketch_profile(li, columns=["l_orderkey"])
+    r = sketch_summary(sk).collect()[0]
+    exact = li.select("l_orderkey").distinct().count()
+    assert r["unique_theta_lower"] <= exact <= r["unique_theta_upper"]
+    assert r["unique_theta_lower"] <= r["unique_theta"] <= r["unique_theta_upper"]
+
+
 def test_approx_unique_counts(spark):
     li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
     u = {
