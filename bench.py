@@ -25,9 +25,12 @@ BENCH_QUERIES = [
     "profile_events_daily",
     "profile_merge",
     "quantiles_lineitem",
+    "quantiles_lineitem_sketch",
     "histogram_lineitem",
     "topk_orders",
     "uniques_lineitem",
+    "uniques_lineitem_sketch",
+    "dedup_embedding_fast",
     "confusion_events",
     "regression_lineitem",
     "dedup_exact_documents",

@@ -33,7 +33,7 @@ def test_quantile_summary_matches_numpy(spark):
     df = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
     out = {
         (r["column_name"], r["quantile"]): r["value"]
-        for r in quantile_summary(df, ["l_quantity"]).collect()
+        for r in quantile_summary(df, ["l_quantity"], tier="exact").collect()
     }
     vals = np.array([r[0] for r in df.select("l_quantity").collect()])
     for q in (0.0, 0.25, 0.5, 0.75, 1.0):
@@ -62,7 +62,16 @@ def test_frequent_items_topk(spark):
 
 def test_unique_counts_exact(spark):
     df = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
-    u = {r["column_name"]: r["unique_count"] for r in unique_counts(df, ["l_returnflag"]).collect()}
+    u = {
+        r["column_name"]: r["unique_count"]
+        for r in unique_counts(df, ["l_returnflag"], tier="exact").collect()
+    }
+    assert u["l_returnflag"] == 3
+    # sketch tier (the scale default) estimates tiny cardinalities exactly
+    u = {
+        r["column_name"]: r["unique_count"]
+        for r in unique_counts(df, ["l_returnflag"]).collect()
+    }
     assert u["l_returnflag"] == 3
 
 

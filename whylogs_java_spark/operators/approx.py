@@ -209,7 +209,7 @@ def approx_unique_counts(
     keys = list(group_by)
     grouped = df.groupBy(*keys) if keys else df.groupBy()
     wide = grouped.agg(
-        *[F.approx_count_distinct(c, 0.01).alias(f"{c}__u") for c in columns]
+        *[F.approx_count_distinct(c, 0.016).alias(f"{c}__u") for c in columns]
     )
     elems = [
         F.struct(

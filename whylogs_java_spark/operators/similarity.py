@@ -226,12 +226,19 @@ def hyperplane_buckets_exact(
     flat = embeddings.select(
         F.col(id_col), F.posexplode(_as_double(F.col(vec_col))).alias("dim", "v")
     )
+    # the ±1 sign domain is only planes x dims values — compute it once on
+    # a tiny distinct-dim table and broadcast-join, instead of evaluating
+    # `planes` md5 digests per (id, dim) row
+    dims = flat.select("dim").distinct()
+    signs = dims.select(
+        "dim", *[_plane_sign(p, F.col("dim")).alias(f"s{p}") for p in range(planes)]
+    )
     dec = "decimal(38,12)"
     aggs = [
-        F.sum((F.col("v") * _plane_sign(p, F.col("dim"))).cast(dec)).alias(f"proj{p}")
+        F.sum((F.col("v") * F.col(f"s{p}")).cast(dec)).alias(f"proj{p}")
         for p in range(planes)
     ]
-    projs = flat.groupBy(id_col).agg(*aggs)
+    projs = flat.join(F.broadcast(signs), on="dim").groupBy(id_col).agg(*aggs)
     bits = [
         F.when(F.col(f"proj{p}") >= 0, F.lit("1")).otherwise(F.lit("0"))
         for p in range(planes)
@@ -245,6 +252,7 @@ def cosine_pairs_bucketed(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     planes: int = 8,
+    arithmetic: str = "decimal",
 ) -> DataFrame:
     """Embedding near-duplicate pairs at scale: hyperplane-bucket candidates,
     exact verification within buckets.
@@ -257,8 +265,54 @@ def cosine_pairs_bucketed(
     down to candidate ids before the dim explode. Recall trades off with
     ``planes`` (P planes ≈ (1 - θ/π)^P collision rate for angle θ);
     near-duplicates (θ→0) almost always collide.
+
+    ``arithmetic="decimal"`` (default) is the oracle-deterministic tier:
+    DECIMAL(38,12) projections and dot products over exploded dims,
+    bit-reproducible in DuckDB. ``arithmetic="double"`` is the production
+    tier: bucket signatures via the JVM double fold
+    (``hyperplane_signature``) and dots via ``zip_with`` on the vectors
+    carried through the bucket join — no dim explode anywhere, several
+    times faster, last-ulp engine-specific.
     Output: (id_a, id_b, cosine) with cosine ≥ threshold.
     """
+    if arithmetic == "double":
+        # the ±1 plane components depend only on (plane, dim): build each
+        # plane's sign array ONCE per distinct vector length and
+        # broadcast-join, instead of re-deriving `planes * dim` md5 digests
+        # for every row inside the fold
+        lengths = embeddings.select(F.size(F.col(vec_col)).alias("__len")).distinct()
+        plane_arrays = lengths.select(
+            "__len",
+            *[
+                F.transform(
+                    F.sequence(F.lit(0), F.col("__len") - 1),
+                    lambda d, p=p: _plane_component(p, d),
+                ).alias(f"__pa{p}")
+                for p in range(planes)
+            ],
+        )
+        e = embeddings.join(
+            F.broadcast(plane_arrays),
+            on=F.size(F.col(vec_col)) == F.col("__len"),
+        )
+        vecd = _as_double(F.col(vec_col))
+        bits = [
+            F.when(dot(vecd, F.col(f"__pa{p}")) >= 0, F.lit("1")).otherwise(F.lit("0"))
+            for p in range(planes)
+        ]
+        sig = e.select(
+            F.col(id_col), vecd.alias("__v"), F.concat(*bits).alias("bucket")
+        )
+        a = sig.select(F.col(id_col).alias("id_a"), F.col("__v").alias("va"), "bucket")
+        b = sig.select(F.col(id_col).alias("id_b"), F.col("__v").alias("vb"), "bucket")
+        cos = dot(F.col("va"), F.col("vb")) / (norm(F.col("va")) * norm(F.col("vb")))
+        return (
+            a.join(b, on="bucket")
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", (F.round(cos, 6) + 0.0).alias("cosine"))
+            .where(F.col("cosine") >= threshold)
+        )
+
     sig = hyperplane_buckets_exact(embeddings, id_col, vec_col, planes)
     a = sig.select(F.col(id_col).alias("id_a"), "bucket")
     b = sig.select(F.col(id_col).alias("id_b"), "bucket")

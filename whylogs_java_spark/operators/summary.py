@@ -38,14 +38,22 @@ def quantile_summary(
     columns: Sequence[str],
     group_by: Sequence[str] = (),
     quantiles: Sequence[float] = tuple(SUMMARY_QUANTILES),
-    exact: bool = True,
+    tier: str = "sketch",
     accuracy: int = 10000,
 ) -> DataFrame:
     """Long-format quantiles: (keys..., column_name, quantile, value).
 
     One aggregation pass for all columns; the per-(column, quantile) rows
     are exploded from the already-aggregated arrays (no extra shuffle).
+
+    ``tier="sketch"`` (the default — the scale path, matching the
+    reference's KLL-sketch quantiles, NumberTracker.java:38) aggregates a
+    bounded-memory approx-percentile sketch; ``tier="exact"`` buffers
+    per-group values for interpolated exact percentiles — use it only for
+    oracle/correctness runs, it is OOM-prone on huge groups.
     """
+    if tier not in ("sketch", "exact"):
+        raise ValueError(f"tier must be 'sketch' or 'exact', got {tier!r}")
     schema = {f.name: f.dataType for f in df.schema.fields}
     qs = list(quantiles)
     aggs = []
@@ -53,7 +61,7 @@ def quantile_summary(
         m = masked(F.col(c), schema[c]).cast("double")
         agg = (
             F.percentile(m, F.lit(qs))
-            if exact
+            if tier == "exact"
             else F.percentile_approx(m, F.lit(qs), F.lit(accuracy))
         )
         aggs.append(agg.alias(f"{c}__q"))
@@ -247,16 +255,27 @@ def unique_counts(
     df: DataFrame,
     columns: Sequence[str],
     group_by: Sequence[str] = (),
-    exact: bool = True,
+    tier: str = "sketch",
 ) -> DataFrame:
     """Per-column distinct counts, long format.
 
-    Exact tier uses count_distinct (oracle-comparable); approx tier is the
-    scale path — approx_count_distinct (HLL++, one pass, no expand).
+    ``tier="sketch"`` (the default — the scale path, matching the
+    reference's theta/HLL cardinality, NumberTracker.java:31,46) is
+    approx_count_distinct: HLL++, one pass, bounded memory, no distinct
+    expansion. ``tier="exact"`` is count_distinct (oracle-comparable) —
+    it expands distinct values per group; use only for correctness runs.
     Output: (keys..., column_name, unique_count).
     """
+    if tier not in ("sketch", "exact"):
+        raise ValueError(f"tier must be 'sketch' or 'exact', got {tier!r}")
     keys = list(group_by)
-    agg_fn = F.count_distinct if exact else (lambda c: F.approx_count_distinct(c, 0.01))
+    # rsd 0.016 == the reference's HLL lgK=12 accuracy (1.04/sqrt(4096));
+    # tighter rsd forces a much larger HLL++ register array for little gain
+    agg_fn = (
+        F.count_distinct
+        if tier == "exact"
+        else (lambda c: F.approx_count_distinct(c, 0.016))
+    )
     grouped = df.groupBy(*keys) if keys else df.groupBy()
     wide = grouped.agg(
         *[agg_fn(F.col(c)).alias(f"{c}__u") for c in columns]
