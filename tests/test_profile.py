@@ -149,3 +149,27 @@ def test_string_length_token_stats(spark):
     assert r["len_min"] == 2.0 and r["len_max"] == 39.0
     assert r["tok_min"] == 1.0 and r["tok_max"] == 10.0
     assert r["tok_mean"] == pytest.approx(5.5)
+
+
+def test_coercion_feeds_value_trackers(spark):
+    # TypedDataConverter.java:62-84 -> ColumnProfile.track: a coerced value
+    # updates the tracker of its COERCED type — parsed integrals/
+    # fractionals feed the numeric suite, 'true' increments trueCount, and
+    # coerced values never reach the string length/token suites
+    vals = ["12", "3.5", "true", "False", "hello world", "NA", "+ 7", "- 2.5", None]
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    r = _by_col(profile(df, null_strings=["NA"], coerce_strings=True).collect())["v"]
+    assert r["count"] == 9 and r["null_count"] == 2
+    assert r["integral_count"] == 2      # "12", "+ 7"
+    assert r["fractional_count"] == 2    # "3.5", "- 2.5"
+    assert r["boolean_count"] == 2       # "true", "False"
+    assert r["string_count"] == 1        # "hello world"
+    assert r["true_count"] == 1          # only "true"
+    # numeric suite over the parsed values {12, 3.5, 7, -2.5}
+    assert r["n"] == 4
+    assert r["min"] == -2.5 and r["max"] == 12.0
+    assert r["sum"] == pytest.approx(20.0)
+    assert r["mean"] == pytest.approx(5.0)
+    # string suites over the single STRING-counted value only
+    assert r["len_n"] == 1 and r["len_min"] == 11.0 and r["len_max"] == 11.0
+    assert r["tok_n"] == 1 and r["tok_min"] == 2.0 and r["tok_max"] == 2.0

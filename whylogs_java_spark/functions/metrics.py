@@ -348,16 +348,40 @@ class ColumnProfileSpec:
         if is_numeric(dt) and not isinstance(dt, T.BooleanType):
             out += _suite_projection(m.cast("double"), f"{p}__num")
         if isinstance(dt, T.StringType):
-            out += _suite_projection(F.length(m).cast("double"), f"{p}__len")
-            out += _suite_projection(
-                F.size(F.split(m, self.tokenizer_delim)).cast("double"), f"{p}__tok"
-            )
             if self.coerce_strings:
+                # TypedDataConverter.java:62-84: a coerced value feeds the
+                # tracker of its COERCED type, not the string tracker —
+                # parsed numerics update the numeric suite, 'true'
+                # increments trueCount, and only unmatched values reach the
+                # length/token suites
+                is_int = m.rlike(INTEGRAL_RE)
+                is_frac = m.rlike(FRACTIONAL_RE)
+                is_bool = m.rlike(BOOLEAN_RE)
+                cleaned = F.regexp_replace(
+                    F.regexp_replace(m, "^[+] ", "+"), "^[-] ", "-"
+                )
+                num_m = F.when(is_int | is_frac, cleaned.cast("double"))
+                str_m = F.when(
+                    ~F.coalesce(is_int | is_frac | is_bool, F.lit(False)), m
+                )
+                out += _suite_projection(num_m, f"{p}__num")
+                out.append((F.lower(m) == "true").cast("int").alias(f"{p}__true"))
+                out += _suite_projection(F.length(str_m).cast("double"), f"{p}__len")
+                out += _suite_projection(
+                    F.size(F.split(str_m, self.tokenizer_delim)).cast("double"),
+                    f"{p}__tok",
+                )
                 out += [
-                    m.rlike(INTEGRAL_RE).cast("int").alias(f"{p}__is_int"),
-                    m.rlike(FRACTIONAL_RE).cast("int").alias(f"{p}__is_frac"),
-                    m.rlike(BOOLEAN_RE).cast("int").alias(f"{p}__is_bool"),
+                    is_int.cast("int").alias(f"{p}__is_int"),
+                    is_frac.cast("int").alias(f"{p}__is_frac"),
+                    is_bool.cast("int").alias(f"{p}__is_bool"),
                 ]
+            else:
+                out += _suite_projection(F.length(m).cast("double"), f"{p}__len")
+                out += _suite_projection(
+                    F.size(F.split(m, self.tokenizer_delim)).cast("double"),
+                    f"{p}__tok",
+                )
         return out
 
     def agg_exprs(self) -> list[Column]:
@@ -369,12 +393,13 @@ class ColumnProfileSpec:
         nn = (cnt - nullc).cast("long")
         zero = F.max(F.lit(0)).cast("long")
 
+        coerced = isinstance(dt, T.StringType) and self.coerce_strings
         exprs: list[Column] = [
             cnt.alias(f"{p}_count"),
             nullc.alias(f"{p}_null_count"),
             (
                 F.sum(f"{p}__true").cast("long")
-                if isinstance(dt, T.BooleanType)
+                if isinstance(dt, T.BooleanType) or coerced
                 else zero
             ).alias(f"{p}_true_count"),
         ]
@@ -405,7 +430,7 @@ class ColumnProfileSpec:
         for k, e in tc.items():
             exprs.append(e.alias(f"{p}_{k}_count"))
 
-        if is_numeric(dt) and not isinstance(dt, T.BooleanType):
+        if (is_numeric(dt) and not isinstance(dt, T.BooleanType)) or coerced:
             exprs += _suite_aggs(f"{p}__num", f"{p}_num")
         else:
             exprs += _null_numeric_atoms(f"{p}_num")

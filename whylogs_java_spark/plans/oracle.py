@@ -110,14 +110,18 @@ def _branch(
         f"SUM(CASE WHEN {m} = TRUE THEN 1 ELSE 0 END)" if kind == BOOLEAN else "0"
     )
     tc = {k: "CAST(0 AS BIGINT)" for k in ("integral", "fractional", "boolean", "string", "unknown")}
-    if kind == STRING and coerce_strings:
+    coerced = kind == STRING and coerce_strings
+    if coerced:
         # TypedDataConverter.java:62-84 regex coercion (anchored patterns,
         # so partial-match regexp_matches ≡ full match)
         from ..functions.predicates import BOOLEAN_RE, FRACTIONAL_RE, INTEGRAL_RE
 
-        def cnt_re(pattern: str) -> str:
+        def re_pred(pattern: str) -> str:
             esc = pattern.replace("'", "''")
-            return f"CAST(SUM(CASE WHEN regexp_matches({m}, '{esc}') THEN 1 ELSE 0 END) AS BIGINT)"
+            return f"regexp_matches({m}, '{esc}')"
+
+        def cnt_re(pattern: str) -> str:
+            return f"CAST(SUM(CASE WHEN {re_pred(pattern)} THEN 1 ELSE 0 END) AS BIGINT)"
 
         tc["integral"] = cnt_re(INTEGRAL_RE)
         tc["fractional"] = cnt_re(FRACTIONAL_RE)
@@ -129,11 +133,27 @@ def _branch(
     elif kind in tc:
         tc[kind] = f"CAST({nn} AS BIGINT)"
 
-    num = _num_atoms(m, "num") if kind in (INTEGRAL, FRACTIONAL) else _null_atoms("num")
-    if kind == STRING:
+    if coerced:
+        # coerced values feed the tracker of their coerced type: parsed
+        # numerics -> numeric suite, 'true' -> trueCount; only unmatched
+        # values reach the length/token suites
+        i_p, f_p, b_p = re_pred(INTEGRAL_RE), re_pred(FRACTIONAL_RE), re_pred(BOOLEAN_RE)
+        cleaned = f"regexp_replace(regexp_replace({m}, '^[+] ', '+'), '^[-] ', '-')"
+        num_m = f"(CASE WHEN {i_p} OR {f_p} THEN CAST({cleaned} AS DOUBLE) END)"
+        str_m = f"(CASE WHEN NOT COALESCE({i_p} OR {f_p} OR {b_p}, FALSE) THEN {m} END)"
+        true_count = f"SUM(CASE WHEN LOWER({m}) = 'true' THEN 1 ELSE 0 END)"
+        num = _num_atoms(num_m, "num")
+        ln = _num_atoms(f"LENGTH({str_m})", "len")
+        tok = _num_atoms(f"len(str_split({str_m}, ' '))", "tok")
+    elif kind in (INTEGRAL, FRACTIONAL):
+        num = _num_atoms(m, "num")
+        ln, tok = _null_atoms("len"), _null_atoms("tok")
+    elif kind == STRING:
+        num = _null_atoms("num")
         ln = _num_atoms(f"LENGTH({m})", "len")
         tok = _num_atoms(f"len(str_split({m}, ' '))", "tok")
     else:
+        num = _null_atoms("num")
         ln, tok = _null_atoms("len"), _null_atoms("tok")
 
     keys = list(group_cols)

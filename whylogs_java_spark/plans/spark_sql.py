@@ -140,22 +140,47 @@ class _ColumnSql:
         if k in (INTEGRAL, FRACTIONAL):
             out += _num_projection_sql(f"CAST({m} AS DOUBLE)", f"{p}__num")
         if k == STRING:
-            out += _num_projection_sql(f"CAST(LENGTH({m}) AS DOUBLE)", f"{p}__len")
-            out += _num_projection_sql(
-                f"CAST(size(split({m}, '{self.delim}')) AS DOUBLE)", f"{p}__tok"
-            )
             if self.coerce:
+                # TypedDataConverter.java:62-84: coerced values feed the
+                # tracker of their coerced type — parsed numerics into the
+                # numeric suite, 'true' into trueCount; only unmatched
+                # values reach the length/token suites.
                 # Spark SQL string literals process backslash escapes:
                 # regexes must double them to survive parsing
                 i_re, f_re, b_re = (
                     r.replace("\\", "\\\\")
                     for r in (INTEGRAL_RE, FRACTIONAL_RE, BOOLEAN_RE)
                 )
+                i_p = f"(({m}) RLIKE '{i_re}')"
+                f_p = f"(({m}) RLIKE '{f_re}')"
+                b_p = f"(({m}) RLIKE '{b_re}')"
+                cleaned = (
+                    f"regexp_replace(regexp_replace({m}, '^[+] ', '+'), '^[-] ', '-')"
+                )
+                num_m = f"CASE WHEN {i_p} OR {f_p} THEN CAST({cleaned} AS DOUBLE) END"
+                str_m = (
+                    f"CASE WHEN NOT COALESCE({i_p} OR {f_p} OR {b_p}, FALSE) "
+                    f"THEN {m} END"
+                )
+                out += _num_projection_sql(num_m, f"{p}__num")
+                out.append(f"CAST(LOWER({m}) = 'true' AS INT) AS {p}__true")
+                out += _num_projection_sql(
+                    f"CAST(LENGTH({str_m}) AS DOUBLE)", f"{p}__len"
+                )
+                out += _num_projection_sql(
+                    f"CAST(size(split({str_m}, '{self.delim}')) AS DOUBLE)",
+                    f"{p}__tok",
+                )
                 out += [
-                    f"CAST(({m}) RLIKE '{i_re}' AS INT) AS {p}__is_int",
-                    f"CAST(({m}) RLIKE '{f_re}' AS INT) AS {p}__is_frac",
-                    f"CAST(({m}) RLIKE '{b_re}' AS INT) AS {p}__is_bool",
+                    f"CAST({i_p} AS INT) AS {p}__is_int",
+                    f"CAST({f_p} AS INT) AS {p}__is_frac",
+                    f"CAST({b_p} AS INT) AS {p}__is_bool",
                 ]
+            else:
+                out += _num_projection_sql(f"CAST(LENGTH({m}) AS DOUBLE)", f"{p}__len")
+                out += _num_projection_sql(
+                    f"CAST(size(split({m}, '{self.delim}')) AS DOUBLE)", f"{p}__tok"
+                )
         return out
 
     # -- aggregation ------------------------------------------------------
@@ -172,7 +197,7 @@ class _ColumnSql:
             f"CAST({nullc} AS BIGINT) AS {p}_null_count",
             (
                 f"CAST(SUM({p}__true) AS BIGINT) AS {p}_true_count"
-                if k == BOOLEAN
+                if k == BOOLEAN or self.coerce
                 else f"{zero} AS {p}_true_count"
             ),
         ]
@@ -192,7 +217,7 @@ class _ColumnSql:
         for key in ("integral", "fractional", "boolean", "string", "unknown"):
             out.append(f"{tc[key]} AS {p}_{key}_count")
 
-        if k in (INTEGRAL, FRACTIONAL):
+        if k in (INTEGRAL, FRACTIONAL) or self.coerce:
             out += _num_aggs_sql(f"{p}__num", f"{p}_num")
         else:
             out += _null_num_aggs(f"{p}_num")
