@@ -173,3 +173,16 @@ def test_coercion_feeds_value_trackers(spark):
     # string suites over the single STRING-counted value only
     assert r["len_n"] == 1 and r["len_min"] == 11.0 and r["len_max"] == 11.0
     assert r["tok_n"] == 1 and r["tok_min"] == 2.0 and r["tok_max"] == 2.0
+
+
+def test_token_count_java_split_semantics(spark):
+    # Java String.split(" ") (StringTracker.java:25): trailing empties
+    # drop ('a b ' -> 2), '' -> [''] -> 1, all-spaces -> [] -> 0, inner
+    # empties kept ('a  b' -> 3)
+    df = spark.createDataFrame(
+        [("a b ",), ("",), ("   ",), ("a  b",)], "t string"
+    )
+    r = _by_col(profile(df).collect())["t"]
+    assert r["tok_n"] == 4
+    assert r["tok_min"] == 0.0 and r["tok_max"] == 3.0
+    assert r["tok_mean"] == pytest.approx(1.5)

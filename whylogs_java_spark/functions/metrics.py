@@ -334,6 +334,19 @@ class ColumnProfileSpec:
     # and aggregating plain attributes is much cheaper than embedding the
     # derivations in every aggregate (measured ~2x on the sf0.1 flagship).
 
+    def _token_count(self, m: Column) -> Column:
+        """Token count with Java String.split(" ") semantics
+        (StringTracker.java:25): trailing empty tokens drop, '' counts 1,
+        all-delimiter strings count 0, inner empties are kept."""
+        d = self.tokenizer_delim
+        t = F.regexp_replace(m, f"(?:{d})+$", "")
+        return (
+            F.when(m == "", F.lit(1))
+            .when(t == "", F.lit(0))
+            .otherwise(F.size(F.split(t, d)))
+            .cast("double")
+        )
+
     def projection_exprs(self) -> list[Column]:
         """Row-level derived columns consumed by ``agg_exprs``."""
         c = F.col(self.name)
@@ -367,10 +380,7 @@ class ColumnProfileSpec:
                 out += _suite_projection(num_m, f"{p}__num")
                 out.append((F.lower(m) == "true").cast("int").alias(f"{p}__true"))
                 out += _suite_projection(F.length(str_m).cast("double"), f"{p}__len")
-                out += _suite_projection(
-                    F.size(F.split(str_m, self.tokenizer_delim)).cast("double"),
-                    f"{p}__tok",
-                )
+                out += _suite_projection(self._token_count(str_m), f"{p}__tok")
                 out += [
                     is_int.cast("int").alias(f"{p}__is_int"),
                     is_frac.cast("int").alias(f"{p}__is_frac"),
@@ -378,10 +388,7 @@ class ColumnProfileSpec:
                 ]
             else:
                 out += _suite_projection(F.length(m).cast("double"), f"{p}__len")
-                out += _suite_projection(
-                    F.size(F.split(m, self.tokenizer_delim)).cast("double"),
-                    f"{p}__tok",
-                )
+                out += _suite_projection(self._token_count(m), f"{p}__tok")
         return out
 
     def agg_exprs(self) -> list[Column]:

@@ -75,6 +75,14 @@ def _masked(col: str, kind: str, null_strings: Sequence[str]) -> str:
     return f"CASE WHEN NOT ({_null_pred(col, kind, null_strings)}) THEN {col} END"
 
 
+def _token_count_sql(m: str) -> str:
+    """Java String.split(" ")-semantics token count (StringTracker.java:25),
+    DuckDB dialect — mirrors plans.spark_sql._token_count_sql."""
+    from .spark_sql import _token_count_sql as _spark_tok
+
+    return _spark_tok(m, " ", "len(str_split({t}, '{d}'))")
+
+
 def _num_atoms(val: str, prefix: str) -> str:
     from ..functions.metrics import numeric_atom_sql
 
@@ -144,14 +152,14 @@ def _branch(
         true_count = f"SUM(CASE WHEN LOWER({m}) = 'true' THEN 1 ELSE 0 END)"
         num = _num_atoms(num_m, "num")
         ln = _num_atoms(f"LENGTH({str_m})", "len")
-        tok = _num_atoms(f"len(str_split({str_m}, ' '))", "tok")
+        tok = _num_atoms(_token_count_sql(str_m), "tok")
     elif kind in (INTEGRAL, FRACTIONAL):
         num = _num_atoms(m, "num")
         ln, tok = _null_atoms("len"), _null_atoms("tok")
     elif kind == STRING:
         num = _null_atoms("num")
         ln = _num_atoms(f"LENGTH({m})", "len")
-        tok = _num_atoms(f"len(str_split({m}, ' '))", "tok")
+        tok = _num_atoms(_token_count_sql(f"({m})"), "tok")
     else:
         num = _null_atoms("num")
         ln, tok = _null_atoms("len"), _null_atoms("tok")

@@ -46,6 +46,19 @@ def _q(name: str) -> str:
     return f"`{name}`"
 
 
+def _token_count_sql(m: str, delim: str = " ", size_fn: str = "size(split({t}, '{d}'))") -> str:
+    """Token count with Java String.split(" ") semantics
+    (StringTracker.java:25): trailing empty tokens drop, '' counts 1,
+    all-delimiter strings count 0, inner empties are kept. ``size_fn``
+    parameterizes the dialect (Spark size/split vs DuckDB len/str_split)."""
+    t = f"regexp_replace({m}, '(?:{delim})+$', '')"
+    sz = size_fn.format(t=t, d=delim)
+    return (
+        f"(CASE WHEN {m} = '' THEN 1.0 WHEN {t} = '' THEN 0.0 "
+        f"ELSE CAST({sz} AS DOUBLE) END)"
+    )
+
+
 def _null_pred(col: str, kind: str, null_strings: Sequence[str]) -> str:
     preds = [f"{col} IS NULL"]
     if kind == FRACTIONAL:
@@ -168,8 +181,7 @@ class _ColumnSql:
                     f"CAST(LENGTH({str_m}) AS DOUBLE)", f"{p}__len"
                 )
                 out += _num_projection_sql(
-                    f"CAST(size(split({str_m}, '{self.delim}')) AS DOUBLE)",
-                    f"{p}__tok",
+                    _token_count_sql(f"({str_m})", self.delim), f"{p}__tok"
                 )
                 out += [
                     f"CAST({i_p} AS INT) AS {p}__is_int",
@@ -179,7 +191,7 @@ class _ColumnSql:
             else:
                 out += _num_projection_sql(f"CAST(LENGTH({m}) AS DOUBLE)", f"{p}__len")
                 out += _num_projection_sql(
-                    f"CAST(size(split({m}, '{self.delim}')) AS DOUBLE)", f"{p}__tok"
+                    _token_count_sql(f"({m})", self.delim), f"{p}__tok"
                 )
         return out
 
@@ -360,7 +372,7 @@ def build_melted_atoms_sql(
     proj_pieces = (
         _num_projection_sql("num_v", "gnum")
         + _num_projection_sql("CAST(LENGTH(str_v) AS DOUBLE)", "glen")
-        + _num_projection_sql("CAST(size(split(str_v, ' ')) AS DOUBLE)", "gtok")
+        + _num_projection_sql(_token_count_sql("str_v"), "gtok")
     )
     keysel2 = (", ".join(_q(k) for k in key_names) + ",") if key_names else ""
     proj = f"""SELECT {keysel2} column_name, kind, isnull, is_true,
