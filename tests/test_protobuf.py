@@ -1,0 +1,157 @@
+"""Wire-compat tests: parse the reference's golden fixtures, round-trip our
+own profiles, and validate the theta serVer4->3 conversion via Spark union.
+
+Reference done-criteria: DatasetProfileTest.java:260-340 parses these same
+fixtures and asserts the regression metrics pinned below.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+from whylogs_java_spark.operators.profile import profile
+from whylogs_java_spark.sources.protobuf import (
+    decode_dataset_profile,
+    iter_delimited,
+    read_profile_bin,
+    theta_v4_to_v3,
+    write_profile_bin,
+)
+
+FIXTURES = "/root/reference/core/src/test/resources"
+
+
+def _first_profile(path: str) -> dict:
+    data = open(path, "rb").read()
+    return decode_dataset_profile(next(iter(iter_delimited(data))))
+
+
+def test_parse_golden_profiles_1():
+    p = _first_profile(f"{FIXTURES}/profiles-1.bin")
+    assert len(p["columns"]) == 104
+    assert p["properties"]["session_id"] == "889f8b4c-e5de-411b-ac1f-93d35ca02a1c"
+    assert p["properties"]["session_timestamp"] == 1609910305301
+    assert p["properties"]["tags"]["whylogs.tag.housea color"] == "blue"
+    ho = p["columns"]["home_ownership"]
+    assert ho["count"] == 64969
+    assert ho["type_counts"] == {5: 64969}  # STRING
+    assert ho["hll"] is not None and ho["hll_lgk"] == 12
+
+
+def test_parse_golden_regression():
+    # DatasetProfileTest.assertMetrics pins these values
+    p = _first_profile(f"{FIXTURES}/regression.bin")
+    reg = p["model"]["regression"]
+    assert reg["count"] == 89
+    assert reg["prediction_field"] == "predictions"
+    assert reg["target_field"] == "targets"
+    assert reg["sum_abs_diff"] == pytest.approx(7649.135452245152, abs=0.01)
+    assert reg["sum_diff"] == pytest.approx(522.7580608276942, abs=0.01)
+    assert reg["sum2_diff"] == pytest.approx(1021265.7543864828, abs=0.01)
+
+
+def test_parse_golden_numeric_summary():
+    p = _first_profile(f"{FIXTURES}/python_profile.bin")
+    c = p["columns"]["mths_since_recent_revol_delinq"]
+    d = c["numbers"]["doubles"]
+    assert d["count"] == 816777
+    assert d["min"] == pytest.approx(-261.765, abs=0.01)
+    assert d["max"] == pytest.approx(575.476, abs=0.01)
+    assert c["numbers"]["variance"]["mean"] == pytest.approx(34.8778, abs=0.001)
+
+
+def test_spark_reader_and_sketch_compat(spark):
+    # distributed read of an old-format profile; the embedded DataSketches
+    # binaries (KLL serVer<=2, theta serVer 3, HLL) must be estimable by
+    # Spark 4's native sketch functions (heapify back-compat)
+    df = read_profile_bin(spark, f"{FIXTURES}/python_profile.bin")
+    rows = {r["column_name"]: r for r in df.collect()}
+    assert len(rows) == 105
+    c = rows["mths_since_recent_revol_delinq"]
+    assert c["n"] == 816777 and c["count"] == c["null_count"] + c["n"]
+    one = spark.createDataFrame(
+        [(bytearray(c["theta"]), bytearray(c["kll"]), bytearray(c["hll"]))],
+        "t binary, k binary, h binary",
+    )
+    est = one.select(
+        F.theta_sketch_estimate("t").alias("u"),
+        F.kll_sketch_get_quantile_float("k", F.lit(0.5)).alias("med"),
+        F.hll_sketch_estimate("h").alias("hu"),
+    ).collect()[0]
+    assert est["u"] > 0 and est["hu"] > 0
+    assert c["min"] <= est["med"] <= c["max"]
+
+
+def test_theta_v4_to_v3_preserves_hashes(spark):
+    # union(converted_v3, original_v4) keeps the estimate unchanged IFF the
+    # decoded hash set is identical — a wrong bit-unpack would ~double it
+    for n in (100, 15000):  # exact mode and estimation mode
+        sk = (
+            spark.range(n)
+            .agg(F.theta_sketch_agg(F.col("id").cast("double")).alias("s"))
+            .collect()[0]["s"]
+        )
+        v3 = theta_v4_to_v3(bytes(sk))
+        assert v3[1] == 3  # serVer
+        df = spark.createDataFrame(
+            [(bytearray(bytes(sk)),), (bytearray(v3),)], "s binary"
+        )
+        est3, orig = (
+            df.select(
+                F.theta_sketch_estimate(F.col("s")).alias("e")
+            ).collect()
+        )
+        union = df.agg(
+            F.theta_sketch_estimate(F.theta_union_agg("s", F.lit(12))).alias("e")
+        ).collect()[0]["e"]
+        assert est3["e"] == pytest.approx(orig["e"], rel=1e-9)
+        assert union == pytest.approx(orig["e"], rel=1e-9)
+
+
+def test_write_read_roundtrip(spark, tmp_path):
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    out = str(tmp_path / "profiles.bin")
+    n_msgs = write_profile_bin(
+        li, out, group_by=["l_returnflag"], session_id="round-trip",
+        session_timestamp=1700000000000,
+    )
+    assert n_msgs == 3  # A / N / R
+
+    back = read_profile_bin(spark, out)
+    rows = back.collect()
+    # one message per group, one row per profiled column
+    by_tag: dict = {}
+    for r in rows:
+        by_tag.setdefault(r["tags"]["whylogs.tag.l_returnflag"], {})[
+            r["column_name"]
+        ] = r
+    assert set(by_tag) == {"A", "N", "R"}
+
+    expect = {
+        (r["l_returnflag"], r["column_name"]): r
+        for r in profile(li, group_by=["l_returnflag"]).collect()
+    }
+    for flag, cols in by_tag.items():
+        for name, got in cols.items():
+            e = expect[(flag, name)]
+            assert got["count"] == e["count"], (flag, name)
+            assert got["null_count"] == e["null_count"]
+            assert got["n"] == (e["n"] or 0)
+            if e["n"]:
+                assert got["min"] == pytest.approx(e["min"], rel=1e-6)
+                assert got["max"] == pytest.approx(e["max"], rel=1e-6)
+                assert got["mean"] == pytest.approx(e["mean"], rel=1e-6)
+                if e["variance"] is not None:
+                    assert got["variance"] == pytest.approx(e["variance"], rel=1e-6)
+    # session/tag metadata round-trips
+    any_row = rows[0]
+    assert any_row["session_id"] == "round-trip"
+    assert any_row["session_timestamp"] == 1700000000000
+    # sketches written by Spark remain estimable after the wire round trip
+    num = by_tag["A"]["l_quantity"]
+    one = spark.createDataFrame([(bytearray(num["theta"]),)], "t binary")
+    est = one.select(F.theta_sketch_estimate("t").alias("e")).collect()[0]["e"]
+    assert 40 <= est <= 60  # ~50 distinct quantities
+    assert bytes(num["theta"])[1] == 3  # written as serVer 3 for old readers

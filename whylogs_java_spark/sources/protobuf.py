@@ -1,0 +1,718 @@
+"""Wire-compatible DatasetProfileMessage serde — pure-Python varint codec,
+Spark-distributed reader, driver-side delimited writer.
+
+This is the interchange format every other whylogs client speaks:
+``DatasetProfile.writeTo`` emits a varint-length-delimited
+``DatasetProfileMessage`` (DatasetProfile.java:302-368,
+``writeDelimitedTo``/``parseDelimitedFrom``); the CLI and viewer read the
+same stream (Profiler.java:158-163, ProfileViewer.java:80-92).
+
+Field numbers below come from the public whylogs proto schema and were
+verified empirically against the reference's golden fixtures
+(core/src/test/resources/profiles-1.bin, python_profile.bin,
+regression.bin — decoded with this module's own wire reader):
+
+- DatasetProfileMessage: properties=1, columns(map)=2, modeProfile=10
+- DatasetProperties: schema_major=1, schema_minor=2, session_id=3,
+  session_timestamp=4, data_timestamp=5, tags(map)=6, metadata(map)=7
+- ColumnMessage: name=1, counters=2, schema=3, numbers=4, strings=5,
+  frequent_items=7 ({sketch=1, utc_timestamp=2}), cardinality_tracker=8
+  ({sketch=1, lg_k=2})
+- Counters: count=1, true_count=2 (Int64Value), null_count=3 (legacy)
+- SchemaMessage: type_counts(map<int32,int64>)=1; InferredType enum:
+  UNKNOWN=0 NULL=1 FRACTIONAL=2 INTEGRAL=3 BOOLEAN=4 STRING=5
+- NumbersMessage: variance=1 {count=1,sum=2,mean=3}, doubles=2
+  {count=1,min=2,max=3,sum=4}, longs=3 (same shape, varints),
+  histogram(KLL floats bytes)=4, compact_theta=6
+- StringsMessage: count=1, items=3, compact_theta=4 (length=5,
+  token_length=6 NumbersMessages per the public proto; the golden
+  fixtures predate those fields, so they are write-verified only by our
+  own round-trip)
+- ModelProfileMessage: output_fields=1, metrics=10 {model_type=2,
+  regression=3 {prediction_field=1, target_field=2, count=3,
+  sum_abs_diff=4, sum_diff=5, sum2_diff=6}}
+
+Sketch binaries are Apache DataSketches wire format on both sides — Spark
+4's kll/theta/hll aggregate outputs ARE DataSketches binaries. One
+translation is required: Spark emits theta CompactSketch serVer 4
+(compressed); the reference pins datasketches-java 1.3.0
+(core/build.gradle.kts:40), which reads only serVer <= 3 — so
+``theta_v4_to_v3`` unpacks the v4 bit-packed hash deltas and re-emits the
+classic v3 (preamble + sorted hash longs) layout, validated by unioning
+the converted binary with the original in Spark (identical hash sets
+leave the estimate unchanged).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import struct
+from collections.abc import Iterable, Sequence
+
+# ---------------------------------------------------------------------------
+# wire primitives
+# ---------------------------------------------------------------------------
+
+def _read_varint(buf: bytes, i: int) -> tuple[int, int]:
+    r, s = 0, 0
+    while True:
+        b = buf[i]
+        i += 1
+        r |= (b & 0x7F) << s
+        if not b & 0x80:
+            return r, i
+        s += 7
+
+
+def _varint(v: int) -> bytes:
+    if v < 0:
+        v += 1 << 64  # two's-complement int64 as protobuf does
+    out = bytearray()
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _iter_fields(buf: bytes):
+    i = 0
+    n = len(buf)
+    while i < n:
+        tag, i = _read_varint(buf, i)
+        fn, wt = tag >> 3, tag & 7
+        if wt == 0:
+            v, i = _read_varint(buf, i)
+            yield fn, wt, v
+        elif wt == 1:
+            yield fn, wt, buf[i : i + 8]
+            i += 8
+        elif wt == 5:
+            yield fn, wt, buf[i : i + 4]
+            i += 4
+        elif wt == 2:
+            ln, i = _read_varint(buf, i)
+            yield fn, wt, buf[i : i + ln]
+            i += ln
+        else:  # group / reserved: cannot skip safely
+            raise ValueError(f"unsupported wire type {wt} for field {fn}")
+
+
+def _f_varint(fn: int, v: int) -> bytes:
+    return _varint(fn << 3) + _varint(v)
+
+
+def _f_double(fn: int, x: float) -> bytes:
+    return _varint((fn << 3) | 1) + struct.pack("<d", x)
+
+
+def _f_bytes(fn: int, payload: bytes) -> bytes:
+    return _varint((fn << 3) | 2) + _varint(len(payload)) + payload
+
+
+def _f_str(fn: int, s: str) -> bytes:
+    return _f_bytes(fn, s.encode("utf-8"))
+
+
+def _map_entry_str(fn: int, k: str, v: str) -> bytes:
+    return _f_bytes(fn, _f_str(1, k) + _f_str(2, v))
+
+
+def _i64(v: bytes | int) -> int:
+    """varint payload -> signed int64."""
+    if isinstance(v, bytes):
+        v = int.from_bytes(v, "little")
+    return v - (1 << 64) if v >= 1 << 63 else v
+
+
+def _dbl(v: bytes) -> float:
+    return struct.unpack("<d", v)[0]
+
+
+# ---------------------------------------------------------------------------
+# decode: DatasetProfileMessage -> dict
+# ---------------------------------------------------------------------------
+
+TYPE_NAMES = {0: "unknown", 1: "null", 2: "fractional", 3: "integral", 4: "boolean", 5: "string"}
+
+
+def _decode_int64_value(buf: bytes) -> int:
+    for fn, _, v in _iter_fields(buf):
+        if fn == 1:
+            return _i64(v)
+    return 0
+
+
+def _decode_variance(buf: bytes) -> dict:
+    out = {"count": 0, "sum": 0.0, "mean": 0.0}
+    for fn, wt, v in _iter_fields(buf):
+        if fn == 1:
+            out["count"] = _i64(v)
+        elif fn == 2:
+            out["sum"] = _dbl(v)
+        elif fn == 3:
+            out["mean"] = _dbl(v)
+    return out
+
+
+def _decode_doubles(buf: bytes) -> dict:
+    out = {"count": 0, "min": None, "max": None, "sum": None}
+    for fn, wt, v in _iter_fields(buf):
+        if fn == 1:
+            out["count"] = _i64(v)
+        elif fn == 2:
+            out["min"] = _dbl(v)
+        elif fn == 3:
+            out["max"] = _dbl(v)
+        elif fn == 4:
+            out["sum"] = _dbl(v)
+    return out
+
+
+def _decode_longs(buf: bytes) -> dict:
+    out = {"count": 0, "min": None, "max": None, "sum": None}
+    for fn, wt, v in _iter_fields(buf):
+        if fn == 1:
+            out["count"] = _i64(v)
+        elif fn == 2:
+            out["min"] = float(_i64(v))
+        elif fn == 3:
+            out["max"] = float(_i64(v))
+        elif fn == 4:
+            out["sum"] = float(_i64(v))
+    return out
+
+
+def _decode_numbers(buf: bytes) -> dict:
+    out = {"variance": None, "doubles": None, "longs": None, "kll": None, "theta": None}
+    for fn, wt, v in _iter_fields(buf):
+        if fn == 1:
+            out["variance"] = _decode_variance(v)
+        elif fn == 2:
+            out["doubles"] = _decode_doubles(v)
+        elif fn == 3:
+            out["longs"] = _decode_longs(v)
+        elif fn == 4:
+            out["kll"] = bytes(v)
+        elif fn == 6:
+            out["theta"] = bytes(v)
+    return out
+
+
+def _decode_strings(buf: bytes) -> dict:
+    out = {"count": 0, "items": None, "theta": None, "length": None, "token_length": None}
+    for fn, wt, v in _iter_fields(buf):
+        if fn == 1:
+            out["count"] = _i64(v)
+        elif fn == 3:
+            out["items"] = bytes(v)
+        elif fn == 4:
+            out["theta"] = bytes(v)
+        elif fn == 5:
+            out["length"] = _decode_numbers(v)
+        elif fn == 6:
+            out["token_length"] = _decode_numbers(v)
+    return out
+
+
+def _decode_column(buf: bytes) -> dict:
+    out: dict = {
+        "name": None, "count": 0, "true_count": 0, "legacy_null": 0,
+        "type_counts": {}, "numbers": None, "strings": None,
+        "hll": None, "hll_lgk": None, "frequent_items": None,
+    }
+    for fn, wt, v in _iter_fields(buf):
+        if fn == 1:
+            out["name"] = v.decode("utf-8")
+        elif fn == 2:
+            for cfn, _, cv in _iter_fields(v):
+                if cfn == 1:
+                    out["count"] = _i64(cv)
+                elif cfn == 2:
+                    out["true_count"] = _decode_int64_value(cv)
+                elif cfn == 3:
+                    out["legacy_null"] = _decode_int64_value(cv)
+        elif fn == 3:
+            for sfn, _, sv in _iter_fields(v):
+                if sfn == 1:
+                    k = n = None
+                    for efn, _, ev in _iter_fields(sv):
+                        if efn == 1:
+                            k = _i64(ev)
+                        elif efn == 2:
+                            n = _i64(ev)
+                    if k is not None and n is not None:
+                        out["type_counts"][k] = n
+        elif fn == 4:
+            out["numbers"] = _decode_numbers(v)
+        elif fn == 5:
+            out["strings"] = _decode_strings(v)
+        elif fn == 7:
+            for ffn, _, fv in _iter_fields(v):
+                if ffn == 1:
+                    out["frequent_items"] = bytes(fv)
+        elif fn == 8:
+            for hfn, _, hv in _iter_fields(v):
+                if hfn == 1:
+                    out["hll"] = bytes(hv)
+                elif hfn == 2:
+                    out["hll_lgk"] = _i64(hv)
+    return out
+
+
+def _decode_model(buf: bytes) -> dict | None:
+    out: dict = {"output_fields": [], "model_type": None, "regression": None}
+    for fn, wt, v in _iter_fields(buf):
+        if fn == 1:
+            out["output_fields"].append(v.decode("utf-8"))
+        elif fn == 10:
+            for mfn, _, mv in _iter_fields(v):
+                if mfn == 2:
+                    out["model_type"] = _i64(mv)
+                elif mfn == 3:
+                    reg: dict = {}
+                    for rfn, rwt, rv in _iter_fields(mv):
+                        if rfn == 1:
+                            reg["prediction_field"] = rv.decode("utf-8")
+                        elif rfn == 2:
+                            reg["target_field"] = rv.decode("utf-8")
+                        elif rfn == 3:
+                            reg["count"] = _i64(rv)
+                        elif rfn == 4:
+                            reg["sum_abs_diff"] = _dbl(rv)
+                        elif rfn == 5:
+                            reg["sum_diff"] = _dbl(rv)
+                        elif rfn == 6:
+                            reg["sum2_diff"] = _dbl(rv)
+                    out["regression"] = reg
+    return out if (out["output_fields"] or out["model_type"] is not None) else None
+
+
+def decode_dataset_profile(msg: bytes) -> dict:
+    """Decode one (non-delimited) DatasetProfileMessage."""
+    profile: dict = {"properties": {}, "columns": {}, "model": None}
+    for fn, wt, v in _iter_fields(msg):
+        if fn == 1:
+            props: dict = {"tags": {}, "metadata": {}}
+            for pfn, _, pv in _iter_fields(v):
+                if pfn == 1:
+                    props["schema_major"] = _i64(pv)
+                elif pfn == 2:
+                    props["schema_minor"] = _i64(pv)
+                elif pfn == 3:
+                    props["session_id"] = pv.decode("utf-8")
+                elif pfn == 4:
+                    props["session_timestamp"] = _i64(pv)
+                elif pfn == 5:
+                    props["data_timestamp"] = _i64(pv)
+                elif pfn in (6, 7):
+                    k = val = None
+                    for efn, _, ev in _iter_fields(pv):
+                        if efn == 1:
+                            k = ev.decode("utf-8")
+                        elif efn == 2:
+                            val = ev.decode("utf-8")
+                    if k is not None:
+                        props[{6: "tags", 7: "metadata"}[pfn]][k] = val or ""
+            profile["properties"] = props
+        elif fn == 2:
+            name = None
+            col = None
+            for efn, _, ev in _iter_fields(v):
+                if efn == 1:
+                    name = ev.decode("utf-8")
+                elif efn == 2:
+                    col = _decode_column(ev)
+            if col is not None:
+                col["name"] = col["name"] or name
+                profile["columns"][col["name"]] = col
+        elif fn == 10:
+            profile["model"] = _decode_model(v)
+    return profile
+
+
+def iter_delimited(data: bytes) -> Iterable[bytes]:
+    """Split a writeDelimitedTo stream into messages."""
+    i = 0
+    while i < len(data):
+        n, i = _read_varint(data, i)
+        yield data[i : i + n]
+        i += n
+
+
+# ---------------------------------------------------------------------------
+# theta serVer 4 -> serVer 3 (for datasketches-java 1.3.0 readers)
+# ---------------------------------------------------------------------------
+
+def theta_v4_to_v3(b: bytes) -> bytes:
+    """Re-encode a compressed (serVer 4) compact theta sketch as classic
+    serVer 3 (preamble + sorted hash longs). serVer 3 inputs pass through.
+
+    v4 layout: pre0 = [preLongs, 4, famID=3, entryBits, numEntriesBytes,
+    flags, seedHash(2B)]; preLongs==2 adds thetaLong at bytes 8..16; then
+    numEntries (LE, numEntriesBytes wide); then the sorted hashes as
+    bit-packed deltas, entryBits each, packed MSB-first into a big-endian
+    continuous bit stream (verified against ground-truth hashes recovered
+    from single-item serVer-3 sketches of the same values).
+    """
+    if len(b) < 8 or b[1] != 4:
+        return bytes(b)
+    pre = b[0] & 0x3F
+    entry_bits, neb, flags = b[3], b[4], b[5]
+    seed_hash = bytes(b[6:8])
+    off = 8
+    theta = (1 << 63) - 1
+    if pre >= 2:
+        theta = int.from_bytes(b[8:16], "little")
+        off = 16
+    n = int.from_bytes(b[off : off + neb], "little")
+    off += neb
+    data = b[off:]
+    packed = int.from_bytes(data, "big")
+    total_bits = len(data) * 8
+    mask = (1 << entry_bits) - 1
+    hashes = []
+    acc = 0
+    pos = 0
+    for _ in range(n):
+        acc += (packed >> (total_bits - pos - entry_bits)) & mask
+        pos += entry_bits
+        hashes.append(acc)
+    est_mode = pre >= 2
+    pre_longs = 3 if est_mode else 2
+    # flags: READ_ONLY(2) | COMPACT(8) | ORDERED(16)
+    out = bytearray()
+    out += bytes([pre_longs, 3, 3, 0, 0, 0x1A]) + seed_hash
+    out += struct.pack("<i", n) + b"\x00\x00\x00\x00"
+    if est_mode:
+        out += struct.pack("<q", theta)
+    for h in hashes:
+        out += struct.pack("<q", h)
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# encode: our profile rows -> DatasetProfileMessage
+# ---------------------------------------------------------------------------
+
+SCHEMA_MAJOR, SCHEMA_MINOR = 1, 2  # SchemaInformation.java constants
+
+_EMPTY_KLL_256 = bytes([2, 1, 15, 1, 0, 1, 8, 0])
+_EMPTY_THETA = bytes([1, 3, 3, 0, 0, 0x1E, 0xCC, 0x93])
+_EMPTY_ITEMS_128 = bytes([1, 1, 10, 7, 3, 1, 0, 0])
+
+_T_NULL, _T_FRACTIONAL, _T_INTEGRAL, _T_BOOLEAN, _T_STRING, _T_UNKNOWN = 1, 2, 3, 4, 5, 0
+
+
+def _counters_msg(count: int, true_count: int) -> bytes:
+    out = _f_varint(1, count)
+    if true_count:
+        out += _f_bytes(2, _f_varint(1, true_count))
+    return out
+
+
+def _schema_msg(type_counts: dict[int, int]) -> bytes:
+    out = b""
+    for k, n in sorted(type_counts.items()):
+        if n:
+            out += _f_bytes(1, _f_varint(1, k) + _f_varint(2, n))
+    return out
+
+
+def _variance_msg(count: int, mean: float | None, m2: float | None) -> bytes:
+    out = _f_varint(1, count)
+    if m2 is not None:
+        out += _f_double(2, m2)
+    if mean is not None:
+        out += _f_double(3, mean)
+    return out
+
+
+def _doubles_msg(count, mn, mx, sm) -> bytes:
+    out = _f_varint(1, int(count))
+    if count:
+        out += _f_double(2, float(mn)) + _f_double(3, float(mx)) + _f_double(4, float(sm))
+    return out
+
+
+def _longs_msg(count, mn, mx, sm) -> bytes:
+    out = _f_varint(1, int(count))
+    if count:
+        out += _f_varint(2, int(mn)) + _f_varint(3, int(mx)) + _f_varint(4, int(sm))
+    return out
+
+
+def _numbers_msg(
+    n: int,
+    mn,
+    mx,
+    sm,
+    mean,
+    variance,
+    integral: bool,
+    kll: bytes | None,
+    theta: bytes | None,
+) -> bytes:
+    m2 = None if variance is None else float(variance) * max(n - 1, 0)
+    out = _f_bytes(1, _variance_msg(n if n else 0, mean, m2))
+    if n:
+        if integral:
+            out += _f_bytes(3, _longs_msg(n, mn, mx, sm))
+        else:
+            out += _f_bytes(2, _doubles_msg(n, mn, mx, sm))
+    out += _f_bytes(4, kll or _EMPTY_KLL_256)
+    out += _f_bytes(6, theta_v4_to_v3(theta) if theta else _EMPTY_THETA)
+    return out
+
+
+def _strings_msg(count: int, length_msg: bytes | None, tok_msg: bytes | None,
+                 theta: bytes | None) -> bytes:
+    out = _f_varint(1, count)
+    out += _f_bytes(3, _EMPTY_ITEMS_128)
+    out += _f_bytes(4, theta_v4_to_v3(theta) if theta else _EMPTY_THETA)
+    if length_msg is not None:
+        out += _f_bytes(5, length_msg)
+    if tok_msg is not None:
+        out += _f_bytes(6, tok_msg)
+    return out
+
+
+def column_message(row: dict, sketches: dict | None = None) -> bytes:
+    """Build a ColumnMessage from one finalized long-format profile row
+    (the output schema of ``finalize_profile``) plus optional sketch
+    binaries {'kll': .., 'theta': .., 'hll': .., 'hll_lgk': ..,
+    'str_theta': ..} from ``sketch_profile``."""
+    sk = sketches or {}
+    name = row["column_name"]
+    tc = {
+        _T_NULL: row.get("null_count") or 0,
+        _T_INTEGRAL: row.get("integral_count") or 0,
+        _T_FRACTIONAL: row.get("fractional_count") or 0,
+        _T_BOOLEAN: row.get("boolean_count") or 0,
+        _T_STRING: row.get("string_count") or 0,
+        _T_UNKNOWN: row.get("unknown_count") or 0,
+    }
+    n = row.get("n") or 0
+    integral = (row.get("integral_count") or 0) > 0 and not (
+        (row.get("fractional_count") or 0) > 0
+    )
+    numbers = _numbers_msg(
+        n, row.get("min"), row.get("max"), row.get("sum"), row.get("mean"),
+        row.get("variance"), integral, sk.get("kll"), sk.get("theta"),
+    )
+    len_n = row.get("len_n") or 0
+    length_msg = (
+        _numbers_msg(
+            len_n, row.get("len_min"), row.get("len_max"), row.get("len_sum"),
+            row.get("len_mean"), row.get("len_variance"), True, None, None,
+        )
+        if len_n
+        else None
+    )
+    tok_n = row.get("tok_n") or 0
+    tok_msg = (
+        _numbers_msg(
+            tok_n, row.get("tok_min"), row.get("tok_max"), row.get("tok_sum"),
+            row.get("tok_mean"), row.get("tok_variance"), True, None, None,
+        )
+        if tok_n
+        else None
+    )
+    strings = _strings_msg(tc[_T_STRING], length_msg, tok_msg, sk.get("str_theta"))
+
+    out = _f_str(1, name)
+    out += _f_bytes(2, _counters_msg(row.get("count") or 0, row.get("true_count") or 0))
+    out += _f_bytes(3, _schema_msg(tc))
+    out += _f_bytes(4, numbers)
+    out += _f_bytes(5, strings)
+    out += _f_bytes(7, _f_bytes(1, _EMPTY_ITEMS_128) + _f_varint(2, -1))
+    hll = sk.get("hll")
+    if hll:
+        out += _f_bytes(8, _f_bytes(1, hll) + _f_varint(2, sk.get("hll_lgk") or 12))
+    return out
+
+
+def dataset_profile_message(
+    column_rows: Sequence[dict],
+    session_id: str = "whylogs-java-spark",
+    session_timestamp: int = 0,
+    data_timestamp: int = -1,
+    tags: dict[str, str] | None = None,
+    metadata: dict[str, str] | None = None,
+    sketches_by_column: dict[str, dict] | None = None,
+) -> bytes:
+    """One DatasetProfileMessage (non-delimited) from finalized profile rows."""
+    props = (
+        _f_varint(1, SCHEMA_MAJOR)
+        + _f_varint(2, SCHEMA_MINOR)
+        + _f_str(3, session_id)
+        + _f_varint(4, session_timestamp)
+        + _f_varint(5, data_timestamp)
+    )
+    for k, v in sorted((tags or {}).items()):
+        props += _map_entry_str(6, k, v)
+    for k, v in sorted((metadata or {}).items()):
+        props += _map_entry_str(7, k, v)
+    out = _f_bytes(1, props)
+    sks = sketches_by_column or {}
+    for row in sorted(column_rows, key=lambda r: r["column_name"]):
+        cm = column_message(row, sks.get(row["column_name"]))
+        out += _f_bytes(2, _f_str(1, row["column_name"]) + _f_bytes(2, cm))
+    return out
+
+
+def write_delimited(messages: Iterable[bytes], path: str) -> None:
+    with open(path, "wb") as f:
+        for m in messages:
+            f.write(_varint(len(m)))
+            f.write(m)
+
+
+# ---------------------------------------------------------------------------
+# Spark-side reader / writer
+# ---------------------------------------------------------------------------
+
+_READ_SCHEMA = (
+    "path string, msg_index int, session_id string, session_timestamp long, "
+    "data_timestamp long, tags map<string,string>, column_name string, "
+    "count long, null_count long, true_count long, integral_count long, "
+    "fractional_count long, boolean_count long, string_count long, "
+    "unknown_count long, n long, min double, max double, sum double, "
+    "mean double, variance double, stddev double, kll binary, theta binary, "
+    "hll binary, items binary"
+)
+
+
+def _rows_of_profile(path: str, idx: int, prof: dict) -> list[tuple]:
+    props = prof["properties"]
+    out = []
+    for name, c in prof["columns"].items():
+        tc = c["type_counts"]
+        null_count = tc.get(_T_NULL, c["legacy_null"] or 0)
+        nums = c["numbers"] or {}
+        val = (nums.get("doubles") or {"count": 0}) if nums else {"count": 0}
+        if not val.get("count"):
+            val = nums.get("longs") or {"count": 0}
+        var = nums.get("variance") or {}
+        vcount = var.get("count") or 0
+        variance = (var["sum"] / (vcount - 1)) if vcount > 1 else (0.0 if vcount == 1 else None)
+        stddev = math.sqrt(variance) if variance is not None and variance >= 0 else None
+        strings = c["strings"] or {}
+        out.append(
+            (
+                path, idx, props.get("session_id"), props.get("session_timestamp"),
+                props.get("data_timestamp"), props.get("tags") or {}, name,
+                c["count"], null_count, c["true_count"],
+                tc.get(_T_INTEGRAL, 0), tc.get(_T_FRACTIONAL, 0),
+                tc.get(_T_BOOLEAN, 0), tc.get(_T_STRING, 0), tc.get(_T_UNKNOWN, 0),
+                val.get("count") or 0, val.get("min"), val.get("max"), val.get("sum"),
+                var.get("mean") if vcount else None, variance, stddev,
+                nums.get("kll"), nums.get("theta"), c["hll"], strings.get("items"),
+            )
+        )
+    return out
+
+
+def read_profile_bin(spark, path):
+    """Distributed scan of delimited DatasetProfileMessage files -> one row
+    per (file, message, column) with counters, type counts, numeric summary
+    and the raw DataSketches binaries (estimable with Spark's
+    kll/theta/hll functions — heapify-compatible across versions).
+
+    Uses ``binaryFile`` + ``mapInPandas`` (Arrow-batched): each profile is
+    small by construction (O(columns × sketch constants)); the parallelism
+    unit is the file, which is the right grain for object-store layouts of
+    many profiles.
+    """
+    import pandas as pd
+
+    files = spark.read.format("binaryFile").load(path)
+
+    def parse(batches):
+        for pdf in batches:
+            rows: list[tuple] = []
+            for path_, content in zip(pdf["path"], pdf["content"]):
+                for idx, msg in enumerate(iter_delimited(bytes(content))):
+                    rows.extend(_rows_of_profile(path_, idx, decode_dataset_profile(msg)))
+            cols = [s.split(" ")[0] for s in _READ_SCHEMA.split(", ")]
+            yield pd.DataFrame(rows, columns=cols)
+
+    return files.select("path", "content").mapInPandas(parse, schema=_READ_SCHEMA)
+
+
+def write_profile_bin(
+    df,
+    path: str,
+    group_by: Sequence[str] = (),
+    session_id: str = "whylogs-java-spark",
+    session_timestamp: int = 0,
+    data_timestamp: int = -1,
+    tags: dict[str, str] | None = None,
+    null_strings: Sequence[str] = (),
+    include_sketches: bool = True,
+) -> int:
+    """Profile ``df`` and write wire-compatible DatasetProfileMessages.
+
+    One delimited message per group (ungrouped -> a single message, the
+    CLI shape — Profiler.java:158-163). Group key values become
+    ``whylogs.tag.<column>`` tags on the message, the reference's
+    segmentation convention (DatasetProfile.java:40-53). The atoms are
+    computed distributed (one aggregation pass + optional sketch pass);
+    only the finalized O(groups × columns) rows are collected for
+    assembly. Returns the number of messages written.
+    """
+    from ..operators.profile import profile
+
+    keys = list(group_by)
+    fin = profile(df, group_by=keys, null_strings=null_strings).collect()
+
+    sketches: dict[tuple, dict[str, dict]] = {}
+    if include_sketches:
+        from ..operators.approx import sketch_profile
+
+        sk_rows = sketch_profile(df, group_by=keys).collect()
+        for r in sk_rows:
+            gk = tuple(r[k] for k in keys)
+            d = sketches.setdefault(gk, {})
+            rd = r.asDict()
+            for col_field, blob in rd.items():
+                if "__" not in col_field or blob is None:
+                    continue
+                col, kind = col_field.rsplit("__", 1)
+                cd = d.setdefault(col, {})
+                if kind == "kll":
+                    cd["kll"] = bytes(blob)
+                elif kind == "theta":
+                    cd["theta"] = bytes(blob)
+                elif kind == "hll":
+                    cd["hll"] = bytes(blob)
+                    cd["hll_lgk"] = 12
+
+    groups: dict[tuple, list[dict]] = {}
+    for r in fin:
+        rd = r.asDict()
+        gk = tuple(rd.pop(k) for k in keys)
+        groups.setdefault(gk, []).append(rd)
+
+    messages = []
+    for gk in sorted(groups, key=lambda t: tuple(str(x) for x in t)):
+        gtags = dict(tags or {})
+        for k, v in zip(keys, gk):
+            gtags[f"whylogs.tag.{k}"] = "" if v is None else str(v)
+        messages.append(
+            dataset_profile_message(
+                groups[gk],
+                session_id=session_id,
+                session_timestamp=session_timestamp,
+                data_timestamp=data_timestamp,
+                tags=gtags,
+                sketches_by_column=sketches.get(gk),
+            )
+        )
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    write_delimited(messages, path)
+    return len(messages)
