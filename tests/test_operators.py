@@ -355,3 +355,34 @@ def test_cosine_pairs_bucketed_recall(spark):
     # by the 8-plane collision probability
     assert bucketed <= exact
     assert len(bucketed) / len(exact) >= 0.5
+
+
+def test_image_header_meta(spark):
+    from whylogs_java_spark.operators.multimodal import image_header_meta
+
+    def png(w, h):
+        return bytes.fromhex(
+            "89504E470D0A1A0A" + "0000000D" + "49484452"
+            + f"{w:08x}" + f"{h:08x}" + "0806000000"
+        )
+
+    def jpeg(w, h, app0=False):
+        hx = "FFD8"
+        if app0:
+            hx += "FFE000100000000000000000000000000000"  # 16-byte APP0
+        hx += "FFC00011" + "08" + f"{h:04x}" + f"{w:04x}"
+        hx += "03011100021101031101" + "FFD9"
+        return bytes.fromhex(hx)
+
+    rows = [
+        (1, bytearray(png(640, 480))),
+        (2, bytearray(jpeg(1920, 1080))),
+        (3, bytearray(jpeg(33, 7, app0=True))),
+        (4, bytearray(b"not an image at all")),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, data binary")
+    got = {r["media_id"]: r for r in image_header_meta(df, "data", "media_id").collect()}
+    assert (got[1]["format"], got[1]["width"], got[1]["height"]) == ("png", 640, 480)
+    assert (got[2]["format"], got[2]["width"], got[2]["height"]) == ("jpeg", 1920, 1080)
+    assert (got[3]["format"], got[3]["width"], got[3]["height"]) == ("jpeg", 33, 7)
+    assert got[4]["format"] == "unknown" and got[4]["width"] is None

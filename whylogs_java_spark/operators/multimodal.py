@@ -13,7 +13,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 MEDIA_META_SCHEMA = (
@@ -38,6 +38,83 @@ def attach_media_metadata(
         F.lit(None).cast("long").alias("duration_ms"),
         F.sha2(F.col(binary_col), 256).alias("content_sha"),
         F.col(binary_col).alias("data"),
+    )
+
+
+def _be_int(col: Column, pos, nbytes: int) -> Column:
+    """Big-endian unsigned int from ``nbytes`` bytes at 1-based ``pos``
+    (literal or Column) of a binary column — pure JVM expressions."""
+    pos = pos if isinstance(pos, Column) else F.lit(pos)
+    return F.conv(F.hex(col.substr(pos, F.lit(nbytes))), 16, 10).cast("long")
+
+
+_PNG_SIG = "89504E470D0A1A0A"
+_JPEG_SOF_MARKERS = [0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB]
+
+
+def image_header_meta(
+    df: DataFrame, binary_col: str, id_col: str, max_jpeg_segments: int = 24
+) -> DataFrame:
+    """Image format/width/height parsed from raw header bytes — no codec,
+    no UDF, all JVM expressions (hex/conv/substr folds), so it runs at full
+    scan speed over a 100 TB binary column.
+
+    - PNG: signature at bytes 1-8, IHDR width/height as big-endian uint32
+      at fixed offsets 17/21 (PNG spec: 8-byte signature + 8-byte chunk
+      header + IHDR payload).
+    - JPEG: SOI ``FFD8`` then a marker-segment walk (marker ``FF xx`` +
+      big-endian length including itself) until a start-of-frame marker
+      (SOF0-3/5-7/9-11), whose payload is [precision u8, height u16,
+      width u16]. The walk is an ``F.aggregate`` fold over a bounded
+      ``sequence`` (``max_jpeg_segments`` steps), carrying (pos, w, h)
+      through a struct accumulator — a loop expressed as a Catalyst fold.
+    - anything else: format 'unknown', null dims.
+
+    Output: (id, format string, width int, height int).
+    """
+    b = F.col(binary_col)
+    is_png = F.hex(b.substr(F.lit(1), F.lit(8))) == _PNG_SIG
+    is_jpeg = F.hex(b.substr(F.lit(1), F.lit(2))) == "FFD8"
+
+    png_w = _be_int(b, 17, 4)
+    png_h = _be_int(b, 21, 4)
+
+    zero = F.struct(
+        F.lit(3).cast("long").alias("pos"),
+        F.lit(None).cast("long").alias("w"),
+        F.lit(None).cast("long").alias("h"),
+    )
+
+    def step(acc, _):
+        pos = acc["pos"]
+        valid = (acc["w"].isNull()) & (pos + 3 <= F.length(b)) & (
+            _be_int(b, pos, 1) == 0xFF
+        )
+        marker = _be_int(b, pos + 1, 1)
+        is_sof = valid & marker.isin([F.lit(m) for m in _JPEG_SOF_MARKERS])
+        seg_len = _be_int(b, pos + 2, 2)
+        return F.struct(
+            F.when(valid & ~is_sof, pos + 2 + seg_len).otherwise(pos).alias("pos"),
+            F.when(is_sof, _be_int(b, pos + 7, 2)).otherwise(acc["w"]).alias("w"),
+            F.when(is_sof, _be_int(b, pos + 5, 2)).otherwise(acc["h"]).alias("h"),
+        )
+
+    jpeg_acc = F.aggregate(
+        F.sequence(F.lit(1), F.lit(max_jpeg_segments)), zero, step
+    )
+
+    fmt = (
+        F.when(is_png, F.lit("png"))
+        .when(is_jpeg, F.lit("jpeg"))
+        .otherwise(F.lit("unknown"))
+    )
+    width = F.when(is_png, png_w).when(is_jpeg, jpeg_acc["w"])
+    height = F.when(is_png, png_h).when(is_jpeg, jpeg_acc["h"])
+    return df.select(
+        F.col(id_col),
+        fmt.alias("format"),
+        width.cast("int").alias("width"),
+        height.cast("int").alias("height"),
     )
 
 
