@@ -146,3 +146,48 @@ def test_sessionize_semantics(spark):
     stats = {(r["user_id"], r["session_idx"]): r for r in session_stats(df, "user_id", "ts", 1800, "event_id").collect()}
     assert stats[(1, 0)]["n_events"] == 2 and stats[(1, 0)]["duration_sec"] == 600
     assert stats[(1, 1)]["n_events"] == 1 and stats[(1, 1)]["duration_sec"] == 0
+
+
+def test_sessionize_mega_entity_skew(spark):
+    # skew bound pinned (see operators/sessions.py docstring): ONE entity
+    # with 1M events serializes into a single window task; it must
+    # complete comfortably, not OOM or stall
+    import time
+
+    from whylogs_java_spark.operators.sessions import session_stats
+
+    ev = spark.range(1_000_000).selectExpr(
+        "CAST(42 AS LONG) AS user_id",
+        # a 40-minute gap every 100k events -> 10 sessions
+        "timestamp_micros(CAST(id * 1000000 + CAST(id / 100000 AS LONG) * 2400000000 AS LONG)) AS ts",
+        "id AS event_id",
+    )
+    t0 = time.time()
+    rows = session_stats(ev, "user_id", "ts", gap_seconds=1800, order_tiebreak="event_id").collect()
+    elapsed = time.time() - t0
+    assert len(rows) == 10
+    assert all(r["n_events"] == 100_000 for r in rows)
+    assert elapsed < 120, f"mega-entity sessionization took {elapsed:.0f}s"
+
+
+def test_profile_session_meta_roundtrip(spark, tmp_path):
+    from whylogs_java_spark.operators.profile import profile, with_session_meta
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    p = with_session_meta(
+        profile(li, group_by=["l_returnflag"]),
+        ["l_returnflag"],
+        session_id="sess-42",
+        session_timestamp=1700000000000,
+        metadata={"pipeline": "unit-test"},
+    )
+    path = str(tmp_path / "tagged_profile")
+    p.write.parquet(path)
+    back = spark.read.parquet(path)
+    row = back.where("tags['whylogs.tag.l_returnflag'] = 'A'").collect()[0]
+    assert row["session_id"] == "sess-42"
+    assert row["session_timestamp"] == 1700000000000
+    assert row["metadata"]["pipeline"] == "unit-test"
+    # tag filtering selects exactly the A-group rows
+    n_cols = back.select("column_name").distinct().count()
+    assert back.where("tags['whylogs.tag.l_returnflag'] = 'A'").count() == n_cols

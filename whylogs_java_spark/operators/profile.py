@@ -141,6 +141,47 @@ def profile(
     return finalize_profile(atoms, key_names)
 
 
+def with_session_meta(
+    profiled: DataFrame,
+    group_keys: Sequence[str],
+    session_id: str,
+    session_timestamp: int,
+    metadata: dict[str, str] | None = None,
+) -> DataFrame:
+    """Session/tag metadata parity (DatasetProfile.java:40-53, 107-110):
+    prepend sessionId / sessionTimestamp columns, a ``tags`` map carrying
+    every group key under the reference's ``whylogs.tag.<key>`` prefix, and
+    an optional ``metadata`` map. Stored profiles filtered by tag behave
+    like the reference's tagged profiles; the protobuf writer
+    (sources/protobuf.py) emits the same convention on the wire.
+    """
+    entries: list[Column] = []
+    for k in group_keys:
+        entries.append(F.lit(f"whylogs.tag.{k}"))
+        entries.append(F.coalesce(F.col(k).cast("string"), F.lit("")))
+    tags = (
+        F.create_map(*entries)
+        if entries
+        else F.create_map().cast("map<string,string>")
+    )
+    meta_entries: list[Column] = []
+    for mk, mv in (metadata or {}).items():
+        meta_entries.append(F.lit(mk))
+        meta_entries.append(F.lit(mv))
+    meta = (
+        F.create_map(*meta_entries)
+        if meta_entries
+        else F.create_map().cast("map<string,string>")
+    )
+    return profiled.select(
+        F.lit(session_id).alias("session_id"),
+        F.lit(session_timestamp).cast("long").alias("session_timestamp"),
+        tags.alias("tags"),
+        meta.alias("metadata"),
+        "*",
+    )
+
+
 def merge_profile_atoms(atoms: DataFrame, key_names: Sequence[str]) -> DataFrame:
     """Merge profile atoms sharing (keys, column_name) — DatasetProfile.merge.
 
