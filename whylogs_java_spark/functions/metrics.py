@@ -337,14 +337,15 @@ class ColumnProfileSpec:
     def _token_count(self, m: Column) -> Column:
         """Token count with Java String.split(" ") semantics
         (StringTracker.java:25): trailing empty tokens drop, '' counts 1,
-        all-delimiter strings count 0, inner empties are kept."""
+        all-delimiter strings count 0, inner empties are kept.
+        Branch-free (no CASE) so Catalyst subexpression elimination works
+        across the 8 atom projections this inlines into — see
+        plans.spark_sql._token_count_sql for the measured 10x rationale."""
         d = self.tokenizer_delim
-        t = F.regexp_replace(m, f"(?:{d})+$", "")
+        t = F.rtrim(m) if d == " " else F.regexp_replace(m, f"(?:{d})+$", "")
         return (
-            F.when(m == "", F.lit(1))
-            .when(t == "", F.lit(0))
-            .otherwise(F.size(F.split(t, d)))
-            .cast("double")
+            F.size(F.split(t, d)).cast("double")
+            - ((t == "") & (m != "")).cast("int")
         )
 
     def projection_exprs(self) -> list[Column]:

@@ -50,13 +50,18 @@ def _token_count_sql(m: str, delim: str = " ", size_fn: str = "size(split({t}, '
     """Token count with Java String.split(" ") semantics
     (StringTracker.java:25): trailing empty tokens drop, '' counts 1,
     all-delimiter strings count 0, inner empties are kept. ``size_fn``
-    parameterizes the dialect (Spark size/split vs DuckDB len/str_split)."""
-    t = f"regexp_replace({m}, '(?:{delim})+$', '')"
+    parameterizes the dialect (Spark size/split vs DuckDB len/str_split).
+
+    BRANCH-FREE on purpose: this expression is inlined into all 8 atom
+    projections of the tok suite, and a CASE around it blocks Catalyst
+    subexpression elimination (measured 10x on the flagship profile — the
+    regexp variant pushed profile_lineitem from 2.3 s to 24 s at sf0.1).
+    rtrim handles the trailing-delimiter drop; the subtraction handles the
+    all-delimiter -> 0 edge ('' stays 1 because m != '' fails).
+    """
+    t = f"rtrim({m})" if delim == " " else f"regexp_replace({m}, '(?:{delim})+$', '')"
     sz = size_fn.format(t=t, d=delim)
-    return (
-        f"(CASE WHEN {m} = '' THEN 1.0 WHEN {t} = '' THEN 0.0 "
-        f"ELSE CAST({sz} AS DOUBLE) END)"
-    )
+    return f"(CAST({sz} AS DOUBLE) - CAST(({t} = '') AND ({m} != '') AS INT))"
 
 
 def _null_pred(col: str, kind: str, null_strings: Sequence[str]) -> str:
@@ -141,7 +146,18 @@ class _ColumnSql:
         self.delim = tokenizer_delim
 
     # -- projection -------------------------------------------------------
-    def projection(self) -> list[str]:
+    #
+    # TWO layers on purpose. Layer 1 (raw_projection) computes each
+    # suite's per-row VALUE (mask, length, token count, coercion parse)
+    # exactly once; layer 2 (piece_projection) derives the 8 atom pieces
+    # from those plain attributes. Inlining the value into the pieces
+    # re-evaluates it up to ~12x per row — CASE-wrapped pieces block
+    # Catalyst subexpression elimination (measured 2-10x on the flagship
+    # profile depending on how heavy the value expression is). Catalyst
+    # keeps the layers apart because CollapseProject refuses to duplicate
+    # non-cheap aliases referenced more than once.
+
+    def raw_projection(self) -> list[str]:
         c = _q(self.name)
         k = self.kind
         p = self.name
@@ -151,7 +167,7 @@ class _ColumnSql:
         if k == BOOLEAN:
             out.append(f"CAST(({m}) = TRUE AS INT) AS {p}__true")
         if k in (INTEGRAL, FRACTIONAL):
-            out += _num_projection_sql(f"CAST({m} AS DOUBLE)", f"{p}__num")
+            out.append(f"CAST({m} AS DOUBLE) AS {p}__numv")
         if k == STRING:
             if self.coerce:
                 # TypedDataConverter.java:62-84: coerced values feed the
@@ -175,13 +191,11 @@ class _ColumnSql:
                     f"CASE WHEN NOT COALESCE({i_p} OR {f_p} OR {b_p}, FALSE) "
                     f"THEN {m} END"
                 )
-                out += _num_projection_sql(num_m, f"{p}__num")
+                out.append(f"{num_m} AS {p}__numv")
                 out.append(f"CAST(LOWER({m}) = 'true' AS INT) AS {p}__true")
-                out += _num_projection_sql(
-                    f"CAST(LENGTH({str_m}) AS DOUBLE)", f"{p}__len"
-                )
-                out += _num_projection_sql(
-                    _token_count_sql(f"({str_m})", self.delim), f"{p}__tok"
+                out.append(f"CAST(LENGTH({str_m}) AS DOUBLE) AS {p}__lenv")
+                out.append(
+                    f"{_token_count_sql(f'({str_m})', self.delim)} AS {p}__tokv"
                 )
                 out += [
                     f"CAST({i_p} AS INT) AS {p}__is_int",
@@ -189,10 +203,23 @@ class _ColumnSql:
                     f"CAST({b_p} AS INT) AS {p}__is_bool",
                 ]
             else:
-                out += _num_projection_sql(f"CAST(LENGTH({m}) AS DOUBLE)", f"{p}__len")
-                out += _num_projection_sql(
-                    _token_count_sql(f"({m})", self.delim), f"{p}__tok"
-                )
+                out.append(f"CAST(LENGTH({m}) AS DOUBLE) AS {p}__lenv")
+                out.append(f"{_token_count_sql(f'({m})', self.delim)} AS {p}__tokv")
+        return out
+
+    def piece_projection(self) -> list[str]:
+        k = self.kind
+        p = self.name
+        out = [f"{p}__isnull"]
+        if k == BOOLEAN or self.coerce:
+            out.append(f"{p}__true")
+        if k in (INTEGRAL, FRACTIONAL) or self.coerce:
+            out += _num_projection_sql(f"{p}__numv", f"{p}__num")
+        if k == STRING:
+            out += _num_projection_sql(f"{p}__lenv", f"{p}__len")
+            out += _num_projection_sql(f"{p}__tokv", f"{p}__tok")
+            if self.coerce:
+                out += [f"{p}__is_int", f"{p}__is_frac", f"{p}__is_bool"]
         return out
 
     # -- aggregation ------------------------------------------------------
@@ -288,10 +315,14 @@ def build_atoms_sql(
         _ColumnSql(c, schema[c], null_strings, coerce_strings) for c in profiled
     ]
 
-    proj = ",\n      ".join(key_exprs + [e for s in specs for e in s.projection()])
+    keys_sel = (", ".join(_q(k) for k in key_names) + ",") if key_names else ""
+    raw = ",\n      ".join(key_exprs + [e for s in specs for e in s.raw_projection()])
+    pieces = ",\n      ".join(
+        ([_q(k) for k in key_names] if key_names else [])
+        + [e for s in specs for e in s.piece_projection()]
+    )
     aggs = ",\n      ".join(e for s in specs for e in s.aggs())
     structs = ",\n        ".join(s.struct_sql() for s in specs)
-    keys_sel = (", ".join(_q(k) for k in key_names) + ",") if key_names else ""
     group_clause = (
         "GROUP BY " + ", ".join(_q(k) for k in key_names) if key_names else ""
     )
@@ -301,7 +332,10 @@ def build_atoms_sql(
     ))
     FROM (
       SELECT {keys_sel} {aggs}
-      FROM (SELECT {proj} FROM {view}) __wjs_proj
+      FROM (
+        SELECT {pieces}
+        FROM (SELECT {raw} FROM {view}) __wjs_raw
+      ) __wjs_proj
       {group_clause}
     ) __wjs_agg
     """
