@@ -155,3 +155,46 @@ def test_write_read_roundtrip(spark, tmp_path):
     est = one.select(F.theta_sketch_estimate("t").alias("e")).collect()[0]["e"]
     assert 40 <= est <= 60  # ~50 distinct quantities
     assert bytes(num["theta"])[1] == 3  # written as serVer 3 for old readers
+
+
+def test_items_sketch_fixture_decode():
+    # the golden fixture's home_ownership ItemsSketch holds exactly the
+    # three tenure values with full-count accuracy
+    from whylogs_java_spark.sources.protobuf import decode_items_sketch
+
+    p = _first_profile(f"{FIXTURES}/profiles-1.bin")
+    items = decode_items_sketch(p["columns"]["home_ownership"]["frequent_items"])
+    # the fixture was written by old whylogs-python, which JSON-encodes the
+    # tracked values — the quotes are data, not wire format
+    assert items == [('"MORTGAGE"', 31154), ('"RENT"', 26188), ('"OWN"', 7627)]
+
+
+def test_items_sketch_roundtrip_and_wire(spark, tmp_path):
+    from whylogs_java_spark.sources.protobuf import (
+        decode_items_sketch,
+        items_sketch_bytes,
+    )
+
+    pairs = [("alpha", 500), ("beta", 300), ("gamma", 7)]
+    b = items_sketch_bytes(pairs, stream_length=1000)
+    assert b[0] == 4 and b[1] == 1 and b[2] == 10  # non-empty preamble
+    assert decode_items_sketch(b) == pairs
+    assert decode_items_sketch(items_sketch_bytes([])) == []
+
+    # end to end: written profiles carry real per-column frequent items
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    out = str(tmp_path / "fi.bin")
+    write_profile_bin(li, out, group_by=["l_returnflag"])
+    back = read_profile_bin(spark, out)
+    row = back.where(
+        "column_name = 'l_linestatus' AND tags['whylogs.tag.l_returnflag'] = 'R'"
+    ).collect()[0]
+    fi = row["frequent_items"]
+    truth = dict(
+        li.where("l_returnflag = 'R'")
+        .groupBy("l_linestatus")
+        .count()
+        .rdd.map(tuple)
+        .collect()
+    )
+    assert fi == truth  # exact counts survive the wire

@@ -324,3 +324,30 @@ def test_frame_sample_plan(spark):
     media = attach_media_metadata(df, "data", "media_id", kind="video", mime="video/mp4")
     plan = frame_sample_plan(media, every_ms=500, max_frames=4).collect()
     assert [r["ts_ms"] for r in plan] == [0, 500, 1000, 1500]
+
+
+def test_cli_profile_csv(spark, tmp_path, monkeypatch):
+    # Profiler.java-equivalent command: CSV -> grouped wire profiles
+    import whylogs_java_spark.__main__ as cli
+    import whylogs_java_spark.session as sess
+
+    csv = tmp_path / "in.csv"
+    csv.write_text("id,val,label\n1,10.5,a\n2,3.25,b\n3,NA,a\n")
+    out = str(tmp_path / "out.bin")
+    # reuse the test session instead of building (and stopping) a fresh one
+    monkeypatch.setattr(sess, "get_spark", lambda *a, **k: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+    rc = cli.main([str(csv), "-o", out, "--format", "bin",
+                   "--group-by", "label", "--null-strings", "NA"])
+    assert rc == 0
+
+    from whylogs_java_spark.sources.protobuf import (
+        decode_dataset_profile,
+        iter_delimited,
+    )
+
+    msgs = [decode_dataset_profile(m) for m in iter_delimited(open(out, "rb").read())]
+    tags = {m["properties"]["tags"]["whylogs.tag.label"] for m in msgs}
+    assert tags == {"a", "b"}
+    a = next(m for m in msgs if m["properties"]["tags"]["whylogs.tag.label"] == "a")
+    assert a["columns"]["val"]["type_counts"].get(1) == 1  # 'NA' -> NULL

@@ -396,6 +396,69 @@ def theta_v4_to_v3(b: bytes) -> bytes:
 
 
 # ---------------------------------------------------------------------------
+# DataSketches frequencies ItemsSketch<String> (ArrayOfStringsSerDe)
+# ---------------------------------------------------------------------------
+#
+# Layout (verified against the golden fixture's home_ownership sketch:
+# numActive=3, streamLength=64969, counts {RENT,MORTGAGE,OWN}):
+# [pre0: preLongs=4, serVer=1, famID=10, lgMaxMapSize, lgCurMapSize,
+#  flags, 2B unused][numActive i64][streamLength i64][offset i64]
+# [count i64 x numActive][(len i32 LE + utf8 bytes) x numActive]
+# Empty sketch: single preamble long with flags EMPTY.
+
+def decode_items_sketch(b: bytes) -> list[tuple[str, int]]:
+    """(value, estimated count) pairs from an ItemsSketch<String> binary."""
+    if len(b) < 8 or b[2] != 10:
+        return []
+    if b[0] & 0x3F == 1:  # empty
+        return []
+    n = struct.unpack("<q", b[8:16])[0]
+    offset = struct.unpack("<q", b[24:32])[0]
+    p = 32
+    counts = [struct.unpack("<q", b[p + 8 * j : p + 8 * j + 8])[0] for j in range(n)]
+    p += 8 * n
+    out = []
+    for j in range(n):
+        ln = struct.unpack("<i", b[p : p + 4])[0]
+        p += 4
+        out.append((b[p : p + ln].decode("utf-8"), counts[j] + offset))
+        p += ln
+    out.sort(key=lambda kv: (-kv[1], kv[0]))
+    return out
+
+
+def items_sketch_bytes(
+    items: Sequence[tuple[str, int]], stream_length: int | None = None
+) -> bytes:
+    """Serialize exact (value, count) pairs as an ItemsSketch<String> binary
+    readable by DataSketches Java (offset 0 = no purge error, so the
+    reference reads our counts as exact lower==upper bounds).
+
+    Capped at 96 items = the load capacity of the reference's
+    ItemsSketch(2^FREQUENT_MAX_LG_K=128) (FrequentStringsSketch.java:14-20)
+    so the preamble's lgCurMapSize never exceeds its lgMaxMapSize=7."""
+    items = sorted(
+        ((v, c) for v, c in items if c > 0), key=lambda kv: (-kv[1], kv[0])
+    )[:96]
+    if not items:
+        return _EMPTY_ITEMS_128
+    n = len(items)
+    lg_cur = max(3, math.ceil(math.log2(max(n / 0.75, 1))))
+    lg_max = max(7, lg_cur)
+    total = stream_length if stream_length is not None else sum(c for _, c in items)
+    out = bytearray(bytes([4, 1, 10, lg_max, lg_cur, 0, 0, 0]))
+    out += struct.pack("<q", n)
+    out += struct.pack("<q", total)
+    out += struct.pack("<q", 0)
+    for _, c in items:
+        out += struct.pack("<q", c)
+    for v, _ in items:
+        enc = v.encode("utf-8")
+        out += struct.pack("<i", len(enc)) + enc
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
 # encode: our profile rows -> DatasetProfileMessage
 # ---------------------------------------------------------------------------
 
@@ -522,6 +585,7 @@ def column_message(row: dict, sketches: dict | None = None) -> bytes:
         if tok_n
         else None
     )
+    items_bytes = sk.get("items") or _EMPTY_ITEMS_128
     strings = _strings_msg(tc[_T_STRING], length_msg, tok_msg, sk.get("str_theta"))
 
     out = _f_str(1, name)
@@ -529,7 +593,8 @@ def column_message(row: dict, sketches: dict | None = None) -> bytes:
     out += _f_bytes(3, _schema_msg(tc))
     out += _f_bytes(4, numbers)
     out += _f_bytes(5, strings)
-    out += _f_bytes(7, _f_bytes(1, _EMPTY_ITEMS_128) + _f_varint(2, -1))
+    # lg_max_k = FREQUENT_MAX_LG_K (FrequentStringsSketch.java:26-30)
+    out += _f_bytes(7, _f_bytes(1, items_bytes) + _f_varint(2, 7))
     hll = sk.get("hll")
     if hll:
         out += _f_bytes(8, _f_bytes(1, hll) + _f_varint(2, sk.get("hll_lgk") or 12))
@@ -583,7 +648,7 @@ _READ_SCHEMA = (
     "fractional_count long, boolean_count long, string_count long, "
     "unknown_count long, n long, min double, max double, sum double, "
     "mean double, variance double, stddev double, kll binary, theta binary, "
-    "hll binary, items binary"
+    "hll binary, items binary, frequent_items map<string,bigint>"
 )
 
 
@@ -612,6 +677,9 @@ def _rows_of_profile(path: str, idx: int, prof: dict) -> list[tuple]:
                 val.get("count") or 0, val.get("min"), val.get("max"), val.get("sum"),
                 var.get("mean") if vcount else None, variance, stddev,
                 nums.get("kll"), nums.get("theta"), c["hll"], strings.get("items"),
+                dict(decode_items_sketch(c["frequent_items"]))
+                if c["frequent_items"]
+                else {},
             )
         )
     return out
@@ -644,6 +712,56 @@ def read_profile_bin(spark, path):
     return files.select("path", "content").mapInPandas(parse, schema=_READ_SCHEMA)
 
 
+def _frequent_items_by_group(
+    df, keys: Sequence[str], null_strings: Sequence[str], k: int
+) -> dict[tuple, dict[str, list[tuple[str, int]]]]:
+    """Exact top-k string forms per (group, column) in ONE distributed
+    pass: melt tracked columns to (keys, column_name, value), count, rank
+    within (keys, column_name) — the window partitions on the melt key, so
+    no partition holds more than one column's distinct values per group."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from ..functions.predicates import masked, truncated_text
+
+    tracked_types = (T.NumericType, T.BooleanType, T.StringType)
+    cols = [
+        f.name
+        for f in df.schema.fields
+        if f.name not in set(keys) and isinstance(f.dataType, tracked_types)
+    ]
+    if not cols:
+        return {}
+    schema = {f.name: f.dataType for f in df.schema.fields}
+    entries = [
+        F.struct(
+            F.lit(c).alias("column_name"),
+            truncated_text(masked(F.col(c), schema[c], null_strings)).alias("value"),
+        )
+        for c in cols
+    ]
+    melted = df.select(*keys, F.explode(F.array(*entries)).alias("e")).select(
+        *keys, "e.*"
+    )
+    counts = (
+        melted.where(F.col("value").isNotNull())
+        .groupBy(*keys, "column_name", "value")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy(*keys, "column_name").orderBy(
+        F.desc("cnt"), F.asc("value")
+    )
+    top = counts.withColumn("__r", F.row_number().over(w)).where(F.col("__r") <= k)
+    out: dict[tuple, dict[str, list[tuple[str, int]]]] = {}
+    for r in top.collect():
+        gk = tuple(r[key] for key in keys)
+        out.setdefault(gk, {}).setdefault(r["column_name"], []).append(
+            (r["value"], r["cnt"])
+        )
+    return out
+
+
 def write_profile_bin(
     df,
     path: str,
@@ -654,6 +772,7 @@ def write_profile_bin(
     tags: dict[str, str] | None = None,
     null_strings: Sequence[str] = (),
     include_sketches: bool = True,
+    frequent_items_k: int = 128,
 ) -> int:
     """Profile ``df`` and write wire-compatible DatasetProfileMessages.
 
@@ -661,14 +780,27 @@ def write_profile_bin(
     CLI shape — Profiler.java:158-163). Group key values become
     ``whylogs.tag.<column>`` tags on the message, the reference's
     segmentation convention (DatasetProfile.java:40-53). The atoms are
-    computed distributed (one aggregation pass + optional sketch pass);
-    only the finalized O(groups × columns) rows are collected for
-    assembly. Returns the number of messages written.
+    computed distributed (one aggregation pass + optional sketch pass +
+    one melted top-k pass for frequent items); only the finalized
+    O(groups × columns) rows are collected for assembly. Returns the
+    number of messages written.
+
+    Frequent items serialize as a real ItemsSketch<String> binary with
+    offset 0 (exact counts — readers see lower==upper bounds), holding the
+    exact top ``frequent_items_k`` per column over the 256-char-truncated
+    string forms of tracked values, mirroring ColumnProfile.trackText
+    (ColumnProfile.java:76-138: every non-null numeric/boolean/string
+    value's string form updates the sketch). Set ``frequent_items_k=0``
+    to skip the pass (an empty sketch is written).
     """
     from ..operators.profile import profile
 
     keys = list(group_by)
     fin = profile(df, group_by=keys, null_strings=null_strings).collect()
+
+    freq: dict[tuple, dict[str, list[tuple[str, int]]]] = {}
+    if frequent_items_k:
+        freq = _frequent_items_by_group(df, keys, null_strings, frequent_items_k)
 
     sketches: dict[tuple, dict[str, dict]] = {}
     if include_sketches:
@@ -697,6 +829,13 @@ def write_profile_bin(
         rd = r.asDict()
         gk = tuple(rd.pop(k) for k in keys)
         groups.setdefault(gk, []).append(rd)
+        col = rd["column_name"]
+        fi = freq.get(gk, {}).get(col)
+        if fi:
+            tracked = (rd.get("count") or 0) - (rd.get("null_count") or 0)
+            sketches.setdefault(gk, {}).setdefault(col, {})["items"] = (
+                items_sketch_bytes(fi, stream_length=tracked)
+            )
 
     messages = []
     for gk in sorted(groups, key=lambda t: tuple(str(x) for x in t)):
