@@ -85,18 +85,44 @@ _H2_BOUND = 1 << 55
 _MAX_NUM_HASHES = 224
 
 
+def char_shingles(text: Column, size: int = 5) -> Column:
+    """Character n-gram shingles (lowercased) as an array column — pure JVM
+    expressions (transform over an index sequence + substr), no explode, no
+    UDF. Texts shorter than ``size`` yield the whole text as one shingle."""
+    t = F.lower(text)
+    n = F.length(t)
+    return F.when(
+        n >= size,
+        F.transform(
+            F.sequence(F.lit(1), n - size + 1), lambda i: t.substr(i, F.lit(size))
+        ),
+    ).otherwise(F.array(t))
+
+
+def _shingler(shingle_size: int, char_ngrams: bool):
+    if char_ngrams:
+        return lambda c: char_shingles(c, shingle_size)
+    return lambda c: word_shingles(c, shingle_size)
+
+
 def shingle_sets(
-    df: DataFrame, text_col: str, id_col: str, shingle_size: int = 3
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_size: int = 3,
+    char_ngrams: bool = False,
 ) -> DataFrame:
     """Distinct (id, shingle) rows — the single shared shingle explode.
 
     Both MinHash signatures (min over the set == min over the multiset)
     and exact-Jaccard verification consume this table, so a near-dup
     pipeline computes the expensive explode exactly once.
+    ``char_ngrams`` switches from word n-grams to character n-grams.
     """
+    sh = _shingler(shingle_size, char_ngrams)
     return df.select(
         F.col(id_col),
-        F.explode(word_shingles(F.col(text_col), shingle_size)).alias("shingle"),
+        F.explode(sh(F.col(text_col))).alias("shingle"),
     ).distinct()
 
 
@@ -126,6 +152,7 @@ def minhash_signatures(
     id_col: str,
     num_hashes: int = 16,
     shingle_size: int = 3,
+    char_ngrams: bool = False,
 ) -> DataFrame:
     """Per-doc MinHash signature: k columns mh0..mh{k-1}.
 
@@ -137,9 +164,10 @@ def minhash_signatures(
     (the DuckDB oracle uses ('0x'||substr(md5,...))::BIGINT).
     Output: one row per doc: (id, mh0..mh{k-1} BIGINT).
     """
+    shingler = _shingler(shingle_size, char_ngrams)
     sh = df.select(
         F.col(id_col),
-        F.explode(word_shingles(F.col(text_col), shingle_size)).alias("shingle"),
+        F.explode(shingler(F.col(text_col))).alias("shingle"),
     )
     return _minhash_from_shingles(sh, id_col, num_hashes)
 
@@ -283,8 +311,11 @@ def near_dup_pairs(
     bands: int = 4,
     shingle_size: int = 3,
     materialize: bool = False,
+    char_ngrams: bool = False,
 ) -> DataFrame:
     """MinHash-LSH candidates verified by exact Jaccard ≥ threshold.
+    ``char_ngrams=True`` runs the same pipeline over character n-gram sets
+    (the classic n-gram-Jaccard dedup; robust to word-boundary edits).
 
     The default single-DAG pipeline is NOT the naive "~6x shingle
     recompute" it looks like statically: under AQE, identical shuffle
@@ -312,15 +343,17 @@ def near_dup_pairs(
     intermediate table.
     """
     if not materialize:
-        sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_size)
+        sigs = minhash_signatures(
+            df, text_col, id_col, num_hashes, shingle_size, char_ngrams
+        )
         bands_df = lsh_band_signatures(sigs, id_col, num_hashes, bands)
         pairs = _candidates_from_bands(bands_df, id_col)
-        sh = shingle_sets(df, text_col, id_col, shingle_size)
+        sh = shingle_sets(df, text_col, id_col, shingle_size, char_ngrams)
         verified = _jaccard_from_shingle_sets(sh, pairs, id_col)
         return verified.where(F.col("jaccard") >= threshold)
 
     pairs, sh_cand, verified = near_dup_stages(
-        df, text_col, id_col, threshold, num_hashes, bands, shingle_size
+        df, text_col, id_col, threshold, num_hashes, bands, shingle_size, char_ngrams
     )
     try:
         return verified.localCheckpoint(eager=True)
@@ -337,6 +370,7 @@ def near_dup_stages(
     num_hashes: int = 16,
     bands: int = 4,
     shingle_size: int = 3,
+    char_ngrams: bool = False,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """The staged near-dup pipeline: (candidate_pairs, candidate_shingles,
     verified).
@@ -350,7 +384,9 @@ def near_dup_stages(
     (restricted to docs that appear in a pair); verification reads caches.
     """
     df = _spread(df)
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_size)
+    sigs = minhash_signatures(
+        df, text_col, id_col, num_hashes, shingle_size, char_ngrams
+    )
     bands_df = lsh_band_signatures(sigs, id_col, num_hashes, bands)
     pairs = _candidates_from_bands(bands_df, id_col).persist()
     cand_ids = (
@@ -359,7 +395,7 @@ def near_dup_stages(
         .distinct()
     )
     src = df.join(cand_ids, on=id_col, how="left_semi")
-    sh_cand = shingle_sets(src, text_col, id_col, shingle_size).persist()
+    sh_cand = shingle_sets(src, text_col, id_col, shingle_size, char_ngrams).persist()
     verified = _jaccard_from_shingle_sets(sh_cand, pairs, id_col).where(
         F.col("jaccard") >= threshold
     )
