@@ -386,3 +386,51 @@ def test_image_header_meta(spark):
     assert (got[2]["format"], got[2]["width"], got[2]["height"]) == ("jpeg", 1920, 1080)
     assert (got[3]["format"], got[3]["width"], got[3]["height"]) == ("jpeg", 33, 7)
     assert got[4]["format"] == "unknown" and got[4]["width"] is None
+
+
+def test_lsh_multi_probe_improves_recall(spark):
+    # LSH recall only makes sense when true neighbors are close (the
+    # near-duplicate regime LSH is used for): query with perturbed copies
+    # whose true NN is their source vector
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select("vec_id", "embedding")
+    mut = emb.where("vec_id % 10 = 0").select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: (x * F.lit(0.95) + F.lit(0.02)).cast("float")
+        ).alias("embedding"),
+    )
+    n_q = mut.count()
+
+    def recall(probes):
+        a = {
+            r["query_id"]: r["neighbor_id"]
+            for r in lsh_bucket_topk(
+                emb.unionByName(mut), mut, k=1, planes=8, probes=probes
+            ).collect()
+        }
+        return sum(1 for q, n in a.items() if n == q - 100000)
+
+    r0, r8 = recall(0), recall(8)
+    assert r8 >= r0  # probing hamming-1 buckets can only add candidates
+    assert r8 >= 0.8 * n_q, f"multi-probe recall too low: {r8}/{n_q}"
+
+
+def test_ivf_topk_recall(spark):
+    from whylogs_java_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = emb.where("vec_id < 30")
+    exact = {r["query_id"]: r["neighbor_id"] for r in cosine_topk(emb, queries, k=1).collect()}
+    # nprobe == n_centroids degenerates to exact brute force
+    full = {
+        r["query_id"]: r["neighbor_id"]
+        for r in ivf_topk(emb, queries, k=1, n_centroids=8, nprobe=8).collect()
+    }
+    assert full == exact
+    # probing half the lists keeps most of the recall
+    probed = {
+        r["query_id"]: r["neighbor_id"]
+        for r in ivf_topk(emb, queries, k=1, n_centroids=8, nprobe=4).collect()
+    }
+    hits = sum(1 for q in exact if probed.get(q) == exact[q])
+    assert hits >= 20, f"IVF nprobe=4 recall too low: {hits}/30"

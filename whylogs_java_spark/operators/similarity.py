@@ -201,6 +201,99 @@ def hyperplane_signature(vec: Column, planes: int = 16) -> Column:
     return F.concat(*sig_bits)
 
 
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF-style approximate cosine top-k: coarse quantizer + probed lists.
+
+    The scale shape of FAISS-style IVF re-expressed declaratively:
+    1. coarse centroids — deterministic hash-spread sample of the corpus
+       (a production index would k-means; the partition/probe mechanics
+       are identical), broadcast everywhere;
+    2. every corpus vector is assigned to its nearest centroid (one scan,
+       argmax over the broadcast centroids — the inverted lists are just a
+       ``centroid_id`` column, co-partitioning the corpus by list);
+    3. each query probes its ``nprobe`` nearest centroids and brute-forces
+       only those lists via an equi-join on ``centroid_id`` — the corpus
+       side shuffles once on the list key, never all-pairs.
+
+    Recall trades off with ``n_centroids``/``nprobe``; ``nprobe ==
+    n_centroids`` degenerates to exact brute force.
+    Output: (query_id, neighbor_id, cosine, rank).
+    """
+    from pyspark.sql import Window
+
+    # 1. deterministic centroid sample: smallest xxhash64 ranks -> stable
+    #    across partitionings, no RNG
+    cent = (
+        embeddings.select(
+            F.col(id_col).alias("centroid_id"),
+            _as_double(F.col(vec_col)).alias("cev"),
+            F.xxhash64(F.col(id_col)).alias("__h"),
+        )
+        .orderBy("__h")
+        .limit(n_centroids)
+        .drop("__h")
+    )
+
+    def assign(side: DataFrame, idname: str, vecname: str, top: int) -> DataFrame:
+        sims = (
+            side.crossJoin(F.broadcast(cent))
+            .select(
+                F.col(idname),
+                vecname,
+                "centroid_id",
+                (
+                    dot(F.col(vecname), F.col("cev"))
+                    / (norm(F.col(vecname)) * norm(F.col("cev")))
+                ).alias("__cs"),
+            )
+        )
+        w = Window.partitionBy(idname).orderBy(F.desc("__cs"), F.asc("centroid_id"))
+        return (
+            sims.withColumn("__r", F.row_number().over(w))
+            .where(F.col("__r") <= top)
+            .drop("__r", "__cs")
+        )
+
+    corpus = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
+    )
+    lists = assign(corpus, "neighbor_id", "cv", 1)
+    probes_df = assign(
+        queries.select(
+            F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+        ),
+        "query_id",
+        "qv",
+        nprobe,
+    )
+    sim = (
+        lists.join(F.broadcast(probes_df), on="centroid_id")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot(F.col("qv"), F.col("cv")) / (norm(F.col("qv")) * norm(F.col("cv")))).alias(
+                "cosine"
+            ),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", (F.round("cosine", 6) + 0.0).alias("cosine"), "rank")
+    )
+
+
 def _plane_sign(plane: int, dim: Column) -> Column:
     """Deterministic pseudo-random ±1 from md5(plane|dim) first-nibble parity
     (integer-valued twin of ``_plane_component`` for exact-DECIMAL math)."""
@@ -363,11 +456,16 @@ def lsh_bucket_topk(
     vec_col: str = "embedding",
     k: int = 10,
     planes: int = 12,
+    probes: int = 0,
 ) -> DataFrame:
     """Approximate cosine top-k: candidates share the LSH bucket signature.
 
     One signature computation per side, equi-join on the bucket string, then
-    exact cosine within buckets. Recall trades off with ``planes``.
+    exact cosine within buckets. Recall trades off with ``planes``;
+    ``probes`` adds multi-probe: each query ALSO probes the buckets at
+    Hamming distance 1 in its first ``probes`` signature bits (the probe
+    expansion happens on the broadcast query side only — the corpus is
+    still scanned once and joined on a single bucket key).
     """
     from pyspark.sql import Window
 
@@ -376,11 +474,26 @@ def lsh_bucket_topk(
         _as_double(F.col(vec_col)).alias("cv"),
         hyperplane_signature(_as_double(F.col(vec_col)), planes).alias("bucket"),
     )
+    sig = hyperplane_signature(_as_double(F.col(vec_col)), planes)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         _as_double(F.col(vec_col)).alias("qv"),
-        hyperplane_signature(_as_double(F.col(vec_col)), planes).alias("bucket"),
+        sig.alias("__sig"),
     )
+    if probes:
+        def flip(s, i: int):
+            bit = F.substring(s, i + 1, 1)
+            flipped = F.when(bit == "1", F.lit("0")).otherwise(F.lit("1"))
+            return F.concat(F.substring(s, 1, i), flipped, F.substring(s, i + 2, planes))
+
+        probe_sigs = F.array(
+            F.col("__sig"), *[flip(F.col("__sig"), i) for i in range(min(probes, planes))]
+        )
+        q = q.select(
+            "query_id", "qv", F.explode(probe_sigs).alias("bucket")
+        )
+    else:
+        q = q.withColumnRenamed("__sig", "bucket")
     sim = (
         e.join(F.broadcast(q), on="bucket")
         .where(F.col("neighbor_id") != F.col("query_id"))
@@ -391,6 +504,9 @@ def lsh_bucket_topk(
                 "cosine"
             ),
         )
+        # a neighbor can collide through several probe buckets; cosine is
+        # identical per pair, so dedup on the scored 3-column rows
+        .dropDuplicates(["query_id", "neighbor_id"])
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
