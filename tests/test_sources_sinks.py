@@ -351,3 +351,61 @@ def test_cli_profile_csv(spark, tmp_path, monkeypatch):
     assert tags == {"a", "b"}
     a = next(m for m in msgs if m["properties"]["tags"]["whylogs.tag.label"] == "a")
     assert a["columns"]["val"]["type_counts"].get(1) == 1  # 'NA' -> NULL
+
+
+def test_streaming_stateful_sessionize(spark, tmp_path):
+    # custom stateful operator (applyInPandasWithState): gap-closed sessions
+    # emitted exactly once, matching the batch sessionizer on closed sessions
+    import datetime as dt
+
+    from whylogs_java_spark.operators.sessions import session_stats
+    from whylogs_java_spark.streaming.stateful_sessions import streaming_sessionize
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def t(minutes):
+        return base + dt.timedelta(minutes=minutes)
+
+    # user 1: two sessions (gap 45m > 30m); user 2: one session
+    rows = [
+        (1, t(0)), (1, t(10)), (1, t(20)),          # session A: 3 events
+        (1, t(65)), (1, t(70)),                      # session B: 2 events
+        (2, t(5)), (2, t(15)),                       # session C: 2 events
+        # closer: very late events push the watermark past every gap+ts
+        (1, t(600)), (2, t(600)),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    src = str(tmp_path / "sess_src")
+    ev.write.parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    out = streaming_sessionize(stream, "user_id", "ts", gap_seconds=1800,
+                               watermark="0 seconds")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sess_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["entity"], r["session_start"]): r
+            for r in spark.sql("SELECT * FROM sess_out").collect()
+        }
+    finally:
+        q.stop()
+
+    a = got[(1, t(0))]
+    assert a["n_events"] == 3 and a["session_end"] == t(20) and a["closed_by"] == "gap"
+    b = got[(1, t(65))]
+    assert b["n_events"] == 2 and b["session_end"] == t(70)
+    c = got[(2, t(5))]
+    assert c["n_events"] == 2 and c["session_end"] == t(15)
+
+    # closed sessions agree with the batch sessionizer
+    batch = {
+        (r["user_id"], r["session_start"]): r["n_events"]
+        for r in session_stats(ev, "user_id", "ts", gap_seconds=1800).collect()
+    }
+    for (entity, start), r in got.items():
+        assert batch[(entity, start)] == r["n_events"]
