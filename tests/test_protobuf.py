@@ -198,3 +198,47 @@ def test_items_sketch_roundtrip_and_wire(spark, tmp_path):
         .collect()
     )
     assert fi == truth  # exact counts survive the wire
+
+
+def test_merge_profile_bins_equals_whole(spark, tmp_path):
+    # DatasetProfile.merge over the wire format: profile(half A) merged
+    # with profile(half B) == profile(all), per column
+    from whylogs_java_spark.sources.protobuf import merge_profile_bins
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    pa, pb, pw, pm = (str(tmp_path / x) for x in ("a.bin", "b.bin", "whole.bin", "m.bin"))
+    write_profile_bin(li.filter("l_orderkey % 2 = 0"), pa, session_id="a")
+    write_profile_bin(li.filter("l_orderkey % 2 = 1"), pb, session_id="b")
+    write_profile_bin(li, pw, session_id="whole")
+    n = merge_profile_bins(spark, [pa, pb], pm)
+    assert n == 1  # same (empty) tag set -> one merged message
+
+    merged = {r["column_name"]: r for r in read_profile_bin(spark, pm).collect()}
+    whole = {r["column_name"]: r for r in read_profile_bin(spark, pw).collect()}
+    assert set(merged) == set(whole)
+    for name, w in whole.items():
+        m = merged[name]
+        for f in ("count", "null_count", "true_count", "integral_count",
+                  "fractional_count", "string_count", "n", "len_n", "tok_n"):
+            assert m[f] == w[f], (name, f)
+        # derived stats carry the engine's 6-decimal finalize rounding, so
+        # recombining rounded halves agrees with the rounded whole only to
+        # that granularity
+        for f in ("min", "max", "sum", "mean", "variance",
+                  "len_min", "len_max", "len_mean", "len_variance",
+                  "tok_mean", "tok_variance"):
+            if w[f] is None:
+                assert m[f] is None, (name, f)
+            else:
+                assert m[f] == pytest.approx(w[f], rel=1e-6, abs=2e-6), (name, f)
+        # untruncated frequent-item lists (< 96-entry cap) merge exactly;
+        # truncated ones lose tail items by construction — same reason the
+        # reference's ItemsSketch has error bounds after purging
+        if len(w["frequent_items"]) < 96:
+            assert m["frequent_items"] == w["frequent_items"], name
+    # merged theta sketch still estimates the union cardinality
+    t = merged["l_orderkey"]["theta"]
+    one = spark.createDataFrame([(bytearray(t),)], "t binary")
+    est = one.select(F.theta_sketch_estimate("t").alias("e")).collect()[0]["e"]
+    exact = li.select("l_orderkey").distinct().count()
+    assert est == pytest.approx(exact, rel=0.05)

@@ -533,9 +533,9 @@ def _numbers_msg(
 
 
 def _strings_msg(count: int, length_msg: bytes | None, tok_msg: bytes | None,
-                 theta: bytes | None) -> bytes:
+                 theta: bytes | None, items: bytes | None = None) -> bytes:
     out = _f_varint(1, count)
-    out += _f_bytes(3, _EMPTY_ITEMS_128)
+    out += _f_bytes(3, items or _EMPTY_ITEMS_128)
     out += _f_bytes(4, theta_v4_to_v3(theta) if theta else _EMPTY_THETA)
     if length_msg is not None:
         out += _f_bytes(5, length_msg)
@@ -586,7 +586,13 @@ def column_message(row: dict, sketches: dict | None = None) -> bytes:
         else None
     )
     items_bytes = sk.get("items") or _EMPTY_ITEMS_128
-    strings = _strings_msg(tc[_T_STRING], length_msg, tok_msg, sk.get("str_theta"))
+    # the reference's StringTracker.items only sees STRING-typed values
+    # (ColumnProfile.java:106-115); for string columns it coincides with
+    # the column-level frequentItems, for others it stays empty
+    strings = _strings_msg(
+        tc[_T_STRING], length_msg, tok_msg, sk.get("str_theta"),
+        items_bytes if tc[_T_STRING] > 0 else None,
+    )
 
     out = _f_str(1, name)
     out += _f_bytes(2, _counters_msg(row.get("count") or 0, row.get("true_count") or 0))
@@ -647,9 +653,30 @@ _READ_SCHEMA = (
     "count long, null_count long, true_count long, integral_count long, "
     "fractional_count long, boolean_count long, string_count long, "
     "unknown_count long, n long, min double, max double, sum double, "
-    "mean double, variance double, stddev double, kll binary, theta binary, "
+    "mean double, variance double, stddev double, "
+    "len_n long, len_min double, len_max double, len_sum double, "
+    "len_mean double, len_variance double, "
+    "tok_n long, tok_min double, tok_max double, tok_sum double, "
+    "tok_mean double, tok_variance double, "
+    "kll binary, theta binary, "
     "hll binary, items binary, frequent_items map<string,bigint>"
 )
+
+
+def _numbers_summary(nums: dict | None) -> tuple:
+    """(n, min, max, sum, mean, variance) from a decoded NumbersMessage."""
+    if not nums:
+        return (0, None, None, None, None, None)
+    val = nums.get("doubles") or {"count": 0}
+    if not val.get("count"):
+        val = nums.get("longs") or {"count": 0}
+    var = nums.get("variance") or {}
+    vcount = var.get("count") or 0
+    variance = (var["sum"] / (vcount - 1)) if vcount > 1 else (0.0 if vcount == 1 else None)
+    return (
+        val.get("count") or 0, val.get("min"), val.get("max"), val.get("sum"),
+        var.get("mean") if vcount else None, variance,
+    )
 
 
 def _rows_of_profile(path: str, idx: int, prof: dict) -> list[tuple]:
@@ -659,14 +686,11 @@ def _rows_of_profile(path: str, idx: int, prof: dict) -> list[tuple]:
         tc = c["type_counts"]
         null_count = tc.get(_T_NULL, c["legacy_null"] or 0)
         nums = c["numbers"] or {}
-        val = (nums.get("doubles") or {"count": 0}) if nums else {"count": 0}
-        if not val.get("count"):
-            val = nums.get("longs") or {"count": 0}
-        var = nums.get("variance") or {}
-        vcount = var.get("count") or 0
-        variance = (var["sum"] / (vcount - 1)) if vcount > 1 else (0.0 if vcount == 1 else None)
+        n, mn, mx, sm, mean, variance = _numbers_summary(nums)
         stddev = math.sqrt(variance) if variance is not None and variance >= 0 else None
         strings = c["strings"] or {}
+        len_s = _numbers_summary(strings.get("length"))
+        tok_s = _numbers_summary(strings.get("token_length"))
         out.append(
             (
                 path, idx, props.get("session_id"), props.get("session_timestamp"),
@@ -674,8 +698,8 @@ def _rows_of_profile(path: str, idx: int, prof: dict) -> list[tuple]:
                 c["count"], null_count, c["true_count"],
                 tc.get(_T_INTEGRAL, 0), tc.get(_T_FRACTIONAL, 0),
                 tc.get(_T_BOOLEAN, 0), tc.get(_T_STRING, 0), tc.get(_T_UNKNOWN, 0),
-                val.get("count") or 0, val.get("min"), val.get("max"), val.get("sum"),
-                var.get("mean") if vcount else None, variance, stddev,
+                n, mn, mx, sm, mean, variance, stddev,
+                *len_s, *tok_s,
                 nums.get("kll"), nums.get("theta"), c["hll"], strings.get("items"),
                 dict(decode_items_sketch(c["frequent_items"]))
                 if c["frequent_items"]
@@ -710,6 +734,113 @@ def read_profile_bin(spark, path):
             yield pd.DataFrame(rows, columns=cols)
 
     return files.select("path", "content").mapInPandas(parse, schema=_READ_SCHEMA)
+
+
+def merge_profile_bins(
+    spark,
+    paths: Sequence[str] | str,
+    out_path: str,
+    session_id: str = "merged",
+    session_timestamp: int = 0,
+) -> int:
+    """Merge stored wire profiles — DatasetProfile.merge over the protobuf
+    format (DatasetProfile.java:251-300; the second-phase merger the
+    reference's DatasetProfileMerger/golden-fixture merge tests exercise).
+
+    Messages merge per distinct tag set (profiles with different tags stay
+    separate, the reference's rule). The merge is distributed Spark
+    aggregation over the parsed rows: counts/type counts add, extremes
+    min/max, sums add, mean/variance combine via the order-independent
+    parallel identity (m2_total = Σm2 + Σn·mean² − N·mean_w²  — Chan's
+    pairwise combine generalized to k-way), and the sketch binaries merge
+    with Spark's native DataSketches union aggregates (kll_merge_agg_float
+    / theta_union_agg / hll_union_agg — theta re-encoded serVer 4→3 on
+    write). Frequent items merge driver-side (≤96 exact-count entries per
+    column). Returns the number of merged messages written.
+    """
+    from pyspark.sql import functions as F
+
+    df = read_profile_bin(spark, paths)
+    tag_key = F.to_json(F.map_from_entries(F.array_sort(F.map_entries("tags"))))
+
+    def chan(prefix: str):
+        n = F.col(f"{prefix}n")
+        mean = F.col(f"{prefix}mean")
+        m2 = F.col(f"{prefix}variance") * F.greatest(n - 1, F.lit(0))
+        n_tot = F.sum(n)
+        mean_w = F.when(n_tot > 0, F.sum(mean * n) / n_tot)
+        m2_tot = F.sum(m2) + F.sum(n * mean * mean) - n_tot * mean_w * mean_w
+        var = F.when(n_tot > 1, F.greatest(m2_tot, F.lit(0.0)) / (n_tot - 1)).when(
+            n_tot == 1, F.lit(0.0)
+        )
+        return [
+            n_tot.alias(f"{prefix}n"),
+            F.min(f"{prefix}min").alias(f"{prefix}min"),
+            F.max(f"{prefix}max").alias(f"{prefix}max"),
+            F.sum(f"{prefix}sum").alias(f"{prefix}sum"),
+            mean_w.alias(f"{prefix}mean"),
+            var.alias(f"{prefix}variance"),
+        ]
+
+    aggs = [
+        F.first("tags").alias("tags"),
+        *[
+            F.sum(c).alias(c)
+            for c in (
+                "count", "null_count", "true_count", "integral_count",
+                "fractional_count", "boolean_count", "string_count", "unknown_count",
+            )
+        ],
+        *chan(""),
+        *chan("len_"),
+        *chan("tok_"),
+        F.kll_merge_agg_float("kll").alias("kll"),
+        F.theta_union_agg("theta", F.lit(12)).alias("theta"),
+        F.hll_union_agg("hll", F.lit(True)).alias("hll"),
+        F.collect_list("frequent_items").alias("__items_list"),
+    ]
+    merged = df.groupBy(tag_key.alias("__tags_key"), "column_name").agg(*aggs)
+
+    groups: dict[str, list[dict]] = {}
+    tags_of: dict[str, dict] = {}
+    sketches: dict[str, dict[str, dict]] = {}
+    for r in merged.collect():
+        rd = r.asDict()
+        gk = rd.pop("__tags_key")
+        tags_of[gk] = rd.pop("tags")
+        items_list = rd.pop("__items_list") or []
+        col = rd["column_name"]
+        cd = sketches.setdefault(gk, {}).setdefault(col, {})
+        for field in ("kll", "theta", "hll"):
+            blob = rd.pop(field)
+            if blob is not None:
+                cd[field] = bytes(blob)
+        cd["hll_lgk"] = 12
+        fi: dict[str, int] = {}
+        for m in items_list:
+            for v, c in (m or {}).items():
+                fi[v] = fi.get(v, 0) + c
+        if fi:
+            cd["items"] = items_sketch_bytes(
+                sorted(fi.items(), key=lambda kv: (-kv[1], kv[0]))[:96],
+                stream_length=(rd.get("count") or 0) - (rd.get("null_count") or 0),
+            )
+        groups.setdefault(gk, []).append(rd)
+
+    messages = []
+    for gk in sorted(groups):
+        messages.append(
+            dataset_profile_message(
+                groups[gk],
+                session_id=session_id,
+                session_timestamp=session_timestamp,
+                tags=tags_of[gk],
+                sketches_by_column=sketches.get(gk),
+            )
+        )
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    write_delimited(messages, out_path)
+    return len(messages)
 
 
 def _frequent_items_by_group(
