@@ -434,3 +434,109 @@ def test_ivf_topk_recall(spark):
     }
     hits = sum(1 for q in exact if probed.get(q) == exact[q])
     assert hits >= 20, f"IVF nprobe=4 recall too low: {hits}/30"
+
+
+def test_banded_bucketing_improves_recall(spark):
+    # OR-construction: 2 bands of 4 planes must find every pair the single
+    # 8-plane signature finds, and (generically) more — a pair is a
+    # candidate if EITHER band collides, and each band is a prefix/suffix
+    # of the 8-plane signature
+    from whylogs_java_spark.operators.similarity import (
+        cosine_pairs_bucketed,
+        cosine_pairs_exact,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select("vec_id", "embedding")
+    mut = emb.where(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: (x * F.lit(0.9) + F.lit(0.01)).cast("float")
+        ).alias("embedding"),
+    )
+    corpus = emb.unionByName(mut)
+    exact = {(r["id_a"], r["id_b"]) for r in cosine_pairs_exact(corpus, 0.9).collect()}
+    single = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_pairs_bucketed(corpus, 0.9, planes=8, bands=1).collect()
+    }
+    banded = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_pairs_bucketed(corpus, 0.9, planes=4, bands=2).collect()
+    }
+    assert single <= banded <= exact
+    assert len(banded) / len(exact) >= 0.8
+    # double tier with the same banding: same no-false-positive guarantee
+    # and recall (bucket membership may differ for near-zero projections —
+    # double fold vs DECIMAL sum sign)
+    banded_fast = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_pairs_bucketed(
+            corpus, 0.9, planes=4, bands=2, arithmetic="double"
+        ).collect()
+    }
+    assert banded_fast <= exact
+    assert len(banded_fast) / len(exact) >= 0.8
+
+
+def test_bucket_cap_splits_hot_buckets(spark):
+    # clustered-corpus regime: with only 2 planes per band the whole corpus
+    # piles into <=4 hot buckets per band (each would generate O(|bucket|^2)
+    # pairs). bucket_cap refines every oversized bucket by split_planes
+    # extra hyperplanes, bounding per-task pair generation.
+    from whylogs_java_spark.operators.similarity import (
+        banded_buckets,
+        cosine_pairs_bucketed,
+        cosine_pairs_exact,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select("vec_id", "embedding")
+    mut = emb.where(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: (x * F.lit(0.9) + F.lit(0.01)).cast("float")
+        ).alias("embedding"),
+    )
+    corpus = emb.unionByName(mut)
+    n = corpus.count()
+
+    def max_bucket(cap):
+        sig = banded_buckets(
+            corpus, planes=2, bands=2, bucket_cap=cap, split_planes=6
+        )
+        return (
+            sig.groupBy("band", "bucket").count().agg(F.max("count")).collect()[0][0]
+        )
+
+    uncapped = max_bucket(None)
+    capped = max_bucket(50)
+    assert uncapped >= n / 4  # hot bucket: >= a quarter of the corpus
+    assert capped < uncapped / 4  # refinement split it
+    # near-duplicate pairs survive the refinement: theta ~ 0 pairs collide
+    # in the refined bucket with prob ~ (1 - theta/pi)^split_planes
+    exact = {(r["id_a"], r["id_b"]) for r in cosine_pairs_exact(corpus, 0.9).collect()}
+    capped_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_pairs_bucketed(
+            corpus, 0.9, planes=2, bands=2, arithmetic="double",
+            bucket_cap=50, split_planes=6,
+        ).collect()
+    }
+    assert capped_pairs <= exact
+    assert len(capped_pairs) / len(exact) >= 0.5
+
+
+def test_ivf_assignment_plan_no_shuffle(spark):
+    # the centroid argmax must be a per-row array expression over ONE
+    # broadcast row — no n x n_centroids Exchange, no Window over the corpus
+    from whylogs_java_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = emb.where("vec_id < 5")
+    plan = (
+        ivf_topk(emb, queries, k=3, n_centroids=8, nprobe=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # exactly one Window remains: the final per-query top-k rank
+    assert plan.count("Window [") == 1

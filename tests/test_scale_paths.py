@@ -191,3 +191,27 @@ def test_profile_session_meta_roundtrip(spark, tmp_path):
     # tag filtering selects exactly the A-group rows
     n_cols = back.select("column_name").distinct().count()
     assert back.where("tags['whylogs.tag.l_returnflag'] = 'A'").count() == n_cols
+
+
+def test_grouped_frequent_items_high_cardinality_bounded(spark):
+    # few groups x high-cardinality values: the grouped top-k must also run
+    # two-phase (partial top-k per (keys, salt) bucket, final rank per keys
+    # over <= buckets*k candidates) — no window ever buffers one group's
+    # full distinct-value table
+    base = spark.range(2_000_000).select(
+        (F.col("id") % 2).cast("string").alias("g"),
+        F.concat(F.lit("u"), F.col("id").cast("string")).alias("v"),
+    )
+    hot = spark.range(6_000).select(
+        (F.col("id") % 2).cast("string").alias("g"),
+        F.concat(F.lit("hot"), (F.col("id") % 3).cast("string")).alias("v"),
+    )
+    out = frequent_items_mod(base.unionByName(hot), "v", group_by=["g"], k=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    assert plan.count("Window [") == 2
+    rows = {(r["g"], r["rank"]): (r["value"], r["count"]) for r in out.collect()}
+    for g in ("0", "1"):
+        assert rows[(g, 1)] == ("hot0", 1000)
+        assert rows[(g, 2)] == ("hot1", 1000)
+        assert rows[(g, 3)] == ("hot2", 1000)

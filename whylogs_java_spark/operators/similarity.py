@@ -242,24 +242,32 @@ def ivf_topk(
         .drop("__h")
     )
 
+    # collapse the centroid table to ONE broadcast row holding an
+    # array<struct<centroid_id, cev>> — assignment is then a per-row argmax
+    # over that array (sort_array + slice), shuffling NOTHING: no n×C row
+    # blow-up, no Window over the corpus. At 100 TB this keeps list
+    # assignment embarrassingly parallel inside the scan stage.
+    cent_arr = cent.agg(
+        F.collect_list(F.struct(F.col("centroid_id"), F.col("cev"))).alias("__cents")
+    )
+
     def assign(side: DataFrame, idname: str, vecname: str, top: int) -> DataFrame:
-        sims = (
-            side.crossJoin(F.broadcast(cent))
-            .select(
-                F.col(idname),
-                vecname,
-                "centroid_id",
+        # struct ordering = (cosine desc, centroid_id asc) via negated id
+        scored = F.transform(
+            F.col("__cents"),
+            lambda c: F.struct(
                 (
-                    dot(F.col(vecname), F.col("cev"))
-                    / (norm(F.col(vecname)) * norm(F.col("cev")))
-                ).alias("__cs"),
-            )
+                    dot(F.col(vecname), c["cev"])
+                    / (norm(F.col(vecname)) * norm(c["cev"]))
+                ).alias("cs"),
+                (-c["centroid_id"]).alias("negid"),
+            ),
         )
-        w = Window.partitionBy(idname).orderBy(F.desc("__cs"), F.asc("centroid_id"))
+        nearest = F.slice(F.sort_array(scored, asc=False), 1, top)
         return (
-            sims.withColumn("__r", F.row_number().over(w))
-            .where(F.col("__r") <= top)
-            .drop("__r", "__cs")
+            side.crossJoin(F.broadcast(cent_arr))
+            .select(F.col(idname), vecname, F.explode(nearest).alias("__t"))
+            .select(idname, vecname, (-F.col("__t.negid")).alias("centroid_id"))
         )
 
     corpus = embeddings.select(
@@ -307,15 +315,21 @@ def hyperplane_buckets_exact(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     planes: int = 8,
+    bands: int = 1,
 ) -> DataFrame:
-    """Per-vector LSH bucket string via DECIMAL-exact hyperplane projections.
+    """Per-vector LSH bucket string(s) via DECIMAL-exact hyperplane projections.
 
     Unlike ``hyperplane_signature`` (a double fold, whose sign could differ
     across engines for near-zero projections), each projection accumulates
     as DECIMAL(38,12) over exploded (id, dim, v) rows — order-independent
     and bit-reproducible in DuckDB, so bucket assignments are
-    oracle-checkable. Output: (id, bucket string of '0'/'1').
+    oracle-checkable.
+
+    ``bands`` independent signatures of ``planes`` bits each form an
+    OR-construction (band ``j`` uses planes ``j*planes .. (j+1)*planes-1``).
+    Output: ``bands == 1`` -> (id, bucket); else (id, band, bucket).
     """
+    total = planes * bands
     flat = embeddings.select(
         F.col(id_col), F.posexplode(_as_double(F.col(vec_col))).alias("dim", "v")
     )
@@ -324,19 +338,109 @@ def hyperplane_buckets_exact(
     # `planes` md5 digests per (id, dim) row
     dims = flat.select("dim").distinct()
     signs = dims.select(
-        "dim", *[_plane_sign(p, F.col("dim")).alias(f"s{p}") for p in range(planes)]
+        "dim", *[_plane_sign(p, F.col("dim")).alias(f"s{p}") for p in range(total)]
     )
     dec = "decimal(38,12)"
     aggs = [
         F.sum((F.col("v") * F.col(f"s{p}")).cast(dec)).alias(f"proj{p}")
-        for p in range(planes)
+        for p in range(total)
     ]
     projs = flat.join(F.broadcast(signs), on="dim").groupBy(id_col).agg(*aggs)
-    bits = [
-        F.when(F.col(f"proj{p}") >= 0, F.lit("1")).otherwise(F.lit("0"))
-        for p in range(planes)
-    ]
-    return projs.select(F.col(id_col), F.concat(*bits).alias("bucket"))
+
+    def bucket_expr(band: int) -> Column:
+        bits = [
+            F.when(F.col(f"proj{band * planes + i}") >= 0, F.lit("1")).otherwise(
+                F.lit("0")
+            )
+            for i in range(planes)
+        ]
+        return F.concat(*bits)
+
+    if bands == 1:
+        return projs.select(F.col(id_col), bucket_expr(0).alias("bucket"))
+    return projs.select(
+        F.col(id_col),
+        F.posexplode(F.array(*[bucket_expr(b) for b in range(bands)])).alias(
+            "band", "bucket"
+        ),
+    )
+
+
+def banded_buckets(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = 8,
+    bands: int = 1,
+    bucket_cap: int | None = None,
+    split_planes: int = 4,
+) -> DataFrame:
+    """Per-band hyperplane bucket table (id, band, bucket) — production tier.
+
+    JVM double-fold signatures (no dim explode): band ``b`` uses planes
+    ``b*planes .. (b+1)*planes-1``. With ``bucket_cap``, any (band, bucket)
+    holding more than ``bucket_cap`` vectors is refined by ``split_planes``
+    extra hyperplanes (indices ``bands*planes ..``) — a 2^split_planes-way
+    split bounding within-bucket pair generation. The oversized-bucket
+    census is a broadcast of at most bands·2^planes rows, never a corpus
+    shuffle.
+    """
+    # the ±1 plane components depend only on (plane, dim): build each
+    # plane's sign array ONCE per distinct vector length and
+    # broadcast-join, instead of re-deriving `planes * dim` md5 digests
+    # for every row inside the fold
+    n_planes = planes * bands + (split_planes if bucket_cap is not None else 0)
+    lengths = embeddings.select(F.size(F.col(vec_col)).alias("__len")).distinct()
+    plane_arrays = lengths.select(
+        "__len",
+        *[
+            F.transform(
+                F.sequence(F.lit(0), F.col("__len") - 1),
+                lambda d, p=p: _plane_component(p, d),
+            ).alias(f"__pa{p}")
+            for p in range(n_planes)
+        ],
+    )
+    e = embeddings.join(
+        F.broadcast(plane_arrays),
+        on=F.size(F.col(vec_col)) == F.col("__len"),
+    )
+    vecd = _as_double(F.col(vec_col))
+
+    def bit(p: int) -> Column:
+        return F.when(dot(vecd, F.col(f"__pa{p}")) >= 0, F.lit("1")).otherwise(
+            F.lit("0")
+        )
+
+    band_buckets = F.array(
+        *[
+            F.concat(*[bit(b * planes + i) for i in range(planes)])
+            for b in range(bands)
+        ]
+    )
+    cols = [F.col(id_col), F.posexplode(band_buckets).alias("band", "bucket")]
+    if bucket_cap is not None:
+        extra = F.concat(*[bit(bands * planes + i) for i in range(split_planes)])
+        cols.append(extra.alias("__extra"))
+    sig = e.select(*cols)
+    if bucket_cap is not None:
+        oversized = (
+            sig.groupBy("band", "bucket")
+            .count()
+            .where(F.col("count") > bucket_cap)
+            .select("band", "bucket", F.lit(True).alias("__over"))
+        )
+        sig = (
+            sig.join(F.broadcast(oversized), on=["band", "bucket"], how="left")
+            .withColumn(
+                "bucket",
+                F.when(
+                    F.col("__over"), F.concat(F.col("bucket"), F.col("__extra"))
+                ).otherwise(F.col("bucket")),
+            )
+            .drop("__over", "__extra")
+        )
+    return sig
 
 
 def cosine_pairs_bucketed(
@@ -346,74 +450,93 @@ def cosine_pairs_bucketed(
     vec_col: str = "embedding",
     planes: int = 8,
     arithmetic: str = "decimal",
+    bands: int = 1,
+    bucket_cap: int | None = None,
+    split_planes: int = 4,
 ) -> DataFrame:
     """Embedding near-duplicate pairs at scale: hyperplane-bucket candidates,
     exact verification within buckets.
 
     The scale fix for ``cosine_pairs_exact``'s all-pairs O(n²·d) dim-join:
-    candidates come from a self-equi-join on the bucket string (shuffle on
-    the bucket key only — no cross product; two vectors collide only if
-    every hyperplane puts them on the same side), then the exact DECIMAL
-    cosine runs on the candidate pairs alone, with the corpus semi-joined
-    down to candidate ids before the dim explode. Recall trades off with
-    ``planes`` (P planes ≈ (1 - θ/π)^P collision rate for angle θ);
-    near-duplicates (θ→0) almost always collide.
+    candidates come from self-equi-joins on per-band bucket strings
+    (shuffle on the bucket key only — no cross product), then the exact
+    cosine runs on the candidate pairs alone.
+
+    **Banding (OR-construction)**: ``bands`` independent signatures of
+    ``planes`` bits each; a pair is a candidate if it collides in ANY band
+    — the same OR-construction as the text MinHash LSH (``dedup.py``).
+    Recall for angle θ is 1-(1-(1-θ/π)^planes)^bands: shorter bands catch
+    more true neighbors, multiple bands keep the false-positive rate of a
+    longer signature. ``bands=1`` is the plain single-signature bucketing.
+
+    **Bucket-size cap**: real corpora cluster, so one bucket (e.g. the
+    all-positive orthant) can hold a large corpus fraction, making the
+    within-bucket self-join quadratic. ``bucket_cap=N`` splits every
+    bucket holding more than N vectors by ``split_planes`` extra
+    hyperplanes (a 2^split_planes-way refinement), bounding per-task pair
+    generation; near-duplicates (θ→0) still collide in the refined bucket
+    with probability ≈(1-θ/π)^split_planes. The bucket-size census is an
+    agg over at most bands·2^planes rows — broadcast, never a shuffle of
+    the corpus. One refinement round (production engines iterate; the
+    mechanics are identical). Only available with ``arithmetic="double"``
+    (the cap is a plan property, not an answer property, and would make
+    the DuckDB oracle unreadable).
 
     ``arithmetic="decimal"`` (default) is the oracle-deterministic tier:
     DECIMAL(38,12) projections and dot products over exploded dims,
     bit-reproducible in DuckDB. ``arithmetic="double"`` is the production
-    tier: bucket signatures via the JVM double fold
-    (``hyperplane_signature``) and dots via ``zip_with`` on the vectors
-    carried through the bucket join — no dim explode anywhere, several
-    times faster, last-ulp engine-specific.
+    tier: bucket signatures via JVM double folds and ``zip_with`` dots —
+    no dim explode anywhere, several times faster, last-ulp
+    engine-specific.
     Output: (id_a, id_b, cosine) with cosine ≥ threshold.
     """
+    if bucket_cap is not None and arithmetic != "double":
+        raise ValueError("bucket_cap requires arithmetic='double'")
     if arithmetic == "double":
-        # the ±1 plane components depend only on (plane, dim): build each
-        # plane's sign array ONCE per distinct vector length and
-        # broadcast-join, instead of re-deriving `planes * dim` md5 digests
-        # for every row inside the fold
-        lengths = embeddings.select(F.size(F.col(vec_col)).alias("__len")).distinct()
-        plane_arrays = lengths.select(
-            "__len",
-            *[
-                F.transform(
-                    F.sequence(F.lit(0), F.col("__len") - 1),
-                    lambda d, p=p: _plane_component(p, d),
-                ).alias(f"__pa{p}")
-                for p in range(planes)
-            ],
-        )
-        e = embeddings.join(
-            F.broadcast(plane_arrays),
-            on=F.size(F.col(vec_col)) == F.col("__len"),
-        )
         vecd = _as_double(F.col(vec_col))
-        bits = [
-            F.when(dot(vecd, F.col(f"__pa{p}")) >= 0, F.lit("1")).otherwise(F.lit("0"))
-            for p in range(planes)
-        ]
-        sig = e.select(
-            F.col(id_col), vecd.alias("__v"), F.concat(*bits).alias("bucket")
+        sig = banded_buckets(
+            embeddings,
+            id_col=id_col,
+            vec_col=vec_col,
+            planes=planes,
+            bands=bands,
+            bucket_cap=bucket_cap,
+            split_planes=split_planes,
         )
-        a = sig.select(F.col(id_col).alias("id_a"), F.col("__v").alias("va"), "bucket")
-        b = sig.select(F.col(id_col).alias("id_b"), F.col("__v").alias("vb"), "bucket")
+        a = sig.select(F.col(id_col).alias("id_a"), "band", "bucket")
+        b = sig.select(F.col(id_col).alias("id_b"), "band", "bucket")
+        pairs = (
+            a.join(b, on=["band", "bucket"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        vecs = embeddings.select(F.col(id_col), vecd.alias("__v"))
         cos = dot(F.col("va"), F.col("vb")) / (norm(F.col("va")) * norm(F.col("vb")))
         return (
-            a.join(b, on="bucket")
-            .where(F.col("id_a") < F.col("id_b"))
+            pairs.join(
+                vecs.select(F.col(id_col).alias("id_a"), F.col("__v").alias("va")),
+                on="id_a",
+            )
+            .join(
+                vecs.select(F.col(id_col).alias("id_b"), F.col("__v").alias("vb")),
+                on="id_b",
+            )
             .select("id_a", "id_b", (F.round(cos, 6) + 0.0).alias("cosine"))
             .where(F.col("cosine") >= threshold)
         )
 
-    sig = hyperplane_buckets_exact(embeddings, id_col, vec_col, planes)
-    a = sig.select(F.col(id_col).alias("id_a"), "bucket")
-    b = sig.select(F.col(id_col).alias("id_b"), "bucket")
-    pairs = (
-        a.join(b, on="bucket")
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+    sig = hyperplane_buckets_exact(embeddings, id_col, vec_col, planes, bands=bands)
+    join_keys = ["bucket"] if bands == 1 else ["band", "bucket"]
+    a = sig.select(F.col(id_col).alias("id_a"), *join_keys)
+    b = sig.select(F.col(id_col).alias("id_b"), *join_keys)
+    pairs = a.join(b, on=join_keys).where(F.col("id_a") < F.col("id_b")).select(
+        "id_a", "id_b"
     )
+    if bands > 1:
+        # a pair colliding in several bands must count once (the dot-product
+        # agg below sums over pair rows)
+        pairs = pairs.distinct()
     cand = (
         pairs.select(F.col("id_a").alias(id_col))
         .unionByName(pairs.select(F.col("id_b").alias(id_col)))

@@ -190,14 +190,15 @@ def frequent_items(
     (SQL NULL ∪ NaN/±Inf ∪ null-strings) are never tracked, matching the
     reference's isNull guard before tracker updates
     (ColumnProfile.java:82-85). The ranking runs over the *aggregated
-    counts* (one row per distinct value), not the data. Grouped ranks
-    partition by the group keys (distributed). The ungrouped global top-k
-    is two-phase so no single partition ever holds the whole distinct-value
-    table: partial top-k within hash-salt buckets (a value lands in exactly
-    one bucket, so the global top-k is a subset of the union of per-bucket
-    top-k), then a final rank over ≤ partial_buckets·k candidate rows —
-    bounded memory at any cardinality, the same intent as the reference's
-    O(1)-memory ItemsSketch(128) (FrequentStringsSketch.java:14-20).
+    counts* (one row per distinct value), not the data, and is ALWAYS
+    two-phase so no single partition ever holds a whole distinct-value
+    table: partial top-k within (group keys, hash-salt bucket) — a value
+    lands in exactly one bucket per group, so the per-group top-k is a
+    subset of the union of per-bucket top-k — then a final rank per group
+    over ≤ partial_buckets·k candidate rows. Bounded memory at any
+    cardinality even for few-groups × many-distinct shapes, the same
+    intent as the reference's O(1)-memory ItemsSketch(128)
+    (FrequentStringsSketch.java:14-20).
     Output: (keys..., column_name, value, count, rank).
     """
     keys = list(group_by)
@@ -212,12 +213,13 @@ def frequent_items(
     if unique_gate is not None:
         # the reference emits frequent strings only while the estimated
         # unique count stays below 100 (SummaryConverters.java:54-60); the
-        # distinct count per group falls out of the same counts table,
+        # distinct count per group falls out of the same counts table as a
+        # keys-agg + join (never a window buffering a whole group),
         # evaluated BEFORE the top-k cut
         if keys:
-            wk = Window.partitionBy(*keys)
+            uniq = counts.groupBy(*keys).agg(F.count(F.lit(1)).alias("__uniq"))
             counts = (
-                counts.withColumn("__uniq", F.count(F.lit(1)).over(wk))
+                counts.join(uniq, on=keys)
                 .where(F.col("__uniq") < unique_gate)
                 .drop("__uniq")
             )
@@ -229,22 +231,18 @@ def frequent_items(
                 .drop("__uniq")
             )
     order = [F.desc("count"), F.asc("value")]
-    if keys:
-        ranked = counts.withColumn(
-            "rank", F.row_number().over(Window.partitionBy(*keys).orderBy(*order))
+    salt = F.pmod(F.xxhash64("value"), F.lit(partial_buckets))
+    cand = (
+        counts.withColumn(
+            "__pr",
+            F.row_number().over(Window.partitionBy(*keys, salt).orderBy(*order)),
         )
-    else:
-        salt = F.pmod(F.xxhash64("value"), F.lit(partial_buckets))
-        cand = (
-            counts.withColumn(
-                "__pr", F.row_number().over(Window.partitionBy(salt).orderBy(*order))
-            )
-            .where(F.col("__pr") <= k)
-            .drop("__pr")
-        )
-        ranked = cand.withColumn(
-            "rank", F.row_number().over(Window.partitionBy().orderBy(*order))
-        )
+        .where(F.col("__pr") <= k)
+        .drop("__pr")
+    )
+    ranked = cand.withColumn(
+        "rank", F.row_number().over(Window.partitionBy(*keys).orderBy(*order))
+    )
     return (
         ranked.where(F.col("rank") <= k)
         .select(*keys, F.lit(column).alias("column_name"), "value", "count", "rank")
