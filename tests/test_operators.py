@@ -540,3 +540,18 @@ def test_ivf_assignment_plan_no_shuffle(spark):
     )
     # exactly one Window remains: the final per-query top-k rank
     assert plan.count("Window [") == 1
+
+
+def test_legacy_exact_kwarg_maps_to_tier(spark):
+    # pre-tier callers passed exact=True/False; one release of compat
+    from whylogs_java_spark.operators.summary import quantile_summary, unique_counts
+
+    df = spark.range(100).selectExpr("CAST(id AS DOUBLE) AS v")
+    legacy = quantile_summary(df, ["v"], exact=True, quantiles=[0.5]).collect()
+    new = quantile_summary(df, ["v"], tier="exact", quantiles=[0.5]).collect()
+    assert legacy == new
+    lu = unique_counts(df, ["v"], exact=True).collect()
+    nu = unique_counts(df, ["v"], tier="exact").collect()
+    assert lu == nu and lu[0]["unique_count"] == 100
+    with pytest.raises(ValueError):
+        quantile_summary(df, ["v"], tier="sketch", exact=True)

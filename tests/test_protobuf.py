@@ -242,3 +242,48 @@ def test_merge_profile_bins_equals_whole(spark, tmp_path):
     est = one.select(F.theta_sketch_estimate("t").alias("e")).collect()[0]["e"]
     exact = li.select("l_orderkey").distinct().count()
     assert est == pytest.approx(exact, rel=0.05)
+
+
+def test_items_sketch_offset_roundtrip():
+    from whylogs_java_spark.sources.protobuf import (
+        decode_items_sketch,
+        items_sketch_bytes,
+        items_sketch_offset,
+    )
+
+    pairs = [("a", 100), ("b", 40), ("c", 7)]
+    b = items_sketch_bytes(pairs, offset=5)
+    assert items_sketch_offset(b) == 5
+    # estimates reconstruct (stored count + offset)
+    assert decode_items_sketch(b) == pairs
+    assert items_sketch_offset(items_sketch_bytes(pairs)) == 0
+    assert items_sketch_offset(items_sketch_bytes([])) == 0
+
+
+def test_merge_preserves_properties_and_offset(spark, tmp_path):
+    # DatasetProfile.merge contract: data_timestamp survives (earliest real
+    # input), metadata keeps the k/v pairs shared by every input; a merge of
+    # saturated (>=96-entry) frequent-item sketches declares a nonzero
+    # offset instead of claiming exact counts
+    from whylogs_java_spark.sources.protobuf import merge_profile_bins
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    pa, pb, pm = (str(tmp_path / x) for x in ("a.bin", "b.bin", "m.bin"))
+    write_profile_bin(
+        docs.filter("doc_id % 2 = 0"), pa, session_id="a",
+        data_timestamp=2000, metadata={"env": "prod", "only_a": "1"},
+    )
+    write_profile_bin(
+        docs.filter("doc_id % 2 = 1"), pb, session_id="b",
+        data_timestamp=1000, metadata={"env": "prod", "only_a": "2"},
+    )
+    merge_profile_bins(spark, [pa, pb], pm)
+    rows = read_profile_bin(spark, pm).collect()
+    r = {x["column_name"]: x for x in rows}
+    assert all(x["data_timestamp"] == 1000 for x in rows)
+    assert all(x["metadata"] == {"env": "prod"} for x in rows)
+    # text has far more than 96 distinct values in each half: the merged
+    # sketch must carry a nonzero purge offset (honest bounds)
+    assert r["text"]["frequent_items_offset"] >= 1

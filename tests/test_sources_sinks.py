@@ -409,3 +409,88 @@ def test_streaming_stateful_sessionize(spark, tmp_path):
     }
     for (entity, start), r in got.items():
         assert batch[(entity, start)] == r["n_events"]
+
+
+def test_theta_bounds_on_v3_wire_sketches(spark):
+    # sketches read back from reference-written profiles are serVer 3 with
+    # a full preamble (curCount + thetaLong) — theta_bounds must parse them
+    # (not collapse to 1.0): v4->v3 re-encode preserves estimate and bounds
+    from whylogs_java_spark.operators.approx import theta_bounds
+    from whylogs_java_spark.sources.protobuf import theta_v4_to_v3
+
+    for n in (100, 15000):  # v3 preLongs=2 (exact) and preLongs=3 (estimation)
+        v4 = (
+            spark.range(n)
+            .agg(F.theta_sketch_agg(F.col("id").cast("double")).alias("s"))
+            .collect()[0]["s"]
+        )
+        v3 = theta_v4_to_v3(bytes(v4))
+        df = spark.createDataFrame(
+            [("v4", bytearray(bytes(v4))), ("v3", bytearray(v3))], "ver string, s binary"
+        )
+        tb = theta_bounds(F.col("s"))
+        rows = {
+            r["ver"]: r
+            for r in df.select(
+                "ver",
+                tb["estimate"].alias("est"),
+                tb["lower"].alias("lo"),
+                tb["upper"].alias("hi"),
+            ).collect()
+        }
+        assert rows["v3"]["est"] == pytest.approx(rows["v4"]["est"], rel=1e-9), n
+        assert rows["v3"]["lo"] == pytest.approx(rows["v4"]["lo"], rel=1e-9), n
+        assert rows["v3"]["hi"] == pytest.approx(rows["v4"]["hi"], rel=1e-9), n
+        assert rows["v3"]["lo"] <= n <= rows["v3"]["hi"]
+
+
+def test_stateful_session_fn_late_events():
+    # unit-level check of the state-merge fold: an admitted late event
+    # earlier than the stored session start extends the session backwards;
+    # an event older than start - gap becomes its own earlier closed session
+    import pandas as pd
+
+    from whylogs_java_spark.streaming.stateful_sessions import _session_fn, _US
+
+    class FakeState:
+        def __init__(self, tup):
+            self._t = tup
+            self.hasTimedOut = False
+            self.updated = None
+            self.timeout = None
+
+        @property
+        def exists(self):
+            return self._t is not None
+
+        @property
+        def get(self):
+            return self._t
+
+        def update(self, t):
+            self.updated = t
+
+        def setTimeoutTimestamp(self, ms):
+            self.timeout = ms
+
+        def remove(self):
+            self._t = None
+
+    gap = 1800 * _US
+    fn = _session_fn(gap)
+    hour = 3600 * _US
+
+    # stored open session [10h, 10h30], 3 events
+    st = FakeState((10 * hour, 10 * hour + 30 * 60 * _US, 3))
+    # late events: 9h50 (within gap of start -> extend backwards),
+    # 2h and 2h10 (older than start - gap -> own earlier session, closed)
+    ts = [2 * hour, 2 * hour + 10 * 60 * _US, 9 * hour + 50 * 60 * _US]
+    pdf = pd.DataFrame({"ts": [pd.Timestamp(t * 1000, unit="ns") for t in ts]})
+    out = list(fn((7,), [pdf], st))[0]
+    assert len(out) == 1  # the 2h pair emitted as one closed session
+    r = out.iloc[0]
+    assert r["session_start"] == pd.Timestamp(2 * hour, unit="us")
+    assert r["session_end"] == pd.Timestamp(2 * hour + 10 * 60 * _US, unit="us")
+    assert r["n_events"] == 2 and r["closed_by"] == "gap"
+    # open session extended backwards to 9h50 with the late event counted
+    assert st.updated == (9 * hour + 50 * 60 * _US, 10 * hour + 30 * 60 * _US, 4)

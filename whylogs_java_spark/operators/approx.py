@@ -161,7 +161,13 @@ def theta_bounds(sketch) -> dict[str, "F.Column"]:
     so the bounds inputs parse with JVM expressions (no UDF):
 
     - serVer 3, 8 bytes: empty sketch (0 distinct).
-    - serVer 3, 16 bytes: single-item sketch (1 distinct).
+    - serVer 3, preLongs 1 (16 bytes): single-item sketch (1 distinct).
+    - serVer 3, preLongs 2: exact mode — curCount (LE int32) at bytes
+      8..12; theta = 1, bounds = estimate.
+    - serVer 3, preLongs 3: estimation mode — curCount at bytes 8..12,
+      thetaLong (LE int64) at bytes 16..24 (the layout reference-written
+      profiles carry and ``theta_v4_to_v3`` emits); estimate =
+      curCount / (theta / 2^63).
     - serVer 4, preLongs 1: exact mode — numEntries (little-endian,
       byte-width at byte 4) at offset 8; theta = 1, bounds = estimate.
     - serVer 4, preLongs 2: estimation mode — theta (LE int64) at bytes
@@ -186,15 +192,32 @@ def theta_bounds(sketch) -> dict[str, "F.Column"]:
         return e
 
     theta_frac = (_le_int(sketch, 9, 8).cast("double") / F.lit(float(1 << 63)))
+    cur3 = _le_int(sketch, 9, 4)
+    theta3_frac = (_le_int(sketch, 17, 8).cast("double") / F.lit(float(1 << 63)))
+    est3 = (
+        F.when(ln <= 8, F.lit(0.0))
+        .when(pre == 1, F.lit(1.0))
+        .when(pre == 2, cur3.cast("double"))
+        .otherwise(cur3.cast("double") / theta3_frac)
+    )
+    ret3 = (
+        F.when(ln <= 8, F.lit(0))
+        .when(pre == 1, F.lit(1))
+        .otherwise(cur3)
+    )
     est = (
-        F.when(ser == 3, F.when(ln <= 8, F.lit(0.0)).otherwise(F.lit(1.0)))
+        F.when(ser == 3, est3)
         .when(pre == 1, entries_at(9).cast("double"))
         .otherwise(entries_at(17).cast("double") / theta_frac)
     )
-    retained = F.when(ser == 3, F.when(ln <= 8, F.lit(0)).otherwise(F.lit(1))).when(
-        pre == 1, entries_at(9)
-    ).otherwise(entries_at(17))
-    est_mode = (ser == 4) & (pre >= 2) & (retained > 1)
+    retained = (
+        F.when(ser == 3, ret3)
+        .when(pre == 1, entries_at(9))
+        .otherwise(entries_at(17))
+    )
+    est_mode = (
+        ((ser == 4) & (pre >= 2)) | ((ser == 3) & (pre == 3))
+    ) & (retained > 1)
     rse = F.lit(1.0) / F.sqrt((retained - 1).cast("double"))
     lower = F.when(est_mode, est / (F.lit(1.0) + rse)).otherwise(est)
     upper = F.when(est_mode, est / (F.lit(1.0) - rse)).otherwise(est)

@@ -33,13 +33,25 @@ from ..constants import (
 from ..functions.predicates import masked, truncated_text
 
 
+def _resolve_tier(tier: str | None, exact: bool | None) -> str:
+    """Reconcile the tier= kwarg with the legacy exact= boolean spelling
+    (one release of overlap; conflicting values raise)."""
+    if exact is None:
+        return tier if tier is not None else "sketch"
+    legacy = "exact" if exact else "sketch"
+    if tier is not None and tier != legacy:
+        raise ValueError(f"conflicting tier={tier!r} and exact={exact!r}")
+    return legacy
+
+
 def quantile_summary(
     df: DataFrame,
     columns: Sequence[str],
     group_by: Sequence[str] = (),
     quantiles: Sequence[float] = tuple(SUMMARY_QUANTILES),
-    tier: str = "sketch",
+    tier: str | None = None,
     accuracy: int = 10000,
+    exact: bool | None = None,
 ) -> DataFrame:
     """Long-format quantiles: (keys..., column_name, quantile, value).
 
@@ -51,7 +63,12 @@ def quantile_summary(
     bounded-memory approx-percentile sketch; ``tier="exact"`` buffers
     per-group values for interpolated exact percentiles — use it only for
     oracle/correctness runs, it is OOM-prone on huge groups.
+
+    ``exact=`` is the pre-tier boolean spelling, kept for callers of the
+    old signature (maps to ``tier="exact"``/``"sketch"``; the default
+    flipped from exact to sketch when tiers landed).
     """
+    tier = _resolve_tier(tier, exact)
     if tier not in ("sketch", "exact"):
         raise ValueError(f"tier must be 'sketch' or 'exact', got {tier!r}")
     schema = {f.name: f.dataType for f in df.schema.fields}
@@ -253,7 +270,8 @@ def unique_counts(
     df: DataFrame,
     columns: Sequence[str],
     group_by: Sequence[str] = (),
-    tier: str = "sketch",
+    tier: str | None = None,
+    exact: bool | None = None,
 ) -> DataFrame:
     """Per-column distinct counts, long format.
 
@@ -262,8 +280,10 @@ def unique_counts(
     approx_count_distinct: HLL++, one pass, bounded memory, no distinct
     expansion. ``tier="exact"`` is count_distinct (oracle-comparable) —
     it expands distinct values per group; use only for correctness runs.
+    ``exact=`` is the legacy boolean spelling of the same choice.
     Output: (keys..., column_name, unique_count).
     """
+    tier = _resolve_tier(tier, exact)
     if tier not in ("sketch", "exact"):
         raise ValueError(f"tier must be 'sketch' or 'exact', got {tier!r}")
     keys = list(group_by)

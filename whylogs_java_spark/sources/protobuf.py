@@ -427,12 +427,26 @@ def decode_items_sketch(b: bytes) -> list[tuple[str, int]]:
     return out
 
 
+def items_sketch_offset(b: bytes) -> int:
+    """The purge-error offset of an ItemsSketch<String> binary (0 for empty
+    or non-items binaries) — the max undercount a purged sketch could carry
+    (readers see lower = stored count, upper = stored + offset)."""
+    if len(b) < 32 or b[2] != 10 or b[0] & 0x3F == 1:
+        return 0
+    return struct.unpack("<q", b[24:32])[0]
+
+
 def items_sketch_bytes(
-    items: Sequence[tuple[str, int]], stream_length: int | None = None
+    items: Sequence[tuple[str, int]],
+    stream_length: int | None = None,
+    offset: int = 0,
 ) -> bytes:
-    """Serialize exact (value, count) pairs as an ItemsSketch<String> binary
-    readable by DataSketches Java (offset 0 = no purge error, so the
-    reference reads our counts as exact lower==upper bounds).
+    """Serialize (value, estimated count) pairs as an ItemsSketch<String>
+    binary readable by DataSketches Java. With ``offset == 0`` the counts
+    read back as exact (lower == upper bounds). A nonzero ``offset``
+    declares purge error honestly: stored counts are ``estimate - offset``,
+    so readers see lower = estimate - offset, upper = estimate — use it
+    when merging inputs that were themselves truncated/purged sketches.
 
     Capped at 96 items = the load capacity of the reference's
     ItemsSketch(2^FREQUENT_MAX_LG_K=128) (FrequentStringsSketch.java:14-20)
@@ -449,9 +463,9 @@ def items_sketch_bytes(
     out = bytearray(bytes([4, 1, 10, lg_max, lg_cur, 0, 0, 0]))
     out += struct.pack("<q", n)
     out += struct.pack("<q", total)
-    out += struct.pack("<q", 0)
+    out += struct.pack("<q", offset)
     for _, c in items:
-        out += struct.pack("<q", c)
+        out += struct.pack("<q", max(c - offset, 0))
     for v, _ in items:
         enc = v.encode("utf-8")
         out += struct.pack("<i", len(enc)) + enc
@@ -649,7 +663,8 @@ def write_delimited(messages: Iterable[bytes], path: str) -> None:
 
 _READ_SCHEMA = (
     "path string, msg_index int, session_id string, session_timestamp long, "
-    "data_timestamp long, tags map<string,string>, column_name string, "
+    "data_timestamp long, tags map<string,string>, "
+    "metadata map<string,string>, column_name string, "
     "count long, null_count long, true_count long, integral_count long, "
     "fractional_count long, boolean_count long, string_count long, "
     "unknown_count long, n long, min double, max double, sum double, "
@@ -659,7 +674,8 @@ _READ_SCHEMA = (
     "tok_n long, tok_min double, tok_max double, tok_sum double, "
     "tok_mean double, tok_variance double, "
     "kll binary, theta binary, "
-    "hll binary, items binary, frequent_items map<string,bigint>"
+    "hll binary, items binary, frequent_items map<string,bigint>, "
+    "frequent_items_offset long"
 )
 
 
@@ -694,7 +710,8 @@ def _rows_of_profile(path: str, idx: int, prof: dict) -> list[tuple]:
         out.append(
             (
                 path, idx, props.get("session_id"), props.get("session_timestamp"),
-                props.get("data_timestamp"), props.get("tags") or {}, name,
+                props.get("data_timestamp"), props.get("tags") or {},
+                props.get("metadata") or {}, name,
                 c["count"], null_count, c["true_count"],
                 tc.get(_T_INTEGRAL, 0), tc.get(_T_FRACTIONAL, 0),
                 tc.get(_T_BOOLEAN, 0), tc.get(_T_STRING, 0), tc.get(_T_UNKNOWN, 0),
@@ -704,6 +721,9 @@ def _rows_of_profile(path: str, idx: int, prof: dict) -> list[tuple]:
                 dict(decode_items_sketch(c["frequent_items"]))
                 if c["frequent_items"]
                 else {},
+                items_sketch_offset(c["frequent_items"])
+                if c["frequent_items"]
+                else 0,
             )
         )
     return out
@@ -755,8 +775,13 @@ def merge_profile_bins(
     pairwise combine generalized to k-way), and the sketch binaries merge
     with Spark's native DataSketches union aggregates (kll_merge_agg_float
     / theta_union_agg / hll_union_agg — theta re-encoded serVer 4→3 on
-    write). Frequent items merge driver-side (≤96 exact-count entries per
-    column). Returns the number of merged messages written.
+    write). Frequent items merge driver-side (≤96 entries per column) with
+    honest error bounds: input purge offsets add, and a merge that
+    truncates past 96 entries folds the largest dropped count into the
+    offset. Dataset properties survive the merge: data_timestamp = the
+    earliest real input timestamp (-1 when none), metadata = the k/v
+    pairs equal across every input (DatasetProfile.doMerge's
+    sharedMetadata rule). Returns the number of merged messages written.
     """
     from pyspark.sql import functions as F
 
@@ -798,17 +823,46 @@ def merge_profile_bins(
         F.theta_union_agg("theta", F.lit(12)).alias("theta"),
         F.hll_union_agg("hll", F.lit(True)).alias("hll"),
         F.collect_list("frequent_items").alias("__items_list"),
+        # sum of the inputs' purge offsets = the merged sketch's worst-case
+        # undercount (DataSketches union adds error bounds); saturation flag
+        # via the largest input entry count
+        F.sum("frequent_items_offset").alias("__items_offset"),
+        F.max(F.size("frequent_items")).alias("__items_max_n"),
+        # dataset timestamp: earliest real (>= 0) input timestamp survives
+        # the merge (DatasetProfile.merge keeps a representative timestamp;
+        # min is the order-independent choice), -1 when no input has one
+        F.min(
+            F.when(F.col("data_timestamp") >= 0, F.col("data_timestamp"))
+        ).alias("__data_ts"),
+        F.collect_list("metadata").alias("__meta_list"),
     ]
     merged = df.groupBy(tag_key.alias("__tags_key"), "column_name").agg(*aggs)
 
     groups: dict[str, list[dict]] = {}
     tags_of: dict[str, dict] = {}
     sketches: dict[str, dict[str, dict]] = {}
+    data_ts_of: dict[str, int] = {}
+    meta_of: dict[str, dict] = {}
     for r in merged.collect():
         rd = r.asDict()
         gk = rd.pop("__tags_key")
         tags_of[gk] = rd.pop("tags")
         items_list = rd.pop("__items_list") or []
+        items_offset = rd.pop("__items_offset") or 0
+        items_max_n = rd.pop("__items_max_n") or 0
+        dts = rd.pop("__data_ts")
+        if dts is not None:
+            data_ts_of[gk] = min(data_ts_of.get(gk, dts), dts)
+        # shared metadata = k/v pairs equal across every input message
+        # (DatasetProfile.doMerge's sharedMetadata rule, k-way)
+        for m in rd.pop("__meta_list") or []:
+            m = dict(m or {})
+            if gk not in meta_of:
+                meta_of[gk] = m
+            else:
+                meta_of[gk] = {
+                    k: v for k, v in meta_of[gk].items() if m.get(k) == v
+                }
         col = rd["column_name"]
         cd = sketches.setdefault(gk, {}).setdefault(col, {})
         for field in ("kll", "theta", "hll"):
@@ -821,9 +875,21 @@ def merge_profile_bins(
             for v, c in (m or {}).items():
                 fi[v] = fi.get(v, 0) + c
         if fi:
+            pairs = sorted(fi.items(), key=lambda kv: (-kv[1], kv[0]))
+            # honest error bounds: inputs' purge offsets add; if this merge
+            # itself truncates past the 96-entry cap, the largest dropped
+            # count joins the offset (it is the max undercount a surviving
+            # value could carry). Offset stays 0 only for exact inputs
+            # below saturation.
+            off = int(items_offset)
+            if len(pairs) > 96:
+                off += pairs[96][1]
+            elif items_max_n >= 96 and off == 0:
+                off = 1
             cd["items"] = items_sketch_bytes(
-                sorted(fi.items(), key=lambda kv: (-kv[1], kv[0]))[:96],
+                pairs[:96],
                 stream_length=(rd.get("count") or 0) - (rd.get("null_count") or 0),
+                offset=off,
             )
         groups.setdefault(gk, []).append(rd)
 
@@ -834,7 +900,9 @@ def merge_profile_bins(
                 groups[gk],
                 session_id=session_id,
                 session_timestamp=session_timestamp,
+                data_timestamp=data_ts_of.get(gk, -1),
                 tags=tags_of[gk],
+                metadata=meta_of.get(gk) or None,
                 sketches_by_column=sketches.get(gk),
             )
         )
@@ -901,6 +969,7 @@ def write_profile_bin(
     session_timestamp: int = 0,
     data_timestamp: int = -1,
     tags: dict[str, str] | None = None,
+    metadata: dict[str, str] | None = None,
     null_strings: Sequence[str] = (),
     include_sketches: bool = True,
     frequent_items_k: int = 128,
@@ -980,6 +1049,7 @@ def write_profile_bin(
                 session_timestamp=session_timestamp,
                 data_timestamp=data_timestamp,
                 tags=gtags,
+                metadata=metadata,
                 sketches_by_column=sketches.get(gk),
             )
         )

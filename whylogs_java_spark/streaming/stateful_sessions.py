@@ -13,7 +13,10 @@ micros — and:
 - registers an event-time timeout at ``last_event + gap``; when the
   watermark passes it, the still-open session is emitted and the state
   dropped — so every session is emitted exactly once, late data within
-  the watermark is still folded in, and state is bounded by the number of
+  the watermark is still folded in (an admitted late event earlier than
+  the stored session start extends it backwards — start = min; a late
+  event older than ``start - gap`` becomes its own earlier session,
+  emitted closed immediately), and state is bounded by the number of
   concurrently-active entities (not by history).
 
 Arrow-batched per group (no per-row Python), the standard shape for custom
@@ -61,25 +64,34 @@ def _session_fn(gap_us: int):
             emit(start, last, n, "timeout")
             state.remove()
         else:
-            ts: list[int] = []
-            for pdf in pdfs:
-                ts.extend(int(t.value // 1000) for t in pdf["ts"])
-            ts.sort()
-            start = last = n = None
+            # merge-of-intervals fold: the stored open session is one
+            # interval item among the (sorted) event points, so an admitted
+            # late event EARLIER than the stored start extends the session
+            # backwards (start = min), and events older than start - gap
+            # form their own earlier session(s), emitted closed immediately
+            # — not silently folded into the current one.
+            items: list[list[int]] = []
             if state.exists:
-                start, last, n = state.get
-            for t in ts:
-                if start is None:
-                    start, last, n = t, t, 1
-                elif t - last > gap_us:
-                    emit(start, last, n, "gap")
-                    start, last, n = t, t, 1
+                s0, l0, n0 = state.get
+                items.append([s0, l0, n0])
+            for pdf in pdfs:
+                for t in pdf["ts"]:
+                    tu = int(t.value // 1000)
+                    items.append([tu, tu, 1])
+            items.sort(key=lambda it: (it[0], it[1]))
+            cur: list[int] | None = None
+            for it in items:
+                if cur is None:
+                    cur = it[:]
+                elif it[0] - cur[1] > gap_us:
+                    emit(cur[0], cur[1], cur[2], "gap")
+                    cur = it[:]
                 else:
-                    last = max(last, t)
-                    n += 1
-            if start is not None:
-                state.update((start, last, n))
-                state.setTimeoutTimestamp((last + gap_us) // 1000)
+                    cur[1] = max(cur[1], it[1])
+                    cur[2] += it[2]
+            if cur is not None:
+                state.update((cur[0], cur[1], cur[2]))
+                state.setTimeoutTimestamp((cur[1] + gap_us) // 1000)
         yield pd.DataFrame(
             rows,
             columns=["entity", "session_start", "session_end", "n_events", "closed_by"],
