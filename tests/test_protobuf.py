@@ -287,3 +287,117 @@ def test_merge_preserves_properties_and_offset(spark, tmp_path):
     # text has far more than 96 distinct values in each half: the merged
     # sketch must carry a nonzero purge offset (honest bounds)
     assert r["text"]["frequent_items_offset"] >= 1
+
+
+def _events_cls_df(spark):
+    from whylogs_java_spark.sources.parquet import load_table
+
+    ev = load_table(spark, SF_DIR, "events")
+    return ev.select(
+        "event_id",
+        (F.col("value") > 50).alias("pred"),
+        ((F.col("value") + (F.col("event_id") % 20) - 10) > 50).alias("tgt"),
+        F.col("value").alias("score"),
+    )
+
+
+def test_model_profile_classification_roundtrip(spark, tmp_path):
+    # ScoreMatrixMessage write -> parse: labels, confusion counts and
+    # per-cell score stats survive the wire (ModelProfile.toProtobuf /
+    # ClassificationMetrics.java:206-224 parity)
+    from whylogs_java_spark.operators.model import confusion_matrix
+    from whylogs_java_spark.sources.protobuf import (
+        classification_model_dict,
+        decode_dataset_profile,
+        iter_delimited,
+        write_profile_bin,
+    )
+
+    ev = _events_cls_df(spark)
+    cm_rows = confusion_matrix(ev, "pred", "tgt", score="score").collect()
+    model = classification_model_dict(cm_rows, "pred", "tgt", "score")
+    out = str(tmp_path / "cls.bin")
+    write_profile_bin(ev.select("pred", "tgt", "score"), out, model=model)
+
+    msg = next(iter(iter_delimited(open(out, "rb").read())))
+    got = decode_dataset_profile(msg)["model"]
+    assert got["model_type"] == 1
+    cls = got["classification"]
+    assert cls["labels"] == ["0", "1"]
+    assert cls["prediction_field"] == "pred"
+    assert cls["target_field"] == "tgt"
+    assert cls["score_field"] == "score"
+    truth = {
+        (r["prediction"], r["target"]): r for r in cm_rows
+    }
+    for key, r in truth.items():
+        assert cls["confusion"][key] == r["count"], key
+        cell = cls["cells"][key]
+        assert cell["score_min"] == pytest.approx(r["score_min"], abs=1e-6)
+        assert cell["score_max"] == pytest.approx(r["score_max"], abs=1e-6)
+        assert cell["score_mean"] == pytest.approx(r["score_mean"], abs=1e-4)
+        assert cell["score_variance"] == pytest.approx(r["score_variance"], rel=1e-3)
+
+
+def test_model_profile_merge_equals_whole(spark, tmp_path):
+    # merge of two half-profiles' score matrices == the whole profile's
+    # (ClassificationMetrics.merge / ModelMetrics.merge parity)
+    from whylogs_java_spark.operators.model import confusion_matrix
+    from whylogs_java_spark.sources.protobuf import (
+        classification_model_dict,
+        decode_dataset_profile,
+        iter_delimited,
+        merge_profile_bins,
+        write_profile_bin,
+    )
+
+    ev = _events_cls_df(spark)
+    pa, pb, pm = (str(tmp_path / x) for x in ("a.bin", "b.bin", "m.bin"))
+    halves = [ev.filter("event_id % 2 = 0"), ev.filter("event_id % 2 = 1")]
+    for half, p in zip(halves, (pa, pb)):
+        rows = confusion_matrix(half, "pred", "tgt", score="score").collect()
+        write_profile_bin(
+            half.select("pred", "tgt", "score"), p,
+            model=classification_model_dict(rows, "pred", "tgt", "score"),
+        )
+    merge_profile_bins(spark, [pa, pb], pm)
+    got = decode_dataset_profile(
+        next(iter(iter_delimited(open(pm, "rb").read())))
+    )["model"]
+    assert got["model_type"] == 1
+    whole = {
+        (r["prediction"], r["target"]): r
+        for r in confusion_matrix(ev, "pred", "tgt", score="score").collect()
+    }
+    cls = got["classification"]
+    assert set(cls["confusion"]) == set(whole)
+    for key, r in whole.items():
+        assert cls["confusion"][key] == r["count"], key
+        cell = cls["cells"][key]
+        assert cell["score_mean"] == pytest.approx(r["score_mean"], abs=1e-4)
+        assert cell["score_variance"] == pytest.approx(r["score_variance"], rel=1e-3)
+
+
+def test_model_profile_regression_rewrite_matches_golden(spark, tmp_path):
+    # re-encode the golden fixture's regression metrics through our writer
+    # and parse back — field-for-field equality with the fixture's values
+    from whylogs_java_spark.sources.protobuf import (
+        decode_dataset_profile,
+        iter_delimited,
+        regression_model_dict,
+        write_profile_bin,
+    )
+
+    golden = _first_profile(f"{FIXTURES}/regression.bin")["model"]["regression"]
+    model = regression_model_dict(golden, "predictions", "targets")
+    df = spark.range(3).selectExpr("CAST(id AS DOUBLE) AS v")
+    out = str(tmp_path / "reg.bin")
+    write_profile_bin(df, out, model=model)
+    got = decode_dataset_profile(
+        next(iter(iter_delimited(open(out, "rb").read())))
+    )["model"]
+    assert got["model_type"] == 2
+    for f in ("prediction_field", "target_field", "count"):
+        assert got["regression"][f] == golden[f]
+    for f in ("sum_abs_diff", "sum_diff", "sum2_diff"):
+        assert got["regression"][f] == pytest.approx(golden[f], rel=1e-12)

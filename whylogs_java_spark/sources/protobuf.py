@@ -264,14 +264,71 @@ def _decode_column(buf: bytes) -> dict:
     return out
 
 
+def _decode_score_matrix(buf: bytes) -> dict | None:
+    """ScoreMatrixMessage (ClassificationMetrics.toProtobuf,
+    ClassificationMetrics.java:206-224): labels=1, prediction_field=2,
+    target_field=3, score_field=4, scores=5 (repeated NumbersMessage,
+    row-major — fromProtobuf reads scores[i] into [i/n][i%n],
+    ClassificationMetrics.java:243-247). Confusion counts are the
+    per-cell NumberTracker counts (getConfusionMatrix,
+    ClassificationMetrics.java:37-45)."""
+    out: dict = {
+        "labels": [], "prediction_field": None, "target_field": None,
+        "score_field": None, "scores": [],
+    }
+    for fn, _, v in _iter_fields(buf):
+        if fn == 1:
+            out["labels"].append(v.decode("utf-8"))
+        elif fn == 2:
+            out["prediction_field"] = v.decode("utf-8")
+        elif fn == 3:
+            out["target_field"] = v.decode("utf-8")
+        elif fn == 4:
+            out["score_field"] = v.decode("utf-8")
+        elif fn == 5:
+            out["scores"].append(_decode_numbers(v))
+    if not out["labels"] and not out["scores"]:
+        return None
+    n = len(out["labels"])
+    confusion: dict[tuple[str, str], int] = {}
+    cells: dict[tuple[str, str], dict] = {}
+    for i, s in enumerate(out["scores"]):
+        if not n:
+            break
+        pred, tgt = out["labels"][i // n], out["labels"][i % n]
+        nums = s.get("doubles") or s.get("longs") or {}
+        confusion[(pred, tgt)] = nums.get("count", 0)
+        var = s.get("variance") or {}
+        cnt = nums.get("count", 0)
+        cells[(pred, tgt)] = {
+            "count": cnt,
+            "score_min": nums.get("min"),
+            "score_max": nums.get("max"),
+            "score_sum": nums.get("sum"),
+            "score_mean": var.get("mean"),
+            "score_variance": (
+                var.get("sum", 0.0) / (cnt - 1) if cnt and cnt > 1 else
+                (0.0 if cnt == 1 else None)
+            ),
+        }
+    out["confusion"] = confusion
+    out["cells"] = cells
+    return out
+
+
 def _decode_model(buf: bytes) -> dict | None:
-    out: dict = {"output_fields": [], "model_type": None, "regression": None}
+    out: dict = {
+        "output_fields": [], "model_type": None, "regression": None,
+        "classification": None,
+    }
     for fn, wt, v in _iter_fields(buf):
         if fn == 1:
             out["output_fields"].append(v.decode("utf-8"))
         elif fn == 10:
             for mfn, _, mv in _iter_fields(v):
-                if mfn == 2:
+                if mfn == 1:
+                    out["classification"] = _decode_score_matrix(mv)
+                elif mfn == 2:
                     out["model_type"] = _i64(mv)
                 elif mfn == 3:
                     reg: dict = {}
@@ -621,6 +678,218 @@ def column_message(row: dict, sketches: dict | None = None) -> bytes:
     return out
 
 
+_MODEL_UNKNOWN, _MODEL_CLASSIFICATION, _MODEL_REGRESSION = 0, 1, 2
+
+
+def score_matrix_message(
+    labels: Sequence[str],
+    cells: dict[tuple[str, str], dict],
+    prediction_field: str,
+    target_field: str,
+    score_field: str = "",
+) -> bytes:
+    """ScoreMatrixMessage bytes (ClassificationMetrics.toProtobuf parity,
+    ClassificationMetrics.java:206-224): sorted labels, one NumbersMessage
+    per (prediction, target) cell in row-major order; the cell count IS the
+    confusion count, the number stats describe the tracked scores (the
+    reference tracks score 0.0 when no score column is given)."""
+    labels = sorted(labels)
+    out = b""
+    for lab in labels:
+        out += _f_str(1, lab)
+    out += _f_str(2, prediction_field) + _f_str(3, target_field)
+    if score_field:
+        out += _f_str(4, score_field)
+    for pl in labels:
+        for tl in labels:
+            c = cells.get((pl, tl)) or {}
+            n = int(c.get("count") or 0)
+            out += _f_bytes(
+                5,
+                _numbers_msg(
+                    n,
+                    c.get("score_min") if c.get("score_min") is not None else 0.0,
+                    c.get("score_max") if c.get("score_max") is not None else 0.0,
+                    c.get("score_sum") if c.get("score_sum") is not None else 0.0,
+                    c.get("score_mean") if c.get("score_mean") is not None else 0.0,
+                    c.get("score_variance") if c.get("score_variance") is not None else 0.0,
+                    False,
+                    None,
+                    None,
+                ),
+            )
+    return out
+
+
+def model_profile_message(model: dict) -> bytes:
+    """ModelProfileMessage bytes (ModelProfile.toProtobuf,
+    ModelProfile.java:36-41): output_fields=1, metrics=10 with
+    scoreMatrix=1 / model_type=2 / regression=3.
+
+    ``model``: {"model_type": 1|2, "output_fields": [..],
+    "classification": {labels, cells, prediction_field, target_field,
+    score_field}, "regression": {prediction_field, target_field, count,
+    sum_abs_diff, sum_diff, sum2_diff}} — the dict shapes
+    ``classification_model_dict``/``regression_model_dict`` build and
+    ``_decode_model`` returns."""
+    out = b""
+    for f_ in model.get("output_fields") or []:
+        out += _f_str(1, f_)
+    metrics = b""
+    cls = model.get("classification")
+    if cls:
+        metrics += _f_bytes(
+            1,
+            score_matrix_message(
+                cls["labels"],
+                cls["cells"],
+                cls.get("prediction_field") or "",
+                cls.get("target_field") or "",
+                cls.get("score_field") or "",
+            ),
+        )
+    metrics += _f_varint(2, int(model.get("model_type") or _MODEL_UNKNOWN))
+    reg = model.get("regression")
+    if reg:
+        rm = _f_str(1, reg.get("prediction_field") or "")
+        rm += _f_str(2, reg.get("target_field") or "")
+        rm += _f_varint(3, int(reg.get("count") or 0))
+        rm += _f_double(4, float(reg.get("sum_abs_diff") or 0.0))
+        rm += _f_double(5, float(reg.get("sum_diff") or 0.0))
+        rm += _f_double(6, float(reg.get("sum2_diff") or 0.0))
+        metrics += _f_bytes(3, rm)
+    return out + _f_bytes(10, metrics)
+
+
+def classification_model_dict(
+    confusion_rows: Sequence,
+    prediction_field: str,
+    target_field: str,
+    score_field: str = "",
+) -> dict:
+    """Model dict from collected ``operators.model.confusion_matrix`` rows
+    (long format: prediction, target, count[, score_* stats])."""
+    cells: dict[tuple[str, str], dict] = {}
+    labels: set[str] = set()
+    for r in confusion_rows:
+        rd = r.asDict() if hasattr(r, "asDict") else dict(r)
+        key = (rd["prediction"], rd["target"])
+        labels.update(key)
+        cells[key] = {
+            "count": rd.get("count") or 0,
+            "score_min": rd.get("score_min"),
+            "score_max": rd.get("score_max"),
+            "score_sum": rd.get("score_sum"),
+            "score_mean": rd.get("score_mean"),
+            "score_variance": rd.get("score_variance"),
+        }
+    return {
+        "model_type": _MODEL_CLASSIFICATION,
+        "output_fields": [prediction_field],
+        "classification": {
+            "labels": sorted(labels),
+            "cells": cells,
+            "prediction_field": prediction_field,
+            "target_field": target_field,
+            "score_field": score_field,
+        },
+    }
+
+
+def regression_model_dict(
+    regression_row, prediction_field: str, target_field: str
+) -> dict:
+    """Model dict from the single collected ``regression_metrics`` row."""
+    rd = (
+        regression_row.asDict()
+        if hasattr(regression_row, "asDict")
+        else dict(regression_row)
+    )
+    return {
+        "model_type": _MODEL_REGRESSION,
+        "output_fields": [prediction_field],
+        "regression": {
+            "prediction_field": prediction_field,
+            "target_field": target_field,
+            "count": rd.get("count") or 0,
+            "sum_abs_diff": rd.get("sum_abs_diff") or 0.0,
+            "sum_diff": rd.get("sum_diff") or 0.0,
+            "sum2_diff": rd.get("sum2_diff") or 0.0,
+        },
+    }
+
+
+def merge_model_dicts(a: dict | None, b: dict | None) -> dict | None:
+    """ModelMetrics.merge parity (ModelMetrics.java:56-76): same-type only;
+    regression sums add (RegressionMetrics.merge); classification merges by
+    label union with per-cell count addition and Chan-combined score stats
+    (ClassificationMetrics.merge + NumberTracker.merge)."""
+    if a is None:
+        return b
+    if b is None:
+        return a
+    if a.get("model_type") != b.get("model_type"):
+        raise ValueError(
+            f"Mismatched model type: {a.get('model_type')} vs {b.get('model_type')}"
+        )
+    out = {
+        "model_type": a.get("model_type"),
+        "output_fields": sorted(
+            set(a.get("output_fields") or []) | set(b.get("output_fields") or [])
+        ),
+    }
+    ra, rb = a.get("regression"), b.get("regression")
+    if ra or rb:
+        ra, rb = ra or {}, rb or {}
+        out["regression"] = {
+            "prediction_field": ra.get("prediction_field") or rb.get("prediction_field"),
+            "target_field": ra.get("target_field") or rb.get("target_field"),
+            "count": (ra.get("count") or 0) + (rb.get("count") or 0),
+            "sum_abs_diff": (ra.get("sum_abs_diff") or 0.0) + (rb.get("sum_abs_diff") or 0.0),
+            "sum_diff": (ra.get("sum_diff") or 0.0) + (rb.get("sum_diff") or 0.0),
+            "sum2_diff": (ra.get("sum2_diff") or 0.0) + (rb.get("sum2_diff") or 0.0),
+        }
+    ca, cb = a.get("classification"), b.get("classification")
+    if ca or cb:
+        ca, cb = ca or {}, cb or {}
+
+        def merge_cell(x: dict | None, y: dict | None) -> dict:
+            x, y = x or {}, y or {}
+            nx, ny = x.get("count") or 0, y.get("count") or 0
+            n = nx + ny
+            cell: dict = {"count": n}
+            for f_, pick in (("score_min", min), ("score_max", max)):
+                vals = [v for v in (x.get(f_), y.get(f_)) if v is not None]
+                cell[f_] = pick(vals) if vals else None
+            sums = [v for v in (x.get("score_sum"), y.get("score_sum")) if v is not None]
+            cell["score_sum"] = sum(sums) if sums else None
+            mx, my = x.get("score_mean"), y.get("score_mean")
+            if n and (mx is not None or my is not None):
+                mx, my = mx or 0.0, my or 0.0
+                mean = (nx * mx + ny * my) / n
+                m2x = (x.get("score_variance") or 0.0) * max(nx - 1, 0)
+                m2y = (y.get("score_variance") or 0.0) * max(ny - 1, 0)
+                m2 = m2x + m2y + nx * mx * mx + ny * my * my - n * mean * mean
+                cell["score_mean"] = mean
+                cell["score_variance"] = max(m2, 0.0) / (n - 1) if n > 1 else 0.0
+            else:
+                cell["score_mean"] = mx if mx is not None else my
+                cell["score_variance"] = x.get("score_variance") or y.get("score_variance")
+            return cell
+
+        cells_a, cells_b = ca.get("cells") or {}, cb.get("cells") or {}
+        keys = set(cells_a) | set(cells_b)
+        merged_cells = {k: merge_cell(cells_a.get(k), cells_b.get(k)) for k in keys}
+        out["classification"] = {
+            "labels": sorted(set(ca.get("labels") or []) | set(cb.get("labels") or [])),
+            "cells": merged_cells,
+            "prediction_field": ca.get("prediction_field") or cb.get("prediction_field"),
+            "target_field": ca.get("target_field") or cb.get("target_field"),
+            "score_field": ca.get("score_field") or cb.get("score_field"),
+        }
+    return out
+
+
 def dataset_profile_message(
     column_rows: Sequence[dict],
     session_id: str = "whylogs-java-spark",
@@ -629,6 +898,7 @@ def dataset_profile_message(
     tags: dict[str, str] | None = None,
     metadata: dict[str, str] | None = None,
     sketches_by_column: dict[str, dict] | None = None,
+    model: dict | None = None,
 ) -> bytes:
     """One DatasetProfileMessage (non-delimited) from finalized profile rows."""
     props = (
@@ -647,6 +917,8 @@ def dataset_profile_message(
     for row in sorted(column_rows, key=lambda r: r["column_name"]):
         cm = column_message(row, sks.get(row["column_name"]))
         out += _f_bytes(2, _f_str(1, row["column_name"]) + _f_bytes(2, cm))
+    if model is not None:
+        out += _f_bytes(10, model_profile_message(model))
     return out
 
 
@@ -781,7 +1053,11 @@ def merge_profile_bins(
     offset. Dataset properties survive the merge: data_timestamp = the
     earliest real input timestamp (-1 when none), metadata = the k/v
     pairs equal across every input (DatasetProfile.doMerge's
-    sharedMetadata rule). Returns the number of merged messages written.
+    sharedMetadata rule). Model metrics merge per tag group
+    (ModelMetrics.merge: regression sums add, classification score
+    matrices union labels and add cells — decoded driver-side, the
+    messages are O(groups) small). Returns the number of merged messages
+    written.
     """
     from pyspark.sql import functions as F
 
@@ -837,6 +1113,29 @@ def merge_profile_bins(
         F.collect_list("metadata").alias("__meta_list"),
     ]
     merged = df.groupBy(tag_key.alias("__tags_key"), "column_name").agg(*aggs)
+
+    # model metrics live at message level, not column level: decode them
+    # driver-side from the (small, O(groups)) raw messages and merge per
+    # tag group
+    import json
+
+    def _model_key(tags: dict | None) -> str:
+        return json.dumps(
+            dict(sorted((tags or {}).items())),
+            separators=(",", ":"),
+            ensure_ascii=False,
+        )
+
+    models: dict[str, dict] = {}
+    for (content,) in (
+        spark.read.format("binaryFile").load(paths).select("content").collect()
+    ):
+        for msg in iter_delimited(bytes(content)):
+            prof = decode_dataset_profile(msg)
+            m = prof.get("model")
+            if m is not None:
+                k = _model_key(prof["properties"].get("tags"))
+                models[k] = merge_model_dicts(models.get(k), m)
 
     groups: dict[str, list[dict]] = {}
     tags_of: dict[str, dict] = {}
@@ -904,6 +1203,7 @@ def merge_profile_bins(
                 tags=tags_of[gk],
                 metadata=meta_of.get(gk) or None,
                 sketches_by_column=sketches.get(gk),
+                model=models.get(_model_key(tags_of[gk])),
             )
         )
     os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
@@ -973,6 +1273,7 @@ def write_profile_bin(
     null_strings: Sequence[str] = (),
     include_sketches: bool = True,
     frequent_items_k: int = 128,
+    model: dict | None = None,
 ) -> int:
     """Profile ``df`` and write wire-compatible DatasetProfileMessages.
 
@@ -1051,6 +1352,7 @@ def write_profile_bin(
                 tags=gtags,
                 metadata=metadata,
                 sketches_by_column=sketches.get(gk),
+                model=model,
             )
         )
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
