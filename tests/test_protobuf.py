@@ -401,3 +401,85 @@ def test_model_profile_regression_rewrite_matches_golden(spark, tmp_path):
         assert got["regression"][f] == golden[f]
     for f in ("sum_abs_diff", "sum_diff", "sum2_diff"):
         assert got["regression"][f] == pytest.approx(golden[f], rel=1e-12)
+
+
+def test_distributed_sink_matches_driver_sink(spark, tmp_path):
+    # executor-side assembly must produce the same decoded content as the
+    # driver-side CLI sink, sketches and frequent items included
+    from whylogs_java_spark.sources.protobuf import write_profile_bin_distributed
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    pd_, pc = str(tmp_path / "dist.bin"), str(tmp_path / "cli.bin")
+    n1 = write_profile_bin_distributed(li, pd_, group_by=["l_returnflag"])
+    n2 = write_profile_bin(li, pc, group_by=["l_returnflag"])
+    assert n1 == n2 == 3
+
+    def decoded(path):
+        out = {}
+        for msg in iter_delimited(open(path, "rb").read()):
+            p = decode_dataset_profile(msg)
+            out[p["properties"]["tags"]["whylogs.tag.l_returnflag"]] = p
+        return out
+
+    da, dc = decoded(pd_), decoded(pc)
+    assert set(da) == set(dc) == {"A", "N", "R"}
+    for tag, p in dc.items():
+        q = da[tag]
+        assert set(q["columns"]) == set(p["columns"])
+        for name, col in p["columns"].items():
+            got = q["columns"][name]
+            assert got["count"] == col["count"], (tag, name)
+            assert got["type_counts"] == col["type_counts"], (tag, name)
+            if col["numbers"] and col["numbers"].get("doubles"):
+                for f in ("count", "min", "max", "sum"):
+                    assert got["numbers"]["doubles"][f] == pytest.approx(
+                        col["numbers"]["doubles"][f], rel=1e-9
+                    ), (tag, name, f)
+            # same frequent-items content
+            from whylogs_java_spark.sources.protobuf import decode_items_sketch
+
+            assert decode_items_sketch(got["frequent_items"] or b"") == \
+                decode_items_sketch(col["frequent_items"] or b"")
+
+
+def test_distributed_sink_many_groups_merge(spark, tmp_path):
+    # thousands of groups: sharded write -> read back -> halves==whole wire merge;
+    # the driver only streams message bytes (toLocalIterator), it never
+    # holds the group set
+    from whylogs_java_spark.sources.protobuf import (
+        merge_profile_bins,
+        write_profile_bin_distributed,
+    )
+
+    base = spark.range(60_000).selectExpr(
+        "id % 3000 AS g",
+        "CAST(id % 97 AS DOUBLE) AS v",
+        "CAST(id % 7 AS STRING) AS s",
+    )
+    pa, pb, pw, pm = (
+        str(tmp_path / x) for x in ("a.bin", "b.bin", "w.bin", "m.bin")
+    )
+    common = dict(group_by=["g"], include_sketches=False, frequent_items_k=4)
+    assert write_profile_bin_distributed(
+        base.where("id < 30000"), pa, **common) == 3000
+    assert write_profile_bin_distributed(
+        base.where("id >= 30000"), pb, **common) == 3000
+    assert write_profile_bin_distributed(base, pw, **common) == 3000
+    assert merge_profile_bins(spark, [pa, pb], pm) == 3000
+
+    merged = read_profile_bin(spark, pm)
+    whole = read_profile_bin(spark, pw)
+    # per-(group, column) counts and sums agree between merged halves and
+    # the whole-data write
+    m = merged.select(
+        F.col("tags")["whylogs.tag.g"].alias("g"), "column_name", "count", "sum"
+    )
+    w = whole.select(
+        F.col("tags")["whylogs.tag.g"].alias("g"), "column_name", "count", "sum"
+    )
+    diff = m.join(w, on=["g", "column_name"], how="full").where(
+        (m["count"] != w["count"])
+        | (F.abs(F.coalesce(m["sum"], F.lit(0)) - F.coalesce(w["sum"], F.lit(0))) > 1e-6)
+    )
+    assert m.count() == w.count() == 6000  # 3k groups x (v, s)
+    assert diff.count() == 0

@@ -1211,6 +1211,211 @@ def merge_profile_bins(
     return len(messages)
 
 
+def write_profile_bin_distributed(
+    df,
+    path: str,
+    group_by: Sequence[str],
+    session_id: str = "whylogs-java-spark",
+    session_timestamp: int = 0,
+    data_timestamp: int = -1,
+    tags: dict[str, str] | None = None,
+    metadata: dict[str, str] | None = None,
+    null_strings: Sequence[str] = (),
+    include_sketches: bool = True,
+    frequent_items_k: int = 128,
+) -> int:
+    """Many-group wire sink: protobuf assembly runs ON THE EXECUTORS.
+
+    ``write_profile_bin`` collects finalized rows and assembles messages on
+    the driver — the right shape for the CLI regime (one or a few
+    messages), a bottleneck at millions of groups. Here the finalized
+    profile rows, melted sketch binaries and per-column frequent items are
+    joined on (group keys, column_name) and each group's
+    DatasetProfileMessage is built inside ``applyInPandas`` (Arrow-batched,
+    one group per call — the same per-group grain as the reference's
+    DatasetProfileAggregator). The driver then streams the finished
+    message blobs to the delimited file via ``toLocalIterator`` — it holds
+    one partition of O(columns)-sized messages at a time, never the whole
+    output, and only concatenates bytes.
+
+    Message order in the file follows partition order (readers treat the
+    stream as a set — DatasetProfile.parseDelimitedFrom semantics).
+    Dataset-level model metrics are a driver-side concern (one matrix per
+    dataset, not per group) — use ``write_profile_bin`` for those.
+    Returns the number of messages written.
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from ..operators.profile import profile
+
+    keys = list(group_by)
+    if not keys:
+        return write_profile_bin(
+            df, path, group_by=(), session_id=session_id,
+            session_timestamp=session_timestamp, data_timestamp=data_timestamp,
+            tags=tags, metadata=metadata, null_strings=null_strings,
+            include_sketches=include_sketches,
+            frequent_items_k=frequent_items_k,
+        )
+
+    fin = profile(df, group_by=keys, null_strings=null_strings)
+    joined = fin
+
+    if include_sketches:
+        from ..operators.approx import sketch_profile
+
+        sk_wide = sketch_profile(df, group_by=keys)
+        field_names = {f.name for f in sk_wide.schema.fields}
+        cols = sorted({n.rsplit("__", 1)[0] for n in field_names if "__" in n})
+
+        def blob(name: str):
+            return (
+                F.col(name) if name in field_names else F.lit(None).cast("binary")
+            )
+
+        entries = [
+            F.struct(
+                F.lit(c).alias("column_name"),
+                blob(f"{c}__kll").alias("__kll"),
+                blob(f"{c}__theta").alias("__theta"),
+                blob(f"{c}__hll").alias("__hll"),
+            )
+            for c in cols
+        ]
+        sk_long = sk_wide.select(
+            *keys, F.explode(F.array(*entries)).alias("e")
+        ).select(*keys, "e.*")
+        joined = joined.join(sk_long, on=[*keys, "column_name"], how="left")
+    else:
+        joined = (
+            joined.withColumn("__kll", F.lit(None).cast("binary"))
+            .withColumn("__theta", F.lit(None).cast("binary"))
+            .withColumn("__hll", F.lit(None).cast("binary"))
+        )
+
+    top = (
+        _frequent_items_df(df, keys, null_strings, frequent_items_k)
+        if frequent_items_k
+        else None
+    )
+    if top is not None:
+        fi_long = top.groupBy(*keys, "column_name").agg(
+            F.collect_list(F.struct("value", "cnt")).alias("__fi")
+        )
+        joined = joined.join(fi_long, on=[*keys, "column_name"], how="left")
+    else:
+        joined = joined.withColumn(
+            "__fi", F.lit(None).cast("array<struct<value:string,cnt:bigint>>")
+        )
+
+    base_tags = dict(tags or {})
+    stat_fields = [
+        f.name
+        for f in joined.schema.fields
+        if f.name not in set(keys) and not f.name.startswith("__")
+    ]
+
+    def build(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import math as _math
+
+        gtags = dict(base_tags)
+        for k in keys:
+            v = pdf.iloc[0][k]
+            gtags[f"whylogs.tag.{k}"] = "" if v is None else str(v)
+        column_rows = []
+        sks: dict[str, dict] = {}
+        for _, r in pdf.iterrows():
+            rd = {}
+            for f_ in stat_fields:
+                v = r[f_]
+                if v is None or (isinstance(v, float) and _math.isnan(v)):
+                    rd[f_] = None
+                elif hasattr(v, "item"):
+                    rd[f_] = v.item()
+                else:
+                    rd[f_] = v
+            column_rows.append(rd)
+            cd: dict = {}
+            for field, kind in (("__kll", "kll"), ("__theta", "theta"), ("__hll", "hll")):
+                v = r[field]
+                if v is not None and not (isinstance(v, float) and _math.isnan(v)):
+                    cd[kind] = bytes(v)
+            if "hll" in cd:
+                cd["hll_lgk"] = 12
+            fi = r["__fi"]
+            if fi is not None and len(fi):
+                tracked = (rd.get("count") or 0) - (rd.get("null_count") or 0)
+                cd["items"] = items_sketch_bytes(
+                    [(e["value"], int(e["cnt"])) for e in fi],
+                    stream_length=tracked,
+                )
+            if cd:
+                sks[rd["column_name"]] = cd
+        msg = dataset_profile_message(
+            column_rows,
+            session_id=session_id,
+            session_timestamp=session_timestamp,
+            data_timestamp=data_timestamp,
+            tags=gtags,
+            metadata=metadata,
+            sketches_by_column=sks,
+        )
+        return pd.DataFrame({"msg": [msg]})
+
+    msgs = joined.groupBy(*keys).applyInPandas(build, schema="msg binary")
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    n = 0
+    with open(path, "wb") as f:
+        for row in msgs.toLocalIterator():
+            m = bytes(row["msg"])
+            f.write(_varint(len(m)))
+            f.write(m)
+            n += 1
+    return n
+
+
+def _frequent_items_df(
+    df, keys: Sequence[str], null_strings: Sequence[str], k: int
+):
+    """Distributed (keys, column_name, value, cnt) top-k rows — the
+    DataFrame half of ``_frequent_items_by_group`` (which collects)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from ..functions.predicates import masked, truncated_text
+
+    tracked_types = (T.NumericType, T.BooleanType, T.StringType)
+    cols = [
+        f.name
+        for f in df.schema.fields
+        if f.name not in set(keys) and isinstance(f.dataType, tracked_types)
+    ]
+    if not cols:
+        return None
+    schema = {f.name: f.dataType for f in df.schema.fields}
+    entries = [
+        F.struct(
+            F.lit(c).alias("column_name"),
+            truncated_text(masked(F.col(c), schema[c], null_strings)).alias("value"),
+        )
+        for c in cols
+    ]
+    melted = df.select(*keys, F.explode(F.array(*entries)).alias("e")).select(
+        *keys, "e.*"
+    )
+    counts = (
+        melted.where(F.col("value").isNotNull())
+        .groupBy(*keys, "column_name", "value")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy(*keys, "column_name").orderBy(
+        F.desc("cnt"), F.asc("value")
+    )
+    return counts.withColumn("__r", F.row_number().over(w)).where(F.col("__r") <= k)
+
+
 def _frequent_items_by_group(
     df, keys: Sequence[str], null_strings: Sequence[str], k: int
 ) -> dict[tuple, dict[str, list[tuple[str, int]]]]:
