@@ -555,3 +555,25 @@ def test_legacy_exact_kwarg_maps_to_tier(spark):
     assert lu == nu and lu[0]["unique_count"] == 100
     with pytest.raises(ValueError):
         quantile_summary(df, ["v"], tier="sketch", exact=True)
+
+
+def test_near_dup_executed_plan_two_explodes(spark):
+    # the shingle explode is the expensive node in the near-dup pipeline:
+    # AQE exchange reuse must keep the executed plan at exactly 2 Generate
+    # explodes (one per join side), not re-derive shingles per consumer —
+    # round 1 shipped a 6-explode plan; this pins the fix loudly
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    out = near_dup_pairs(docs, "text", "doc_id", threshold=0.7)
+    out.collect()  # AQE finalizes the plan only after execution
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # final adaptive tree only — the '== Initial Plan ==' tail is the
+    # pre-AQE plan and double-counts every node
+    if "== Initial Plan ==" in plan:
+        plan = plan.split("== Initial Plan ==", 1)[0]
+    # shingle explodes are the `explode(CASE WHEN size(split(text...` nodes;
+    # band-struct explodes are per-doc-cheap and not the regression target
+    import re as _re
+
+    n_explodes = len(_re.findall(r"Generate explode\(CASE WHEN", plan))
+    assert n_explodes <= 2, f"shingle explode recomputed: {n_explodes} nodes"
+    assert "ReusedExchange" in plan

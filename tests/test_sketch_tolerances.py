@@ -1,0 +1,162 @@
+"""Quantitative tolerance pins for every rows-only (no-SQL-oracle) query.
+
+The driver's correctness gate can only count rows for sketch/float-tier
+queries; these tests bound each one against its exact twin so "no oracle"
+never means "unchecked":
+
+- approx quantiles within the sketch's normalized rank error,
+- HLL/theta uniques within 3x their relative standard error,
+- fast float tiers reproduce the exact tier's pair/neighbor sets,
+- IVF recall floors, SimHash determinism.
+(profile_wire_fixture, the remaining rows-only query, is pinned
+field-for-field by tests/test_protobuf.py's golden-fixture tests.)
+"""
+
+from __future__ import annotations
+
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as entry  # noqa: E402
+
+
+def _exact_bracket(df, col: str, q: float, eps: float) -> tuple[float, float]:
+    lo_q, hi_q = max(0.0, q - eps), min(1.0, q + eps)
+    p = df.agg(
+        F.percentile(F.col(col).cast("double"), F.lit([lo_q, hi_q])).alias("p")
+    ).collect()[0]["p"]
+    return p[0], p[1]
+
+
+def test_quantiles_sketch_within_rank_error(spark):
+    # sketch tier = percentile_approx(accuracy=10000): each returned value
+    # must lie between the exact group quantiles at q +/- 1/accuracy
+    sketch_rows = entry.queries()["quantiles_lineitem_sketch"](spark, SF_DIR).collect()
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    groups = {r["l_returnflag"] for r in sketch_rows}
+    subsets = {g: li.where(F.col("l_returnflag") == g) for g in groups}
+    counts = {g: subsets[g].count() for g in groups}
+    for r in sketch_rows:
+        # GK guarantee is in rank space; at small group sizes allow +/- 2
+        # ranks on top of the 1/accuracy floor
+        eps = max(1.0 / 10000, 2.0 / counts[r["l_returnflag"]])
+        lo, hi = _exact_bracket(
+            subsets[r["l_returnflag"]], r["column_name"], r["quantile"], eps
+        )
+        assert lo - 1e-9 <= r["value"] <= hi + 1e-9, tuple(r)
+
+
+def test_uniques_sketch_within_3rsd(spark):
+    # HLL++ rsd 0.016 (lgK=12 parity): estimate within 3*rsd of exact
+    exact = {
+        r["column_name"]: r["unique_count"]
+        for r in entry.queries()["uniques_lineitem"](spark, SF_DIR).collect()
+    }
+    sketch = {
+        r["column_name"]: r["unique_count"]
+        for r in entry.queries()["uniques_lineitem_sketch"](spark, SF_DIR).collect()
+    }
+    assert set(exact) == set(sketch)
+    for col, n in exact.items():
+        est = sketch[col]
+        assert abs(est - n) <= max(3 * 0.016 * n, 1), (col, n, est)
+
+
+def test_sketch_summary_within_bounds(spark):
+    # per group: theta estimate inside its own 1-std-err bounds AND within
+    # 3x rse of exact distinct; HLL within 3*rsd; KLL(256) quantiles within
+    # 2x the sketch's ~0.0083 normalized rank error
+    rows = entry.queries()["sketch_summary_lineitem"](spark, SF_DIR).collect()
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    for r in rows:
+        sub = li.where(F.col("l_returnflag") == r["l_returnflag"])
+        col = r["column_name"]
+        exact = sub.select(col).distinct().count()
+        if r["unique_theta"] is not None:
+            assert (
+                r["unique_theta_lower"] <= r["unique_theta"] <= r["unique_theta_upper"]
+            ), col
+            assert abs(r["unique_theta"] - exact) <= max(3 * 0.016 * exact, 1), col
+        if r["unique_hll"] is not None:
+            assert abs(r["unique_hll"] - exact) <= max(3 * 0.016 * exact, 1), col
+        if r["median_est"] is not None:
+            # KLL(256) normalized rank error ~0.0083; allow 2x + float32 ulp
+            lo, hi = _exact_bracket(sub, col, 0.5, 2 * 0.0083)
+            slack = max(abs(lo), abs(hi)) * 1e-6 + 1e-6
+            assert lo - slack <= r["median_est"] <= hi + slack, (
+                r["l_returnflag"], col, r["median_est"],
+            )
+
+
+def test_similarity_topk_fast_matches_exact(spark):
+    # fast JVM-fold tier: same neighbors as the DECIMAL-exact tier on the
+    # shared query ids/ranks, cosines within float rounding
+    exact = {
+        (r["query_id"], r["rank"]): r
+        for r in entry.queries()["similarity_topk"](spark, SF_DIR).collect()
+    }
+    fast = {
+        (r["query_id"], r["rank"]): r
+        for r in entry.queries()["similarity_topk_fast"](spark, SF_DIR).collect()
+        if r["query_id"] in set(entry.SIM_QUERY_IDS) and r["rank"] <= 5
+    }
+    assert set(exact) == set(fast)
+    for k, e in exact.items():
+        f_ = fast[k]
+        assert f_["neighbor_id"] == e["neighbor_id"], k
+        assert f_["cosine"] == pytest.approx(e["cosine"], abs=2e-6), k
+
+
+def test_dedup_embedding_fast_subset_of_exact(spark):
+    # production banded+capped tier: no false positives vs the all-pairs
+    # exact query, recall bounded below
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in entry.queries()["dedup_embedding"](spark, SF_DIR).collect()
+    }
+    fast = {
+        (r["id_a"], r["id_b"])
+        for r in entry.queries()["dedup_embedding_fast"](spark, SF_DIR).collect()
+    }
+    assert fast <= exact
+    assert len(fast) / len(exact) >= 0.5
+
+
+def test_similarity_ivf_quality_floor(spark):
+    # the test corpus is random vectors (cosines ~0.3, no near-dup
+    # structure), so identity recall of the true top-1 is the wrong metric
+    # for nprobe=4/16; pin QUALITY instead: per query, (a) the IVF top-1
+    # cosine reaches >= 75% of the exact top-1 cosine and never exceeds it,
+    # and (b) at least one of the exact top-5 appears in the IVF top-10
+    exact_rows = entry.queries()["similarity_topk"](spark, SF_DIR).collect()
+    ivf_rows = entry.queries()["similarity_ivf"](spark, SF_DIR).collect()
+    exact_top1 = {r["query_id"]: r["cosine"] for r in exact_rows if r["rank"] == 1}
+    exact_top5 = {}
+    for r in exact_rows:
+        exact_top5.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    ivf_top1 = {r["query_id"]: r["cosine"] for r in ivf_rows if r["rank"] == 1}
+    ivf_ids = {}
+    for r in ivf_rows:
+        ivf_ids.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for q, best in exact_top1.items():
+        assert ivf_top1[q] <= best + 1e-9, q  # probing can't beat brute force
+        assert ivf_top1[q] >= 0.75 * best, (q, ivf_top1[q], best)
+        assert exact_top5[q] & ivf_ids[q], q
+
+
+def test_dedup_simhash_deterministic_and_wellformed(spark):
+    # xxhash64 fingerprints have no cross-engine twin: pin determinism
+    # (identical across independent runs) and shape (16-hex fingerprints;
+    # Hamming-distance semantics are pinned in test_operators)
+    r1 = entry.queries()["dedup_simhash"](spark, SF_DIR).collect()
+    r2 = entry.queries()["dedup_simhash"](spark, SF_DIR).collect()
+    s1 = sorted(tuple(x) for x in r1)
+    s2 = sorted(tuple(x) for x in r2)
+    assert s1 == s2 and len(s1) > 0
+    assert all(len(h) == 16 for _, h in s1)
