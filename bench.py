@@ -35,6 +35,8 @@ BENCH_QUERIES = [
     "regression_lineitem",
     "dedup_exact_documents",
     "dedup_near_documents",
+    "dedup_clusters",
+    "similarity_ivf",
     "similarity_topk",
     "similarity_topk_fast",
     "langid_documents",

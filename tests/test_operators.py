@@ -577,3 +577,42 @@ def test_near_dup_executed_plan_two_explodes(spark):
     n_explodes = len(_re.findall(r"Generate explode\(CASE WHEN", plan))
     assert n_explodes <= 2, f"shingle explode recomputed: {n_explodes} nodes"
     assert "ReusedExchange" in plan
+
+
+def test_resolve_clusters_chain_and_singletons(spark):
+    # worst-case shape for label propagation: a chain 1-2-3-4-5 must
+    # converge to cluster_id 1 for all members (diameter iterations), and
+    # untouched nodes stay their own singleton clusters
+    from whylogs_java_spark.operators.dedup import resolve_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (8, 9)], "id_a long, id_b long"
+    )
+    nodes = spark.range(1, 11).select(F.col("id").alias("doc_id"))
+    out = {r["doc_id"]: r for r in resolve_clusters(pairs, nodes).collect()}
+    assert {i: out[i]["cluster_id"] for i in range(1, 11)} == {
+        1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 6, 7: 7, 8: 8, 9: 8, 10: 10,
+    }
+    assert [i for i in range(1, 11) if out[i]["is_survivor"]] == [1, 6, 7, 8, 10]
+
+
+def test_near_dup_clusters_end_to_end(spark):
+    # mutations cluster with their source; survivors = the source docs +
+    # every untouched doc
+    from whylogs_java_spark.operators.dedup import near_dup_clusters
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    mut = docs.where("doc_id < 20").select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.concat("text", F.lit(" tail")).alias("text"),
+    )
+    corpus = docs.unionByName(mut)
+    out = {r["doc_id"]: r for r in near_dup_clusters(
+        corpus, "text", "doc_id", threshold=0.7
+    ).collect()}
+    assert len(out) == corpus.count()
+    hits = sum(
+        1 for i in range(20)
+        if out[i + 10000]["cluster_id"] == i and not out[i + 10000]["is_survivor"]
+    )
+    assert hits >= 18, f"only {hits}/20 mutations resolved to their source"

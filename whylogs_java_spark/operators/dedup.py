@@ -464,3 +464,90 @@ def hamming_distance(bits_a: Column, bits_b: Column) -> Column:
         F.lit(0),
         lambda acc, x: acc + x,
     )
+
+
+def resolve_clusters(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "doc_id",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Connected components over near-dup pairs: every node gets the
+    smallest id reachable through the pair graph as its ``cluster_id``.
+
+    A dedup pipeline needs survivor RESOLUTION, not just pairs: if A~B and
+    B~C, all three form one cluster and a single survivor should be kept
+    even though (A, C) may never have been emitted as a pair. This is
+    min-label propagation expressed as iterative DataFrame joins:
+
+    - labels start as each node's own id;
+    - each round, every node takes min(own label, neighbors' labels) — a
+      join on the symmetric edge list + groupBy(min), both shuffles on the
+      node id;
+    - converged when no label changed (checked with a count per round —
+      a driver-side scalar, same shape as the reference's segmentation
+      search loop), worst case after ``max_iters`` ≈ graph-diameter
+      rounds. Near-dup graphs are unions of small cliques (diameter 2-3),
+      so 3-4 rounds in practice. ``localCheckpoint`` severs the growing
+      lineage each round, the standard treatment for iterative DataFrame
+      algorithms (large-star/small-star is the known O(log n) variant if
+      mega-components ever appear).
+
+    Output: (id_col, cluster_id, is_survivor) — survivor = the cluster's
+    minimum id, the same min-id rule as ``exact_dedup``.
+    """
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    labels = nodes.select(
+        F.col(id_col).alias("id"), F.col(id_col).alias("label")
+    )
+    for _ in range(max_iters):
+        nb = (
+            labels.join(edges, labels["id"] == edges["src"])
+            .groupBy("dst")
+            .agg(F.min("label").alias("nb_label"))
+            .withColumnRenamed("dst", "id")
+        )
+        new = (
+            labels.withColumnRenamed("label", "old")
+            .join(nb, on="id", how="left")
+            .select(
+                "id",
+                F.least(F.col("old"), F.coalesce("nb_label", "old")).alias("label"),
+                "old",
+            )
+        ).localCheckpoint(eager=True)
+        changed = new.where(F.col("label") != F.col("old")).count()
+        labels = new.drop("old")
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("id").alias(id_col),
+        F.col("label").alias("cluster_id"),
+        (F.col("label") == F.col("id")).alias("is_survivor"),
+    )
+
+
+def near_dup_clusters(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_size: int = 3,
+    char_ngrams: bool = False,
+    max_iters: int = 20,
+) -> DataFrame:
+    """End-to-end near-dup resolution: MinHash-LSH verified pairs ->
+    connected components -> (id, cluster_id, is_survivor). Keeping only
+    ``is_survivor`` rows is the full dedup pass a training-data pipeline
+    runs."""
+    pairs = near_dup_pairs(
+        df, text_col, id_col, threshold=threshold, num_hashes=num_hashes,
+        bands=bands, shingle_size=shingle_size, char_ngrams=char_ngrams,
+    ).select("id_a", "id_b")
+    return resolve_clusters(pairs, df.select(id_col), id_col, max_iters)
