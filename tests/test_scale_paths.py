@@ -7,6 +7,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from tests.conftest import SF_DIR
+from whylogs_java_spark.sources.parquet import load_table
 from whylogs_java_spark import profile
 from whylogs_java_spark.operators.profile import profile_melted
 from whylogs_java_spark.operators.summary import histogram_custom_splits
@@ -55,9 +56,7 @@ def test_histogram_custom_splits(spark):
 
 
 def test_streaming_sliding_window(spark, tmp_path):
-    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    ev = load_table(spark, SF_DIR, "events")
     src = str(tmp_path / "s2")
     ev.write.parquet(src)
     stream = spark.readStream.schema(ev.schema).parquet(src)
@@ -96,9 +95,7 @@ def test_frequent_items_unique_gate(spark):
 
 
 def test_streaming_session_window(spark, tmp_path):
-    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    ev = load_table(spark, SF_DIR, "events")
     src = str(tmp_path / "s3")
     ev.write.parquet(src)
     stream = spark.readStream.schema(ev.schema).parquet(src)

@@ -11,6 +11,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from tests.conftest import SF_DIR
+from whylogs_java_spark.sources.parquet import load_table
 from whylogs_java_spark import profile, profile_atoms
 from whylogs_java_spark.operators.approx import (
     approx_unique_counts,
@@ -106,9 +107,7 @@ def test_json_summary_sink(spark, tmp_path):
 # ---------------------------------------------------------------------------
 
 def test_session_api_flow(spark):
-    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").withColumn(
-        "ts2", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    ev = load_table(spark, SF_DIR, "events").withColumn("ts2", F.col("ts"))
     out = (
         new_profiling_session(ev, "s1")
         .with_time_column("ts2")
@@ -248,9 +247,7 @@ def test_approx_unique_counts(spark):
 # ---------------------------------------------------------------------------
 
 def test_streaming_profile_matches_batch(spark, tmp_path):
-    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    ev = load_table(spark, SF_DIR, "events")
     src = str(tmp_path / "stream_src")
     ev.write.parquet(src)
     stream = spark.readStream.schema(ev.schema).parquet(src)

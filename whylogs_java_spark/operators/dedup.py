@@ -496,6 +496,12 @@ def resolve_clusters(
     Output: (id_col, cluster_id, is_survivor) — survivor = the cluster's
     minimum id, the same min-id rule as ``exact_dedup``.
     """
+    # Materialize the pair list ONCE before iterating: `edges` is consumed
+    # by a join in every propagation round, and without this the entire
+    # upstream pipeline (for near-dup input, the full MinHash-LSH +
+    # verification pass) would re-execute per round. The pair list is the
+    # small output of that pass — one short row per edge.
+    pairs = pairs.localCheckpoint(eager=True)
     edges = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).unionByName(

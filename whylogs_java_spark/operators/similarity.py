@@ -47,11 +47,19 @@ def cosine_topk(
     """
     from pyspark.sql import Window
 
+    # norms are per-vector: fold them once per side before the crossJoin
+    # (3 interpreted folds per candidate row becomes 1), and spread the
+    # corpus when the scan arrives in fewer partitions than cores (no-op
+    # at cluster scale)
+    target = embeddings.sparkSession.sparkContext.defaultParallelism
+    if embeddings.rdd.getNumPartitions() < target:
+        embeddings = embeddings.repartition(target)
+    qv = _as_double(F.col(vec_col))
     q = queries.select(
-        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+        F.col(id_col).alias("query_id"), qv.alias("qv"), norm(qv).alias("qn")
     )
     c = embeddings.select(
-        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
+        F.col(id_col).alias("neighbor_id"), qv.alias("cv"), norm(qv).alias("cn")
     )
     sim = (
         c.crossJoin(F.broadcast(q))
@@ -59,7 +67,7 @@ def cosine_topk(
         .select(
             "query_id",
             "neighbor_id",
-            (dot(F.col("qv"), F.col("cv")) / (norm(F.col("qv")) * norm(F.col("cv")))).alias(
+            (dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias(
                 "cosine"
             ),
         )
@@ -247,18 +255,24 @@ def ivf_topk(
     # over that array (sort_array + slice), shuffling NOTHING: no n×C row
     # blow-up, no Window over the corpus. At 100 TB this keeps list
     # assignment embarrassingly parallel inside the scan stage.
+    # centroid norms fold once into the broadcast row; each side's vector
+    # norm folds once into a column — the per-(row, centroid) score is then
+    # a single dot fold, not three (array folds are interpreted, so fold
+    # count per row is the constant that matters)
     cent_arr = cent.agg(
-        F.collect_list(F.struct(F.col("centroid_id"), F.col("cev"))).alias("__cents")
+        F.collect_list(
+            F.struct(F.col("centroid_id"), F.col("cev"), norm(F.col("cev")).alias("cn"))
+        ).alias("__cents")
     )
 
     def assign(side: DataFrame, idname: str, vecname: str, top: int) -> DataFrame:
+        normname = vecname[:-1] + "n"  # cv -> cn, qv -> qn
         # struct ordering = (cosine desc, centroid_id asc) via negated id
         scored = F.transform(
             F.col("__cents"),
             lambda c: F.struct(
                 (
-                    dot(F.col(vecname), c["cev"])
-                    / (norm(F.col(vecname)) * norm(c["cev"]))
+                    dot(F.col(vecname), c["cev"]) / (F.col(normname) * c["cn"])
                 ).alias("cs"),
                 (-c["centroid_id"]).alias("negid"),
             ),
@@ -266,17 +280,23 @@ def ivf_topk(
         nearest = F.slice(F.sort_array(scored, asc=False), 1, top)
         return (
             side.crossJoin(F.broadcast(cent_arr))
-            .select(F.col(idname), vecname, F.explode(nearest).alias("__t"))
-            .select(idname, vecname, (-F.col("__t.negid")).alias("centroid_id"))
+            .select(F.col(idname), vecname, normname, F.explode(nearest).alias("__t"))
+            .select(
+                idname, vecname, normname, (-F.col("__t.negid")).alias("centroid_id")
+            )
         )
 
+    target = embeddings.sparkSession.sparkContext.defaultParallelism
+    if embeddings.rdd.getNumPartitions() < target:
+        embeddings = embeddings.repartition(target)
+    cvd = _as_double(F.col(vec_col))
     corpus = embeddings.select(
-        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
+        F.col(id_col).alias("neighbor_id"), cvd.alias("cv"), norm(cvd).alias("cn")
     )
     lists = assign(corpus, "neighbor_id", "cv", 1)
     probes_df = assign(
         queries.select(
-            F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+            F.col(id_col).alias("query_id"), cvd.alias("qv"), norm(cvd).alias("qn")
         ),
         "query_id",
         "qv",
@@ -288,7 +308,7 @@ def ivf_topk(
         .select(
             "query_id",
             "neighbor_id",
-            (dot(F.col("qv"), F.col("cv")) / (norm(F.col("qv")) * norm(F.col("cv")))).alias(
+            (dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias(
                 "cosine"
             ),
         )
@@ -401,6 +421,13 @@ def banded_buckets(
             for p in range(n_planes)
         ],
     )
+    # array folds are interpreted (not codegen'd): spread the corpus across
+    # cores when the scan arrives in fewer partitions than parallelism (the
+    # small-file regime; a no-op at cluster scale where the scan already
+    # has more partitions than cores)
+    target = embeddings.sparkSession.sparkContext.defaultParallelism
+    if embeddings.rdd.getNumPartitions() < target:
+        embeddings = embeddings.repartition(target)
     e = embeddings.join(
         F.broadcast(plane_arrays),
         on=F.size(F.col(vec_col)) == F.col("__len"),
@@ -422,7 +449,13 @@ def banded_buckets(
     if bucket_cap is not None:
         extra = F.concat(*[bit(bands * planes + i) for i in range(split_planes)])
         cols.append(extra.alias("__extra"))
-    sig = e.select(*cols)
+    # Materialize the signature table ONCE: it is tiny (one short row per
+    # (id, band)) but its plan carries `planes` dot-product folds per row,
+    # and downstream it feeds the oversized-bucket census PLUS both sides
+    # of the candidate self-join — without this the fold pipeline executes
+    # up to 4x (AQE exchange reuse covers the symmetric join sides but not
+    # the census branch).
+    sig = e.select(*cols).localCheckpoint(eager=True)
     if bucket_cap is not None:
         oversized = (
             sig.groupBy("band", "bucket")
@@ -511,15 +544,35 @@ def cosine_pairs_bucketed(
             .select("id_a", "id_b")
             .distinct()
         )
-        vecs = embeddings.select(F.col(id_col), vecd.alias("__v"))
-        cos = dot(F.col("va"), F.col("vb")) / (norm(F.col("va")) * norm(F.col("vb")))
+        # Array folds (zip_with/aggregate) are interpreted per-row, not
+        # whole-stage-codegen'd: they dominate the verify step. Two
+        # mitigations: (1) norms are per-VECTOR, so fold them once on the
+        # corpus and join the scalar — 3 folds/pair becomes 1; (2) AQE
+        # coalesces the small distinct-candidates exchange to one task,
+        # serializing the fold work — spread candidates back across cores
+        # (a no-op at cluster scale where candidates already outnumber
+        # partitions).
+        target = embeddings.sparkSession.sparkContext.defaultParallelism
+        pairs = pairs.repartition(target, "id_a")
+        vecs = embeddings.select(
+            F.col(id_col), vecd.alias("__v"), norm(vecd).alias("__n")
+        )
+        cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
         return (
             pairs.join(
-                vecs.select(F.col(id_col).alias("id_a"), F.col("__v").alias("va")),
+                vecs.select(
+                    F.col(id_col).alias("id_a"),
+                    F.col("__v").alias("va"),
+                    F.col("__n").alias("na"),
+                ),
                 on="id_a",
             )
             .join(
-                vecs.select(F.col(id_col).alias("id_b"), F.col("__v").alias("vb")),
+                vecs.select(
+                    F.col(id_col).alias("id_b"),
+                    F.col("__v").alias("vb"),
+                    F.col("__n").alias("nb"),
+                ),
                 on="id_b",
             )
             .select("id_a", "id_b", (F.round(cos, 6) + 0.0).alias("cosine"))

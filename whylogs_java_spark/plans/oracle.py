@@ -168,7 +168,12 @@ def _branch(
     key_select = list(group_cols)
     if time_column is not None:
         grain = time_granularity or "day"
-        key_select.append(f"date_trunc('{grain}', {time_column}) AS dataset_timestamp")
+        b = f"date_trunc('{grain}', {time_column})"
+        if grain in {"day", "week", "month", "quarter", "year"}:
+            # match the Spark plan (spark_sql._DATE_GRAINS): date-grain
+            # buckets are DATE, not midnight TIMESTAMP
+            b = f"CAST({b} AS DATE)"
+        key_select.append(f"{b} AS dataset_timestamp")
         keys.append("dataset_timestamp")
 
     inner_keys = (", ".join(key_select) + ", ") if key_select else ""

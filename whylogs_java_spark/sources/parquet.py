@@ -20,8 +20,16 @@ NANO_TS_COLUMNS: dict[str, list[str]] = {"events": ["ts"]}
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for c in NANO_TS_COLUMNS.get(name, []):
-        if c in df.columns and isinstance(df.schema[c].dataType, T.LongType):
+        if c not in df.columns:
+            continue
+        if isinstance(df.schema[c].dataType, T.LongType):
             # integer division: double division would lose precision on
             # epoch-nano magnitudes (~1.7e18 > 2^53)
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        elif isinstance(df.schema[c].dataType, T.TimestampNTZType):
+            # newer testdata stores micro-precision TIMESTAMP (read as NTZ):
+            # cast to session-TZ TimestampType (the session pins UTC, so the
+            # wall-clock is unchanged) so downstream unix_micros/date_trunc
+            # behave identically to the legacy nanos-as-long path
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
