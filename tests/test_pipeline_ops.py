@@ -1,0 +1,163 @@
+"""Tests for the round-4 training-pipeline operators: repetition metrics,
+deterministic sampling, containment dedup, streaming exact dedup."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+from whylogs_java_spark.operators.dedup import containment_pairs, content_key, exact_dedup
+from whylogs_java_spark.operators.sampling import hash_sample, stratified_sample_exact
+from whylogs_java_spark.operators.text import repetition_metrics
+from whylogs_java_spark.streaming.dedup_stream import dedup_stream
+
+
+# ---------------------------------------------------------------------------
+# repetition metrics
+# ---------------------------------------------------------------------------
+
+def test_repetition_metrics_known_values(spark):
+    df = spark.createDataFrame(
+        [(1, "a a a b"), (2, "x y z"), (3, "only")], ["doc_id", "text"]
+    )
+    rows = {r["doc_id"]: r for r in repetition_metrics(df, "text", "doc_id").collect()}
+    r1 = rows[1]
+    assert r1["n_words"] == 4
+    assert r1["distinct_word_frac"] == pytest.approx(0.5)
+    assert r1["top_word_frac"] == pytest.approx(0.75)
+    # bigrams: "a a", "a a", "a b" -> top 2/3
+    assert r1["top_bigram_frac"] == pytest.approx(round(2 / 3, 6))
+    r2 = rows[2]
+    assert r2["distinct_word_frac"] == pytest.approx(1.0)
+    assert r2["top_word_frac"] == pytest.approx(round(1 / 3, 6))
+    # single word: no bigrams -> NULL
+    assert rows[3]["n_words"] == 1 and rows[3]["top_bigram_frac"] is None
+
+
+def test_repetition_metrics_multiple_spaces(spark):
+    # empty tokens from double spaces are filtered (Java split semantics)
+    df = spark.createDataFrame([(1, "a  a")], ["doc_id", "text"])
+    r = repetition_metrics(df, "text", "doc_id").collect()[0]
+    assert r["n_words"] == 2 and r["top_word_frac"] == pytest.approx(1.0)
+
+
+# ---------------------------------------------------------------------------
+# deterministic sampling
+# ---------------------------------------------------------------------------
+
+def test_hash_sample_deterministic_and_stratified(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    kw = dict(
+        stratum_col="lang",
+        fractions={"en": 0.5, "fr": 0.25},
+        default_fraction=0.1,
+    )
+    a = {r["doc_id"] for r in hash_sample(docs, "doc_id", **kw).collect()}
+    b = {
+        r["doc_id"]
+        for r in hash_sample(docs.repartition(7), "doc_id", **kw).collect()
+    }
+    assert a == b  # partitioning-independent
+    n = docs.count()
+    assert 0 < len(a) < n
+    # per-stratum rates land near their targets
+    got = {
+        r["lang"]: r["cnt"]
+        for r in hash_sample(docs, "doc_id", **kw)
+        .groupBy("lang").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    tot = {
+        r["lang"]: r["cnt"]
+        for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    en_rate = got.get("en", 0) / tot["en"]
+    assert 0.3 < en_rate < 0.7
+
+
+def test_hash_sample_salt_changes_selection(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    a = {r["doc_id"] for r in hash_sample(docs, "doc_id", fraction=0.3).collect()}
+    b = {
+        r["doc_id"]
+        for r in hash_sample(docs, "doc_id", fraction=0.3, salt="v2").collect()
+    }
+    assert a != b
+
+
+def test_stratified_sample_exact_counts(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = stratified_sample_exact(docs, "doc_id", ["lang"], k=5)
+    per = {
+        r["lang"]: r["cnt"]
+        for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    tot = {
+        r["lang"]: r["cnt"]
+        for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    for lang, n in tot.items():
+        assert per.get(lang, 0) == min(5, n)
+    # deterministic under repartition
+    again = stratified_sample_exact(docs.repartition(5), "doc_id", ["lang"], k=5)
+    assert {r["doc_id"] for r in out.collect()} == {
+        r["doc_id"] for r in again.collect()
+    }
+
+
+# ---------------------------------------------------------------------------
+# containment dedup
+# ---------------------------------------------------------------------------
+
+def test_containment_asymmetric_subset(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    df = spark.createDataFrame(
+        [(1, base), (2, base + " extra1 extra2")], ["doc_id", "text"]
+    )
+    out = containment_pairs(df, "text", "doc_id", threshold=0.9).collect()
+    assert len(out) == 1
+    r = out[0]
+    # every shingle of doc 1 appears in doc 2; the reverse does not hold
+    assert r["containment_a"] == pytest.approx(1.0)
+    assert r["containment_b"] < 1.0
+    # symmetric jaccard would be inter/union < 0.9
+    union = r["size_a"] + r["size_b"] - r["inter"]
+    assert r["inter"] / union < 0.9
+
+
+# ---------------------------------------------------------------------------
+# streaming exact dedup
+# ---------------------------------------------------------------------------
+
+def test_dedup_stream_matches_batch_key_set(spark, tmp_path):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    # corpus with exact duplicates: re-append every 5th doc under a new id
+    dup = docs.where(F.col("doc_id") % 5 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 100000
+    )
+    corpus = docs.unionByName(dup)
+    src = str(tmp_path / "stream_src")
+    corpus.write.parquet(src)
+
+    stream = spark.readStream.schema(corpus.schema).parquet(src)
+    q = (
+        dedup_stream(stream, "text")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql("SELECT text_key FROM dedup_out").collect()
+    finally:
+        q.stop()
+    stream_keys = [r["text_key"] for r in got]
+    batch_keys = {
+        r["k"] for r in corpus.select(content_key(F.col("text")).alias("k")).collect()
+    }
+    # one surviving row per distinct key, same key set as batch
+    assert len(stream_keys) == len(set(stream_keys)) == len(batch_keys)
+    assert set(stream_keys) == batch_keys
+    # and batch exact_dedup agrees on survivor count
+    assert exact_dedup(corpus, "text", "doc_id").count() == len(batch_keys)

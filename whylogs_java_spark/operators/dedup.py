@@ -557,3 +557,54 @@ def near_dup_clusters(
         bands=bands, shingle_size=shingle_size, char_ngrams=char_ngrams,
     ).select("id_a", "id_b")
     return resolve_clusters(pairs, df.select(id_col), id_col, max_iters)
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.9,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_size: int = 3,
+    char_ngrams: bool = False,
+) -> DataFrame:
+    """Asymmetric near-dup: Jaccard CONTAINMENT C(A,B) = |A∩B| / |A|.
+
+    Catches what symmetric Jaccard misses: a short document wholly quoted
+    inside a long one has tiny Jaccard (union is large) but containment ≈ 1
+    on the short side — the boilerplate/quotation/subset-dup case a
+    training-data pipeline must detect separately from mirror-copy dedup.
+
+    Same MinHash-LSH candidate generation + exact shingle-set verification
+    as ``near_dup_pairs`` (identical scale shape); the filter keeps pairs
+    where EITHER side is ≥ ``threshold`` contained in the other. Note the
+    LSH recall caveat is stronger here: band collisions track Jaccard, so a
+    contained-but-tiny fragment may not collide — at 100 TB the standard
+    remedy is a lower band count r (or suffix-array methods) for the
+    containment pass.
+
+    Output: (id_a, id_b, inter, size_a, size_b, containment_a,
+    containment_b) with containment_X = |A∩B| / |size of X's set|.
+    """
+    sigs = minhash_signatures(
+        df, text_col, id_col, num_hashes, shingle_size, char_ngrams
+    )
+    bands_df = lsh_band_signatures(sigs, id_col, num_hashes, bands)
+    pairs = _candidates_from_bands(bands_df, id_col)
+    sh = shingle_sets(df, text_col, id_col, shingle_size, char_ngrams)
+    v = _jaccard_from_shingle_sets(sh, pairs, id_col)
+    ca = F.round(F.col("inter") / F.col("size_a"), 6) + 0.0
+    cb = F.round(F.col("inter") / F.col("size_b"), 6) + 0.0
+    return (
+        v.select(
+            "id_a",
+            "id_b",
+            "inter",
+            "size_a",
+            "size_b",
+            ca.alias("containment_a"),
+            cb.alias("containment_b"),
+        )
+        .where(F.greatest(F.col("containment_a"), F.col("containment_b")) >= threshold)
+    )

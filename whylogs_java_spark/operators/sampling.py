@@ -1,0 +1,89 @@
+"""Deterministic sampling operators for training-data pipelines.
+
+A 100 TB corpus pipeline needs samples that are (a) reproducible across
+runs and engines — no RNG state, no partition-order dependence — and
+(b) pure scan-side filters/projections so they compose with predicate
+pushdown. Both operators key the decision on an md5-derived integer of
+the row's id (the same engine-portable hash family the MinHash pipeline
+uses: hex-parse of an md5 prefix, reproducible in any engine), never on
+``rand()``.
+
+- ``hash_sample``: Bernoulli-style per-stratum fractions. A pure filter:
+  no shuffle, no state; at scale it rides inside the scan stage.
+- ``stratified_sample_exact``: exactly-k-per-stratum via hash-rank. The
+  deterministic twin of reservoir sampling: rank = row_number over the
+  hash within each stratum. One shuffle on the stratum key; Spark's
+  WindowGroupLimit pushes the top-k below the sort at scale.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# 2^60-bound integer from the md5 hex prefix — same construction as
+# operators/dedup.py minhash (engine-portable: DuckDB parses the same hex)
+_SAMPLE_MOD = 1_000_000
+
+
+def sample_key(id_col: Column, salt: str = "") -> Column:
+    """Deterministic uniform integer in [0, 1e6) from a row id."""
+    h = F.md5(F.concat(F.lit(salt), id_col.cast("string")))
+    return F.conv(F.substring(h, 1, 15), 16, 10).cast("long") % _SAMPLE_MOD
+
+
+def hash_sample(
+    df: DataFrame,
+    id_col: str,
+    fraction: float | None = None,
+    stratum_col: str | None = None,
+    fractions: Mapping[str, float] | None = None,
+    default_fraction: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic Bernoulli sample, optionally stratified.
+
+    Either a global ``fraction``, or per-stratum ``fractions`` keyed by the
+    values of ``stratum_col`` (strata not in the map fall back to
+    ``default_fraction``). The row set is a pure function of (id, salt) —
+    stable under any partitioning, re-run, or engine.
+    """
+    key = sample_key(F.col(id_col), salt)
+    if stratum_col is None:
+        if fraction is None:
+            raise ValueError("need fraction or (stratum_col, fractions)")
+        return df.where(key < int(fraction * _SAMPLE_MOD))
+    if fractions is None:
+        raise ValueError("stratum_col requires fractions")
+    thr: Column = F.lit(int(default_fraction * _SAMPLE_MOD))
+    for value, frac in sorted(fractions.items()):
+        thr = F.when(
+            F.col(stratum_col) == value, F.lit(int(frac * _SAMPLE_MOD))
+        ).otherwise(thr)
+    return df.where(key < thr)
+
+
+def stratified_sample_exact(
+    df: DataFrame,
+    id_col: str,
+    strata: Sequence[str],
+    k: int,
+    salt: str = "",
+) -> DataFrame:
+    """Exactly ``min(k, |stratum|)`` rows per stratum, chosen by hash rank.
+
+    Deterministic reservoir sampling: the "random" order is the md5-derived
+    key, so the selected set is stable across runs/engines and
+    oracle-checkable. Ties (hash collisions) break on the id.
+    """
+    from pyspark.sql import Window
+
+    key = sample_key(F.col(id_col), salt)
+    w = Window.partitionBy(*strata).orderBy(key.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= k)
+        .drop("__rk")
+    )

@@ -172,3 +172,71 @@ def fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         F.md5(norm).alias("fp"),
         F.md5(F.substring(norm, 1, 64)).alias("prefix_key"),
     )
+
+
+def repetition_metrics(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Gopher-style repetition signals: how much of a document is the same
+    word / word-bigram repeated (MassiveText used duplicate-line and
+    top-n-gram-coverage gates; these are the word-bag equivalents for
+    corpora without line structure).
+
+    Output per document:
+    - ``n_words``           whitespace token count
+    - ``distinct_word_frac``  |distinct words| / n_words
+    - ``top_word_frac``       occurrences of the most common word / n_words
+    - ``top_bigram_frac``     occurrences of the most common word bigram /
+                              (n_words - 1); NULL when n_words < 2
+
+    Scale shape: one explode per n-gram order feeding a two-level
+    hash-aggregate — (id, gram) counts reduce map-side, then per-id
+    max/sum. Both shuffles key on the document id (the natural partition
+    key of a corpus), never on the gram, so hot grams cannot skew a
+    partition.
+    """
+    t = F.col(text_col)
+    toks = tokens(t)
+    base = df.select(F.col(id_col).alias("__id"), toks.alias("__toks"))
+
+    uni = (
+        base.select("__id", F.explode("__toks").alias("w"))
+        .groupBy("__id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("__id")
+        .agg(
+            F.sum("c").alias("n_words"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.max("c").alias("top_w"),
+        )
+    )
+    bigrams = F.when(
+        F.size("__toks") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("__toks") - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at("__toks", i), F.element_at("__toks", i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bi = (
+        base.select("__id", F.explode(bigrams).alias("g"))
+        .groupBy("__id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("__id")
+        .agg(F.sum("c").alias("n_bigrams"), F.max("c").alias("top_b"))
+    )
+    return (
+        uni.join(bi, on="__id", how="left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("n_words"),
+            (F.round(F.col("n_distinct") / F.col("n_words"), 6) + 0.0).alias(
+                "distinct_word_frac"
+            ),
+            (F.round(F.col("top_w") / F.col("n_words"), 6) + 0.0).alias(
+                "top_word_frac"
+            ),
+            (F.round(F.col("top_b") / F.col("n_bigrams"), 6) + 0.0).alias(
+                "top_bigram_frac"
+            ),
+        )
+    )
