@@ -42,6 +42,8 @@ BENCH_QUERIES = [
     "langid_documents",
     "quality_documents",
     "tokens_documents",
+    "repetition_documents",
+    "sample_documents",
 ]
 
 

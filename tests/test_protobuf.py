@@ -483,3 +483,95 @@ def test_distributed_sink_many_groups_merge(spark, tmp_path):
     )
     assert m.count() == w.count() == 6000  # 3k groups x (v, s)
     assert diff.count() == 0
+
+
+def test_chunked_sink_merges_to_whole(spark, tmp_path):
+    """The ≤1MB column-chunk emission (DatasetProfile.toChunkIterator
+    semantics): small cap -> multiple messages per group, each under the
+    cap, sharing a chunk marker; merge_profile_bins reconstructs the
+    unchunked profile exactly."""
+    from whylogs_java_spark.sources.protobuf import (
+        iter_delimited,
+        merge_profile_bins,
+        read_profile_bin,
+        write_profile_bin,
+    )
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    whole = str(tmp_path / "whole.bin")
+    chunked = str(tmp_path / "chunked.bin")
+    n_whole = write_profile_bin(li, whole, group_by=["l_returnflag"])
+    cap = 2000  # force several chunks per group (11 columns/group)
+    n_chunked = write_profile_bin(
+        li, chunked, group_by=["l_returnflag"], chunk_bytes=cap
+    )
+    assert n_chunked > n_whole
+
+    # every chunk is a parseable message under the cap (plus fixed
+    # properties overhead) and carries the marker metadata
+    from whylogs_java_spark.sources.protobuf import decode_dataset_profile
+
+    markers = set()
+    with open(chunked, "rb") as f:
+        data = f.read()
+    for msg in iter_delimited(data):
+        prof = decode_dataset_profile(msg)
+        # under the cap (+ fixed properties overhead) unless it's a single
+        # oversized column, which opens its own chunk (the reference's
+        # overflow-flush rule)
+        assert len(prof["columns"]) == 1 or len(msg) <= cap + 1500
+        markers.add(
+            (
+                prof["properties"]["tags"]["whylogs.tag.l_returnflag"],
+                prof["properties"]["metadata"]["whylogs.chunk.marker"],
+            )
+        )
+    # one marker per group, shared by that group's chunks
+    assert len(markers) == n_whole
+
+    merged = str(tmp_path / "merged.bin")
+    merge_profile_bins(spark, chunked, merged)
+    a = {
+        (r["tags"]["whylogs.tag.l_returnflag"], r["column_name"]): r
+        for r in read_profile_bin(spark, merged).drop("path", "msg_index").collect()
+    }
+    b = {
+        (r["tags"]["whylogs.tag.l_returnflag"], r["column_name"]): r
+        for r in read_profile_bin(spark, whole).drop("path", "msg_index").collect()
+    }
+    assert set(a) == set(b)
+    for k in b:
+        for field in ("count", "null_count", "min", "max", "sum", "mean",
+                      "variance", "frequent_items"):
+            av, bv = a[k][field], b[k][field]
+            if isinstance(bv, float):
+                assert av == pytest.approx(bv, rel=1e-9), (k, field)
+            else:
+                assert av == bv, (k, field)
+
+
+def test_chunked_sink_packs_multiple_columns(spark, tmp_path):
+    """Without sketches, column messages are small: the greedy packer must
+    put several columns per chunk while respecting the cap."""
+    from whylogs_java_spark.sources.protobuf import (
+        decode_dataset_profile,
+        iter_delimited,
+        write_profile_bin,
+    )
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    chunked = str(tmp_path / "lean_chunks.bin")
+    cap = 700
+    n = write_profile_bin(
+        li, chunked, group_by=["l_returnflag"], chunk_bytes=cap,
+        include_sketches=False, frequent_items_k=0,
+    )
+    with open(chunked, "rb") as f:
+        data = f.read()
+    col_counts = []
+    for msg in iter_delimited(data):
+        prof = decode_dataset_profile(msg)
+        col_counts.append(len(prof["columns"]))
+        assert len(prof["columns"]) == 1 or len(msg) <= cap + 1500
+    assert max(col_counts) > 1          # packing happened
+    assert 3 < n < 33                   # chunked, but not one-per-column

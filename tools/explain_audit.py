@@ -64,7 +64,31 @@ AUDITED = [
         "IVF ANN: broadcast coarse centroids; one-scan nearest-centroid "
         "assignment makes inverted lists a centroid_id column; queries "
         "probe nprobe lists via equi-join on the list key - the corpus "
-        "shuffles once on the list key, never all-pairs.",
+        "shuffles once on the list key, never all-pairs. Per-vector norms "
+        "fold once into a column (1 interpreted fold per scored pair, "
+        "not 3).",
+    ),
+    (
+        "dedup_clusters",
+        "Near-dup cluster resolution: the verified pair list materializes "
+        "ONCE (localCheckpoint) before the label-propagation loop, so each "
+        "round joins a checkpointed edge table - the MinHash pipeline does "
+        "NOT re-execute per iteration. The plan below is the final labels "
+        "projection; the per-round join+min-agg shuffles only (id, label) "
+        "rows.",
+    ),
+    (
+        "sample_documents",
+        "Deterministic stratified Bernoulli sample: a pure scan-side "
+        "filter on an md5-derived key - no shuffle, no exchange; composes "
+        "with column pruning (only doc_id/lang read).",
+    ),
+    (
+        "repetition_documents",
+        "Repetition quality metrics: one explode per n-gram order into a "
+        "two-level hash-aggregate, both shuffles keyed on the doc id (a "
+        "hot gram cannot skew a partition); the unigram and bigram "
+        "branches join on the doc id.",
     ),
 ]
 

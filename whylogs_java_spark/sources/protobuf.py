@@ -45,6 +45,7 @@ leave the estimate unchanged).
 
 from __future__ import annotations
 
+import hashlib
 import math
 import os
 import struct
@@ -922,6 +923,91 @@ def dataset_profile_message(
     return out
 
 
+# the reference caps each columns chunk at ~1MB
+# (ColumnsChunkSegmentIterator.java:11: MAX_LEN_IN_BYTES = 1_000_000 - 10)
+CHUNK_MAX_BYTES = 1_000_000 - 10
+
+
+def chunked_profile_messages(
+    column_rows: Iterable[dict],
+    session_id: str = "whylogs-java-spark",
+    session_timestamp: int = 0,
+    data_timestamp: int = -1,
+    tags: dict[str, str] | None = None,
+    metadata: dict[str, str] | None = None,
+    sketches_by_column: dict[str, dict] | None = None,
+    model: dict | None = None,
+    max_bytes: int = CHUNK_MAX_BYTES,
+    marker: str | None = None,
+) -> list[bytes]:
+    """Column-chunked profile messages, each ≤ ~``max_bytes`` of columns.
+
+    The reference streams big profiles as a metadata segment plus ≤1MB
+    column chunks sharing a marker (DatasetProfile.toChunkIterator,
+    DatasetProfile.java:190-215; greedy packing per
+    ColumnsChunkSegmentIterator.java:43-63). Its MessageSegment /
+    ColumnsChunkSegment protos are not vendored in the reference repo, so
+    this emits the same semantics over the wire format we already speak:
+    every chunk is a complete DatasetProfileMessage carrying the shared
+    properties plus a ``whylogs.chunk.marker`` metadata key, and the
+    columns are greedily packed so each message's column payload stays
+    under ``max_bytes`` (a single oversized column opens its own chunk,
+    mirroring the reference's overflow-flush). Re-merging the chunks
+    (``merge_profile_bins`` — the reference's column-set-union merge)
+    reconstructs the whole profile exactly.
+
+    ``model`` metrics are dataset-level and ride on the first chunk only.
+    Greedy packing is deterministic: columns sort by name.
+    """
+    column_rows = list(column_rows)
+    if marker is None:
+        # deterministic marker (the reference uses a UUID; a content hash
+        # keeps the sink reproducible run-to-run)
+        marker = session_id + "-" + hashlib.md5(
+            "|".join(sorted(r["column_name"] for r in column_rows)).encode()
+        ).hexdigest()
+    meta = dict(metadata or {})
+    meta["whylogs.chunk.marker"] = marker
+    sks = sketches_by_column or {}
+
+    encoded: list[bytes] = []
+    for row in sorted(column_rows, key=lambda r: r["column_name"]):
+        cm = column_message(row, sks.get(row["column_name"]))
+        encoded.append(_f_bytes(2, _f_str(1, row["column_name"]) + _f_bytes(2, cm)))
+
+    chunks: list[list[bytes]] = []
+    cur: list[bytes] = []
+    cur_len = 0
+    for enc in encoded:
+        if cur and cur_len + len(enc) > max_bytes:
+            chunks.append(cur)
+            cur, cur_len = [], 0
+        cur.append(enc)
+        cur_len += len(enc)
+    if cur:
+        chunks.append(cur)
+
+    props = (
+        _f_varint(1, SCHEMA_MAJOR)
+        + _f_varint(2, SCHEMA_MINOR)
+        + _f_str(3, session_id)
+        + _f_varint(4, session_timestamp)
+        + _f_varint(5, data_timestamp)
+    )
+    for k, v in sorted((tags or {}).items()):
+        props += _map_entry_str(6, k, v)
+    for k, v in sorted(meta.items()):
+        props += _map_entry_str(7, k, v)
+
+    out = []
+    for i, chunk in enumerate(chunks):
+        msg = _f_bytes(1, props) + b"".join(chunk)
+        if model is not None and i == 0:
+            msg += _f_bytes(10, model_profile_message(model))
+        out.append(msg)
+    return out
+
+
 def write_delimited(messages: Iterable[bytes], path: str) -> None:
     with open(path, "wb") as f:
         for m in messages:
@@ -1211,9 +1297,8 @@ def merge_profile_bins(
     return len(messages)
 
 
-def write_profile_bin_distributed(
+def profile_messages_df(
     df,
-    path: str,
     group_by: Sequence[str],
     session_id: str = "whylogs-java-spark",
     session_timestamp: int = 0,
@@ -1223,26 +1308,19 @@ def write_profile_bin_distributed(
     null_strings: Sequence[str] = (),
     include_sketches: bool = True,
     frequent_items_k: int = 128,
-) -> int:
-    """Many-group wire sink: protobuf assembly runs ON THE EXECUTORS.
+):
+    """DataFrame of assembled wire messages: one row (msg binary) per group,
+    built ON THE EXECUTORS.
 
-    ``write_profile_bin`` collects finalized rows and assembles messages on
-    the driver — the right shape for the CLI regime (one or a few
-    messages), a bottleneck at millions of groups. Here the finalized
-    profile rows, melted sketch binaries and per-column frequent items are
-    joined on (group keys, column_name) and each group's
-    DatasetProfileMessage is built inside ``applyInPandas`` (Arrow-batched,
-    one group per call — the same per-group grain as the reference's
-    DatasetProfileAggregator). The driver then streams the finished
-    message blobs to the delimited file via ``toLocalIterator`` — it holds
-    one partition of O(columns)-sized messages at a time, never the whole
-    output, and only concatenates bytes.
-
-    Message order in the file follows partition order (readers treat the
-    stream as a set — DatasetProfile.parseDelimitedFrom semantics).
-    Dataset-level model metrics are a driver-side concern (one matrix per
-    dataset, not per group) — use ``write_profile_bin`` for those.
-    Returns the number of messages written.
+    The distributed message-assembly core shared by the delimited-file sink
+    (``write_profile_bin_distributed``) and the REST upload sink
+    (``sources.rest.upload_profiles``): finalized profile rows, melted
+    sketch binaries and per-column frequent items join on (group keys,
+    column_name) and each group's DatasetProfileMessage is built inside
+    ``applyInPandas`` (Arrow-batched, one group per call — the same
+    per-group grain as the reference's DatasetProfileAggregator).
+    Requires a non-empty ``group_by`` (ungrouped profiles are the one-
+    message CLI regime — use ``write_profile_bin``).
     """
     import pandas as pd
     from pyspark.sql import functions as F
@@ -1251,12 +1329,9 @@ def write_profile_bin_distributed(
 
     keys = list(group_by)
     if not keys:
-        return write_profile_bin(
-            df, path, group_by=(), session_id=session_id,
-            session_timestamp=session_timestamp, data_timestamp=data_timestamp,
-            tags=tags, metadata=metadata, null_strings=null_strings,
-            include_sketches=include_sketches,
-            frequent_items_k=frequent_items_k,
+        raise ValueError(
+            "profile_messages_df needs group_by; ungrouped profiles are the "
+            "single-message regime of write_profile_bin"
         )
 
     fin = profile(df, group_by=keys, null_strings=null_strings)
@@ -1363,7 +1438,54 @@ def write_profile_bin_distributed(
         )
         return pd.DataFrame({"msg": [msg]})
 
-    msgs = joined.groupBy(*keys).applyInPandas(build, schema="msg binary")
+    return joined.groupBy(*keys).applyInPandas(build, schema="msg binary")
+
+
+def write_profile_bin_distributed(
+    df,
+    path: str,
+    group_by: Sequence[str],
+    session_id: str = "whylogs-java-spark",
+    session_timestamp: int = 0,
+    data_timestamp: int = -1,
+    tags: dict[str, str] | None = None,
+    metadata: dict[str, str] | None = None,
+    null_strings: Sequence[str] = (),
+    include_sketches: bool = True,
+    frequent_items_k: int = 128,
+) -> int:
+    """Many-group wire sink: protobuf assembly runs ON THE EXECUTORS.
+
+    ``write_profile_bin`` collects finalized rows and assembles messages on
+    the driver — the right shape for the CLI regime (one or a few
+    messages), a bottleneck at millions of groups. Here the messages come
+    from ``profile_messages_df`` (executor-side assembly) and the driver
+    streams the finished blobs to the delimited file via
+    ``toLocalIterator`` — it holds one partition of O(columns)-sized
+    messages at a time, never the whole output, and only concatenates
+    bytes.
+
+    Message order in the file follows partition order (readers treat the
+    stream as a set — DatasetProfile.parseDelimitedFrom semantics).
+    Dataset-level model metrics are a driver-side concern (one matrix per
+    dataset, not per group) — use ``write_profile_bin`` for those.
+    Returns the number of messages written.
+    """
+    keys = list(group_by)
+    if not keys:
+        return write_profile_bin(
+            df, path, group_by=(), session_id=session_id,
+            session_timestamp=session_timestamp, data_timestamp=data_timestamp,
+            tags=tags, metadata=metadata, null_strings=null_strings,
+            include_sketches=include_sketches,
+            frequent_items_k=frequent_items_k,
+        )
+    msgs = profile_messages_df(
+        df, keys, session_id=session_id, session_timestamp=session_timestamp,
+        data_timestamp=data_timestamp, tags=tags, metadata=metadata,
+        null_strings=null_strings, include_sketches=include_sketches,
+        frequent_items_k=frequent_items_k,
+    )
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     n = 0
     with open(path, "wb") as f:
@@ -1479,8 +1601,14 @@ def write_profile_bin(
     include_sketches: bool = True,
     frequent_items_k: int = 128,
     model: dict | None = None,
+    chunk_bytes: int | None = None,
 ) -> int:
     """Profile ``df`` and write wire-compatible DatasetProfileMessages.
+
+    ``chunk_bytes`` switches each group to the column-chunked emission
+    (``chunked_profile_messages`` — the reference's ≤1MB segment-stream
+    shape, DatasetProfile.java:190-215): one delimited message per column
+    chunk, re-mergeable to the whole profile.
 
     One delimited message per group (ungrouped -> a single message, the
     CLI shape — Profiler.java:158-163). Group key values become
@@ -1548,18 +1676,23 @@ def write_profile_bin(
         gtags = dict(tags or {})
         for k, v in zip(keys, gk):
             gtags[f"whylogs.tag.{k}"] = "" if v is None else str(v)
-        messages.append(
-            dataset_profile_message(
-                groups[gk],
-                session_id=session_id,
-                session_timestamp=session_timestamp,
-                data_timestamp=data_timestamp,
-                tags=gtags,
-                metadata=metadata,
-                sketches_by_column=sketches.get(gk),
-                model=model,
-            )
+        common = dict(
+            session_id=session_id,
+            session_timestamp=session_timestamp,
+            data_timestamp=data_timestamp,
+            tags=gtags,
+            metadata=metadata,
+            sketches_by_column=sketches.get(gk),
+            model=model,
         )
+        if chunk_bytes is not None:
+            messages.extend(
+                chunked_profile_messages(
+                    groups[gk], max_bytes=chunk_bytes, **common
+                )
+            )
+        else:
+            messages.append(dataset_profile_message(groups[gk], **common))
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     write_delimited(messages, path)
     return len(messages)
