@@ -161,3 +161,65 @@ def test_dedup_stream_matches_batch_key_set(spark, tmp_path):
     assert set(stream_keys) == batch_keys
     # and batch exact_dedup agrees on survivor count
     assert exact_dedup(corpus, "text", "doc_id").count() == len(batch_keys)
+
+
+# ---------------------------------------------------------------------------
+# PII scan
+# ---------------------------------------------------------------------------
+
+def test_pii_scan_counts(spark):
+    from whylogs_java_spark.operators.text import pii_scan
+
+    df = spark.createDataFrame(
+        [
+            (1, "reach me at jane.doe+spam@corp.example.org thanks"),
+            (2, "server at 192.168.1.17 answered"),
+            (3, "call +1 (555) 867-5309 now"),
+            (4, "order 12345678 shipped"),
+            (5, "nothing sensitive here"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in pii_scan(df, "text", "doc_id").collect()}
+    assert rows[1]["n_email"] == 1 and rows[1]["has_pii"]
+    assert rows[2]["n_ipv4"] == 1 and rows[2]["has_pii"]
+    assert rows[3]["n_phone"] == 1 and rows[3]["has_pii"]
+    assert rows[4]["n_number_run"] == 1 and not rows[4]["has_pii"]
+    assert not rows[5]["has_pii"]
+    assert all(rows[5][f] == 0 for f in ("n_email", "n_ipv4", "n_phone", "n_number_run"))
+
+
+# ---------------------------------------------------------------------------
+# audio header metadata
+# ---------------------------------------------------------------------------
+
+def test_audio_header_meta_wav_walk(spark):
+    from whylogs_java_spark.operators.multimodal import audio_header_meta
+
+    import struct as _s
+
+    def chunk(cid: bytes, payload: bytes) -> bytes:
+        out = cid + _s.pack("<I", len(payload)) + payload
+        return out + (b"\0" if len(payload) % 2 else b"")  # RIFF pad rule
+
+    fmt = _s.pack("<HHIIHH", 1, 2, 44100, 44100 * 4, 4, 16)
+    # odd-sized LIST payload before fmt exercises the pad-to-even rule
+    wav = (
+        b"RIFF" + _s.pack("<I", 1000) + b"WAVE"
+        + chunk(b"LIST", b"odd")
+        + chunk(b"fmt ", fmt)
+        + b"data" + _s.pack("<I", 88200)
+    )
+    rows = spark.createDataFrame(
+        [(1, bytearray(wav)), (2, bytearray(b"OggS not wav")),
+         (3, bytearray(b"RIFF\x00\x00\x00\x00WAVE"))],  # no chunks at all
+        "doc_id long, data binary",
+    )
+    got = {r["doc_id"]: r for r in audio_header_meta(rows, "data", "doc_id").collect()}
+    r = got[1]
+    assert r["format"] == "wav" and r["channels"] == 2
+    assert r["sample_rate"] == 44100 and r["bits_per_sample"] == 16
+    assert r["data_bytes"] == 88200 and r["duration_ms"] == 500
+    assert got[2]["format"] == "unknown" and got[2]["channels"] is None
+    # well-formed container but truncated before any chunk: wav, null fields
+    assert got[3]["format"] == "wav" and got[3]["sample_rate"] is None

@@ -240,3 +240,38 @@ def repetition_metrics(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             ),
         )
     )
+
+
+# PII-ish surface patterns: kept RE2-compatible (no backrefs/lookarounds)
+# so the Spark (java.util.regex) and DuckDB (RE2) engines agree.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+    "phone": r"\+?[0-9][0-9() .-]{7,}[0-9]",
+    "number_run": r"[0-9]{4,}",
+}
+
+
+def pii_scan(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-document PII-surface counts (emails, IPv4s, phone-shaped runs,
+    long digit runs) — the scrub/filter signal a training-data pipeline
+    computes before release. Pure projection (regexp_extract_all sizes):
+    no shuffle, rides inside the scan at any scale.
+
+    Pattern dialect note: patterns are RE2-compatible so the DuckDB oracle
+    runs them verbatim; \\b word boundaries are supported by both engines.
+    Output: (id, n_email, n_ipv4, n_phone, n_number_run, has_pii).
+    """
+    t = F.col(text_col)
+    counts = {
+        name: F.size(F.regexp_extract_all(t, F.lit(pat), 0))
+        for name, pat in PII_PATTERNS.items()
+    }
+    has_pii = (
+        (counts["email"] > 0) | (counts["ipv4"] > 0) | (counts["phone"] > 0)
+    )
+    return df.select(
+        F.col(id_col),
+        *[counts[n].cast("int").alias(f"n_{n}") for n in PII_PATTERNS],
+        has_pii.alias("has_pii"),
+    )
