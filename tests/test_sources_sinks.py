@@ -350,6 +350,37 @@ def test_cli_profile_csv(spark, tmp_path, monkeypatch):
     assert a["columns"]["val"]["type_counts"].get(1) == 1  # 'NA' -> NULL
 
 
+def test_cli_chunked_bin(spark, tmp_path, monkeypatch):
+    # --chunk-bytes: the <=1MB segment-stream CLI path; tiny cap -> several
+    # messages per group sharing a chunk marker
+    import whylogs_java_spark.__main__ as cli
+    import whylogs_java_spark.session as sess
+
+    csv = tmp_path / "in2.csv"
+    csv.write_text("id,val,label\n1,10.5,a\n2,3.25,b\n3,7.5,a\n")
+    out = str(tmp_path / "chunks.bin")
+    monkeypatch.setattr(sess, "get_spark", lambda *a, **k: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+    rc = cli.main([str(csv), "-o", out, "--format", "bin",
+                   "--group-by", "label", "--chunk-bytes", "400"])
+    assert rc == 0
+
+    from whylogs_java_spark.sources.protobuf import (
+        decode_dataset_profile,
+        iter_delimited,
+    )
+
+    msgs = [decode_dataset_profile(m) for m in iter_delimited(open(out, "rb").read())]
+    assert len(msgs) > 2  # more messages than groups -> chunking happened
+    assert all("whylogs.chunk.marker" in m["properties"]["metadata"] for m in msgs)
+    # all columns of group 'a' reassemble across its chunks
+    a_cols = set()
+    for m in msgs:
+        if m["properties"]["tags"]["whylogs.tag.label"] == "a":
+            a_cols |= set(m["columns"])
+    assert a_cols == {"id", "val"}
+
+
 def test_streaming_stateful_sessionize(spark, tmp_path):
     # custom stateful operator (applyInPandasWithState): gap-closed sessions
     # emitted exactly once, matching the batch sessionizer on closed sessions

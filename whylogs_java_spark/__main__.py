@@ -44,6 +44,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--coerce-strings", action="store_true",
                    help="enable TypedDataConverter string matching")
     p.add_argument("--session-id", default="whylogs-java-spark-cli")
+    p.add_argument(
+        "--chunk-bytes", type=int, default=None,
+        help="with --format bin: emit <=N-byte column chunks per group "
+             "(the reference's ~1MB segment stream; merge-to-whole on read)",
+    )
     return p
 
 
@@ -78,7 +83,7 @@ def main(argv: list[str] | None = None) -> int:
             n = write_profile_bin(
                 df, args.output, group_by=group_by, session_id=args.session_id,
                 session_timestamp=int(time.time() * 1000),
-                null_strings=null_strings,
+                null_strings=null_strings, chunk_bytes=args.chunk_bytes,
             )
             print(f"wrote {n} profile message(s) to {args.output}")
             return 0
