@@ -223,3 +223,116 @@ def test_audio_header_meta_wav_walk(spark):
     assert got[2]["format"] == "unknown" and got[2]["channels"] is None
     # well-formed container but truncated before any chunk: wav, null fields
     assert got[3]["format"] == "wav" and got[3]["sample_rate"] is None
+
+
+# ---------------------------------------------------------------------------
+# streaming -> wire profiles -> merge == batch whole
+# ---------------------------------------------------------------------------
+
+def test_streaming_wire_sink_merges_to_batch_profile(spark, tmp_path):
+    from whylogs_java_spark.sources.protobuf import (
+        merge_profile_bins,
+        read_profile_bin,
+        write_profile_bin,
+    )
+    from whylogs_java_spark.streaming.wire_sink import wire_profile_batch_writer
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "lang", "n_chars"
+    )
+    src = str(tmp_path / "src")
+    # several files so the stream sees multiple micro-batches
+    docs.repartition(4).write.parquet(src)
+
+    out_dir = str(tmp_path / "stream_profiles")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream
+        .foreachBatch(
+            wire_profile_batch_writer(
+                out_dir, ["lang"], include_sketches=False, frequent_items_k=0
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    import glob
+
+    files = sorted(glob.glob(f"{out_dir}/batch-*.bin"))
+    assert len(files) >= 2  # incremental: more than one micro-batch profile
+
+    merged = str(tmp_path / "merged.bin")
+    merge_profile_bins(spark, files, merged)
+    whole = str(tmp_path / "whole.bin")
+    write_profile_bin(
+        docs, whole, group_by=["lang"], include_sketches=False,
+        frequent_items_k=0,
+    )
+    a = {
+        (r["tags"]["whylogs.tag.lang"], r["column_name"]): r
+        for r in read_profile_bin(spark, merged).collect()
+    }
+    b = {
+        (r["tags"]["whylogs.tag.lang"], r["column_name"]): r
+        for r in read_profile_bin(spark, whole).collect()
+    }
+    assert set(a) == set(b)
+    for k in b:
+        assert a[k]["count"] == b[k]["count"], k
+        assert a[k]["null_count"] == b[k]["null_count"], k
+        for f in ("min", "max", "sum", "mean", "variance"):
+            av, bv = a[k][f], b[k][f]
+            if bv is None:
+                assert av is None, (k, f)
+            else:
+                # whole-file finalizers round to 6 decimals; the merge
+                # recomputes from atoms at full precision
+                assert av == pytest.approx(bv, rel=1e-9, abs=1e-6), (k, f)
+
+
+# ---------------------------------------------------------------------------
+# compression ratio
+# ---------------------------------------------------------------------------
+
+def test_compression_ratio_ordering(spark):
+    from whylogs_java_spark.operators.text import compression_ratio
+
+    import random
+
+    rng = random.Random(7)
+    repetitive = "spam " * 200
+    natural = (
+        "the quick brown fox jumps over the lazy dog while the cat watches "
+        "from a warm windowsill and the rain taps gently on the glass "
+    ) * 8
+    noise = "".join(chr(rng.randint(33, 126)) for _ in range(1000))
+    df = spark.createDataFrame(
+        [(1, repetitive), (2, natural), (3, noise), (4, None), (5, "")],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in compression_ratio(df, "text", "doc_id").collect()}
+    assert rows[1]["compression_ratio"] < rows[2]["compression_ratio"]
+    assert rows[2]["compression_ratio"] < rows[3]["compression_ratio"]
+    assert rows[3]["compression_ratio"] > 0.8  # noise is near-incompressible
+    assert rows[1]["compression_ratio"] < 0.05
+    assert rows[4]["zlib_bytes"] is None and rows[4]["compression_ratio"] is None
+    assert rows[5]["raw_bytes"] == 0 and rows[5]["compression_ratio"] is None
+
+
+def test_hash_sample_monotone_in_fraction(spark):
+    # threshold construction => a larger fraction strictly supersets a
+    # smaller one (stable sample growth — rows never churn out as the
+    # rate increases)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    s_small = {r["doc_id"] for r in hash_sample(docs, "doc_id", fraction=0.2).collect()}
+    s_big = {r["doc_id"] for r in hash_sample(docs, "doc_id", fraction=0.5).collect()}
+    assert s_small < s_big

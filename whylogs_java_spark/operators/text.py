@@ -7,6 +7,7 @@ plans scale linearly with corpus size and stay inside whole-stage codegen.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -274,4 +275,41 @@ def pii_scan(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         F.col(id_col),
         *[counts[n].cast("int").alias(f"n_{n}") for n in PII_PATTERNS],
         has_pii.alias("has_pii"),
+    )
+
+
+def compression_ratio(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Compression-ratio quality signal: zlib(text) bytes / raw bytes.
+
+    Low ratios flag boilerplate/templated/repetitive documents — the
+    classic cheap complement to n-gram repetition gates. There is no
+    Catalyst expression for DEFLATE, so this is the sanctioned slow path
+    done right: an Arrow-batched ``pandas_udf`` (one Python call per
+    record batch, not per row) over a pure projection — no shuffle, scales
+    with the scan. Cross-engine oracle is impossible (ratios depend on the
+    zlib build), so the query tier is rows-only with pytest pinning the
+    ordering invariants (repetitive < natural < random).
+
+    Output: (id, raw_bytes, zlib_bytes, compression_ratio).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def zlib_size(s: pd.Series) -> pd.Series:
+        import zlib
+
+        return s.map(
+            lambda t: len(zlib.compress(t.encode("utf-8"), 6))
+            if t is not None
+            else None
+        )
+
+    t = F.col(text_col)
+    raw = F.octet_length(t)
+    z = zlib_size(t)
+    return df.select(
+        F.col(id_col),
+        raw.cast("long").alias("raw_bytes"),
+        z.alias("zlib_bytes"),
+        F.when(raw > 0, F.round(z / raw, 6) + 0.0).alias("compression_ratio"),
     )
