@@ -81,3 +81,27 @@ def test_merge_split_invariance(spark, rows):
         for r in merged.collect()
     }
     assert got == whole
+
+
+# ---------------------------------------------------------------------------
+# wire chunk packing (pure python, no Spark)
+# ---------------------------------------------------------------------------
+
+@given(
+    st.lists(st.integers(min_value=1, max_value=5000), min_size=1, max_size=60),
+    st.integers(min_value=1, max_value=4000),
+)
+def test_greedy_chunk_packing_invariants(sizes, cap):
+    from whylogs_java_spark.sources.protobuf import _greedy_chunks
+
+    items = [bytes(n % 251 for _ in range(n)) for n in sizes]
+    chunks = _greedy_chunks(items, cap)
+    # order + content preserved exactly
+    assert [i for c in chunks for i in c] == items
+    for c in chunks:
+        assert c  # no empty chunks
+        # within cap unless a single oversized item
+        assert len(c) == 1 or sum(len(i) for i in c) <= cap
+    # maximality: no chunk could absorb its successor's head
+    for a, b in zip(chunks, chunks[1:]):
+        assert sum(len(i) for i in a) + len(b[0]) > cap

@@ -928,6 +928,25 @@ def dataset_profile_message(
 CHUNK_MAX_BYTES = 1_000_000 - 10
 
 
+def _greedy_chunks(encoded: list[bytes], max_bytes: int) -> list[list[bytes]]:
+    """Greedy order-preserving packing: append while the running payload
+    stays ≤ ``max_bytes``; an item that would overflow flushes the chunk
+    and starts the next one (so a single oversized item rides alone) —
+    ColumnsChunkSegmentIterator.java:43-63 semantics."""
+    chunks: list[list[bytes]] = []
+    cur: list[bytes] = []
+    cur_len = 0
+    for enc in encoded:
+        if cur and cur_len + len(enc) > max_bytes:
+            chunks.append(cur)
+            cur, cur_len = [], 0
+        cur.append(enc)
+        cur_len += len(enc)
+    if cur:
+        chunks.append(cur)
+    return chunks
+
+
 def chunked_profile_messages(
     column_rows: Iterable[dict],
     session_id: str = "whylogs-java-spark",
@@ -975,17 +994,7 @@ def chunked_profile_messages(
         cm = column_message(row, sks.get(row["column_name"]))
         encoded.append(_f_bytes(2, _f_str(1, row["column_name"]) + _f_bytes(2, cm)))
 
-    chunks: list[list[bytes]] = []
-    cur: list[bytes] = []
-    cur_len = 0
-    for enc in encoded:
-        if cur and cur_len + len(enc) > max_bytes:
-            chunks.append(cur)
-            cur, cur_len = [], 0
-        cur.append(enc)
-        cur_len += len(enc)
-    if cur:
-        chunks.append(cur)
+    chunks = _greedy_chunks(encoded, max_bytes)
 
     props = (
         _f_varint(1, SCHEMA_MAJOR)
