@@ -336,3 +336,111 @@ def test_hash_sample_monotone_in_fraction(spark):
     s_small = {r["doc_id"] for r in hash_sample(docs, "doc_id", fraction=0.2).collect()}
     s_big = {r["doc_id"] for r in hash_sample(docs, "doc_id", fraction=0.5).collect()}
     assert s_small < s_big
+
+
+# ---------------------------------------------------------------------------
+# streaming near-dup flagging
+# ---------------------------------------------------------------------------
+
+def test_near_dup_flag_stream_matches_batch_band_groups(spark, tmp_path):
+    from whylogs_java_spark.operators.dedup import (
+        lsh_band_signatures,
+        minhash_candidate_pairs,
+        minhash_signatures,
+    )
+    from whylogs_java_spark.streaming.dedup_near_stream import near_dup_flag_stream
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    mut = docs.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra token")).alias("text"),
+    )
+
+    # phase files: originals first, mutations arrive later
+    src = str(tmp_path / "src")
+    docs.coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    flagged_stream = near_dup_flag_stream(stream, "text", "doc_id")
+    q = (
+        flagged_stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("near_flags")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        first = {r["doc_id"] for r in spark.sql("SELECT doc_id FROM near_flags").collect()}
+        mut.coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        rows = spark.sql("SELECT doc_id, dup_of FROM near_flags").collect()
+    finally:
+        q.stop()
+
+    flagged = {r["doc_id"] for r in rows}
+    # batch truth for phase 1 (single batch, min-id ownership): every doc
+    # sharing a band signature with a smaller doc id gets flagged
+    bands_df = lsh_band_signatures(
+        minhash_signatures(docs, "text", "doc_id"), "doc_id"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band", "band_sig")
+    batch_flagged = {
+        r["doc_id"]
+        for r in bands_df.withColumn("mn", F.min("doc_id").over(w))
+        .where(F.col("doc_id") != F.col("mn"))
+        .select("doc_id")
+        .distinct()
+        .collect()
+    }
+    assert first == batch_flagged
+
+    # phase 2: every mutation that batch-LSH pairs with its original is
+    # flagged once it arrives (its bands are already owned)
+    corpus = docs.unionByName(mut)
+    cand = minhash_candidate_pairs(corpus, "text", "doc_id")
+    expected_mut = {
+        r["id_b"]
+        for r in cand.where(
+            (F.col("id_b") >= 100000) & (F.col("id_a") < 100000)
+        ).collect()
+    }
+    assert expected_mut  # mutations do collide with their sources
+    assert expected_mut <= flagged
+    # every such mutation has at least one band owned by a PRE-EXISTING
+    # doc (rows pointing at other mutations are fine — two mutations can
+    # share a band only they hit, and the first then owns it)
+    with_orig_owner = {
+        r["doc_id"] for r in rows if r["doc_id"] >= 100000 and r["dup_of"] < 100000
+    }
+    assert expected_mut <= with_orig_owner
+
+
+# ---------------------------------------------------------------------------
+# video container metadata
+# ---------------------------------------------------------------------------
+
+def test_video_container_meta_box_walk(spark):
+    from whylogs_java_spark.operators.multimodal import video_container_meta
+
+    import struct as _s
+
+    def box(btype: bytes, payload: bytes) -> bytes:
+        return _s.pack(">I", 8 + len(payload)) + btype + payload
+
+    ftyp = box(b"ftyp", b"isom" + _s.pack(">I", 512) + b"iso2avc1")
+    good = ftyp + box(b"free", b"\0" * 16) + box(b"moov", b"\0" * 40) + box(b"mdat", b"\0" * 100)
+    no_moov = ftyp + box(b"mdat", b"\0" * 50)
+    rows = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytearray(no_moov)), (3, bytearray(b"RIFFxxxxWAVE"))],
+        "doc_id long, data binary",
+    )
+    got = {r["doc_id"]: r for r in video_container_meta(rows, "data", "doc_id").collect()}
+    r = got[1]
+    assert r["format"] == "mp4" and r["major_brand"] == "isom"
+    assert r["minor_version"] == 512
+    assert r["has_moov"] is True and r["has_mdat"] is True
+    assert got[2]["format"] == "mp4" and got[2]["has_moov"] is False
+    assert got[3]["format"] == "unknown" and got[3]["major_brand"] is None

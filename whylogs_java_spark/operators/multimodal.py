@@ -274,3 +274,58 @@ def audio_header_meta(
         data_bytes.cast("long").alias("data_bytes"),
         duration_ms.cast("long").alias("duration_ms"),
     )
+
+
+def video_container_meta(
+    df: DataFrame, binary_col: str, id_col: str, max_boxes: int = 8
+) -> DataFrame:
+    """Video (ISO BMFF / MP4) container metadata from raw header bytes —
+    the video leg of the image/audio/video metadata triad, same
+    no-codec/no-UDF contract.
+
+    Parses the ``ftyp`` box (major brand + minor version) and walks the
+    top-level box sequence (BE-u32 size + 4-char type, ``size==1`` means
+    a 64-bit extended size) as a bounded ``F.aggregate`` fold to report
+    whether a ``moov`` (metadata) and ``mdat`` (media data) box are
+    present in the scanned prefix — the cheap structural-integrity signal
+    a pipeline uses to drop truncated clips before decode. Duration needs
+    the nested ``mvhd`` payload and a real demuxer; out of scope by
+    design (the decode stub documents the boundary).
+
+    Output: (id, format, major_brand, minor_version, has_moov, has_mdat).
+    """
+    b = F.col(binary_col)
+    is_mp4 = F.hex(b.substr(F.lit(5), F.lit(4))) == "66747970"  # 'ftyp'
+    brand = F.when(is_mp4, b.substr(F.lit(9), F.lit(4)).cast("string"))
+    minor = F.when(is_mp4, _be_int(b, 13, 4))
+
+    zero = F.struct(
+        F.lit(1).cast("long").alias("pos"),
+        F.lit(False).alias("moov"),
+        F.lit(False).alias("mdat"),
+    )
+
+    def step(acc, _):
+        pos = acc["pos"]
+        readable = pos + 8 - 1 <= F.length(b)
+        size = _be_int(b, pos, 4)
+        btype = F.hex(b.substr(pos + 4, F.lit(4)))
+        # size==1: 64-bit largesize follows the type (use its low half —
+        # a >2^63-byte box is not a real file)
+        span = F.when(size == 1, _be_int(b, pos + 12, 4)).otherwise(size)
+        ok = readable & (span >= 8)
+        return F.struct(
+            F.when(ok, pos + span).otherwise(pos).alias("pos"),
+            (acc["moov"] | (ok & (btype == "6D6F6F76"))).alias("moov"),
+            (acc["mdat"] | (ok & (btype == "6D646174"))).alias("mdat"),
+        )
+
+    acc = F.aggregate(F.sequence(F.lit(1), F.lit(max_boxes)), zero, step)
+    return df.select(
+        F.col(id_col),
+        F.when(is_mp4, F.lit("mp4")).otherwise(F.lit("unknown")).alias("format"),
+        brand.alias("major_brand"),
+        minor.cast("long").alias("minor_version"),
+        F.when(is_mp4, acc["moov"]).alias("has_moov"),
+        F.when(is_mp4, acc["mdat"]).alias("has_mdat"),
+    )

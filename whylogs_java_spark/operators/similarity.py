@@ -549,9 +549,12 @@ def cosine_pairs_bucketed(
         # mitigations: (1) norms are per-VECTOR, so fold them once on the
         # corpus and join the scalar — 3 folds/pair becomes 1; (2) AQE
         # coalesces the small distinct-candidates exchange to one task,
-        # serializing the fold work — spread candidates back across cores
-        # (a no-op at cluster scale where candidates already outnumber
-        # partitions).
+        # serializing the fold work (a runtime decision, so a static
+        # partition-count guard can't see it) — repartition on id_a to
+        # spread the fold work across cores. The cost is one shuffle of
+        # bare (id_a, id_b) pairs — tiny rows — and the partitioning
+        # doubles as the pre-shuffle of the first verify join when the
+        # vector side is too big to broadcast.
         target = embeddings.sparkSession.sparkContext.defaultParallelism
         pairs = pairs.repartition(target, "id_a")
         vecs = embeddings.select(
