@@ -444,3 +444,22 @@ def test_video_container_meta_box_walk(spark):
     assert r["has_moov"] is True and r["has_mdat"] is True
     assert got[2]["format"] == "mp4" and got[2]["has_moov"] is False
     assert got[3]["format"] == "unknown" and got[3]["major_brand"] is None
+
+
+# ---------------------------------------------------------------------------
+# packing stats
+# ---------------------------------------------------------------------------
+
+def test_packing_stats_known_values(spark):
+    from whylogs_java_spark.operators.text import packing_stats
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c d e f"), (3, "a")], ["doc_id", "text"]
+    )
+    r = packing_stats(df, "text", "doc_id", context_len=4).collect()[0]
+    assert r["n_docs"] == 3 and r["total_tokens"] == 10
+    assert r["docs_over_context"] == 1          # the 6-token doc
+    assert r["truncated_tokens"] == 2           # 6 - 4
+    assert r["max_tokens"] == 6
+    assert r["min_contexts"] == 3               # ceil(10/4)
+    assert r["contexts_one_doc_each"] == 3

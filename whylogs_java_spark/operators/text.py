@@ -313,3 +313,48 @@ def compression_ratio(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         z.alias("zlib_bytes"),
         F.when(raw > 0, F.round(z / raw, 6) + 0.0).alias("compression_ratio"),
     )
+
+
+def packing_stats(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    context_len: int = 512,
+    strata: list[str] | None = None,
+) -> DataFrame:
+    """Sequence-packing planning stats: how a tokenized corpus fills
+    fixed-size training contexts.
+
+    Per stratum (or globally): document/token totals, docs exceeding one
+    context (they must be chunked), tokens lost to truncate-at-one-context
+    policy, and the two packing bounds every batch planner needs —
+    ``min_contexts`` = ceil(total_tokens / context_len) (perfect packing /
+    concat-and-chunk lower bound) and ``contexts_one_doc_each`` = one doc
+    per context (the no-packing upper bound). Greedy bin packing lands
+    between them and is order-dependent, so the bounds — not a specific
+    packing — are the engine-level statistics.
+
+    One hash-aggregate over whitespace token counts; scale-identical to
+    the profile family.
+    """
+    keys = list(strata or [])
+    toks = F.size(tokens(F.col(text_col)))
+    base = df.select(*keys, F.col(id_col), toks.alias("__t"))
+    ctx = F.lit(context_len)
+    agg = base.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__t").alias("total_tokens"),
+        F.sum(F.when(F.col("__t") > ctx, 1).otherwise(0)).alias("docs_over_context"),
+        F.sum(F.greatest(F.col("__t") - ctx, F.lit(0))).alias("truncated_tokens"),
+        F.max("__t").alias("max_tokens"),
+    )
+    return agg.select(
+        *keys,
+        "n_docs",
+        "total_tokens",
+        "docs_over_context",
+        "truncated_tokens",
+        "max_tokens",
+        F.ceil(F.col("total_tokens") / ctx).cast("long").alias("min_contexts"),
+        F.col("n_docs").alias("contexts_one_doc_each"),
+    )
