@@ -1,5 +1,7 @@
 """Tests for the round-4 training-pipeline operators: repetition metrics,
-deterministic sampling, containment dedup, streaming exact dedup."""
+deterministic sampling, containment dedup, PII scan, audio/video header
+metadata, packing stats, compression ratio, and the streaming exact- and
+near-dup operators plus the streaming wire-profile sink."""
 
 from __future__ import annotations
 
