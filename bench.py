@@ -44,6 +44,9 @@ BENCH_QUERIES = [
     "tokens_documents",
     "repetition_documents",
     "sample_documents",
+    "pii_documents",
+    "multimodal_audio",
+    "packing_documents",
 ]
 
 
