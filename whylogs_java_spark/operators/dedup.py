@@ -406,26 +406,49 @@ def near_dup_stages(
 # SimHash
 # ---------------------------------------------------------------------------
 
-def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 64) -> DataFrame:
+def simhash(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    bits: int = 64,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
     """64-bit SimHash as an array<int> of bits (1/0), plus hex rendering.
 
-    Per token: xxhash64(token); bit b contributes +1 if set else -1; the
-    fingerprint bit is 1 iff the signed sum is positive. All JVM-side:
+    Per token: a 64-bit token hash; bit b contributes +1 if set else -1;
+    the fingerprint bit is 1 iff the signed sum is positive. All JVM-side:
     explode tokens -> 64 conditional-sum aggregates. Documents with no
     non-empty tokens get the defined all-zero fingerprint (instead of
     silently dropping out of downstream Hamming joins).
+
+    ``hash_family``: ``"xxhash64"`` (default — cheapest: one JVM hash +
+    shifts per token) or ``"md5"`` (engine-portable: bit b reads bit
+    ``b%4`` of hex nibble ``b//4`` of md5(token), so any engine that can
+    md5 reproduces the fingerprints exactly — the DuckDB oracle tier).
     Output: (id, simhash_bits array<int>, simhash_hex).
     """
     toks = df.select(
         F.col(id_col), F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("tok")
     ).where(F.col("tok") != "")
-    h = F.xxhash64("tok")
-    aggs = [
-        F.sum(
-            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{b}")
-        for b in range(bits)
-    ]
+    if hash_family == "md5":
+        hhex = F.md5("tok")
+
+        def bit_of(b: int) -> Column:
+            nib = F.conv(F.substring(hhex, 1 + b // 4, 1), 16, 10).cast("int")
+            return F.shiftright(nib, b % 4).bitwiseAND(F.lit(1))
+
+        aggs = [
+            F.sum(F.when(bit_of(b) == 1, 1).otherwise(-1)).alias(f"b{b}")
+            for b in range(bits)
+        ]
+    else:
+        h = F.xxhash64("tok")
+        aggs = [
+            F.sum(
+                F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{b}")
+            for b in range(bits)
+        ]
     sums = toks.groupBy(id_col).agg(*aggs)
     bits_arr = F.array(
         *[F.when(F.col(f"b{b}") > 0, 1).otherwise(0) for b in range(bits)]
