@@ -596,6 +596,44 @@ def test_resolve_clusters_chain_and_singletons(spark):
     assert [i for i in range(1, 11) if out[i]["is_survivor"]] == [1, 6, 7, 8, 10]
 
 
+def test_resolve_clusters_star_matches_label(spark):
+    # the large-star/small-star engine must produce byte-identical output
+    # to the label engine on a mixed graph (chain + clique + singletons)
+    from whylogs_java_spark.operators.dedup import resolve_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (8, 9), (8, 10), (9, 10)],
+        "id_a long, id_b long",
+    )
+    nodes = spark.range(1, 13).select(F.col("id").alias("doc_id"))
+    label = sorted(map(tuple, resolve_clusters(pairs, nodes).collect()))
+    star = sorted(map(tuple, resolve_clusters(
+        pairs, nodes, algorithm="star"
+    ).collect()))
+    assert star == label
+
+
+def test_resolve_clusters_star_log_rounds_on_chain(spark):
+    # mega-component regression: a 200-node chain has diameter 200, so
+    # label propagation would need ~200 rounds; the star engine must
+    # converge in O(log n): ceil(log2(200)) = 8 rewiring rounds plus one
+    # final round that confirms the fixpoint (changed == 0)
+    from whylogs_java_spark.operators.dedup import resolve_clusters
+
+    n = 200
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, n)], "id_a long, id_b long"
+    )
+    nodes = spark.range(1, n + 1).select(F.col("id").alias("doc_id"))
+    stats: dict = {}
+    out = resolve_clusters(
+        pairs, nodes, max_iters=10, algorithm="star", stats=stats
+    ).collect()
+    assert stats["rounds"] <= 9, f"star engine took {stats['rounds']} rounds"
+    assert all(r["cluster_id"] == 1 for r in out)
+    assert [r["doc_id"] for r in out if r["is_survivor"]] == [1]
+
+
 def test_near_dup_clusters_end_to_end(spark):
     # mutations cluster with their source; survivors = the source docs +
     # every untouched doc

@@ -494,37 +494,53 @@ def resolve_clusters(
     nodes: DataFrame,
     id_col: str = "doc_id",
     max_iters: int = 20,
+    algorithm: str = "label",
+    stats: dict | None = None,
 ) -> DataFrame:
     """Connected components over near-dup pairs: every node gets the
     smallest id reachable through the pair graph as its ``cluster_id``.
 
     A dedup pipeline needs survivor RESOLUTION, not just pairs: if A~B and
     B~C, all three form one cluster and a single survivor should be kept
-    even though (A, C) may never have been emitted as a pair. This is
-    min-label propagation expressed as iterative DataFrame joins:
+    even though (A, C) may never have been emitted as a pair. Two
+    interchangeable engines (identical output, same min-id semantics):
 
-    - labels start as each node's own id;
-    - each round, every node takes min(own label, neighbors' labels) — a
-      join on the symmetric edge list + groupBy(min), both shuffles on the
-      node id;
-    - converged when no label changed (checked with a count per round —
-      a driver-side scalar, same shape as the reference's segmentation
-      search loop), worst case after ``max_iters`` ≈ graph-diameter
+    - ``algorithm="label"`` (default): min-label propagation as iterative
+      DataFrame joins — each round every node takes min(own label,
+      neighbors' labels): a join on the symmetric edge list +
+      groupBy(min), both shuffles on the node id. Converged when no label
+      changed (a driver-side count per round, same shape as the
+      reference's segmentation search loop); worst case ≈ graph-DIAMETER
       rounds. Near-dup graphs are unions of small cliques (diameter 2-3),
-      so 3-4 rounds in practice. ``localCheckpoint`` severs the growing
-      lineage each round, the standard treatment for iterative DataFrame
-      algorithms (large-star/small-star is the known O(log n) variant if
-      mega-components ever appear).
+      so 3-4 rounds in practice and the cheapest per-round plan wins.
+    - ``algorithm="star"``: alternating large-star/small-star (Kiveris et
+      al., "Connected Components in MapReduce and Beyond") — each round
+      rewires every node toward the minimum of its neighborhood, halving
+      component height, so convergence is O(log diameter) rounds. The
+      100 TB remedy when one boilerplate mega-component (long chains, a
+      giant quotation web) would make diameter — and therefore the label
+      engine's round count — large. More shuffles per round, so it only
+      wins when diameter is big; pick it when near-dup pair counts hint
+      at a mega-cluster.
+
+    ``localCheckpoint`` severs the growing lineage each round in both
+    engines — the standard treatment for iterative DataFrame algorithms.
+    If ``stats`` is given, ``stats["rounds"]`` records how many
+    propagation rounds ran (test / observability hook).
 
     Output: (id_col, cluster_id, is_survivor) — survivor = the cluster's
     minimum id, the same min-id rule as ``exact_dedup``.
     """
+    if algorithm not in ("label", "star"):
+        raise ValueError(f"unknown algorithm {algorithm!r}: use 'label' or 'star'")
     # Materialize the pair list ONCE before iterating: `edges` is consumed
     # by a join in every propagation round, and without this the entire
     # upstream pipeline (for near-dup input, the full MinHash-LSH +
     # verification pass) would re-execute per round. The pair list is the
     # small output of that pass — one short row per edge.
     pairs = pairs.localCheckpoint(eager=True)
+    if algorithm == "star":
+        return _resolve_clusters_star(pairs, nodes, id_col, max_iters, stats)
     edges = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).unionByName(
@@ -533,7 +549,9 @@ def resolve_clusters(
     labels = nodes.select(
         F.col(id_col).alias("id"), F.col(id_col).alias("label")
     )
+    rounds = 0
     for _ in range(max_iters):
+        rounds += 1
         nb = (
             labels.join(edges, labels["id"] == edges["src"])
             .groupBy("dst")
@@ -553,10 +571,106 @@ def resolve_clusters(
         labels = new.drop("old")
         if changed == 0:
             break
+    if stats is not None:
+        stats["rounds"] = rounds
     return labels.select(
         F.col("id").alias(id_col),
         F.col("label").alias("cluster_id"),
         (F.col("label") == F.col("id")).alias("is_survivor"),
+    )
+
+
+def _resolve_clusters_star(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    id_col: str,
+    max_iters: int,
+    stats: dict | None,
+) -> DataFrame:
+    """Alternating large-star/small-star connected components.
+
+    One round = large-star then small-star, each a groupBy(min) + join on
+    the node id over the current edge list:
+
+    - large-star(u): with m = min(neighborhood(u) ∪ {u}), rewire every
+      STRICTLY LARGER neighbor v > u to m — emit (v, m);
+    - small-star(u): direct edges toward the smaller endpoint, and with
+      m = min(smaller-neighbors(u) ∪ {u}) rewire u and all those
+      neighbors to m — emit (u, m) and (v, m).
+
+    Both preserve connectivity and never increase any node's minimum
+    reachable id; together they at least halve the height of each
+    component per round, giving O(log diameter) convergence (Kiveris et
+    al. 2014). Convergence = the directed edge set stops changing (an
+    exceptAll count — a driver-side scalar per round, like the label
+    engine's changed-count). At the fixpoint every non-minimum node holds
+    exactly the edge (node, component-min): labels fall out of one final
+    left join; isolated nodes label themselves.
+    """
+    # Directed representation (bigger -> smaller), deduplicated.
+    e = (
+        pairs.select(
+            F.greatest("id_a", "id_b").alias("u"),
+            F.least("id_a", "id_b").alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    rounds = 0
+    for _ in range(max_iters):
+        rounds += 1
+        # -- large-star: per node, min over full (symmetric) neighborhood.
+        sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least("mn", "u").alias("m"))
+        )
+        large = (
+            sym.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # -- small-star: edges already point big->small after large-star.
+        d = large.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        smins = d.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            d.join(smins, "u")
+            .select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col("u").alias("a"), F.col("m").alias("b")),
+                        F.struct(F.col("v").alias("a"), F.col("m").alias("b")),
+                    )
+                ).alias("p")
+            )
+            .select(F.col("p.a").alias("u"), F.col("p.b").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        changed = small.exceptAll(e).count() + e.exceptAll(small).count()
+        e = small
+        if changed == 0:
+            break
+    if stats is not None:
+        stats["rounds"] = rounds
+    # Fixpoint edges are (node, component_min); min() guards the
+    # not-fully-converged max_iters cutoff.
+    final = e.groupBy("u").agg(F.min("v").alias("label"))
+    return (
+        nodes.select(F.col(id_col).alias("id"))
+        .join(final.withColumnRenamed("u", "id"), on="id", how="left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("label", "id").alias("cluster_id"),
+            (F.coalesce("label", "id") == F.col("id")).alias("is_survivor"),
+        )
     )
 
 
@@ -570,16 +684,21 @@ def near_dup_clusters(
     shingle_size: int = 3,
     char_ngrams: bool = False,
     max_iters: int = 20,
+    algorithm: str = "label",
 ) -> DataFrame:
     """End-to-end near-dup resolution: MinHash-LSH verified pairs ->
     connected components -> (id, cluster_id, is_survivor). Keeping only
     ``is_survivor`` rows is the full dedup pass a training-data pipeline
-    runs."""
+    runs. ``algorithm`` picks the components engine (see
+    ``resolve_clusters``): "label" for the usual small-clique dup graphs,
+    "star" when a mega-component is expected."""
     pairs = near_dup_pairs(
         df, text_col, id_col, threshold=threshold, num_hashes=num_hashes,
         bands=bands, shingle_size=shingle_size, char_ngrams=char_ngrams,
     ).select("id_a", "id_b")
-    return resolve_clusters(pairs, df.select(id_col), id_col, max_iters)
+    return resolve_clusters(
+        pairs, df.select(id_col), id_col, max_iters, algorithm=algorithm
+    )
 
 
 def containment_pairs(
