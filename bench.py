@@ -23,6 +23,7 @@ from whylogs_java_spark import get_spark  # noqa: E402
 BENCH_QUERIES = [
     "profile_lineitem",
     "profile_events_daily",
+    "profile_events_hourly",
     "profile_merge",
     "quantiles_lineitem",
     "quantiles_lineitem_sketch",
@@ -36,17 +37,24 @@ BENCH_QUERIES = [
     "dedup_exact_documents",
     "dedup_near_documents",
     "dedup_clusters",
+    "dedup_char_ngram",
+    "dedup_containment",
     "similarity_ivf",
     "similarity_topk",
     "similarity_topk_fast",
+    "similarity_lsh",
     "langid_documents",
     "quality_documents",
     "tokens_documents",
+    "charpos_documents",
     "repetition_documents",
     "sample_documents",
     "pii_documents",
     "multimodal_audio",
+    "multimodal_video",
     "packing_documents",
+    "sessions_events",
+    "cube_lineitem",
 ]
 
 

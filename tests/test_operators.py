@@ -525,6 +525,40 @@ def test_bucket_cap_splits_hot_buckets(spark):
     assert len(capped_pairs) / len(exact) >= 0.5
 
 
+def test_bucket_cap_refinement_iterates(spark):
+    # pathological-bucket regime: planes=1 piles the whole corpus into <=2
+    # buckets and split_planes=2 gives only a 4-way split per round, so ONE
+    # round cannot get a ~550-vector bucket under cap=50 — the iterated
+    # census/split must keep going until every bucket fits (or rounds run
+    # out), and more rounds must never make the worst bucket bigger.
+    from whylogs_java_spark.operators.similarity import banded_buckets
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select("vec_id", "embedding")
+    mut = emb.where(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: (x * F.lit(0.9) + F.lit(0.01)).cast("float")
+        ).alias("embedding"),
+    )
+    corpus = emb.unionByName(mut)
+    n = corpus.count()
+
+    def max_bucket(rounds):
+        sig = banded_buckets(
+            corpus, planes=1, bands=1, bucket_cap=50, split_planes=2,
+            split_rounds=rounds,
+        )
+        return (
+            sig.groupBy("band", "bucket").count().agg(F.max("count")).collect()[0][0]
+        )
+
+    one = max_bucket(1)
+    three = max_bucket(3)
+    assert one > 50  # a single 4-way split round genuinely cannot finish
+    assert three < one  # iteration kept splitting the oversized residue
+    assert three <= 50, f"3 rounds should converge under cap on {n} vecs: {three}"
+
+
 def test_ivf_assignment_plan_no_shuffle(spark):
     # the centroid argmax must be a per-row array expression over ONE
     # broadcast row — no n x n_centroids Exchange, no Window over the corpus

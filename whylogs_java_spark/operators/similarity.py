@@ -394,22 +394,35 @@ def banded_buckets(
     bands: int = 1,
     bucket_cap: int | None = None,
     split_planes: int = 4,
+    split_rounds: int = 3,
 ) -> DataFrame:
     """Per-band hyperplane bucket table (id, band, bucket) — production tier.
 
     JVM double-fold signatures (no dim explode): band ``b`` uses planes
     ``b*planes .. (b+1)*planes-1``. With ``bucket_cap``, any (band, bucket)
     holding more than ``bucket_cap`` vectors is refined by ``split_planes``
-    extra hyperplanes (indices ``bands*planes ..``) — a 2^split_planes-way
-    split bounding within-bucket pair generation. The oversized-bucket
-    census is a broadcast of at most bands·2^planes rows, never a corpus
-    shuffle.
+    extra hyperplanes — a 2^split_planes-way split bounding within-bucket
+    pair generation — and the census/split repeats for up to
+    ``split_rounds`` rounds, so a pathological bucket (a near-duplicate
+    blob larger than cap·2^split_planes) keeps splitting instead of
+    staying quadratic. Round ``r`` uses plane indices
+    ``bands*planes + r*split_planes ..``; refined bucket strings can never
+    collide with unrefined ones because every base bucket is exactly
+    ``planes`` chars and refinement only appends. Each round's
+    oversized-bucket census aggregates the tiny (id, band, bucket) table —
+    broadcast back, never a corpus shuffle — and the loop exits early via
+    a driver-side emptiness check on that aggregate the moment every
+    bucket fits. A genuinely indivisible bucket (identical vectors, every
+    extra plane projects them together) stops growing new splits and the
+    early-exit cannot fire — the rounds bound caps the work; SCALE.md
+    documents the residual cap·2^(split_planes·split_rounds) bound.
     """
     # the ±1 plane components depend only on (plane, dim): build each
     # plane's sign array ONCE per distinct vector length and
     # broadcast-join, instead of re-deriving `planes * dim` md5 digests
     # for every row inside the fold
-    n_planes = planes * bands + (split_planes if bucket_cap is not None else 0)
+    n_extra = split_planes * split_rounds if bucket_cap is not None else 0
+    n_planes = planes * bands + n_extra
     lengths = embeddings.select(F.size(F.col(vec_col)).alias("__len")).distinct()
     plane_arrays = lengths.select(
         "__len",
@@ -446,9 +459,11 @@ def banded_buckets(
         ]
     )
     cols = [F.col(id_col), F.posexplode(band_buckets).alias("band", "bucket")]
-    if bucket_cap is not None:
-        extra = F.concat(*[bit(bands * planes + i) for i in range(split_planes)])
-        cols.append(extra.alias("__extra"))
+    for r in range(split_rounds if bucket_cap is not None else 0):
+        extra = F.concat(
+            *[bit(bands * planes + r * split_planes + i) for i in range(split_planes)]
+        )
+        cols.append(extra.alias(f"__extra{r}"))
     # Materialize the signature table ONCE: it is tiny (one short row per
     # (id, band)) but its plan carries `planes` dot-product folds per row,
     # and downstream it feeds the oversized-bucket census PLUS both sides
@@ -457,22 +472,32 @@ def banded_buckets(
     # the census branch).
     sig = e.select(*cols).localCheckpoint(eager=True)
     if bucket_cap is not None:
-        oversized = (
-            sig.groupBy("band", "bucket")
-            .count()
-            .where(F.col("count") > bucket_cap)
-            .select("band", "bucket", F.lit(True).alias("__over"))
-        )
-        sig = (
-            sig.join(F.broadcast(oversized), on=["band", "bucket"], how="left")
-            .withColumn(
-                "bucket",
-                F.when(
-                    F.col("__over"), F.concat(F.col("bucket"), F.col("__extra"))
-                ).otherwise(F.col("bucket")),
+        for r in range(split_rounds):
+            oversized = (
+                sig.groupBy("band", "bucket")
+                .count()
+                .where(F.col("count") > bucket_cap)
+                .select("band", "bucket", F.lit(True).alias("__over"))
             )
-            .drop("__over", "__extra")
-        )
+            # driver-side emptiness probe on the tiny census aggregate —
+            # the common case (no bucket over cap) costs one cheap round
+            if oversized.isEmpty():
+                break
+            sig = (
+                sig.join(F.broadcast(oversized), on=["band", "bucket"], how="left")
+                .withColumn(
+                    "bucket",
+                    F.when(
+                        F.col("__over"),
+                        F.concat(F.col("bucket"), F.col(f"__extra{r}")),
+                    ).otherwise(F.col("bucket")),
+                )
+                .drop("__over")
+                # keep each round's census scanning a materialized table,
+                # not a growing join chain
+                .localCheckpoint(eager=True)
+            )
+        sig = sig.drop(*[f"__extra{r}" for r in range(split_rounds)])
     return sig
 
 
@@ -486,6 +511,7 @@ def cosine_pairs_bucketed(
     bands: int = 1,
     bucket_cap: int | None = None,
     split_planes: int = 4,
+    split_rounds: int = 3,
 ) -> DataFrame:
     """Embedding near-duplicate pairs at scale: hyperplane-bucket candidates,
     exact verification within buckets.
@@ -509,9 +535,10 @@ def cosine_pairs_bucketed(
     hyperplanes (a 2^split_planes-way refinement), bounding per-task pair
     generation; near-duplicates (θ→0) still collide in the refined bucket
     with probability ≈(1-θ/π)^split_planes. The bucket-size census is an
-    agg over at most bands·2^planes rows — broadcast, never a shuffle of
-    the corpus. One refinement round (production engines iterate; the
-    mechanics are identical). Only available with ``arithmetic="double"``
+    agg over the tiny signature table — broadcast, never a shuffle of the
+    corpus — and refinement iterates up to ``split_rounds`` times with an
+    early exit once every bucket fits (see ``banded_buckets``). Only
+    available with ``arithmetic="double"``
     (the cap is a plan property, not an answer property, and would make
     the DuckDB oracle unreadable).
 
@@ -535,6 +562,7 @@ def cosine_pairs_bucketed(
             bands=bands,
             bucket_cap=bucket_cap,
             split_planes=split_planes,
+            split_rounds=split_rounds,
         )
         a = sig.select(F.col(id_col).alias("id_a"), "band", "bucket")
         b = sig.select(F.col(id_col).alias("id_b"), "band", "bucket")
@@ -648,16 +676,27 @@ def lsh_bucket_topk(
     """
     from pyspark.sql import Window
 
+    # fold the per-vector quantities ONCE per side: the double cast, the
+    # signature, and the norm are all per-vector, while the candidate join
+    # multiplies rows — computing norms inside the scored select would run
+    # two extra interpreted array folds per (query, neighbor) candidate
+    # (the exact pattern already fixed in cosine_topk / the bucketed
+    # verifier). With wide buckets the fold count dominates the query.
+    target = embeddings.sparkSession.sparkContext.defaultParallelism
+    if embeddings.rdd.getNumPartitions() < target:
+        embeddings = embeddings.repartition(target)
+    vecd = _as_double(F.col(vec_col))
     e = embeddings.select(
         F.col(id_col).alias("neighbor_id"),
-        _as_double(F.col(vec_col)).alias("cv"),
-        hyperplane_signature(_as_double(F.col(vec_col)), planes).alias("bucket"),
+        vecd.alias("cv"),
+        norm(vecd).alias("cn"),
+        hyperplane_signature(vecd, planes).alias("bucket"),
     )
-    sig = hyperplane_signature(_as_double(F.col(vec_col)), planes)
     q = queries.select(
         F.col(id_col).alias("query_id"),
-        _as_double(F.col(vec_col)).alias("qv"),
-        sig.alias("__sig"),
+        vecd.alias("qv"),
+        norm(vecd).alias("qn"),
+        hyperplane_signature(vecd, planes).alias("__sig"),
     )
     if probes:
         def flip(s, i: int):
@@ -669,7 +708,7 @@ def lsh_bucket_topk(
             F.col("__sig"), *[flip(F.col("__sig"), i) for i in range(min(probes, planes))]
         )
         q = q.select(
-            "query_id", "qv", F.explode(probe_sigs).alias("bucket")
+            "query_id", "qv", "qn", F.explode(probe_sigs).alias("bucket")
         )
     else:
         q = q.withColumnRenamed("__sig", "bucket")
@@ -679,7 +718,7 @@ def lsh_bucket_topk(
         .select(
             "query_id",
             "neighbor_id",
-            (dot(F.col("qv"), F.col("cv")) / (norm(F.col("qv")) * norm(F.col("cv")))).alias(
+            (dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias(
                 "cosine"
             ),
         )
