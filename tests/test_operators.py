@@ -436,6 +436,33 @@ def test_ivf_topk_recall(spark):
     assert hits >= 20, f"IVF nprobe=4 recall too low: {hits}/30"
 
 
+def test_ivf_exact_tier_degenerates_to_brute_force(spark):
+    # nprobe == n_centroids probes every list, so the md5/DECIMAL IVF tier
+    # must reproduce exact brute-force top-k bit-for-bit
+    from whylogs_java_spark.operators.similarity import (
+        cosine_topk_exact,
+        ivf_topk_exact,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    qids = [0, 1, 2, 3, 4]
+    exact = sorted(
+        map(tuple, cosine_topk_exact(emb, qids, k=5).collect())
+    )
+    full = sorted(
+        map(tuple, ivf_topk_exact(emb, qids, k=5, n_centroids=8, nprobe=8).collect())
+    )
+    assert full == exact
+    # probing fewer lists keeps most of the top-1 recall
+    probed = {
+        r["query_id"]: r["neighbor_id"]
+        for r in ivf_topk_exact(emb, qids, k=1, n_centroids=8, nprobe=4).collect()
+    }
+    top1 = {r[0]: r[1] for r in exact if r[3] == 1}
+    hits = sum(1 for q in top1 if probed.get(q) == top1[q])
+    assert hits >= 3, f"md5-IVF nprobe=4 top-1 recall too low: {hits}/5"
+
+
 def test_banded_bucketing_improves_recall(spark):
     # OR-construction: 2 bands of 4 planes must find every pair the single
     # 8-plane signature finds, and (generically) more — a pair is a

@@ -322,6 +322,118 @@ def ivf_topk(
     )
 
 
+def ivf_topk_exact(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Oracle-deterministic IVF ANN tier (the ``dedup_simhash`` playbook
+    applied to ``ivf_topk``): every engine-specific choice is replaced by a
+    bit-reproducible one so DuckDB reaches the identical answer.
+
+    - centroid sample: the ``n_centroids`` smallest ``md5(cast(id as
+      string))`` hex ranks (lexicographic — identical in any engine),
+      instead of xxhash64 which has no DuckDB twin;
+    - list assignment and probe selection: cosine against every centroid
+      with DECIMAL(38,12) dot products over exploded (id, dim, v) rows —
+      order-independent sums, then correctly-rounded double combine —
+      ranked by (cosine DESC, centroid_id ASC);
+    - candidate scoring: same DECIMAL dots on the probed-list candidates.
+
+    Same probe/list mechanics as ``ivf_topk`` (the production tier keeps
+    the shuffle-free broadcast-argmax assignment); this tier pays the dim
+    explode for oracle checkability.
+    Output: (query_id, neighbor_id, cosine, rank).
+    """
+    from pyspark.sql import Window
+
+    flat = embeddings.select(
+        F.col(id_col), F.posexplode(_as_double(F.col(vec_col))).alias("dim", "v")
+    )
+    dec = "decimal(38,12)"
+    norms = flat.groupBy(id_col).agg(
+        F.sum((F.col("v") * F.col("v")).cast(dec)).alias("n2")
+    )
+    cent = (
+        embeddings.select(
+            F.col(id_col).alias("centroid_id"),
+            F.md5(F.col(id_col).cast("string")).alias("__h"),
+        )
+        .orderBy("__h")
+        .limit(n_centroids)
+        .drop("__h")
+    )
+    cflat = flat.join(
+        F.broadcast(cent), flat[id_col] == cent["centroid_id"]
+    ).select("centroid_id", "dim", F.col("v").alias("cv"))
+    cnorms = norms.join(
+        F.broadcast(cent), norms[id_col] == cent["centroid_id"]
+    ).select("centroid_id", F.col("n2").alias("cn2"))
+    cdots = (
+        flat.join(F.broadcast(cflat), on="dim")
+        .groupBy(id_col, "centroid_id")
+        .agg(F.sum((F.col("v") * F.col("cv")).cast(dec)).alias("dp"))
+    )
+    cos = F.col("dp").cast("double") / (
+        F.sqrt(F.col("n2").cast("double")) * F.sqrt(F.col("cn2").cast("double"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("ccos"), F.asc("centroid_id"))
+    ranked = (
+        cdots.join(norms, on=id_col)
+        .join(F.broadcast(cnorms), on="centroid_id")
+        .select(id_col, "centroid_id", cos.alias("ccos"))
+        .withColumn("crk", F.row_number().over(w))
+    )
+    lists = ranked.where(F.col("crk") == 1).select(
+        F.col(id_col).alias("neighbor_id"), "centroid_id"
+    )
+    probes = ranked.where(
+        F.col(id_col).isin(query_ids) & (F.col("crk") <= nprobe)
+    ).select(F.col(id_col).alias("query_id"), "centroid_id")
+    cand = (
+        lists.join(F.broadcast(probes), on="centroid_id")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    qf = flat.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), "dim", F.col("v").alias("qv")
+    )
+    dots = (
+        cand.join(F.broadcast(qf), on="query_id")
+        .join(
+            flat.select(F.col(id_col).alias("neighbor_id"), "dim", "v"),
+            on=["neighbor_id", "dim"],
+        )
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum((F.col("qv") * F.col("v")).cast(dec)).alias("dp"))
+    )
+    qn = norms.select(F.col(id_col).alias("query_id"), F.col("n2").alias("qn2"))
+    nn = norms.select(F.col(id_col).alias("neighbor_id"), F.col("n2").alias("nn2"))
+    sim = (
+        dots.join(F.broadcast(qn), "query_id")
+        .join(nn, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                F.col("dp").cast("double")
+                / (F.sqrt(F.col("qn2").cast("double")) * F.sqrt(F.col("nn2").cast("double")))
+            ).alias("cosine"),
+        )
+    )
+    wk = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        sim.withColumn("rank", F.row_number().over(wk))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", (F.round("cosine", 6) + 0.0).alias("cosine"), "rank")
+    )
+
+
 def _plane_sign(plane: int, dim: Column) -> Column:
     """Deterministic pseudo-random ±1 from md5(plane|dim) first-nibble parity
     (integer-valued twin of ``_plane_component`` for exact-DECIMAL math)."""
