@@ -127,6 +127,39 @@ def test_containment_asymmetric_subset(spark):
     assert r["inter"] / union < 0.9
 
 
+def test_containment_fragment_recall_by_candidate_mode(spark):
+    # 10-word fragments quoted from every 20th doc: the containment
+    # signal is ~1 on the fragment side, but symmetric Jaccard is tiny —
+    # banded minhash candidates miss most fragments at ANY r, while
+    # rare-shingle inverted-index candidates catch every one.
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    frag = docs.where(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 10)).alias("text"),
+    )
+    n_frag = frag.count()
+    corpus = docs.unionByName(frag)
+
+    def caught(**kw):
+        p = containment_pairs(corpus, "text", "doc_id", threshold=0.9, **kw)
+        return p.where(F.col("id_b") - F.col("id_a") == 200000).count()
+
+    shingle = caught(candidates="shingle", df_cap=50)
+    r4 = caught(candidates="bands", num_hashes=16, bands=4)
+    r2 = caught(candidates="bands", num_hashes=16, bands=8)
+    assert shingle == n_frag, f"inverted-index recall must be total: {shingle}/{n_frag}"
+    # banded minhash misses a large share of fragments, and shortening the
+    # bands (r=4 -> r=2) does not close the gap — collision probability
+    # tracks symmetric Jaccard, which smallness keeps near zero
+    assert r4 < n_frag * 0.7
+    assert r2 < n_frag * 0.7
+    assert r2 >= r4  # more, shorter bands can only add candidates here
+    # pin the measured sf0.001 counts quoted in the containment_pairs
+    # docstring so doc and behavior cannot drift apart
+    if SF_DIR.endswith("sf0.001"):
+        assert (shingle, r4, r2) == (25, 12, 14)
+
+
 # ---------------------------------------------------------------------------
 # streaming exact dedup
 # ---------------------------------------------------------------------------

@@ -701,6 +701,42 @@ def near_dup_clusters(
     )
 
 
+def shingle_candidate_pairs(
+    sh: DataFrame, id_col: str, df_cap: int = 50
+) -> DataFrame:
+    """Inverted-index candidate pairs: (id_a < id_b) sharing ≥1 RARE
+    shingle (document frequency in [2, df_cap]).
+
+    The containment-recall remedy banded minhash cannot provide: a band
+    collision's probability tracks SYMMETRIC Jaccard ≈ |A|/|B|, which
+    vanishes for a small fragment quoted inside a long document (a 10-word
+    fragment of a 500-word doc has J ≈ 0.016 — even r=2 bands collide with
+    probability ~J² per band). Sharing a rare shingle, by contrast, is
+    near-certain for any contained fragment whose text isn't pure
+    boilerplate — recall is exact unless EVERY one of the fragment's
+    shingles appears in more than ``df_cap`` documents.
+
+    ``df_cap`` bounds per-shingle pair generation at ≤ df_cap² rows per
+    shingle — the same skew bound a bucket cap gives LSH; a shingle in
+    more docs than the cap is corpus boilerplate, not containment
+    evidence. One shuffle on the shingle key (the df census reuses it).
+    """
+    counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+    rare = sh.join(
+        counts.where((F.col("__df") >= 2) & (F.col("__df") <= df_cap)),
+        on="shingle",
+        how="left_semi",
+    )
+    a = rare.select(F.col(id_col).alias("id_a"), "shingle")
+    b = rare.select(F.col(id_col).alias("id_b"), "shingle")
+    return (
+        a.join(b, on="shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
 def containment_pairs(
     df: DataFrame,
     text_col: str,
@@ -710,6 +746,8 @@ def containment_pairs(
     bands: int = 4,
     shingle_size: int = 3,
     char_ngrams: bool = False,
+    candidates: str = "bands",
+    df_cap: int = 50,
 ) -> DataFrame:
     """Asymmetric near-dup: Jaccard CONTAINMENT C(A,B) = |A∩B| / |A|.
 
@@ -718,23 +756,41 @@ def containment_pairs(
     on the short side — the boilerplate/quotation/subset-dup case a
     training-data pipeline must detect separately from mirror-copy dedup.
 
-    Same MinHash-LSH candidate generation + exact shingle-set verification
-    as ``near_dup_pairs`` (identical scale shape); the filter keeps pairs
-    where EITHER side is ≥ ``threshold`` contained in the other. Note the
-    LSH recall caveat is stronger here: band collisions track Jaccard, so a
-    contained-but-tiny fragment may not collide — at 100 TB the standard
-    remedy is a lower band count r (or suffix-array methods) for the
-    containment pass.
+    Candidate generation (``candidates``):
+
+    - ``"bands"`` (default): the same MinHash-LSH band join as
+      ``near_dup_pairs`` — right when the contained side is a substantial
+      fraction of the container (mirror-with-additions dups). Its recall
+      caveat is structural, not a tuning issue: band collisions track
+      symmetric Jaccard ≈ |A|/|B|, so small quoted fragments are mostly
+      missed. Measured on sf0.001 (10-word fragments of every 20th doc,
+      docs averaging 56 words, J ≈ 0.15): 12/25 fragments caught at
+      (num_hashes=16, bands=4, r=4); lowering to r=2 (bands=8) only
+      reaches 14/25 — shorter bands cannot fix smallness, and a 500-word
+      container (J ≈ 0.016) would drive both to ~0
+      (``tests/test_pipeline_ops.py`` pins these counts).
+    - ``"shingle"``: rare-shingle inverted-index candidates
+      (``shingle_candidate_pairs``, df ∈ [2, ``df_cap``]) — measured
+      recall 25/25 on the same fragment corpus; the scale-safe remedy for
+      the tiny-fragment case.
+
+    Exact shingle-set verification either way; the filter keeps pairs
+    where EITHER side is ≥ ``threshold`` contained in the other.
 
     Output: (id_a, id_b, inter, size_a, size_b, containment_a,
     containment_b) with containment_X = |A∩B| / |size of X's set|.
     """
-    sigs = minhash_signatures(
-        df, text_col, id_col, num_hashes, shingle_size, char_ngrams
-    )
-    bands_df = lsh_band_signatures(sigs, id_col, num_hashes, bands)
-    pairs = _candidates_from_bands(bands_df, id_col)
     sh = shingle_sets(df, text_col, id_col, shingle_size, char_ngrams)
+    if candidates == "shingle":
+        pairs = shingle_candidate_pairs(sh, id_col, df_cap)
+    elif candidates == "bands":
+        sigs = minhash_signatures(
+            df, text_col, id_col, num_hashes, shingle_size, char_ngrams
+        )
+        bands_df = lsh_band_signatures(sigs, id_col, num_hashes, bands)
+        pairs = _candidates_from_bands(bands_df, id_col)
+    else:
+        raise ValueError(f"unknown candidates mode: {candidates!r}")
     v = _jaccard_from_shingle_sets(sh, pairs, id_col)
     ca = F.round(F.col("inter") / F.col("size_a"), 6) + 0.0
     cb = F.round(F.col("inter") / F.col("size_b"), 6) + 0.0
