@@ -453,6 +453,107 @@ def test_near_dup_flag_stream_matches_batch_band_groups(spark, tmp_path):
     assert expected_mut <= with_orig_owner
 
 
+def test_near_dup_stream_ttl_evicts_and_rebinds_owner(spark, tmp_path):
+    # TTL semantics: once a band owner's state is evicted, a later true
+    # near-dup must be flagged against the NEW owner (the first doc after
+    # eviction), never silently deduped against the evicted ghost.
+    #
+    # ProcessingTimeTimeout makes Spark schedule continuous empty
+    # micro-batches to evaluate timeouts, so processAllAvailable() never
+    # quiesces — the test drives batches via a processing-time trigger
+    # and polls query progress / the sink instead.
+    import time
+
+    from whylogs_java_spark.streaming.dedup_near_stream import near_dup_flag_stream
+
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    schema = "doc_id long, text string"
+    src = str(tmp_path / "src")
+    spark.createDataFrame([(1, text)], schema).coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        near_dup_flag_stream(stream, "text", "doc_id", state_ttl_ms=5000)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ttl_flags")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+
+    def wait_for_data_batch(seen: set, deadline_s: float = 90.0) -> None:
+        # block until a not-yet-seen batch with input rows completes
+        t0 = time.time()
+        while time.time() - t0 < deadline_s:
+            for p in q.recentProgress:
+                if p["numInputRows"] > 0 and p["batchId"] not in seen:
+                    seen.add(p["batchId"])
+                    return
+            time.sleep(0.2)
+        raise AssertionError("no data-carrying micro-batch observed")
+
+    def append(doc_id: int) -> None:
+        spark.createDataFrame([(doc_id, text)], schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    seen: set = set()
+    try:
+        wait_for_data_batch(seen)  # doc 1 owns every band of `text`
+        # let the 5 s TTL lapse; the continuous timeout batches evict
+        # doc 1's state during the sleep (TTL is set well above the
+        # file-source discovery latency so docs 2 and 3 land within one
+        # TTL window of each other)
+        time.sleep(7.0)
+        # same text again: its bands are unowned now -> doc 2 becomes the
+        # new owner and must NOT be flagged against the ghost of doc 1
+        append(2)
+        wait_for_data_batch(seen)
+        # a third copy is flagged against the NEW owner
+        append(3)
+        wait_for_data_batch(seen)
+        t0 = time.time()
+        rows = []
+        while time.time() - t0 < 90.0:
+            rows = spark.sql("SELECT doc_id, dup_of FROM ttl_flags").collect()
+            if any(r["doc_id"] == 3 for r in rows):
+                break
+            time.sleep(0.2)
+    finally:
+        q.stop()
+    assert not [r for r in rows if r["doc_id"] == 2], f"ghost flag: {rows}"
+    d3_owners = {r["dup_of"] for r in rows if r["doc_id"] == 3}
+    assert d3_owners == {2}, f"doc 3 should rebind to owner 2: {rows}"
+
+
+def test_near_dup_stream_drops_null_text_like_batch(spark, tmp_path):
+    # batch shingle explode skips null-text docs, so the stream must too —
+    # two null docs must not be flagged as near-dups of each other
+    from whylogs_java_spark.streaming.dedup_near_stream import near_dup_flag_stream
+
+    schema = "doc_id long, text string"
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(1, None), (2, None), (3, "alpha beta gamma delta epsilon")], schema
+    ).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        near_dup_flag_stream(stream, "text", "doc_id")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("null_flags")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM null_flags").collect()
+    finally:
+        q.stop()
+    assert rows == [], f"null-text docs must produce no flags: {rows}"
+
+
 # ---------------------------------------------------------------------------
 # video container metadata
 # ---------------------------------------------------------------------------
@@ -468,8 +569,20 @@ def test_video_container_meta_box_walk(spark):
     ftyp = box(b"ftyp", b"isom" + _s.pack(">I", 512) + b"iso2avc1")
     good = ftyp + box(b"free", b"\0" * 16) + box(b"moov", b"\0" * 40) + box(b"mdat", b"\0" * 100)
     no_moov = ftyp + box(b"mdat", b"\0" * 50)
+    # ISO BMFF size==0: box extends to end of file — legal and common for
+    # a trailing mdat; it must be recorded, not treated as corruption
+    eof_mdat = (
+        ftyp
+        + box(b"moov", b"\0" * 40)
+        + _s.pack(">I", 0) + b"mdat" + b"\0" * 64
+    )
     rows = spark.createDataFrame(
-        [(1, bytearray(good)), (2, bytearray(no_moov)), (3, bytearray(b"RIFFxxxxWAVE"))],
+        [
+            (1, bytearray(good)),
+            (2, bytearray(no_moov)),
+            (3, bytearray(b"RIFFxxxxWAVE")),
+            (4, bytearray(eof_mdat)),
+        ],
         "doc_id long, data binary",
     )
     got = {r["doc_id"]: r for r in video_container_meta(rows, "data", "doc_id").collect()}
@@ -479,6 +592,7 @@ def test_video_container_meta_box_walk(spark):
     assert r["has_moov"] is True and r["has_mdat"] is True
     assert got[2]["format"] == "mp4" and got[2]["has_moov"] is False
     assert got[3]["format"] == "unknown" and got[3]["major_brand"] is None
+    assert got[4]["has_moov"] is True and got[4]["has_mdat"] is True
 
 
 # ---------------------------------------------------------------------------

@@ -526,8 +526,13 @@ def test_chunked_sink_merges_to_whole(spark, tmp_path):
                 prof["properties"]["metadata"]["whylogs.chunk.marker"],
             )
         )
-    # one marker per group, shared by that group's chunks
+    # one marker per group, shared by that group's chunks — and the
+    # marker ALONE is unique per group (group tags fold into its hash):
+    # a marker-based reader can regroup a profile's chunks without
+    # consulting tags, matching the reference's per-profile UUID marker
+    # (DatasetProfile.java:193)
     assert len(markers) == n_whole
+    assert len({m for _, m in markers}) == n_whole
 
     merged = str(tmp_path / "merged.bin")
     merge_profile_bins(spark, chunked, merged)

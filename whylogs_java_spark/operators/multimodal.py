@@ -284,8 +284,10 @@ def video_container_meta(
     no-codec/no-UDF contract.
 
     Parses the ``ftyp`` box (major brand + minor version) and walks the
-    top-level box sequence (BE-u32 size + 4-char type, ``size==1`` means
-    a 64-bit extended size) as a bounded ``F.aggregate`` fold to report
+    top-level box sequence (BE-u32 size + 4-char type; ``size==1`` means
+    a 64-bit extended size; ``size==0`` means the box extends to the end
+    of the file — legal and common for a trailing ``mdat``, recorded and
+    then the walk terminates) as a bounded ``F.aggregate`` fold to report
     whether a ``moov`` (metadata) and ``mdat`` (media data) box are
     present in the scanned prefix — the cheap structural-integrity signal
     a pipeline uses to drop truncated clips before decode. Duration needs
@@ -311,8 +313,14 @@ def video_container_meta(
         size = _be_int(b, pos, 4)
         btype = F.hex(b.substr(pos + 4, F.lit(4)))
         # size==1: 64-bit largesize follows the type (use its low half —
-        # a >2^63-byte box is not a real file)
-        span = F.when(size == 1, _be_int(b, pos + 12, 4)).otherwise(size)
+        # a >2^63-byte box is not a real file); size==0: box runs to end
+        # of file (span = remaining bytes, >= 8 whenever the header was
+        # readable, so the box is recorded and the walk ends past EOF)
+        span = (
+            F.when(size == 1, _be_int(b, pos + 12, 4))
+            .when(size == 0, F.length(b) - pos + 1)
+            .otherwise(size)
+        )
         ok = readable & (span >= 8)
         return F.struct(
             F.when(ok, pos + span).otherwise(pos).alias("pos"),

@@ -980,10 +980,16 @@ def chunked_profile_messages(
     """
     column_rows = list(column_rows)
     if marker is None:
-        # deterministic marker (the reference uses a UUID; a content hash
-        # keeps the sink reproducible run-to-run)
+        # deterministic marker (the reference uses sessionId + a fresh
+        # UUID per profile, DatasetProfile.java:193; a content hash keeps
+        # the sink reproducible run-to-run). The group tags fold into the
+        # hash so each profile in a grouped write gets a UNIQUE marker
+        # even though groups share one schema — a marker-based reader
+        # regroups chunks per profile, as the reference's UUID guarantees.
+        tag_part = "|".join(f"{k}={v}" for k, v in sorted((tags or {}).items()))
+        col_part = "|".join(sorted(r["column_name"] for r in column_rows))
         marker = session_id + "-" + hashlib.md5(
-            "|".join(sorted(r["column_name"] for r in column_rows)).encode()
+            (tag_part + "||" + col_part).encode()
         ).hexdigest()
     meta = dict(metadata or {})
     meta["whylogs.chunk.marker"] = marker

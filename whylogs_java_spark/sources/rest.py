@@ -32,6 +32,8 @@ DEFAULT_BACKOFF_S = 1.0
 
 
 def _with_retries(fn, retries: int, backoff_s: float):
+    if retries < 1:
+        raise ValueError(f"retries must be >= 1, got {retries}")
     delay = backoff_s
     for attempt in range(retries):
         try:
@@ -56,7 +58,9 @@ def _put_bytes(
         req.add_header("X-API-Key", api_key)
     with urllib.request.urlopen(req, timeout=timeout_s) as resp:
         code = resp.getcode()
-    if code not in (200, 201, 204):
+    # any 2xx is success — a 202 Accepted must not be retried into
+    # duplicate uploads
+    if not 200 <= code < 300:
         raise RuntimeError(f"upload failed: HTTP {code}")
     return code
 

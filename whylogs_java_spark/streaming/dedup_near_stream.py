@@ -15,10 +15,14 @@ and stream agree on signatures):
    expressions in the stream projection, no pre-aggregation, because a
    grouped agg would be a second stateful operator in the chain;
 2. explode to (band_sig, doc_id) and group by band signature;
-3. ``applyInPandasWithState`` keyed on the signature holds ONE tiny state
-   row per seen signature: the first-arriving doc id (the band's owner).
-   Later docs hitting the same signature emit (doc_id, dup_of=owner)
-   candidate rows; owners emit nothing.
+3. ``applyInPandasWithState`` keyed on (band, band_sig) — the SAME key
+   the batch candidate stage equi-joins on — holds ONE tiny state row per
+   seen signature: the first-arriving doc id (the band's owner). Later
+   docs hitting the same signature emit (doc_id, dup_of=owner) candidate
+   rows; owners emit nothing. Null-text rows are dropped before hashing,
+   matching batch (whose shingle explode skips them) — without the filter
+   every null-text doc would collapse onto one degenerate signature and
+   be flagged against the first null doc, a pair batch never produces.
 
 A doc colliding with earlier docs in ANY band is flagged (the LSH
 OR-construction). Downstream either drops flagged docs outright
@@ -103,7 +107,15 @@ def near_dup_flag_stream(
     Output stream: (doc_id, dup_of, band) — one row per (flagged doc,
     colliding band); ``dropDuplicates`` on doc_id downstream if only the
     flag matters. ``state_ttl_ms`` turns on processing-time state
-    eviction for unbounded streams.
+    eviction for unbounded streams — after eviction a signature's next
+    doc becomes its new owner (later dups flag against the new owner,
+    never a ghost; pinned by the TTL pytest).
+
+    TTL caveat: ProcessingTimeTimeout makes Spark schedule micro-batches
+    continuously (that is how expired keys get evaluated), so pair it
+    with a processing-time ``trigger`` — the default run-as-fast-as-
+    possible trigger degenerates to a busy loop of empty batches, and
+    ``processAllAvailable()`` (which waits for quiescence) never returns.
     """
     shingler = _shingler(shingle_size, char_ngrams)
     arr = shingler(F.col(text_col))
@@ -114,7 +126,7 @@ def near_dup_flag_stream(
     def h2(s):
         return F.conv(F.substring(F.md5(s), 16, 15), 16, 10).cast("long") % _H2_BOUND
 
-    hashed = stream_df.select(
+    hashed = stream_df.where(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("doc_id"),
         F.transform(arr, h1).alias("__h1"),
         F.transform(arr, h2).alias("__h2"),
@@ -135,7 +147,7 @@ def near_dup_flag_stream(
         if state_ttl_ms is not None
         else GroupStateTimeout.NoTimeout
     )
-    return band_rows.groupBy("band_sig").applyInPandasWithState(
+    return band_rows.groupBy("band", "band_sig").applyInPandasWithState(
         _band_owner_factory(state_ttl_ms),
         outputStructType=OUT_SCHEMA,
         stateStructType=_STATE_SCHEMA,

@@ -27,7 +27,7 @@ def dedup_stream(
     text_col: str,
     watermark_column: str | None = None,
     watermark: str = "10 minutes",
-    within_watermark: bool = False,
+    within_watermark: bool = True,
 ) -> DataFrame:
     """Keep the first-arriving row per canonical content key.
 
@@ -36,6 +36,16 @@ def dedup_stream(
     at-least-once replay the SET of surviving keys is identical, while the
     surviving row id depends on arrival order; pipelines that need the
     batch min-id rule run batch dedup over the stream's compacted sink).
+
+    Watermark modes: with ``watermark_column`` set, the default
+    ``within_watermark=True`` uses ``dropDuplicatesWithinWatermark`` —
+    per-KEY dedup with state bounded by the watermark delay (Spark 3.5+),
+    the semantics the paragraph above describes. ``within_watermark=
+    False`` falls back to ``dropDuplicates([key, watermark_column])``,
+    which dedups per (key, event-time) PAIR only — identical content at
+    different event times all survive; it exists for engines without the
+    within-watermark operator and is a weaker guarantee, not first-arrival
+    content dedup.
     """
     keyed = stream_df.withColumn("text_key", content_key(stream_df[text_col]))
     if watermark_column is not None:
