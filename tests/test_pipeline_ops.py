@@ -473,12 +473,15 @@ def test_near_dup_stream_ttl_evicts_and_rebinds_owner(spark, tmp_path):
 
     stream = spark.readStream.schema(schema).parquet(src)
     q = (
-        near_dup_flag_stream(stream, "text", "doc_id", state_ttl_ms=5000)
+        near_dup_flag_stream(stream, "text", "doc_id", state_ttl_ms=20000)
         .writeStream.outputMode("append")
         .format("memory")
         .queryName("ttl_flags")
         .option("checkpointLocation", str(tmp_path / "ckpt"))
-        .trigger(processingTime="200 milliseconds")
+        # 1 s trigger: throttles the continuous timeout batches (a fast
+        # trigger churns the HDFS state store hard enough to race its
+        # maintenance snapshots under a loaded suite session)
+        .trigger(processingTime="1 second")
         .start()
     )
 
@@ -486,6 +489,8 @@ def test_near_dup_stream_ttl_evicts_and_rebinds_owner(spark, tmp_path):
         # block until a not-yet-seen batch with input rows completes
         t0 = time.time()
         while time.time() - t0 < deadline_s:
+            if q.exception() is not None:
+                raise AssertionError(f"query died: {q.exception()}")
             for p in q.recentProgress:
                 if p["numInputRows"] > 0 and p["batchId"] not in seen:
                     seen.add(p["batchId"])
@@ -501,11 +506,13 @@ def test_near_dup_stream_ttl_evicts_and_rebinds_owner(spark, tmp_path):
     seen: set = set()
     try:
         wait_for_data_batch(seen)  # doc 1 owns every band of `text`
-        # let the 5 s TTL lapse; the continuous timeout batches evict
-        # doc 1's state during the sleep (TTL is set well above the
-        # file-source discovery latency so docs 2 and 3 land within one
-        # TTL window of each other)
-        time.sleep(7.0)
+        # let the 20 s TTL lapse; the continuous timeout batches evict
+        # doc 1's state during the sleep. The TTL is set far above the
+        # file-source discovery + trigger latency (seconds each) so docs
+        # 2 and 3 reliably land within one TTL window of each other —
+        # with a tight TTL, doc 2's state can itself expire before doc 3
+        # is discovered and the test races its own eviction.
+        time.sleep(25.0)
         # same text again: its bands are unowned now -> doc 2 becomes the
         # new owner and must NOT be flagged against the ghost of doc 1
         append(2)

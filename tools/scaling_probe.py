@@ -1,0 +1,210 @@
+"""10x scaling probe for the dedup/ANN family.
+
+Builds 1x and 10x corpora from $SPARK_GRAFT_SF_DIR (default sf0.1) and
+times the three heavy near-dup pipelines on each:
+
+- near_dup  — MinHash-LSH verified pairs (``near_dup_pairs``)
+- clusters  — pairs -> connected components (``near_dup_clusters``)
+- emb_fast  — banded+capped embedding pair dedup
+              (``cosine_pairs_bucketed`` double tier)
+
+Replicas are DISTINCT from their sources — every word carries a replica
+suffix, embeddings are cyclically shifted by the replica index — so the
+dup-pair density per document stays constant and the workload scales
+linearly. A naive replicate-verbatim 10x corpus would instead create a
+10-way near-dup clique per document (pair count grows 45x per family),
+measuring an artificial dup blow-up rather than engine scaling.
+
+Each timed run writes to the noop sink (no collect, no output cost —
+same convention as bench.py). Shuffle read/write bytes come from the
+Spark UI REST API (/api/v1/.../stages), summed over the stages that ran
+during the query. Prints one JSON line:
+
+  {"probe": "dedup_scaling", "runs": [{"query", "scale", "input_rows",
+   "sec", "rows_per_sec", "shuffle_read_mb", "shuffle_write_mb"}, ...]}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from whylogs_java_spark import get_spark
+from whylogs_java_spark.operators.dedup import near_dup_clusters, near_dup_pairs
+from whylogs_java_spark.operators.similarity import cosine_pairs_bucketed
+
+REPLICA_STRIDE = 10_000_000
+EMB_DIM = None  # discovered from data
+
+
+def _mutated_docs(d: DataFrame) -> DataFrame:
+    """documents ∪ near-dup mutants of every 10th doc (the
+    dedup_near_documents corpus construction)."""
+    mut = d.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra token")).alias("text"),
+    )
+    return d.unionByName(mut)
+
+
+def _mutated_embeddings(emb: DataFrame) -> DataFrame:
+    mut = emb.where(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: (x * F.lit(0.9) + F.lit(0.01)).cast("float")
+        ).alias("embedding"),
+    )
+    return emb.unionByName(mut)
+
+
+def _replicate_docs(d: DataFrame, replicas: int) -> DataFrame:
+    """Replica r: ids shifted by r*stride, every word suffixed with ~r
+    (r=0 verbatim) — shingle sets map bijectively, so within-replica dup
+    structure mirrors the original and cross-replica Jaccard is 0."""
+    parts = [d]
+    for r in range(1, replicas):
+        parts.append(
+            d.select(
+                (F.col("doc_id") + r * REPLICA_STRIDE).alias("doc_id"),
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.split(F.col("text"), " "),
+                        lambda w, r=r: F.concat(w, F.lit(f"~{r}")),
+                    ),
+                ).alias("text"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _replicate_embeddings(emb: DataFrame, replicas: int, dim: int) -> DataFrame:
+    """Replica r: ids shifted, vector cyclically rotated by r positions —
+    rotation preserves within-replica inner products (same dup structure)
+    while cross-replica cosines stay generic."""
+    parts = [emb]
+    for r in range(1, replicas):
+        shifted = F.concat(
+            F.slice(F.col("embedding"), r + 1, dim - r),
+            F.slice(F.col("embedding"), 1, r),
+        )
+        parts.append(
+            emb.select(
+                (F.col("vec_id") + r * REPLICA_STRIDE).alias("vec_id"),
+                shifted.alias("embedding"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _shuffle_totals(spark: SparkSession) -> tuple[int, int]:
+    """(shuffle_read_bytes, shuffle_write_bytes) summed over all completed
+    stages so far, via the UI REST API."""
+    base = spark.sparkContext.uiWebUrl
+    app = spark.sparkContext.applicationId
+    try:
+        with urllib.request.urlopen(f"{base}/api/v1/applications/{app}/stages") as r:
+            stages = json.loads(r.read().decode())
+    except Exception:
+        return (0, 0)
+    rd = sum(s.get("shuffleReadBytes", 0) for s in stages)
+    wr = sum(s.get("shuffleWriteBytes", 0) for s in stages)
+    return (rd, wr)
+
+
+def _timed(spark: SparkSession, name: str, scale: str, make, input_rows: int):
+    # `make` is a factory: cluster resolution and capped bucketing run
+    # eager jobs (localCheckpoint, census loop) at CONSTRUCTION time, so
+    # the timed region must cover build + materialize
+    make().write.format("noop").mode("overwrite").save()  # warm (JIT + cache)
+    r0, w0 = _shuffle_totals(spark)
+    t0 = time.perf_counter()
+    make().write.format("noop").mode("overwrite").save()
+    sec = time.perf_counter() - t0
+    r1, w1 = _shuffle_totals(spark)
+    return {
+        "query": name,
+        "scale": scale,
+        "input_rows": input_rows,
+        "sec": round(sec, 3),
+        "rows_per_sec": round(input_rows / sec),
+        "shuffle_read_mb": round((r1 - r0) / 1e6, 2),
+        "shuffle_write_mb": round((w1 - w0) / 1e6, 2),
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    out_dir = os.environ.get("SPARK_GRAFT_PROBE_DIR", "/tmp/spark_graft_probe")
+    spark = get_spark("scaling-probe")
+
+    docs1 = _mutated_docs(
+        spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    )
+    emb_raw = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    dim = len(emb_raw.select("embedding").first()[0])
+    emb1 = _mutated_embeddings(emb_raw)
+
+    corpora: dict[str, dict[str, DataFrame]] = {}
+    for scale, mult in (("1x", 1), ("10x", 10)):
+        d = _replicate_docs(docs1, mult)
+        e = _replicate_embeddings(emb1, mult, dim)
+        dpath, epath = f"{out_dir}/docs_{scale}", f"{out_dir}/emb_{scale}"
+        d.write.mode("overwrite").parquet(dpath)
+        e.write.mode("overwrite").parquet(epath)
+        corpora[scale] = {
+            "docs": spark.read.parquet(dpath),
+            "emb": spark.read.parquet(epath),
+        }
+
+    runs = []
+    for scale in ("1x", "10x"):
+        docs = corpora[scale]["docs"]
+        emb = corpora[scale]["emb"]
+        n_docs, n_emb = docs.count(), emb.count()
+        runs.append(
+            _timed(
+                spark, "near_dup", scale,
+                lambda d=docs: near_dup_pairs(d, "text", "doc_id", threshold=0.5),
+                n_docs,
+            )
+        )
+        runs.append(
+            _timed(
+                spark, "clusters", scale,
+                lambda d=docs: near_dup_clusters(d, "text", "doc_id", threshold=0.5),
+                n_docs,
+            )
+        )
+        runs.append(
+            _timed(
+                spark, "emb_fast", scale,
+                lambda e=emb: cosine_pairs_bucketed(
+                    e, 0.9, planes=4, bands=2, arithmetic="double",
+                    bucket_cap=2000,
+                ),
+                n_emb,
+            )
+        )
+    print(json.dumps({"probe": "dedup_scaling", "runs": runs}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
