@@ -618,6 +618,50 @@ def test_legacy_exact_kwarg_maps_to_tier(spark):
         quantile_summary(df, ["v"], tier="sketch", exact=True)
 
 
+def test_banded32_family_restores_band_selectivity(spark):
+    # the affine family h_i = h1 + i*h2 is correlated across i: two docs
+    # sharing the argmin shingle collide in MANY components at once, so a
+    # band's collision rate degrades from J^r toward ~J. On char 5-grams
+    # (background J ~ 0.19) that floods the bands with false candidates;
+    # the banded32 family (independent digest per band, r 32-bit slices)
+    # must produce an order of magnitude fewer candidates while keeping
+    # every true near-dup pair (mutated copies at J ~ 0.95 collide with
+    # probability ~1 under both families).
+    from whylogs_java_spark.operators.dedup import (
+        lsh_band_signatures,
+        minhash_signatures,
+        _candidates_from_bands,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    mut = docs.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra token")).alias("text"),
+    )
+    corpus = docs.unionByName(mut)
+    n_mut = mut.count()
+
+    def candidates(family):
+        sigs = minhash_signatures(
+            corpus, "text", "doc_id", 16, 5, char_ngrams=True,
+            hash_family=family, bands=4,
+        )
+        bands_df = lsh_band_signatures(sigs, "doc_id", 16, 4)
+        return _candidates_from_bands(bands_df, "doc_id")
+
+    affine = candidates("affine").count()
+    banded = candidates("banded32")
+    n_banded = banded.count()
+    assert n_banded * 10 < affine, f"banded32 not selective: {n_banded} vs {affine}"
+    # true mutated pairs still collide under banded32 (measured 44/50:
+    # long docs have J ~ 0.95 -> P(candidate) ~ 0.999, but the corpus's
+    # 10-word docs dilute to J ~ 0.8 where the honest S-curve admits
+    # ~90% — the affine family's accidental ~100% here was a side effect
+    # of the same correlation that leaked 12% of ALL pairs)
+    true_hits = banded.where(F.col("id_b") - F.col("id_a") == 100000).count()
+    assert true_hits >= 0.8 * n_mut, f"banded32 recall dropped: {true_hits}/{n_mut}"
+
+
 def test_near_dup_executed_plan_two_explodes(spark):
     # the shingle explode is the expensive node in the near-dup pipeline:
     # AQE exchange reuse must keep the executed plan at exactly 2 Generate

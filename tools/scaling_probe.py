@@ -131,11 +131,13 @@ def _timed(spark: SparkSession, name: str, scale: str, make, input_rows: int):
     # eager jobs (localCheckpoint, census loop) at CONSTRUCTION time, so
     # the timed region must cover build + materialize
     make().write.format("noop").mode("overwrite").save()  # warm (JIT + cache)
-    r0, w0 = _shuffle_totals(spark)
-    t0 = time.perf_counter()
-    make().write.format("noop").mode("overwrite").save()
-    sec = time.perf_counter() - t0
-    r1, w1 = _shuffle_totals(spark)
+    sec = float("inf")
+    for _ in range(2):  # best-of-2, same convention as bench.py
+        r0, w0 = _shuffle_totals(spark)
+        t0 = time.perf_counter()
+        make().write.format("noop").mode("overwrite").save()
+        sec = min(sec, time.perf_counter() - t0)
+        r1, w1 = _shuffle_totals(spark)
     return {
         "query": name,
         "scale": scale,
@@ -150,7 +152,9 @@ def _timed(spark: SparkSession, name: str, scale: str, make, input_rows: int):
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     out_dir = os.environ.get("SPARK_GRAFT_PROBE_DIR", "/tmp/spark_graft_probe")
-    spark = get_spark("scaling-probe")
+    # the UI is off in the engine defaults; the probe needs its REST API
+    # for the stage-level shuffle ledger
+    spark = get_spark("scaling-probe", extra_conf={"spark.ui.enabled": "true"})
 
     docs1 = _mutated_docs(
         spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
@@ -202,6 +206,23 @@ def main() -> None:
                 n_emb,
             )
         )
+        if scale == "10x":
+            # LSH bucket count is fixed by `planes`, so holding planes
+            # constant while the corpus grows 10x multiplies within-bucket
+            # pair generation ~100x (the cap bounds the worst of it). The
+            # production knob is scaling planes with the corpus: +3 planes
+            # = 8x the buckets, restoring ~constant bucket occupancy.
+            # This run measures that knob.
+            runs.append(
+                _timed(
+                    spark, "emb_fast_scaled_planes", scale,
+                    lambda e=emb: cosine_pairs_bucketed(
+                        e, 0.9, planes=7, bands=2, arithmetic="double",
+                        bucket_cap=2000,
+                    ),
+                    n_emb,
+                )
+            )
     print(json.dumps({"probe": "dedup_scaling", "runs": runs}))
     spark.stop()
 

@@ -146,6 +146,44 @@ def _minhash_from_shingles(sh: DataFrame, id_col: str, num_hashes: int) -> DataF
     return hashed.groupBy(id_col).agg(*aggs)
 
 
+def _minhash_banded32_from_shingles(
+    sh: DataFrame, id_col: str, num_hashes: int, bands: int
+) -> DataFrame:
+    """MinHash via per-band independent md5 digests, r 32-bit slices each.
+
+    Band ``b`` hashes every shingle with ``md5('mh{b}|' || shingle)`` and
+    carves the digest into ``r = num_hashes // bands`` 8-hex (32-bit)
+    values — so the r minhashes WITHIN a band come from independent digest
+    bits and DIFFERENT bands use different digests: the classic
+    ``P(band collision) = J^r`` LSH selectivity actually holds, unlike
+    the affine family (see ``minhash_signatures``). Costs ``bands``
+    digests per shingle (vs 1 affine / num_hashes naive). 32-bit minimums
+    are collision-safe for realistic shingle-set sizes (birthday at ~2^16
+    distinct shingles per doc).
+    """
+    r = num_hashes // bands
+    if r * bands != num_hashes:
+        raise ValueError(f"bands={bands} must divide num_hashes={num_hashes}")
+    if r > 4:
+        raise ValueError(
+            f"banded32 carves 4 x 8-hex slices per digest: rows-per-band "
+            f"{r} > 4 (use more bands or the affine family)"
+        )
+    cols = []
+    for b in range(bands):
+        h = F.md5(F.concat(F.lit(f"mh{b}|"), F.col("shingle")))
+        for j in range(r):
+            cols.append(
+                F.conv(F.substring(h, 1 + 8 * j, 8), 16, 10)
+                .cast("long")
+                .alias(f"v{b * r + j}")
+            )
+    hashed = sh.select(id_col, *cols)
+    return hashed.groupBy(id_col).agg(
+        *[F.min(f"v{i}").alias(f"mh{i}") for i in range(num_hashes)]
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str,
@@ -153,15 +191,32 @@ def minhash_signatures(
     num_hashes: int = 16,
     shingle_size: int = 3,
     char_ngrams: bool = False,
+    hash_family: str = "affine",
+    bands: int = 4,
 ) -> DataFrame:
     """Per-doc MinHash signature: k columns mh0..mh{k-1}.
 
-    One md5 per shingle yields two 60-bit integers (h1 from hex[1:15], h2
-    from hex[16:30]); the hash family is the affine h_i = h1 + i*(h2 mod
-    2^55) — k-1 adds/multiplies instead of k digests per shingle (~10x
-    cheaper than hashing k times), overflow-free in signed 64-bit for
-    num_hashes <= 224, and reproducible in any engine that can parse hex
-    (the DuckDB oracle uses ('0x'||substr(md5,...))::BIGINT).
+    ``hash_family="affine"`` (default): one md5 per shingle yields two
+    60-bit integers (h1 from hex[1:15], h2 from hex[16:30]); the hash
+    family is the affine h_i = h1 + i*(h2 mod 2^55) — k-1 adds/multiplies
+    instead of k digests per shingle (~10x cheaper than hashing k times),
+    overflow-free in signed 64-bit for num_hashes <= 224, and
+    reproducible in any engine that can parse hex (the DuckDB oracle uses
+    ('0x'||substr(md5,...))::BIGINT). CAVEAT: the components are
+    CORRELATED across i (one digest drives all k) — two docs sharing the
+    argmin shingle tend to collide in MANY components at once, so a
+    band's collision probability degrades from the textbook J^r toward
+    ~J. Harmless when background Jaccard is low (word shingles: rare
+    cross-doc argmin sharing), catastrophic when it is high: char 5-grams
+    at background J≈0.19 leaked 12.5% of ALL pairs as candidates (1.56M
+    at sf0.1 — measured) where honest J^4 banding admits ~0.4%.
+
+    ``hash_family="banded32"``: per-band independent digests sliced into
+    r 32-bit minhashes (``_minhash_banded32_from_shingles``) — J^r
+    selectivity holds; ``bands`` digests per shingle. Use it whenever the
+    shingle domain has high background similarity (char n-grams, small
+    vocabularies). ``bands`` is only consulted by this family and must
+    match the ``lsh_band_signatures`` banding downstream.
     Output: one row per doc: (id, mh0..mh{k-1} BIGINT).
     """
     shingler = _shingler(shingle_size, char_ngrams)
@@ -169,6 +224,10 @@ def minhash_signatures(
         F.col(id_col),
         F.explode(shingler(F.col(text_col))).alias("shingle"),
     )
+    if hash_family == "banded32":
+        return _minhash_banded32_from_shingles(sh, id_col, num_hashes, bands)
+    if hash_family != "affine":
+        raise ValueError(f"unknown hash_family: {hash_family!r}")
     return _minhash_from_shingles(sh, id_col, num_hashes)
 
 
@@ -273,6 +332,75 @@ def _jaccard_from_shingle_sets(sh: DataFrame, pairs: DataFrame, id_col: str) -> 
     )
 
 
+def _jaccard_from_shingle_arrays(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_size: int,
+    char_ngrams: bool,
+) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs via per-doc shingle
+    ARRAYS and ``array_intersect`` — the high-candidate-volume verify tier.
+
+    The explode-join verify (``_jaccard_from_shingle_sets``)
+    materializes |pairs| × |shingles/doc| join rows before
+    re-aggregating (measured 9e8 join rows / 166 s at sf0.1 when the
+    affine hash family leaked 1.56M char-n-gram candidates). Here each
+    doc's distinct shingle set rides as ONE array row (`array_distinct`
+    of the shingle expression — no explode, no re-agg) and |A∩B| is a
+    per-pair JVM hash-set intersect: O(|A|+|B|) per candidate with no
+    row blow-up. The same exact Jaccard comes out — the oracle SQL is
+    shared.
+
+    Honest cost model: the per-pair intersect on ~300-string arrays is
+    itself ~60 µs (interpreted UTF8 hashing), so this tier is linear in
+    CANDIDATES but with a fat constant — it complements, not replaces,
+    selective candidate generation (at 1.56M leaked candidates it still
+    took ~90 s; after the ``banded32`` family cut candidates to the
+    J^r-predicted volume the full char-n-gram query dropped to ~19 s,
+    hash-green). Scale: the doc→array table is O(docs) rows of ~KB; the
+    pairs join is a plain equi-join Spark can broadcast when the array
+    table is small or sort-merge at scale — candidate rows carry two
+    arrays briefly, never an exploded row per shingle.
+    """
+    sh = _shingler(shingle_size, char_ngrams)
+    docs = df.select(
+        F.col(id_col), F.array_distinct(sh(F.col(text_col))).alias("__shset")
+    )
+    a = docs.select(
+        F.col(id_col).alias("id_a"),
+        F.col("__shset").alias("__sa"),
+        F.size("__shset").cast("long").alias("size_a"),
+    )
+    b = docs.select(
+        F.col(id_col).alias("id_b"),
+        F.col("__shset").alias("__sb"),
+        F.size("__shset").cast("long").alias("size_b"),
+    )
+    inter = F.size(F.array_intersect(F.col("__sa"), F.col("__sb"))).cast("long")
+    return (
+        pairs.join(a, on="id_a")
+        .join(b, on="id_b")
+        .withColumn("inter", inter)
+        .select(
+            "id_a",
+            "id_b",
+            "inter",
+            "size_a",
+            "size_b",
+            (
+                F.round(
+                    F.col("inter")
+                    / (F.col("size_a") + F.col("size_b") - F.col("inter")),
+                    6,
+                )
+                + 0.0
+            ).alias("jaccard"),
+        )
+    )
+
+
 def jaccard_verify_pairs(
     df: DataFrame,
     pairs: DataFrame,
@@ -312,10 +440,20 @@ def near_dup_pairs(
     shingle_size: int = 3,
     materialize: bool = False,
     char_ngrams: bool = False,
+    verify: str = "array",
+    hash_family: str = "affine",
 ) -> DataFrame:
     """MinHash-LSH candidates verified by exact Jaccard ≥ threshold.
     ``char_ngrams=True`` runs the same pipeline over character n-gram sets
     (the classic n-gram-Jaccard dedup; robust to word-boundary edits).
+
+    ``verify`` picks the exact-Jaccard implementation — identical answers
+    either way: ``"array"`` (default) intersects per-doc shingle arrays
+    per candidate pair (`_jaccard_from_shingle_arrays` — no explode-join
+    blow-up; the only safe choice for char n-grams, whose high background
+    Jaccard floods the bands with candidates); ``"explode"`` is the
+    shingle-row equi-join tier, kept for the staged/persisted variant
+    where the distinct-shingle table is shared across consumers.
 
     The default single-DAG pipeline is NOT the naive "~6x shingle
     recompute" it looks like statically: under AQE, identical shuffle
@@ -344,12 +482,20 @@ def near_dup_pairs(
     """
     if not materialize:
         sigs = minhash_signatures(
-            df, text_col, id_col, num_hashes, shingle_size, char_ngrams
+            df, text_col, id_col, num_hashes, shingle_size, char_ngrams,
+            hash_family=hash_family, bands=bands,
         )
         bands_df = lsh_band_signatures(sigs, id_col, num_hashes, bands)
         pairs = _candidates_from_bands(bands_df, id_col)
-        sh = shingle_sets(df, text_col, id_col, shingle_size, char_ngrams)
-        verified = _jaccard_from_shingle_sets(sh, pairs, id_col)
+        if verify == "array":
+            verified = _jaccard_from_shingle_arrays(
+                df, pairs, text_col, id_col, shingle_size, char_ngrams
+            )
+        elif verify == "explode":
+            sh = shingle_sets(df, text_col, id_col, shingle_size, char_ngrams)
+            verified = _jaccard_from_shingle_sets(sh, pairs, id_col)
+        else:
+            raise ValueError(f"unknown verify mode: {verify!r}")
         return verified.where(F.col("jaccard") >= threshold)
 
     pairs, sh_cand, verified = near_dup_stages(
@@ -685,6 +831,7 @@ def near_dup_clusters(
     char_ngrams: bool = False,
     max_iters: int = 20,
     algorithm: str = "label",
+    hash_family: str = "affine",
 ) -> DataFrame:
     """End-to-end near-dup resolution: MinHash-LSH verified pairs ->
     connected components -> (id, cluster_id, is_survivor). Keeping only
@@ -695,6 +842,7 @@ def near_dup_clusters(
     pairs = near_dup_pairs(
         df, text_col, id_col, threshold=threshold, num_hashes=num_hashes,
         bands=bands, shingle_size=shingle_size, char_ngrams=char_ngrams,
+        hash_family=hash_family,
     ).select("id_a", "id_b")
     return resolve_clusters(
         pairs, df.select(id_col), id_col, max_iters, algorithm=algorithm
@@ -748,6 +896,7 @@ def containment_pairs(
     char_ngrams: bool = False,
     candidates: str = "bands",
     df_cap: int = 50,
+    hash_family: str = "affine",
 ) -> DataFrame:
     """Asymmetric near-dup: Jaccard CONTAINMENT C(A,B) = |A∩B| / |A|.
 
@@ -780,18 +929,21 @@ def containment_pairs(
     Output: (id_a, id_b, inter, size_a, size_b, containment_a,
     containment_b) with containment_X = |A∩B| / |size of X's set|.
     """
-    sh = shingle_sets(df, text_col, id_col, shingle_size, char_ngrams)
     if candidates == "shingle":
+        sh = shingle_sets(df, text_col, id_col, shingle_size, char_ngrams)
         pairs = shingle_candidate_pairs(sh, id_col, df_cap)
     elif candidates == "bands":
         sigs = minhash_signatures(
-            df, text_col, id_col, num_hashes, shingle_size, char_ngrams
+            df, text_col, id_col, num_hashes, shingle_size, char_ngrams,
+            hash_family=hash_family, bands=bands,
         )
         bands_df = lsh_band_signatures(sigs, id_col, num_hashes, bands)
         pairs = _candidates_from_bands(bands_df, id_col)
     else:
         raise ValueError(f"unknown candidates mode: {candidates!r}")
-    v = _jaccard_from_shingle_sets(sh, pairs, id_col)
+    v = _jaccard_from_shingle_arrays(
+        df, pairs, text_col, id_col, shingle_size, char_ngrams
+    )
     ca = F.round(F.col("inter") / F.col("size_a"), 6) + 0.0
     cb = F.round(F.col("inter") / F.col("size_b"), 6) + 0.0
     return (

@@ -13,7 +13,11 @@ import os
 from pyspark.sql import SparkSession
 
 
-def get_spark(app_name: str = "whylogs_java_spark", master: str | None = None) -> SparkSession:
+def get_spark(
+    app_name: str = "whylogs_java_spark",
+    master: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     builder = (
         SparkSession.builder.appName(app_name)
@@ -44,6 +48,8 @@ def get_spark(app_name: str = "whylogs_java_spark", master: str | None = None) -
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
     if master is not None:
         builder = builder.master(master)
     elif not os.environ.get("SPARK_MASTER"):
