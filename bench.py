@@ -55,6 +55,9 @@ BENCH_QUERIES = [
     "packing_documents",
     "sessions_events",
     "cube_lineitem",
+    "split_documents",
+    "decontam_documents",
+    "dedup_segments",
 ]
 
 

@@ -619,3 +619,106 @@ def test_packing_stats_known_values(spark):
     assert r["max_tokens"] == 6
     assert r["min_contexts"] == 3               # ceil(10/4)
     assert r["contexts_one_doc_each"] == 3
+
+
+# ---------------------------------------------------------------------------
+# split assignment / decontamination / segment dedup (round 5)
+# ---------------------------------------------------------------------------
+
+
+def test_assign_splits_total_and_frozen_under_growth(spark):
+    """Every row gets a label; fractions land near spec; and growing the
+    corpus never reassigns existing rows (the frozen-eval-set property)."""
+    from whylogs_java_spark.operators.sampling import assign_splits
+
+    base = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    a = assign_splits(base, "doc_id").collect()
+    assert all(r["split"] in ("train", "val", "test") for r in a)
+    counts = {s: sum(1 for r in a if r["split"] == s) for s in ("train", "val", "test")}
+    assert 0.75 <= counts["train"] / 2000 <= 0.85
+    assert 0.06 <= counts["val"] / 2000 <= 0.14
+    assert 0.06 <= counts["test"] / 2000 <= 0.14
+
+    grown = spark.range(0, 4000).withColumnRenamed("id", "doc_id")
+    b = {r["doc_id"]: r["split"] for r in assign_splits(grown, "doc_id").collect()}
+    for r in a:
+        assert b[r["doc_id"]] == r["split"]
+
+
+def test_assign_splits_validates_fractions(spark):
+    from whylogs_java_spark.operators.sampling import assign_splits
+
+    df = spark.range(1).withColumnRenamed("id", "doc_id")
+    with pytest.raises(ValueError):
+        assign_splits(df, "doc_id", (("a", 0.5), ("b", 0.4)))
+    with pytest.raises(ValueError):
+        assign_splits(df, "doc_id", (("only", 1.0),))
+
+
+def test_decontaminate_flags_planted_overlap(spark):
+    """A doc quoting an eval 5-gram is flagged with the exact distinct-hit
+    count; clean docs and sub-n docs are not."""
+    from whylogs_java_spark.operators.decontam import decontaminate
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta"),  # contains eval grams
+            (2, "one two three four five six seven eight"),  # clean
+            (3, "too short"),  # < n words -> zero ngrams
+        ],
+        ["doc_id", "text"],
+    )
+    ev = spark.createDataFrame(
+        [("xx alpha beta gamma delta epsilon yy",)], ["text"]
+    )
+    out = {r["doc_id"]: r for r in decontaminate(
+        corpus, "text", "doc_id", ev, n=5
+    ).collect()}
+    # eval text has 3 distinct 5-grams; doc 1 shares exactly one of them
+    assert out[1]["n_hits"] == 1 and out[1]["contaminated"]
+    assert out[1]["n_ngrams"] == 3
+    assert out[2]["n_hits"] == 0 and not out[2]["contaminated"]
+    assert out[3]["n_ngrams"] == 0 and not out[3]["contaminated"]
+
+
+def test_segment_dedup_first_occurrence_wins(spark):
+    """Repeated segments keep only the (min doc, min pos) copy; docs are
+    reassembled from kept segments in order."""
+    from whylogs_java_spark.operators.dedup import segment_dedup
+
+    seg_a = " ".join(f"a{i}" for i in range(10))
+    seg_b = " ".join(f"b{i}" for i in range(10))
+    seg_c = " ".join(f"c{i}" for i in range(10))
+    corpus = spark.createDataFrame(
+        [
+            (1, f"{seg_a} {seg_b}"),          # owns a (pos 0) and b (pos 1)
+            (2, f"{seg_b} {seg_c}"),          # loses b, keeps c
+            (3, f"{seg_a} {seg_a}"),          # loses both copies of a
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in segment_dedup(
+        corpus, "text", "doc_id", seg_words=10
+    ).collect()}
+    assert out[1]["n_kept"] == 2 and out[1]["dedup_text"] == f"{seg_a} {seg_b}"
+    assert out[2]["n_kept"] == 1 and out[2]["dedup_text"] == seg_c
+    assert out[3]["n_kept"] == 0 and out[3]["dedup_text"] == ""
+    assert out[3]["n_segments"] == 2 and out[3]["n_removed"] == 2
+
+
+def test_segment_dedup_partial_tail_segment(spark):
+    """The trailing partial segment is its own unit — identical tails
+    dedup, distinct tails survive."""
+    from whylogs_java_spark.operators.dedup import segment_dedup
+
+    seg = " ".join(f"w{i}" for i in range(10))
+    corpus = spark.createDataFrame(
+        [(1, f"{seg} tail one"), (2, f"{seg} tail one"), (3, f"{seg} tail two")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in segment_dedup(
+        corpus, "text", "doc_id", seg_words=10
+    ).collect()}
+    assert out[1]["n_kept"] == 2          # owns seg and "tail one"
+    assert out[2]["n_kept"] == 0
+    assert out[3]["n_kept"] == 1 and out[3]["dedup_text"] == "tail two"

@@ -481,6 +481,13 @@ def near_dup_pairs(
     intermediate table.
     """
     if not materialize:
+        # One round-robin spread feeds BOTH the signature and the verify
+        # branch (AQE reuses the exchange): in the small-file regime the
+        # corpus otherwise arrives in 1-2 partitions and the CPU-heavy
+        # shingle walk serializes on 2 of 32 cores (measured 18.6 s -> 4.5 s
+        # for the char-5-gram query at sf0.1); at cluster scale the scan
+        # already has >= cores partitions and this is a no-op.
+        df = _spread(df)
         sigs = minhash_signatures(
             df, text_col, id_col, num_hashes, shingle_size, char_ngrams,
             hash_family=hash_family, bands=bands,
@@ -929,6 +936,7 @@ def containment_pairs(
     Output: (id_a, id_b, inter, size_a, size_b, containment_a,
     containment_b) with containment_X = |A∩B| / |size of X's set|.
     """
+    df = _spread(df)  # same small-file guard as near_dup_pairs
     if candidates == "shingle":
         sh = shingle_sets(df, text_col, id_col, shingle_size, char_ngrams)
         pairs = shingle_candidate_pairs(sh, id_col, df_cap)
@@ -957,4 +965,96 @@ def containment_pairs(
             cb.alias("containment_b"),
         )
         .where(F.greatest(F.col("containment_a"), F.col("containment_b")) >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Segment-level corpus dedup (C4-style repeated-span removal)
+# ---------------------------------------------------------------------------
+
+def segment_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    seg_words: int = 10,
+) -> DataFrame:
+    """Corpus-wide repeated-segment removal (the C4/Gopher line-dedup
+    rule, adapted to span units): split every document into consecutive
+    non-overlapping ``seg_words``-word segments, and for each DISTINCT
+    segment keep only its first occurrence — the (min doc id, min
+    position) owner — deleting every other copy corpus-wide. Documents
+    whose boilerplate (headers, footers, license blocks, navigation)
+    repeats across the corpus keep one canonical copy and lose the rest.
+
+    Output, one row per document:
+      (id, n_segments, n_kept, n_removed, dedup_text)
+    where ``dedup_text`` is the kept segments re-joined in document
+    order (empty string when every segment was removed).
+
+    Scale shape — two shuffles, both on high-cardinality skew-free keys:
+      1. hash-agg on the segment digest: ``min(struct(id, pos))`` picks
+         the global owner with map-side partial min — the heavily
+         repeated segment (the skew case) REDUCES to one row per
+         partition before the exchange;
+      2. hash-agg on the doc id to reassemble: documents are bounded
+         (segments-per-doc = words/seg_words), so the collect_list is
+         O(doc) not O(corpus).
+    The owner join is an equi-join on the digest; a broadcast is wrong
+    here (owners ≈ distinct segments ≈ corpus-sized) and Spark's
+    sort-merge/shuffled-hash picks apply.
+
+    Determinism: owner = lexicographic min (id, pos); digests are md5 of
+    the space-joined segment — oracle-checkable in DuckDB.
+    """
+    words = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    n_segs = F.ceil(F.size(words) / F.lit(seg_words)).cast("int")
+    segs = _spread(df.select(id_col, text_col)).select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(n_segs, F.lit(1)) - 1),
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.concat_ws(
+                        " ", F.slice(words, i * seg_words + 1, seg_words)
+                    ).alias("seg"),
+                ),
+            )
+        ).alias("s"),
+    ).select(
+        F.col(id_col),
+        F.col("s.pos").alias("pos"),
+        F.col("s.seg").alias("seg"),
+        F.md5(F.col("s.seg")).alias("seg_key"),
+    )
+    owners = segs.groupBy("seg_key").agg(
+        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("owner")
+    )
+    flagged = segs.join(owners, "seg_key").select(
+        F.col(id_col),
+        F.col("pos"),
+        F.col("seg"),
+        (
+            (F.col(f"owner.{id_col}") == F.col(id_col))
+            & (F.col("owner.pos") == F.col("pos"))
+        ).alias("kept"),
+    )
+    return flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum(F.col("kept").cast("long")).alias("n_kept"),
+        F.sum((~F.col("kept")).cast("long")).alias("n_removed"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("kept"),
+                            F.struct(F.col("pos"), F.col("seg")),
+                        )
+                    )
+                ),
+                lambda s: s["seg"],
+            ),
+        ).alias("dedup_text"),
     )

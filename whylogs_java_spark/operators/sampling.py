@@ -65,6 +65,50 @@ def hash_sample(
     return df.where(key < thr)
 
 
+def assign_splits(
+    df: DataFrame,
+    id_col: str,
+    splits: Sequence[tuple[str, float]] = (
+        ("train", 0.8),
+        ("val", 0.1),
+        ("test", 0.1),
+    ),
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic train/val/test split assignment.
+
+    Adds a ``split`` column chosen by hash-threshold over the same
+    md5-derived key as :func:`hash_sample`: the first split whose
+    cumulative fraction exceeds ``key/1e6`` wins, and the LAST split
+    absorbs any rounding remainder so every row gets a label. The
+    assignment is a pure projection — no shuffle, no RNG, stable across
+    runs/engines/partitionings — and membership is a function of (id,
+    salt) only, so adding rows never reassigns existing ones (the
+    property that keeps eval sets frozen as a corpus grows).
+
+    ``splits`` is an ordered sequence of (label, fraction); fractions
+    must sum to ~1.
+    """
+    total = sum(f for _, f in splits)
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1, got {total}")
+    if len(splits) < 2:
+        raise ValueError("need at least two splits")
+    key = sample_key(F.col(id_col), salt)
+    cum = 0.0
+    expr: Column | None = None
+    for label, frac in splits[:-1]:
+        cum += frac
+        cond = key < int(cum * _SAMPLE_MOD)
+        expr = (
+            F.when(cond, F.lit(label))
+            if expr is None
+            else expr.when(cond, F.lit(label))
+        )
+    assert expr is not None
+    return df.withColumn("split", expr.otherwise(F.lit(splits[-1][0])))
+
+
 def stratified_sample_exact(
     df: DataFrame,
     id_col: str,
