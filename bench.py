@@ -58,6 +58,24 @@ BENCH_QUERIES = [
     "split_documents",
     "decontam_documents",
     "dedup_segments",
+    # full-surface tail: every remaining query except the two by-design
+    # oracle-only tiers (dedup_embedding all-pairs, profile_wire_fixture
+    # golden-file parse) so regressions anywhere are visible per round
+    "profile_orders_global",
+    "profile_customer",
+    "profile_coerced",
+    "entropy_events",
+    "weighted_entropy_events",
+    "topk_part_brand",
+    "dedup_simhash",
+    "dedup_embedding_bucketed",
+    "dedup_containment_fragment",
+    "similarity_ivf_md5",
+    "fingerprint_documents",
+    "multimodal_meta",
+    "sketch_summary_lineitem",
+    "sample_topk_documents",
+    "compression_documents",
 ]
 
 

@@ -722,3 +722,71 @@ def test_segment_dedup_partial_tail_segment(spark):
     assert out[1]["n_kept"] == 2          # owns seg and "tail one"
     assert out[2]["n_kept"] == 0
     assert out[3]["n_kept"] == 1 and out[3]["dedup_text"] == "tail two"
+
+
+def test_decontam_stream_matches_batch_any_boundaries(spark, tmp_path):
+    """Streaming decontamination == batch decontamination over the same
+    rows, regardless of micro-batch boundaries (the operator is per-doc;
+    foreachBatch runs the exact batch plan per batch)."""
+    from whylogs_java_spark.operators.decontam import decontaminate
+    from whylogs_java_spark.streaming.decontam_stream import decontam_stream
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    ev = docs.where(F.col("doc_id") % 20 == 0).select(
+        F.concat_ws(
+            " ",
+            F.slice(F.filter(F.split("text", " "), lambda t: t != ""), 3, 10),
+        ).alias("text")
+    )
+    src = str(tmp_path / "stream_src")
+    # many small files -> several micro-batches with maxFilesPerTrigger
+    docs.repartition(8).write.parquet(src)
+
+    stream = spark.readStream.schema(docs.schema).option(
+        "maxFilesPerTrigger", 3
+    ).parquet(src)
+    collected: list = []
+    batches: list = []
+
+    def on_batch(report, batch_id):
+        rows = report.collect()
+        if rows:
+            batches.append(batch_id)
+            collected.extend(rows)
+
+    q = decontam_stream(
+        stream, "text", "doc_id", ev, on_batch,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    batch_report = {
+        r["doc_id"]: (r["n_ngrams"], r["n_hits"], r["contaminated"])
+        for r in decontaminate(docs, "text", "doc_id", ev, n=5).collect()
+    }
+    stream_report = {
+        r["doc_id"]: (r["n_ngrams"], r["n_hits"], r["contaminated"])
+        for r in collected
+    }
+    assert len(collected) == len(stream_report)  # one row per doc overall
+    assert stream_report == batch_report
+    assert len(batches) > 1  # the parity genuinely spanned several batches
+    assert any(v[2] for v in stream_report.values())  # planted hits found
+
+
+def test_decontam_stream_rejects_streaming_eval(spark, tmp_path):
+    from whylogs_java_spark.streaming.decontam_stream import decontam_stream
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    src = str(tmp_path / "s2")
+    docs.write.parquet(src)
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    with pytest.raises(ValueError):
+        decontam_stream(stream, "text", "doc_id", stream, lambda df, b: None)

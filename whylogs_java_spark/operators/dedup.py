@@ -580,7 +580,7 @@ def simhash(
     md5 reproduces the fingerprints exactly — the DuckDB oracle tier).
     Output: (id, simhash_bits array<int>, simhash_hex).
     """
-    toks = df.select(
+    toks = _spread(df.select(id_col, text_col)).select(
         F.col(id_col), F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("tok")
     ).where(F.col("tok") != "")
     if hash_family == "md5":

@@ -1,0 +1,61 @@
+"""Streaming test-set decontamination.
+
+The streaming half of ``operators.decontam.decontaminate``: an unbounded
+ingest feed screened online against a STATIC eval corpus (benchmark
+suites change rarely; the corpus never stops).
+
+Decontamination is per-document — a doc's verdict depends only on its own
+n-grams and the fixed eval digest set, never on other stream rows — so
+the streaming treatment carries ZERO cross-batch state: each micro-batch
+runs the exact batch operator (same broadcast digest join, same plan) and
+the union of micro-batch reports equals the batch report over the same
+rows, under any batch boundaries. ``foreachBatch`` is the sanctioned
+shape for that (reused from ``streaming/wire_sink.py``): it hands each
+micro-batch to batch code while checkpointing offsets for exactly-once
+sinks.
+
+The eval digest set is resolved ONCE at query start (it is a static
+DataFrame; Spark re-broadcasts it per batch from its cached plan).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame
+
+from ..operators.decontam import decontaminate
+
+
+def decontam_stream(
+    stream_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    eval_df: DataFrame,
+    on_batch: Callable[[DataFrame, int], None],
+    eval_text_col: str | None = None,
+    n: int = 5,
+    checkpoint_dir: str | None = None,
+):
+    """Start a streaming query reporting contamination per micro-batch.
+
+    ``on_batch(report_df, batch_id)`` receives the batch's per-doc report
+    — (id, n_ngrams, n_hits, contaminated), the same schema as batch
+    ``decontaminate`` — and owns the sink write. ``eval_df`` must be a
+    static (non-streaming) DataFrame.
+
+    Returns the started ``StreamingQuery``.
+    """
+    if eval_df.isStreaming:
+        raise ValueError("eval_df must be static — benchmarks are not a stream")
+
+    def _handle(batch_df: DataFrame, batch_id: int) -> None:
+        report = decontaminate(
+            batch_df, text_col, id_col, eval_df, eval_text_col, n
+        )
+        on_batch(report, batch_id)
+
+    writer = stream_df.writeStream.foreachBatch(_handle).outputMode("append")
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
