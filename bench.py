@@ -58,9 +58,9 @@ BENCH_QUERIES = [
     "split_documents",
     "decontam_documents",
     "dedup_segments",
-    # full-surface tail: every remaining query except the two by-design
-    # oracle-only tiers (dedup_embedding all-pairs, profile_wire_fixture
-    # golden-file parse) so regressions anywhere are visible per round
+    # full-surface tail: every remaining query except the golden-file
+    # parse (profile_wire_fixture reads a fixed fixture, not sf data) so
+    # regressions anywhere are visible per round
     "profile_orders_global",
     "profile_customer",
     "profile_coerced",
@@ -76,6 +76,8 @@ BENCH_QUERIES = [
     "sketch_summary_lineitem",
     "sample_topk_documents",
     "compression_documents",
+    "dedup_incremental",
+    "dedup_embedding",
 ]
 
 

@@ -790,3 +790,32 @@ def test_decontam_stream_rejects_streaming_eval(spark, tmp_path):
     stream = spark.readStream.schema(docs.schema).parquet(src)
     with pytest.raises(ValueError):
         decontam_stream(stream, "text", "doc_id", stream, lambda df, b: None)
+
+
+def test_cross_dedup_pairs_only_cross_and_exact_is_one(spark):
+    """Incremental dedup emits only ref×new pairs: the verbatim copy
+    scores jaccard 1.0, the mutant passes threshold, the fresh doc and
+    the intra-new duplicate pair are absent."""
+    from whylogs_java_spark.operators.dedup import cross_dedup_pairs
+
+    ref = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "one two three four five six seven eight nine ten"),
+        ],
+        ["doc_id", "text"],
+    )
+    new = spark.createDataFrame(
+        [
+            (101, "alpha beta gamma delta epsilon zeta eta theta"),  # copy of 1
+            (102, "one two three four five six seven eight nine ten extra"),  # near 2
+            (103, "totally different words here nothing shared at all"),  # fresh
+            (104, "totally different words here nothing shared at all"),  # dup of 103 (intra-new)
+        ],
+        ["doc_id", "text"],
+    )
+    rows = cross_dedup_pairs(new, ref, "text", "doc_id", threshold=0.5).collect()
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in rows}
+    assert set(got) == {(1, 101), (2, 102)}  # cross only; no 103/104 pair
+    assert got[(1, 101)] == 1.0
+    assert 0.5 <= got[(2, 102)] < 1.0

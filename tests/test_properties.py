@@ -105,3 +105,62 @@ def test_greedy_chunk_packing_invariants(sizes, cap):
     # maximality: no chunk could absorb its successor's head
     for a, b in zip(chunks, chunks[1:]):
         assert sum(len(i) for i in a) + len(b[0]) > cap
+
+
+# small word alphabet => heavy cross-doc segment sharing, exercising the
+# first-occurrence owner rule under collisions
+_doc_texts = st.lists(
+    st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=0, max_size=12).map(
+        " ".join
+    ),
+    min_size=1,
+    max_size=10,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_doc_texts)
+def test_segment_dedup_invariants(spark, texts):
+    """On any corpus: every distinct segment is kept exactly once
+    corpus-wide, kept+removed == segments per doc, and the kept text is a
+    subsequence of the doc's own segments."""
+    from whylogs_java_spark.operators.dedup import segment_dedup
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    seg_words = 3
+    out = segment_dedup(df, "text", "doc_id", seg_words=seg_words).collect()
+
+    def segs_of(t):
+        ws = [w for w in t.split(" ") if w]
+        if not ws:
+            return [""]
+        return [
+            " ".join(ws[i : i + seg_words]) for i in range(0, len(ws), seg_words)
+        ]
+
+    all_segs = {}
+    for i, t in rows:
+        for s in segs_of(t):
+            all_segs.setdefault(s, 0)
+        # accumulate totals separately below
+    n_distinct = len(all_segs)
+
+    by_id = {r["doc_id"]: r for r in out}
+    assert set(by_id) == {i for i, _ in rows}
+    total_kept = 0
+    for i, t in rows:
+        segs = segs_of(t)
+        r = by_id[i]
+        assert r["n_segments"] == len(segs)
+        assert r["n_kept"] + r["n_removed"] == len(segs)
+        total_kept += r["n_kept"]
+        kept_text = r["dedup_text"]
+        # kept text must be reconstructible as a subsequence of the doc's segments
+        remaining = kept_text
+        for s in segs:
+            if s and remaining.startswith(s):
+                remaining = remaining[len(s):].lstrip(" ")
+        assert remaining == ""
+    # exactly one surviving copy per distinct segment, corpus-wide
+    assert total_kept == n_distinct

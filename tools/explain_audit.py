@@ -90,6 +90,30 @@ AUDITED = [
         "hot gram cannot skew a partition); the unigram and bigram "
         "branches join on the doc id.",
     ),
+    (
+        "decontam_documents",
+        "Test-set decontamination: the eval n-gram digest set is DISTINCTed "
+        "and broadcast (BroadcastHashJoin on the gram — the corpus never "
+        "shuffles its bytes); the only wide exchange is the per-doc hit "
+        "aggregation, carrying matched (doc, gram) pairs only. The counts "
+        "branch computes n_ngrams arithmetically, so the md5 gram walk "
+        "runs exactly once.",
+    ),
+    (
+        "split_documents",
+        "Deterministic split assignment: the split label is a pure "
+        "projection (md5 hash-threshold) inside the scan stage; the only "
+        "exchange is the (source, split) summary aggregation.",
+    ),
+    (
+        "dedup_segments",
+        "Segment-level corpus dedup: explode to (doc, pos, segment digest); "
+        "owner = min(struct(id,pos)) hash-agg on the digest (map-side "
+        "partial min collapses the corpus-wide repeated segment before the "
+        "exchange); equi-join back on the digest (owners are corpus-sized — "
+        "deliberately NOT broadcast); reassembly agg keys on the doc id "
+        "with O(doc) state.",
+    ),
 ]
 
 

@@ -38,7 +38,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from whylogs_java_spark import get_spark
-from whylogs_java_spark.operators.dedup import near_dup_clusters, near_dup_pairs
+from whylogs_java_spark.operators.dedup import (
+    near_dup_clusters,
+    near_dup_pairs,
+    segment_dedup,
+)
 from whylogs_java_spark.operators.similarity import cosine_pairs_bucketed
 
 REPLICA_STRIDE = 10_000_000
@@ -152,6 +156,7 @@ def _timed(spark: SparkSession, name: str, scale: str, make, input_rows: int):
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     out_dir = os.environ.get("SPARK_GRAFT_PROBE_DIR", "/tmp/spark_graft_probe")
+    only = set(sys.argv[1:])  # optional query-name filter, e.g. "segments"
     # the UI is off in the engine defaults; the probe needs its REST API
     # for the stage-level shuffle ledger
     spark = get_spark("scaling-probe", extra_conf={"spark.ui.enabled": "true"})
@@ -182,31 +187,49 @@ def main() -> None:
         docs = corpora[scale]["docs"]
         emb = corpora[scale]["emb"]
         n_docs, n_emb = docs.count(), emb.count()
-        runs.append(
-            _timed(
-                spark, "near_dup", scale,
-                lambda d=docs: near_dup_pairs(d, "text", "doc_id", threshold=0.5),
-                n_docs,
+
+        def want(name: str) -> bool:
+            return not only or name in only
+
+        if want("near_dup"):
+            runs.append(
+                _timed(
+                    spark, "near_dup", scale,
+                    lambda d=docs: near_dup_pairs(d, "text", "doc_id", threshold=0.5),
+                    n_docs,
+                )
             )
-        )
-        runs.append(
-            _timed(
-                spark, "clusters", scale,
-                lambda d=docs: near_dup_clusters(d, "text", "doc_id", threshold=0.5),
-                n_docs,
+        if want("clusters"):
+            runs.append(
+                _timed(
+                    spark, "clusters", scale,
+                    lambda d=docs: near_dup_clusters(d, "text", "doc_id", threshold=0.5),
+                    n_docs,
+                )
             )
-        )
-        runs.append(
-            _timed(
-                spark, "emb_fast", scale,
-                lambda e=emb: cosine_pairs_bucketed(
-                    e, 0.9, planes=4, bands=2, arithmetic="double",
-                    bucket_cap=2000,
-                ),
-                n_emb,
+        if want("segments"):
+            # replica suffixes keep segments replica-local, so the distinct-
+            # segment table (the owner-agg key space) grows linearly with
+            # the corpus — the honest scaling shape for boilerplate dedup
+            runs.append(
+                _timed(
+                    spark, "segments", scale,
+                    lambda d=docs: segment_dedup(d, "text", "doc_id", seg_words=10),
+                    n_docs,
+                )
             )
-        )
-        if scale == "10x":
+        if want("emb_fast"):
+            runs.append(
+                _timed(
+                    spark, "emb_fast", scale,
+                    lambda e=emb: cosine_pairs_bucketed(
+                        e, 0.9, planes=4, bands=2, arithmetic="double",
+                        bucket_cap=2000,
+                    ),
+                    n_emb,
+                )
+            )
+        if scale == "10x" and want("emb_fast"):
             # LSH bucket count is fixed by `planes`, so holding planes
             # constant while the corpus grows 10x multiplies within-bucket
             # pair generation ~100x (the cap bounds the worst of it). The

@@ -857,7 +857,7 @@ def near_dup_clusters(
 
 
 def shingle_candidate_pairs(
-    sh: DataFrame, id_col: str, df_cap: int = 50
+    sh: DataFrame, id_col: str, df_cap: int = 50, min_shared: int = 1
 ) -> DataFrame:
     """Inverted-index candidate pairs: (id_a < id_b) sharing ≥1 RARE
     shingle (document frequency in [2, df_cap]).
@@ -875,6 +875,19 @@ def shingle_candidate_pairs(
     shingle — the same skew bound a bucket cap gives LSH; a shingle in
     more docs than the cap is corpus boilerplate, not containment
     evidence. One shuffle on the shingle key (the df census reuses it).
+
+    ``min_shared`` requires a pair to share at least that many rare
+    shingles before it becomes a candidate (the pair agg that replaces
+    the plain DISTINCT costs nothing extra — same shuffle key). At the
+    default 1 the recall guarantee above holds verbatim. On corpora with
+    a small vocabulary the df window stops discriminating (most shingles
+    land in [2, df_cap] and candidates approach all-pairs — measured
+    1.15M pairs / 8% density on the synthetic sf0.1 corpus);
+    ``min_shared=2`` then cuts candidates ~4x while keeping every
+    genuinely-contained fragment, whose shingles co-occur in the
+    container by construction (a τ=0.9 containment of an s-shingle
+    fragment shares ≥ ⌈0.9·s⌉ shingles, far above 2 for any fragment
+    long enough to matter).
     """
     counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
     rare = sh.join(
@@ -884,11 +897,14 @@ def shingle_candidate_pairs(
     )
     a = rare.select(F.col(id_col).alias("id_a"), "shingle")
     b = rare.select(F.col(id_col).alias("id_b"), "shingle")
+    joined = a.join(b, on="shingle").where(F.col("id_a") < F.col("id_b"))
+    if min_shared <= 1:
+        return joined.select("id_a", "id_b").distinct()
     return (
-        a.join(b, on="shingle")
-        .where(F.col("id_a") < F.col("id_b"))
+        joined.groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("__shared"))
+        .where(F.col("__shared") >= min_shared)
         .select("id_a", "id_b")
-        .distinct()
     )
 
 
@@ -904,6 +920,7 @@ def containment_pairs(
     candidates: str = "bands",
     df_cap: int = 50,
     hash_family: str = "affine",
+    min_shared: int = 1,
 ) -> DataFrame:
     """Asymmetric near-dup: Jaccard CONTAINMENT C(A,B) = |A∩B| / |A|.
 
@@ -939,7 +956,7 @@ def containment_pairs(
     df = _spread(df)  # same small-file guard as near_dup_pairs
     if candidates == "shingle":
         sh = shingle_sets(df, text_col, id_col, shingle_size, char_ngrams)
-        pairs = shingle_candidate_pairs(sh, id_col, df_cap)
+        pairs = shingle_candidate_pairs(sh, id_col, df_cap, min_shared)
     elif candidates == "bands":
         sigs = minhash_signatures(
             df, text_col, id_col, num_hashes, shingle_size, char_ngrams,
@@ -1058,3 +1075,69 @@ def segment_dedup(
             ),
         ).alias("dedup_text"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental (cross-corpus) dedup
+# ---------------------------------------------------------------------------
+
+def cross_dedup_pairs(
+    new_df: DataFrame,
+    ref_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_size: int = 3,
+    char_ngrams: bool = False,
+    hash_family: str = "affine",
+) -> DataFrame:
+    """Incremental dedup: near-dup pairs BETWEEN a new batch and an
+    existing reference corpus — the daily-crawl shape, where each ingest
+    must be screened against everything already accepted without
+    re-deduplicating the corpus against itself.
+
+    Only cross pairs are generated: the band join is ref-bands ⋈
+    new-bands, so candidate volume is O(batch collisions), never
+    O(corpus²) — new×new and ref×ref pairs are structurally impossible
+    (run ``near_dup_pairs`` on the batch alone for intra-batch dups).
+    Exact duplicates surface as jaccard = 1.0 pairs. Id spaces must be
+    disjoint.
+
+    At scale the ref side's signatures are computed once and persist as
+    a SIGNATURE STORE (16 longs per doc — the only state the screen
+    needs); each incremental batch computes its own signatures and
+    equi-joins bands against the store, so per-batch cost is O(batch +
+    matched candidates). The verify stage re-reads text for matched ids
+    only (left-semi prune shape, as in ``jaccard_verify_pairs``).
+
+    Output: (id_a = ref id, id_b = new id, inter, size_a, size_b,
+    jaccard) for pairs with jaccard >= threshold.
+    """
+    new_df = _spread(new_df.select(id_col, text_col))
+    ref_df = _spread(ref_df.select(id_col, text_col))
+    sig_ref = minhash_signatures(
+        ref_df, text_col, id_col, num_hashes, shingle_size, char_ngrams,
+        hash_family=hash_family, bands=bands,
+    )
+    sig_new = minhash_signatures(
+        new_df, text_col, id_col, num_hashes, shingle_size, char_ngrams,
+        hash_family=hash_family, bands=bands,
+    )
+    bands_ref = lsh_band_signatures(sig_ref, id_col, num_hashes, bands)
+    bands_new = lsh_band_signatures(sig_new, id_col, num_hashes, bands)
+    cand = (
+        bands_ref.select(F.col(id_col).alias("id_a"), "band", "band_sig")
+        .join(
+            bands_new.select(F.col(id_col).alias("id_b"), "band", "band_sig"),
+            on=["band", "band_sig"],
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    union = ref_df.unionByName(new_df)
+    v = _jaccard_from_shingle_arrays(
+        union, cand, text_col, id_col, shingle_size, char_ngrams
+    )
+    return v.where(F.col("jaccard") >= threshold)

@@ -89,40 +89,34 @@ def cosine_topk_exact(
 ) -> DataFrame:
     """Oracle-deterministic brute-force cosine top-k.
 
-    Dot products and squared norms accumulate as DECIMAL(38,12) over
-    exploded (id, dim, value) rows — order-independent and identical in
-    DuckDB — then combine in double and round.
+    Determinism via fold ORDER: dot products and norms are strict
+    left-to-right double array folds, bit-identical to the DuckDB
+    oracle's ``list_reduce`` over the same sequence (see
+    ``hyperplane_buckets_exact`` — the DECIMAL exploded-sum formulation
+    this replaces existed only because shuffled sums are
+    order-nondeterministic).
     """
     from pyspark.sql import Window
 
-    flat = embeddings.select(
-        F.col(id_col), F.posexplode(_as_double(F.col(vec_col))).alias("dim", "v")
+    target = embeddings.sparkSession.sparkContext.defaultParallelism
+    if embeddings.rdd.getNumPartitions() < target:
+        embeddings = embeddings.repartition(target)
+    vecd = _as_double(F.col(vec_col))
+    vecs = embeddings.select(
+        F.col(id_col), vecd.alias("__v"), norm(vecd).alias("__n")
     )
-    dec = "decimal(38,12)"
-    norms = flat.groupBy(id_col).agg(
-        F.sum((F.col("v") * F.col("v")).cast(dec)).alias("n2")
+    q = vecs.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        F.col("__v").alias("qv"),
+        F.col("__n").alias("qn"),
     )
-
-    qf = flat.where(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("query_id"), "dim", F.col("v").alias("qv")
-    )
-    pairs = (
-        flat.join(F.broadcast(qf), on="dim")
-        .where(F.col(id_col) != F.col("query_id"))
-        .groupBy("query_id", F.col(id_col).alias("neighbor_id"))
-        .agg(F.sum((F.col("v") * F.col("qv")).cast(dec)).alias("dp"))
-    )
-    qn = norms.select(F.col(id_col).alias("query_id"), F.col("n2").alias("qn2"))
-    nn = norms.select(F.col(id_col).alias("neighbor_id"), F.col("n2").alias("nn2"))
     sim = (
-        pairs.join(F.broadcast(qn), "query_id")
-        .join(nn, "neighbor_id")
+        vecs.join(F.broadcast(q), F.col(id_col) != F.col("query_id"))
         .select(
             "query_id",
-            "neighbor_id",
+            F.col(id_col).alias("neighbor_id"),
             (
-                F.col("dp").cast("double")
-                / (F.sqrt(F.col("qn2").cast("double")) * F.sqrt(F.col("nn2").cast("double")))
+                dot(F.col("__v"), F.col("qv")) / (F.col("__n") * F.col("qn"))
             ).alias("cosine"),
         )
     )
@@ -142,36 +136,30 @@ def cosine_pairs_exact(
 ) -> DataFrame:
     """Embedding near-duplicate pairs: all (id_a < id_b) with cosine ≥ τ.
 
-    Oracle-deterministic brute force (exact DECIMAL dot products over
-    exploded dims) — the correctness baseline for embedding dedup. The
-    scale path is ``lsh_bucket_topk``-style bucketing followed by this
-    verification within buckets.
+    Oracle-deterministic brute force — the correctness baseline for
+    embedding dedup; the scale path is the bucketed variant. Determinism
+    comes from fold ORDER (strict left-to-right array aggregate, matched
+    by DuckDB ``list_reduce``), not DECIMAL: see
+    ``hyperplane_buckets_exact``. The all-pairs id_a < id_b join is a
+    deliberate O(n²) — oracle tier only.
     Output: (id_a, id_b, cosine).
     """
-    flat = embeddings.select(
-        F.col(id_col), F.posexplode(_as_double(F.col(vec_col))).alias("dim", "v")
+    target = embeddings.sparkSession.sparkContext.defaultParallelism
+    if embeddings.rdd.getNumPartitions() < target:
+        embeddings = embeddings.repartition(target)
+    vecd = _as_double(F.col(vec_col))
+    vecs = embeddings.select(
+        F.col(id_col), vecd.alias("__v"), norm(vecd).alias("__n")
     )
-    dec = "decimal(38,12)"
-    norms = flat.groupBy(id_col).agg(
-        F.sum((F.col("v") * F.col("v")).cast(dec)).alias("n2")
+    a = vecs.select(
+        F.col(id_col).alias("id_a"), F.col("__v").alias("va"), F.col("__n").alias("na")
     )
-    a = flat.select(F.col(id_col).alias("id_a"), "dim", F.col("v").alias("va"))
-    b = flat.select(F.col(id_col).alias("id_b"), "dim", F.col("v").alias("vb"))
-    dots = (
-        a.join(b, on="dim")
-        .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.sum((F.col("va") * F.col("vb")).cast(dec)).alias("dp"))
+    b = vecs.select(
+        F.col(id_col).alias("id_b"), F.col("__v").alias("vb"), F.col("__n").alias("nb")
     )
-    na = norms.select(F.col(id_col).alias("id_a"), F.col("n2").alias("na2"))
-    nb = norms.select(F.col(id_col).alias("id_b"), F.col("n2").alias("nb2"))
-    cos = (
-        F.col("dp").cast("double")
-        / (F.sqrt(F.col("na2").cast("double")) * F.sqrt(F.col("nb2").cast("double")))
-    )
+    cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
-        dots.join(F.broadcast(na), "id_a")
-        .join(F.broadcast(nb), "id_b")
+        a.join(b, F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", (F.round(cos, 6) + 0.0).alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )
@@ -338,25 +326,25 @@ def ivf_topk_exact(
     - centroid sample: the ``n_centroids`` smallest ``md5(cast(id as
       string))`` hex ranks (lexicographic — identical in any engine),
       instead of xxhash64 which has no DuckDB twin;
-    - list assignment and probe selection: cosine against every centroid
-      with DECIMAL(38,12) dot products over exploded (id, dim, v) rows —
-      order-independent sums, then correctly-rounded double combine —
-      ranked by (cosine DESC, centroid_id ASC);
-    - candidate scoring: same DECIMAL dots on the probed-list candidates.
+    - list assignment, probe selection, and candidate scoring: cosines
+      via strict left-to-right double array folds — bit-identical to the
+      DuckDB oracle's ``list_reduce`` over the same sequence (see
+      ``hyperplane_buckets_exact``; the DECIMAL exploded-sum formulation
+      this replaces existed only because shuffled sums are
+      order-nondeterministic) — ranked by (cosine DESC, id ASC).
 
     Same probe/list mechanics as ``ivf_topk`` (the production tier keeps
-    the shuffle-free broadcast-argmax assignment); this tier pays the dim
-    explode for oracle checkability.
+    the shuffle-free broadcast-argmax assignment).
     Output: (query_id, neighbor_id, cosine, rank).
     """
     from pyspark.sql import Window
 
-    flat = embeddings.select(
-        F.col(id_col), F.posexplode(_as_double(F.col(vec_col))).alias("dim", "v")
-    )
-    dec = "decimal(38,12)"
-    norms = flat.groupBy(id_col).agg(
-        F.sum((F.col("v") * F.col("v")).cast(dec)).alias("n2")
+    target = embeddings.sparkSession.sparkContext.defaultParallelism
+    if embeddings.rdd.getNumPartitions() < target:
+        embeddings = embeddings.repartition(target)
+    vecd = _as_double(F.col(vec_col))
+    vecs = embeddings.select(
+        F.col(id_col), vecd.alias("__v"), norm(vecd).alias("__n")
     )
     cent = (
         embeddings.select(
@@ -367,25 +355,14 @@ def ivf_topk_exact(
         .limit(n_centroids)
         .drop("__h")
     )
-    cflat = flat.join(
-        F.broadcast(cent), flat[id_col] == cent["centroid_id"]
-    ).select("centroid_id", "dim", F.col("v").alias("cv"))
-    cnorms = norms.join(
-        F.broadcast(cent), norms[id_col] == cent["centroid_id"]
-    ).select("centroid_id", F.col("n2").alias("cn2"))
-    cdots = (
-        flat.join(F.broadcast(cflat), on="dim")
-        .groupBy(id_col, "centroid_id")
-        .agg(F.sum((F.col("v") * F.col("cv")).cast(dec)).alias("dp"))
-    )
-    cos = F.col("dp").cast("double") / (
-        F.sqrt(F.col("n2").cast("double")) * F.sqrt(F.col("cn2").cast("double"))
-    )
+    cvecs = vecs.join(
+        F.broadcast(cent), vecs[id_col] == cent["centroid_id"]
+    ).select("centroid_id", F.col("__v").alias("cv"), F.col("__n").alias("cn"))
+    ccos = dot(F.col("__v"), F.col("cv")) / (F.col("__n") * F.col("cn"))
     w = Window.partitionBy(id_col).orderBy(F.desc("ccos"), F.asc("centroid_id"))
     ranked = (
-        cdots.join(norms, on=id_col)
-        .join(F.broadcast(cnorms), on="centroid_id")
-        .select(id_col, "centroid_id", cos.alias("ccos"))
+        vecs.crossJoin(F.broadcast(cvecs))
+        .select(id_col, "centroid_id", ccos.alias("ccos"))
         .withColumn("crk", F.row_number().over(w))
     )
     lists = ranked.where(F.col("crk") == 1).select(
@@ -400,30 +377,27 @@ def ivf_topk_exact(
         .select("query_id", "neighbor_id")
         .distinct()
     )
-    qf = flat.where(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("query_id"), "dim", F.col("v").alias("qv")
+    q = vecs.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        F.col("__v").alias("qv"),
+        F.col("__n").alias("qn"),
     )
-    dots = (
-        cand.join(F.broadcast(qf), on="query_id")
-        .join(
-            flat.select(F.col(id_col).alias("neighbor_id"), "dim", "v"),
-            on=["neighbor_id", "dim"],
-        )
-        .groupBy("query_id", "neighbor_id")
-        .agg(F.sum((F.col("qv") * F.col("v")).cast(dec)).alias("dp"))
-    )
-    qn = norms.select(F.col(id_col).alias("query_id"), F.col("n2").alias("qn2"))
-    nn = norms.select(F.col(id_col).alias("neighbor_id"), F.col("n2").alias("nn2"))
     sim = (
-        dots.join(F.broadcast(qn), "query_id")
-        .join(nn, "neighbor_id")
+        cand.join(F.broadcast(q), "query_id")
+        .join(
+            vecs.select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col("__v").alias("nv"),
+                F.col("__n").alias("nn"),
+            ),
+            "neighbor_id",
+        )
         .select(
             "query_id",
             "neighbor_id",
-            (
-                F.col("dp").cast("double")
-                / (F.sqrt(F.col("qn2").cast("double")) * F.sqrt(F.col("nn2").cast("double")))
-            ).alias("cosine"),
+            (dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn"))).alias(
+                "cosine"
+            ),
         )
     )
     wk = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
@@ -449,35 +423,37 @@ def hyperplane_buckets_exact(
     planes: int = 8,
     bands: int = 1,
 ) -> DataFrame:
-    """Per-vector LSH bucket string(s) via DECIMAL-exact hyperplane projections.
+    """Per-vector LSH bucket string(s) via ORDER-DETERMINISTIC hyperplane
+    projections, oracle-checkable in DuckDB.
 
-    Unlike ``hyperplane_signature`` (a double fold, whose sign could differ
-    across engines for near-zero projections), each projection accumulates
-    as DECIMAL(38,12) over exploded (id, dim, v) rows — order-independent
-    and bit-reproducible in DuckDB, so bucket assignments are
-    oracle-checkable.
+    Determinism comes from fold ORDER, not decimal arithmetic: an array
+    ``aggregate`` evaluates strictly left-to-right, so the IEEE-754
+    double sum sequence is identical in every engine that folds the same
+    order (DuckDB ``list_reduce`` does) — bit-reproducible projections,
+    hence bit-reproducible sign bits, with none of the interpreted
+    DECIMAL cost of the previous exploded-sum formulation (an exploded
+    groupBy sum is shuffle-order-dependent, which is WHY it needed
+    DECIMAL; a per-row fold is not). Signs are the same md5(plane|dim)
+    first-nibble parity the DuckDB twin computes.
 
     ``bands`` independent signatures of ``planes`` bits each form an
     OR-construction (band ``j`` uses planes ``j*planes .. (j+1)*planes-1``).
     Output: ``bands == 1`` -> (id, bucket); else (id, band, bucket).
     """
     total = planes * bands
-    flat = embeddings.select(
-        F.col(id_col), F.posexplode(_as_double(F.col(vec_col))).alias("dim", "v")
+    target = embeddings.sparkSession.sparkContext.defaultParallelism
+    if embeddings.rdd.getNumPartitions() < target:
+        embeddings = embeddings.repartition(target)
+    vecd = _as_double(F.col(vec_col))
+    dims_seq = F.sequence(F.lit(0), F.size(F.col(vec_col)) - 1)
+
+    def proj(p: int) -> Column:
+        signs = F.transform(dims_seq, lambda d: _plane_sign(p, d).cast("double"))
+        return dot(vecd, signs)
+
+    projs = embeddings.select(
+        F.col(id_col), *[proj(p).alias(f"proj{p}") for p in range(total)]
     )
-    # the ±1 sign domain is only planes x dims values — compute it once on
-    # a tiny distinct-dim table and broadcast-join, instead of evaluating
-    # `planes` md5 digests per (id, dim) row
-    dims = flat.select("dim").distinct()
-    signs = dims.select(
-        "dim", *[_plane_sign(p, F.col("dim")).alias(f"s{p}") for p in range(total)]
-    )
-    dec = "decimal(38,12)"
-    aggs = [
-        F.sum((F.col("v") * F.col(f"s{p}")).cast(dec)).alias(f"proj{p}")
-        for p in range(total)
-    ]
-    projs = flat.join(F.broadcast(signs), on="dim").groupBy(id_col).agg(*aggs)
 
     def bucket_expr(band: int) -> Column:
         bits = [
@@ -731,38 +707,42 @@ def cosine_pairs_bucketed(
     )
     if bands > 1:
         # a pair colliding in several bands must count once (the dot-product
-        # agg below sums over pair rows)
+        # fold below runs once per pair row)
         pairs = pairs.distinct()
-    cand = (
-        pairs.select(F.col("id_a").alias(id_col))
-        .unionByName(pairs.select(F.col("id_b").alias(id_col)))
-        .distinct()
+    # Order-deterministic verify WITHOUT a dim explode: ``dot``/``norm``
+    # are strict left-to-right array folds, so the IEEE double sums are
+    # bit-identical in any engine folding the same order (the DuckDB
+    # oracle uses list_reduce) — the previous exploded DECIMAL groupBy
+    # sums existed only because SHUFFLED sums are order-nondeterministic.
+    # Candidate rows carry two vector arrays briefly instead of 64
+    # exploded join rows each (measured 33.6 s -> ~2 s at sf0.1 for the
+    # bucketed dedup query). Norms fold once per vector; the candidate
+    # list is repartitioned so AQE's one-task coalesce cannot serialize
+    # the fold work.
+    target = embeddings.sparkSession.sparkContext.defaultParallelism
+    pairs = pairs.repartition(target, "id_a")
+    vecd = _as_double(F.col(vec_col))
+    vecs = embeddings.select(
+        F.col(id_col), vecd.alias("__v"), norm(vecd).alias("__n")
     )
-    sub = embeddings.join(cand, on=id_col, how="left_semi")
-    flat = sub.select(
-        F.col(id_col), F.posexplode(_as_double(F.col(vec_col))).alias("dim", "v")
-    )
-    dec = "decimal(38,12)"
-    norms = flat.groupBy(id_col).agg(
-        F.sum((F.col("v") * F.col("v")).cast(dec)).alias("n2")
-    )
-    fa = flat.select(F.col(id_col).alias("id_a"), "dim", F.col("v").alias("va"))
-    fb = flat.select(F.col(id_col).alias("id_b"), "dim", F.col("v").alias("vb"))
-    dots = (
-        pairs.join(fa, on="id_a")
-        .join(fb, on=["id_b", "dim"])
-        .groupBy("id_a", "id_b")
-        .agg(F.sum((F.col("va") * F.col("vb")).cast(dec)).alias("dp"))
-    )
-    na = norms.select(F.col(id_col).alias("id_a"), F.col("n2").alias("na2"))
-    nb = norms.select(F.col(id_col).alias("id_b"), F.col("n2").alias("nb2"))
-    cos = (
-        F.col("dp").cast("double")
-        / (F.sqrt(F.col("na2").cast("double")) * F.sqrt(F.col("nb2").cast("double")))
-    )
+    cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
-        dots.join(F.broadcast(na), "id_a")
-        .join(F.broadcast(nb), "id_b")
+        pairs.join(
+            vecs.select(
+                F.col(id_col).alias("id_a"),
+                F.col("__v").alias("va"),
+                F.col("__n").alias("na"),
+            ),
+            on="id_a",
+        )
+        .join(
+            vecs.select(
+                F.col(id_col).alias("id_b"),
+                F.col("__v").alias("vb"),
+                F.col("__n").alias("nb"),
+            ),
+            on="id_b",
+        )
         .select("id_a", "id_b", (F.round(cos, 6) + 0.0).alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )
