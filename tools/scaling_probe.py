@@ -69,6 +69,10 @@ def _mutated_embeddings(emb: DataFrame) -> DataFrame:
     return emb.unionByName(mut)
 
 
+def _suffixer(r: int):
+    return lambda w: F.concat(w, F.lit(f"~{r}"))
+
+
 def _replicate_docs(d: DataFrame, replicas: int) -> DataFrame:
     """Replica r: ids shifted by r*stride, every word suffixed with ~r
     (r=0 verbatim) — shingle sets map bijectively, so within-replica dup
@@ -82,7 +86,12 @@ def _replicate_docs(d: DataFrame, replicas: int) -> DataFrame:
                     " ",
                     F.transform(
                         F.split(F.col("text"), " "),
-                        lambda w, r=r: F.concat(w, F.lit(f"~{r}")),
+                        # MUST be a one-parameter lambda: a `w, r=r` default
+                        # is read by PySpark as an (element, index) binary
+                        # lambda, feeding the index column into the f-string.
+                        # Safe as a plain closure — F.transform invokes it
+                        # eagerly in this loop iteration.
+                        _suffixer(r),
                     ),
                 ).alias("text"),
             )

@@ -512,15 +512,22 @@ def banded_buckets(
     n_extra = split_planes * split_rounds if bucket_cap is not None else 0
     n_planes = planes * bands + n_extra
     lengths = embeddings.select(F.size(F.col(vec_col)).alias("__len")).distinct()
+    # NOTE: the lambda must take exactly ONE parameter. PySpark sizes the
+    # lambda variable count from the Python signature, so the classic
+    # `lambda d, p=p:` late-binding idiom silently turns this into an
+    # (element, index) BINARY lambda — `p` receives the INDEX COLUMN and
+    # the f-string in _plane_component stringifies it, collapsing every
+    # plane onto an arbitrary repr-keyed hash seed. A plain closure is
+    # correct here because F.transform invokes the lambda eagerly at
+    # expression-construction time, inside this comprehension iteration.
+    def _plane_array(p: int) -> Column:
+        return F.transform(
+            F.sequence(F.lit(0), F.col("__len") - 1),
+            lambda d: _plane_component(p, d),
+        ).alias(f"__pa{p}")
+
     plane_arrays = lengths.select(
-        "__len",
-        *[
-            F.transform(
-                F.sequence(F.lit(0), F.col("__len") - 1),
-                lambda d, p=p: _plane_component(p, d),
-            ).alias(f"__pa{p}")
-            for p in range(n_planes)
-        ],
+        "__len", *[_plane_array(p) for p in range(n_planes)]
     )
     # array folds are interpreted (not codegen'd): spread the corpus across
     # cores when the scan arrives in fewer partitions than parallelism (the
