@@ -78,6 +78,7 @@ BENCH_QUERIES = [
     "compression_documents",
     "dedup_incremental",
     "dedup_embedding",
+    "quantize_embeddings",
 ]
 
 

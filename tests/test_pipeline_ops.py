@@ -819,3 +819,38 @@ def test_cross_dedup_pairs_only_cross_and_exact_is_one(spark):
     assert set(got) == {(1, 101), (2, 102)}  # cross only; no 103/104 pair
     assert got[(1, 101)] == 1.0
     assert 0.5 <= got[(2, 102)] < 1.0
+
+
+def test_quantize_stats_known_values(spark):
+    """Hand-computed int8 table on a 2-dim corpus, including a constant
+    dimension (scale 0, zero error) and an exactly-representable ramp."""
+    from whylogs_java_spark.operators.quantize import quantize_stats
+
+    # dim0: values 0..255 over 4 rows scaled -> vmin=0, vmax=255, scale=1.0
+    # dim1: constant 7.0 -> scale 0, all errors 0
+    rows = [(i, [float(v), 7.0]) for i, v in enumerate([0.0, 85.0, 170.0, 255.0])]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {r["dim"]: r for r in quantize_stats(df, bits=8).collect()}
+    d0, d1 = out[0], out[1]
+    assert d0["n"] == 4 and d0["vmin"] == 0.0 and d0["vmax"] == 255.0
+    assert d0["scale"] == 1.0
+    # every value is an exact level -> zero reconstruction error
+    assert d0["max_abs_err"] == 0.0 and d0["mean_abs_err"] == 0.0
+    assert d1["scale"] == 0.0 and d1["max_abs_err"] == 0.0
+    assert d1["mean_abs_err"] == 0.0
+
+
+def test_quantize_stats_error_bound(spark):
+    """Reconstruction error of affine int8 quantization is bounded by
+    scale/2 per value on any corpus."""
+    from whylogs_java_spark.operators.quantize import quantize_stats
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    rows = quantize_stats(emb, bits=8).collect()
+    assert len(rows) == len(emb.select("embedding").first()[0])
+    for r in rows:
+        # output scale/err are rounded to 6 dp, so allow that granularity
+        assert r["max_abs_err"] <= r["scale"] / 2 + 1e-6
+        assert 0 <= r["mean_abs_err"] <= r["max_abs_err"] + 1e-6
