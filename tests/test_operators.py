@@ -759,3 +759,72 @@ def test_near_dup_clusters_end_to_end(spark):
         if out[i + 10000]["cluster_id"] == i and not out[i + 10000]["is_survivor"]
     )
     assert hits >= 18, f"only {hits}/20 mutations resolved to their source"
+
+
+def test_decontaminate_plan_broadcasts_eval_grams(spark):
+    # the eval digest set must reach the corpus probe as a BROADCAST hash
+    # join — a shuffled join here would move corpus bytes for a
+    # benchmark-sized lookup table
+    from pyspark.sql import functions as F
+
+    from whylogs_java_spark.operators.decontam import decontaminate
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    ev = docs.where(F.col("doc_id") % 20 == 0).select("text")
+    df = decontaminate(docs, "text", "doc_id", ev, n=5)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # the gram probe itself must not be a sort-merge join
+    assert "SortMergeJoin" not in plan
+
+
+def test_segment_dedup_plan_owner_join_not_broadcast(spark):
+    # owners ≈ distinct segments ≈ corpus-sized: the owner join must NOT
+    # broadcast (a broadcast would ship the whole distinct-segment table
+    # to every task at scale); with AQE on a small corpus Spark may still
+    # pick broadcast, so pin the logical shape instead: exactly two
+    # aggregates (owner census + doc reassembly) around one join
+    from whylogs_java_spark.operators.dedup import segment_dedup
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    df = segment_dedup(docs, "text", "doc_id", seg_words=10)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # two-level aggregate pairs: (partial+final) x (owner agg, reassembly agg)
+    assert plan.count("HashAggregate") + plan.count("ObjectHashAggregate") >= 4
+
+
+def test_cross_dedup_pairs_subset_of_union_near_dup(spark):
+    # screening new-vs-ref must agree with running the full near-dup pass
+    # over ref ∪ new and keeping only the cross pairs — same signatures,
+    # same verification, just a restricted candidate join
+    from pyspark.sql import functions as F
+
+    from whylogs_java_spark.operators.dedup import cross_dedup_pairs, near_dup_pairs
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    ref = docs.where(F.col("doc_id") < 400)
+    new = docs.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra token")).alias("text"),
+    )
+    cross = {
+        (r["id_a"], r["id_b"])
+        for r in cross_dedup_pairs(new, ref, "text", "doc_id", 0.5).collect()
+    }
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in near_dup_pairs(
+            ref.unionByName(new), "text", "doc_id", threshold=0.5
+        ).collect()
+        if r["id_a"] < 100000 <= r["id_b"]
+    }
+    assert cross == full
+    assert len(cross) > 0
