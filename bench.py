@@ -79,6 +79,7 @@ BENCH_QUERIES = [
     "dedup_incremental",
     "dedup_embedding",
     "quantize_embeddings",
+    "pipeline_manifest",
 ]
 
 

@@ -854,3 +854,48 @@ def test_quantize_stats_error_bound(spark):
         # output scale/err are rounded to 6 dp, so allow that granularity
         assert r["max_abs_err"] <= r["scale"] / 2 + 1e-6
         assert 0 <= r["mean_abs_err"] <= r["max_abs_err"] + 1e-6
+
+
+def test_training_manifest_each_stage_engages(spark):
+    """On a corpus with planted exact copies, near-dup mutants, eval
+    contamination, and junk-quality docs, the composed pipeline drops
+    each class for its own reason and labels every survivor."""
+    from pyspark.sql import functions as F
+
+    from whylogs_java_spark.operators.pipeline import training_manifest
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    copies = docs.where(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), "text"
+    )
+    mutants = docs.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat("text", F.lit(" extra token")).alias("text"),
+    )
+    junk = spark.createDataFrame(
+        [(900001, "too short"), (900002, " ".join(["w"] * 500))],
+        ["doc_id", "text"],
+    )
+    corpus = docs.unionByName(copies).unionByName(mutants).unionByName(junk)
+    ev = docs.where(F.col("doc_id") % 20 == 0).select(
+        F.concat_ws(
+            " ",
+            F.slice(F.filter(F.split("text", " "), lambda t: t != ""), 3, 10),
+        ).alias("text")
+    )
+    manifest = training_manifest(corpus, "text", "doc_id", ev)
+    ids = {r["doc_id"]: r["split"] for r in manifest.collect()}
+
+    assert all(s in ("train", "val", "test") for s in ids.values())
+    # exact copies lose to their min-id originals
+    assert not any(i >= 200000 for i in ids)
+    # near-dup mutants lose to their cluster's min-id originals
+    assert not any(100000 <= i < 200000 for i in ids)
+    # junk-quality docs are gated out
+    assert 900001 not in ids and 900002 not in ids
+    # eval-snippet source docs are decontaminated away
+    assert not any(i % 20 == 0 for i in ids)
+    # and plenty of clean originals survive with labels
+    assert len(ids) > 100

@@ -1,0 +1,78 @@
+"""End-to-end training-data manifest: the composed cleaning pipeline.
+
+The individual operators (exact dedup, near-dup cluster resolution,
+decontamination, quality gating, split assignment) each exist and are
+oracle-checked on their own; this module composes them into the single
+pass a real pre-training pipeline runs over a raw corpus:
+
+    raw corpus
+      → exact dedup            (min-id survivor per content key)
+      → near-dup resolution    (MinHash-LSH → connected components,
+                                keep each cluster's min-id survivor)
+      → decontamination        (drop docs sharing any word n-gram with
+                                the eval corpus)
+      → quality gate           (token count + chars-per-token windows)
+      → split assignment       (deterministic hash-threshold
+                                train/val/test)
+      → manifest               (doc_id, split)
+
+Composition is pure DataFrame lineage — Catalyst sees the whole plan, so
+column pruning and filter pushdown cross stage boundaries, and each
+stage's scale properties (documented per operator in SCALE.md) are
+unchanged by being chained. Every decision is deterministic (md5 keys,
+min-id survivors, exact filters), so the WHOLE pipeline output is
+oracle-checkable end to end, not just stage by stage.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .decontam import decontaminate
+from .dedup import exact_dedup, near_dup_clusters
+from .sampling import assign_splits
+
+
+def training_manifest(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    eval_df: DataFrame,
+    near_threshold: float = 0.5,
+    ngram_n: int = 5,
+    min_tokens: int = 25,
+    max_tokens: int = 95,
+    min_chars_per_token: float = 3.5,
+    max_chars_per_token: float = 7.5,
+    splits: Sequence[tuple[str, float]] = (
+        ("train", 0.8),
+        ("val", 0.1),
+        ("test", 0.1),
+    ),
+) -> DataFrame:
+    """Run the full cleaning pipeline; return the manifest (id, split).
+
+    Quality gate: whitespace token count in [min_tokens, max_tokens] and
+    chars-per-token (length/tokens) in [min_chars_per_token,
+    max_chars_per_token] — the Gopher-style length/word-shape window.
+    """
+    src = docs.select(id_col, text_col)
+    s1 = exact_dedup(src, text_col, id_col)
+    survivors = near_dup_clusters(
+        s1, text_col, id_col, threshold=near_threshold
+    ).where(F.col("is_survivor")).select(id_col)
+    s2 = s1.join(survivors, id_col, "left_semi")
+    clean = decontaminate(s2, text_col, id_col, eval_df, n=ngram_n).where(
+        ~F.col("contaminated")
+    ).select(id_col)
+    s3 = s2.join(clean, id_col, "left_semi")
+    toks = F.size(F.filter(F.split(F.col(text_col), " "), lambda t: t != ""))
+    cpt = F.length(F.col(text_col)) / toks
+    s4 = s3.where(
+        toks.between(min_tokens, max_tokens)
+        & cpt.between(min_chars_per_token, max_chars_per_token)
+    )
+    return assign_splits(s4, id_col, splits).select(id_col, "split")
