@@ -828,3 +828,67 @@ def test_cross_dedup_pairs_subset_of_union_near_dup(spark):
     }
     assert cross == full
     assert len(cross) > 0
+
+
+def test_near_dup_materialize_honors_hash_family(spark):
+    # materialize=True must run the SAME hash family as the default path
+    # (it silently fell back to affine before) and must reject bad verify
+    from pyspark.sql import functions as F
+
+    from whylogs_java_spark.operators.dedup import near_dup_pairs
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    mut = docs.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat("text", F.lit(" extra token")).alias("text"),
+    )
+    corpus = docs.unionByName(mut)
+    kw = dict(
+        threshold=0.7, num_hashes=16, bands=4, shingle_size=5,
+        char_ngrams=True, hash_family="banded32",
+    )
+    default = {
+        (r["id_a"], r["id_b"])
+        for r in near_dup_pairs(corpus, "text", "doc_id", **kw).collect()
+    }
+    staged = {
+        (r["id_a"], r["id_b"])
+        for r in near_dup_pairs(
+            corpus, "text", "doc_id", materialize=True, **kw
+        ).collect()
+    }
+    assert staged == default and len(default) > 0
+    with pytest.raises(ValueError):
+        near_dup_pairs(corpus, "text", "doc_id", verify="bogus")
+
+
+def test_resolve_clusters_star_ghost_endpoint_keeps_node_survivor(spark):
+    # a pair endpoint absent from `nodes` must never become a cluster_id:
+    # the node's cluster re-canonicalizes onto a member node so every
+    # cluster keeps exactly one is_survivor row (label-engine parity)
+    from whylogs_java_spark.operators.dedup import resolve_clusters
+
+    pairs = spark.createDataFrame([(5, 0)], ["id_a", "id_b"])
+    nodes = spark.createDataFrame([(5,)], ["doc_id"])
+    for algo in ("label", "star"):
+        out = resolve_clusters(pairs, nodes, "doc_id", 10, algorithm=algo).collect()
+        assert len(out) == 1, algo
+        r = out[0]
+        assert r["cluster_id"] == 5 and r["is_survivor"], algo
+
+
+def test_hyperplane_buckets_empty_vector_matches_fold_identity(spark):
+    # empty embeddings must fold to 0.0 projections (all-'1' bucket),
+    # matching the oracle's empty generate_series — not descend through
+    # F.sequence(0,-1) into null projections
+    from whylogs_java_spark.operators.similarity import hyperplane_buckets_exact
+
+    df = spark.createDataFrame(
+        [(1, [0.5, -0.25]), (2, [])],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r["vec_id"]: r["bucket"] for r in hyperplane_buckets_exact(
+        df, planes=4, bands=1
+    ).collect()}
+    assert out[2] == "1111"
+    assert len(out[1]) == 4 and set(out[1]) <= {"0", "1"}

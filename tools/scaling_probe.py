@@ -144,21 +144,27 @@ def _timed(spark: SparkSession, name: str, scale: str, make, input_rows: int):
     # eager jobs (localCheckpoint, census loop) at CONSTRUCTION time, so
     # the timed region must cover build + materialize
     make().write.format("noop").mode("overwrite").save()  # warm (JIT + cache)
-    sec = float("inf")
-    for _ in range(2):  # best-of-2, same convention as bench.py
+    # best-of-2, same convention as bench.py — but keep each run's
+    # shuffle delta WITH its time so the reported bytes describe the
+    # same run as the reported seconds (AQE can re-plan between runs);
+    # clamp deltas at 0 in case the UI poll fails mid-probe
+    runs = []
+    for _ in range(2):
         r0, w0 = _shuffle_totals(spark)
         t0 = time.perf_counter()
         make().write.format("noop").mode("overwrite").save()
-        sec = min(sec, time.perf_counter() - t0)
+        sec = time.perf_counter() - t0
         r1, w1 = _shuffle_totals(spark)
+        runs.append((sec, max(0, r1 - r0), max(0, w1 - w0)))
+    sec, rd, wr = min(runs)
     return {
         "query": name,
         "scale": scale,
         "input_rows": input_rows,
         "sec": round(sec, 3),
         "rows_per_sec": round(input_rows / sec),
-        "shuffle_read_mb": round((r1 - r0) / 1e6, 2),
-        "shuffle_write_mb": round((w1 - w0) / 1e6, 2),
+        "shuffle_read_mb": round(rd / 1e6, 2),
+        "shuffle_write_mb": round(wr / 1e6, 2),
     }
 
 

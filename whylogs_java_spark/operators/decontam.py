@@ -65,6 +65,7 @@ def decontaminate(
     eval_df: DataFrame,
     eval_text_col: str | None = None,
     n: int = 5,
+    eval_grams: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document contamination report against an eval corpus.
 
@@ -76,8 +77,17 @@ def decontaminate(
     Plan shape: broadcast(eval digests) ⋈ exploded corpus grams ->
     hash-agg on id -> left join back onto the per-doc gram counts. The
     corpus is scanned once; the only wide exchange carries matched pairs.
+
+    ``eval_grams`` supplies a precomputed digest set (one ``gram``
+    column) instead of deriving it from ``eval_df`` — pass a persisted
+    set when calling repeatedly (the streaming wrapper does) so the
+    distinct is not recomputed per call.
     """
-    grams = eval_ngram_set(eval_df, eval_text_col or text_col, n)
+    grams = (
+        eval_grams
+        if eval_grams is not None
+        else eval_ngram_set(eval_df, eval_text_col or text_col, n)
+    )
     # n_ngrams is arithmetic — max(words - n + 1, 0) — so the counts
     # branch never materializes digests; only the hits branch pays the
     # per-position md5 walk, and it pays it exactly once.

@@ -480,6 +480,8 @@ def near_dup_pairs(
     cluster, swap ``localCheckpoint`` for a checkpoint dir or an explicit
     intermediate table.
     """
+    if verify not in ("array", "explode"):
+        raise ValueError(f"unknown verify mode: {verify!r}")
     if not materialize:
         # One round-robin spread feeds BOTH the signature and the verify
         # branch (AQE reuses the exchange): in the small-file regime the
@@ -506,7 +508,8 @@ def near_dup_pairs(
         return verified.where(F.col("jaccard") >= threshold)
 
     pairs, sh_cand, verified = near_dup_stages(
-        df, text_col, id_col, threshold, num_hashes, bands, shingle_size, char_ngrams
+        df, text_col, id_col, threshold, num_hashes, bands, shingle_size,
+        char_ngrams, hash_family=hash_family,
     )
     try:
         return verified.localCheckpoint(eager=True)
@@ -524,6 +527,7 @@ def near_dup_stages(
     bands: int = 4,
     shingle_size: int = 3,
     char_ngrams: bool = False,
+    hash_family: str = "affine",
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """The staged near-dup pipeline: (candidate_pairs, candidate_shingles,
     verified).
@@ -538,7 +542,8 @@ def near_dup_stages(
     """
     df = _spread(df)
     sigs = minhash_signatures(
-        df, text_col, id_col, num_hashes, shingle_size, char_ngrams
+        df, text_col, id_col, num_hashes, shingle_size, char_ngrams,
+        hash_family=hash_family, bands=bands,
     )
     bands_df = lsh_band_signatures(sigs, id_col, num_hashes, bands)
     pairs = _candidates_from_bands(bands_df, id_col).persist()
@@ -655,8 +660,15 @@ def resolve_clusters(
 
     A dedup pipeline needs survivor RESOLUTION, not just pairs: if A~B and
     B~C, all three form one cluster and a single survivor should be kept
-    even though (A, C) may never have been emitted as a pair. Two
-    interchangeable engines (identical output, same min-id semantics):
+    even though (A, C) may never have been emitted as a pair. Precondition:
+    pair endpoints ⊆ ``nodes`` (always true when pairs derive from the
+    same corpus, as in ``near_dup_clusters``). A ghost endpoint outside
+    ``nodes`` is inert in the label engine (never seeded, never relays)
+    but acts as a bridge in the star engine — both engines still label
+    every node with a NODE id (star re-canonicalizes its raw minima onto
+    member nodes), but a ghost that CONNECTS two nodes merges their
+    clusters only under "star". Two interchangeable engines under the
+    precondition (identical output, same min-id semantics):
 
     - ``algorithm="label"`` (default): min-label propagation as iterative
       DataFrame joins — each round every node takes min(own label,
@@ -816,14 +828,23 @@ def _resolve_clusters_star(
     # Fixpoint edges are (node, component_min); min() guards the
     # not-fully-converged max_iters cutoff.
     final = e.groupBy("u").agg(F.min("v").alias("label"))
-    return (
+    labeled = (
         nodes.select(F.col(id_col).alias("id"))
         .join(final.withColumnRenamed("u", "id"), on="id", how="left")
-        .select(
-            F.col("id").alias(id_col),
-            F.coalesce("label", "id").alias("cluster_id"),
-            (F.coalesce("label", "id") == F.col("id")).alias("is_survivor"),
-        )
+        .select(F.col("id"), F.coalesce("label", "id").alias("__raw"))
+    )
+    # Re-canonicalize onto NODE ids: a pair endpoint absent from `nodes`
+    # can be the raw component minimum (the label engine never lets a
+    # non-node win because labels seed from nodes), which would leave a
+    # cluster with no is_survivor row. One tiny agg over the O(nodes)
+    # label table maps every raw label to its minimum MEMBER node —
+    # an identity transform whenever the precondition (pair endpoints
+    # ⊆ nodes) holds.
+    canon = labeled.groupBy("__raw").agg(F.min("id").alias("cluster_id"))
+    return labeled.join(canon, "__raw").select(
+        F.col("id").alias(id_col),
+        F.col("cluster_id"),
+        (F.col("id") == F.col("cluster_id")).alias("is_survivor"),
     )
 
 
@@ -1127,6 +1148,9 @@ def cross_dedup_pairs(
     )
     bands_ref = lsh_band_signatures(sig_ref, id_col, num_hashes, bands)
     bands_new = lsh_band_signatures(sig_new, id_col, num_hashes, bands)
+    # Materialize the (small) candidate list once: it feeds both the
+    # verify join and the ref-side prune below — without the checkpoint
+    # the band join would re-execute per consumer.
     cand = (
         bands_ref.select(F.col(id_col).alias("id_a"), "band", "band_sig")
         .join(
@@ -1135,8 +1159,18 @@ def cross_dedup_pairs(
         )
         .select("id_a", "id_b")
         .distinct()
+        .localCheckpoint(eager=True)
     )
-    union = ref_df.unionByName(new_df)
+    # Left-semi prune BEFORE shingling for verify: per-batch verify cost
+    # must be O(batch + matched candidates), never O(corpus) — without
+    # this the array_distinct shingle walk would run over EVERY ref doc
+    # on every incremental batch.
+    cand_ids = (
+        cand.select(F.col("id_a").alias(id_col))
+        .unionByName(cand.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    union = ref_df.unionByName(new_df).join(cand_ids, id_col, "left_semi")
     v = _jaccard_from_shingle_arrays(
         union, cand, text_col, id_col, shingle_size, char_ngrams
     )

@@ -169,6 +169,16 @@ def cosine_pairs_exact(
 # LSH bucketing (random hyperplanes, deterministic)
 # ---------------------------------------------------------------------------
 
+def _dims_seq(vec: Column) -> Column:
+    """[0 .. len(vec)-1]; EMPTY for an empty array. A bare
+    ``F.sequence(0, size-1)`` DESCENDS to [0, -1] when size == 0, which
+    would zip_with null-padding into null projections and engine-divergent
+    sign bits (the DuckDB twin's generate_series(1, 0) is empty)."""
+    return F.when(
+        F.size(vec) > 0, F.sequence(F.lit(0), F.size(vec) - 1)
+    ).otherwise(F.array().cast("array<int>"))
+
+
 def _plane_component(plane: int, dim: Column) -> Column:
     """Deterministic pseudo-random ±1 from md5(plane|dim) parity."""
     h = F.md5(F.concat(F.lit(f"p{plane}|"), dim.cast("string")))
@@ -187,7 +197,7 @@ def hyperplane_signature(vec: Column, planes: int = 16) -> Column:
         proj = F.aggregate(
             F.zip_with(
                 vec,
-                F.transform(F.sequence(F.lit(0), F.size(vec) - 1), lambda i: _plane_component(p, i)),
+                F.transform(_dims_seq(vec), lambda i: _plane_component(p, i)),
                 lambda x, r: x * r,
             ),
             F.lit(0.0),
@@ -445,7 +455,7 @@ def hyperplane_buckets_exact(
     if embeddings.rdd.getNumPartitions() < target:
         embeddings = embeddings.repartition(target)
     vecd = _as_double(F.col(vec_col))
-    dims_seq = F.sequence(F.lit(0), F.size(F.col(vec_col)) - 1)
+    dims_seq = _dims_seq(F.col(vec_col))
 
     def proj(p: int) -> Column:
         signs = F.transform(dims_seq, lambda d: _plane_sign(p, d).cast("double"))
@@ -521,10 +531,12 @@ def banded_buckets(
     # correct here because F.transform invokes the lambda eagerly at
     # expression-construction time, inside this comprehension iteration.
     def _plane_array(p: int) -> Column:
-        return F.transform(
-            F.sequence(F.lit(0), F.col("__len") - 1),
-            lambda d: _plane_component(p, d),
-        ).alias(f"__pa{p}")
+        dims = F.when(
+            F.col("__len") > 0, F.sequence(F.lit(0), F.col("__len") - 1)
+        ).otherwise(F.array().cast("array<int>"))
+        return F.transform(dims, lambda d: _plane_component(p, d)).alias(
+            f"__pa{p}"
+        )
 
     plane_arrays = lengths.select(
         "__len", *[_plane_array(p) for p in range(n_planes)]
@@ -679,8 +691,18 @@ def cosine_pairs_bucketed(
         # doubles as the pre-shuffle of the first verify join when the
         # vector side is too big to broadcast.
         target = embeddings.sparkSession.sparkContext.defaultParallelism
+        # left-semi prune to candidate ids BEFORE the per-vector norm
+        # fold: with selective buckets the candidates touch a small
+        # corpus fraction, and the interpreted folds must not run over
+        # every vector twice (pairs re-derives from the checkpointed
+        # signature table, so the extra consumer is one cheap join)
+        cand_ids = (
+            pairs.select(F.col("id_a").alias(id_col))
+            .unionByName(pairs.select(F.col("id_b").alias(id_col)))
+            .distinct()
+        )
         pairs = pairs.repartition(target, "id_a")
-        vecs = embeddings.select(
+        vecs = embeddings.join(cand_ids, id_col, "left_semi").select(
             F.col(id_col), vecd.alias("__v"), norm(vecd).alias("__n")
         )
         cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
@@ -727,9 +749,16 @@ def cosine_pairs_bucketed(
     # list is repartitioned so AQE's one-task coalesce cannot serialize
     # the fold work.
     target = embeddings.sparkSession.sparkContext.defaultParallelism
+    cand_ids = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .unionByName(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
     pairs = pairs.repartition(target, "id_a")
     vecd = _as_double(F.col(vec_col))
-    vecs = embeddings.select(
+    # same left-semi candidate prune as the double tier: norm folds only
+    # for vectors that actually appear in a candidate pair
+    vecs = embeddings.join(cand_ids, id_col, "left_semi").select(
         F.col(id_col), vecd.alias("__v"), norm(vecd).alias("__n")
     )
     cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))

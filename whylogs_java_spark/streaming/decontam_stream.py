@@ -14,8 +14,9 @@ shape for that (reused from ``streaming/wire_sink.py``): it hands each
 micro-batch to batch code while checkpointing offsets for exactly-once
 sinks.
 
-The eval digest set is resolved ONCE at query start (it is a static
-DataFrame; Spark re-broadcasts it per batch from its cached plan).
+The eval digest set is computed and PERSISTED once at query start;
+each micro-batch re-broadcasts the cached set instead of re-running the
+explode + distinct over the eval corpus.
 """
 
 from __future__ import annotations
@@ -24,7 +25,7 @@ from typing import Callable
 
 from pyspark.sql import DataFrame
 
-from ..operators.decontam import decontaminate
+from ..operators.decontam import decontaminate, eval_ngram_set
 
 
 def decontam_stream(
@@ -49,9 +50,12 @@ def decontam_stream(
     if eval_df.isStreaming:
         raise ValueError("eval_df must be static — benchmarks are not a stream")
 
+    grams = eval_ngram_set(eval_df, eval_text_col or text_col, n).persist()
+
     def _handle(batch_df: DataFrame, batch_id: int) -> None:
         report = decontaminate(
-            batch_df, text_col, id_col, eval_df, eval_text_col, n
+            batch_df, text_col, id_col, eval_df, eval_text_col, n,
+            eval_grams=grams,
         )
         on_batch(report, batch_id)
 
