@@ -260,6 +260,52 @@ def test_items_sketch_offset_roundtrip():
     assert items_sketch_offset(items_sketch_bytes([])) == 0
 
 
+def test_items_saturation_offset_semantics():
+    from whylogs_java_spark.sources.protobuf import items_saturation_offset
+
+    # below both caps: exact sketch, no declared error
+    small = [(f"v{i}", 100 - i) for i in range(50)]
+    assert items_saturation_offset(small, fetched_k=128) == 0
+    # past the 96-entry serializer cap: offset = the first dropped count,
+    # the max undercount any absent value can carry
+    big = [(f"v{i:03d}", 500 - i) for i in range(120)]
+    assert items_saturation_offset(big, fetched_k=128) == 500 - 96
+    # small fetch cap that saturated: only the min kept count is sound
+    assert items_saturation_offset(small, fetched_k=50) == 100 - 49
+
+
+def test_write_saturated_items_keeps_no_false_negative_bound(spark, tmp_path):
+    """A 150-distinct-value column truncated through the 96-entry cap must
+    declare a purge offset ≥ every dropped count (the reference's
+    saturated-ItemsSketch guarantee, FrequentStringsSketch.java:18-48)."""
+    from whylogs_java_spark.sources.protobuf import (
+        read_profile_bin,
+        write_profile_bin,
+    )
+
+    rows = [(f"cat{i:03d}",) for i in range(150) for _ in range(150 - i)]
+    df = spark.createDataFrame(rows, "label string")
+    out = str(tmp_path / "sat.bin")
+    write_profile_bin(df, out, include_sketches=False)
+    col = {
+        r["column_name"]: r for r in read_profile_bin(spark, out).collect()
+    }["label"]
+    off = col["frequent_items_offset"]
+    kept = sorted(col["frequent_items"].items(), key=lambda kv: -kv[1])
+    assert len(kept) == 96
+    # true counts are 150-i; ranks 96..149 were dropped with max count 150-96
+    assert off == 150 - 96
+    # no false negatives: every absent value's true count <= offset
+    kept_vals = {v for v, _ in kept}
+    for i in range(150):
+        if f"cat{i:03d}" not in kept_vals:
+            assert (150 - i) <= off
+    # kept items keep exact estimates (stored + offset == true count)
+    for v, est in kept:
+        i = int(v[3:])
+        assert est == 150 - i
+
+
 def test_merge_preserves_properties_and_offset(spark, tmp_path):
     # DatasetProfile.merge contract: data_timestamp survives (earliest real
     # input), metadata keeps the k/v pairs shared by every input; a merge of

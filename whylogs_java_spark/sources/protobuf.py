@@ -494,6 +494,33 @@ def items_sketch_offset(b: bytes) -> int:
     return struct.unpack("<q", b[24:32])[0]
 
 
+def items_saturation_offset(
+    items: Sequence[tuple[str, int]], fetched_k: int
+) -> int:
+    """Honest purge-error offset when serializing exact top-``fetched_k``
+    counts through the 96-entry ItemsSketch cap.
+
+    The reference's saturated ItemsSketch keeps no-false-negative bounds
+    (FrequentStringsSketch.java:18-48: any value with true count > maxError
+    is guaranteed present). Exact top-k emission preserves that guarantee
+    only if truncation declares the error: items the serializer drops
+    (rank > 96) have counts ≤ the 97th count, and items never fetched
+    (rank > fetched_k) have counts ≤ the fetched_k-th ≤ the 97th — so the
+    97th count is a sound offset. When the column has fewer distinct
+    values than ``fetched_k`` and ≤ 96 survive, nothing was dropped and
+    the offset is 0 (exact sketch, lower == upper). With a small
+    ``fetched_k`` ≤ 96 that saturated, the only sound bound is the
+    minimum kept count."""
+    pairs = sorted(
+        ((v, c) for v, c in items if c > 0), key=lambda kv: (-kv[1], kv[0])
+    )
+    if len(pairs) > 96:
+        return int(pairs[96][1])
+    if pairs and len(pairs) >= fetched_k:
+        return int(pairs[-1][1])
+    return 0
+
+
 def items_sketch_bytes(
     items: Sequence[tuple[str, int]],
     stream_length: int | None = None,
@@ -1436,9 +1463,11 @@ def profile_messages_df(
             fi = r["__fi"]
             if fi is not None and len(fi):
                 tracked = (rd.get("count") or 0) - (rd.get("null_count") or 0)
+                fi_pairs = [(e["value"], int(e["cnt"])) for e in fi]
                 cd["items"] = items_sketch_bytes(
-                    [(e["value"], int(e["cnt"])) for e in fi],
+                    fi_pairs,
                     stream_length=tracked,
+                    offset=items_saturation_offset(fi_pairs, frequent_items_k),
                 )
             if cd:
                 sks[rd["column_name"]] = cd
@@ -1634,9 +1663,12 @@ def write_profile_bin(
     O(groups × columns) rows are collected for assembly. Returns the
     number of messages written.
 
-    Frequent items serialize as a real ItemsSketch<String> binary with
-    offset 0 (exact counts — readers see lower==upper bounds), holding the
-    exact top ``frequent_items_k`` per column over the 256-char-truncated
+    Frequent items serialize as a real ItemsSketch<String> binary holding
+    the exact top ``frequent_items_k`` per column (offset 0 — exact
+    counts, lower==upper — while the column's distinct values fit; past
+    the 96-entry serializer cap the first dropped count becomes the purge
+    offset so the reference's no-false-negative bound survives
+    saturation, see ``items_saturation_offset``) over the 256-char-truncated
     string forms of tracked values, mirroring ColumnProfile.trackText
     (ColumnProfile.java:76-138: every non-null numeric/boolean/string
     value's string form updates the sketch). Set ``frequent_items_k=0``
@@ -1683,7 +1715,11 @@ def write_profile_bin(
         if fi:
             tracked = (rd.get("count") or 0) - (rd.get("null_count") or 0)
             sketches.setdefault(gk, {}).setdefault(col, {})["items"] = (
-                items_sketch_bytes(fi, stream_length=tracked)
+                items_sketch_bytes(
+                    fi,
+                    stream_length=tracked,
+                    offset=items_saturation_offset(fi, frequent_items_k),
+                )
             )
 
     messages = []
