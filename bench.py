@@ -80,6 +80,7 @@ BENCH_QUERIES = [
     "dedup_embedding",
     "quantize_embeddings",
     "pipeline_manifest",
+    "lm_score_documents",
 ]
 
 

@@ -899,3 +899,64 @@ def test_training_manifest_each_stage_engages(spark):
     assert not any(i % 20 == 0 for i in ids)
     # and plenty of clean originals survive with labels
     assert len(ids) > 100
+
+
+# ---------------------------------------------------------------------------
+# bigram-LM quality score
+# ---------------------------------------------------------------------------
+
+def test_lm_score_fluent_beats_gibberish(spark):
+    from whylogs_java_spark.operators.text import lm_score
+
+    common = "the cat sat on the mat and the dog sat on the rug"
+    rows = [(i, common) for i in range(20)]
+    rows.append((100, "zqx vbnk wplf zzz qqq turncoat blarp wix"))
+    rows.append((101, "the cat sat on the mat"))
+    rows.append((102, "one"))       # < 2 tokens: row kept, null scores
+    rows.append((103, ""))          # empty: row kept
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in lm_score(df, "text", "doc_id").collect()}
+    assert len(out) == 24
+    # corpus-typical text scores far lower perplexity than gibberish
+    assert out[101]["perplexity"] < out[100]["perplexity"] / 2
+    # short/empty docs keep their row with no score
+    assert out[102]["n_bigrams"] == 0 and out[102]["avg_logp"] is None
+    assert out[103]["n_bigrams"] == 0 and out[103]["perplexity"] is None
+    # bigram count = tokens - 1
+    assert out[101]["n_bigrams"] == 5
+
+
+def test_lm_score_partitioning_invariant(spark):
+    from whylogs_java_spark.operators.text import lm_score
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(120)
+    a = lm_score(d, "text", "doc_id", vocab_size=64, top_bigrams=256)
+    b = lm_score(
+        d.repartition(13), "text", "doc_id", vocab_size=64, top_bigrams=256
+    )
+    ra = sorted(map(tuple, a.collect()))
+    rb = sorted(map(tuple, b.collect()))
+    assert ra == rb
+
+
+def test_lm_score_sampled_lm_scores_unseen_prefixes(spark):
+    """An LM built from a sample must still score docs whose prefixes the
+    sample never saw (pure add-alpha backoff), not drop their bigrams."""
+    from whylogs_java_spark.operators.text import lm_score
+
+    lm = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "the dog ran")], ["doc_id", "text"]
+    )
+    score_me = spark.createDataFrame(
+        [(10, "unseen tokens entirely"), (11, "the cat sat")],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in lm_score(
+            score_me, "text", "doc_id", vocab_size=16, lm_df=lm
+        ).collect()
+    }
+    assert out[10]["n_bigrams"] == 2  # not dropped
+    assert out[10]["avg_logp"] is not None
+    assert out[11]["perplexity"] < out[10]["perplexity"]
