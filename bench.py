@@ -81,6 +81,7 @@ BENCH_QUERIES = [
     "quantize_embeddings",
     "pipeline_manifest",
     "lm_score_documents",
+    "encoding_documents",
 ]
 
 

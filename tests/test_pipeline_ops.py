@@ -960,3 +960,35 @@ def test_lm_score_sampled_lm_scores_unseen_prefixes(spark):
     assert out[10]["n_bigrams"] == 2  # not dropped
     assert out[10]["avg_logp"] is not None
     assert out[11]["perplexity"] < out[10]["perplexity"]
+
+
+# ---------------------------------------------------------------------------
+# encoding-hygiene scan
+# ---------------------------------------------------------------------------
+
+def test_encoding_scan_counts_planted_artifacts(spark):
+    from whylogs_java_spark.operators.text import encoding_scan
+
+    rows = [
+        (1, "plain ascii text"),
+        (2, "caf\u00c3\u00a9 mojibake and \u00e2\u20ac\u2122curly"),
+        (3, "lossy \ufffd\ufffd chars"),
+        (4, "bell\u0007 and esc\u001b here"),
+        (5, "zero\u200bwidth\u200c and bom\ufeff"),
+        (6, "tab\tnewline\n are fine"),
+        (7, ""),
+        (8, "na\u00efve caf\u00e9 \u2014 clean real unicode"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in encoding_scan(df, "text", "doc_id").collect()}
+    assert not out[1]["encoding_suspect"]
+    assert out[2]["mojibake_hits"] == 2 and out[2]["encoding_suspect"]
+    assert out[3]["replacement_chars"] == 2
+    assert out[4]["control_chars"] == 2
+    # \t and \n are NOT flagged as control contamination
+    assert out[6]["control_chars"] == 0 and not out[6]["encoding_suspect"]
+    assert out[5]["zero_width_chars"] == 3
+    assert out[7]["n_chars"] == 0 and out[7]["non_ascii_frac"] is None
+    # real accented unicode is non-ascii but NOT suspect
+    assert not out[8]["encoding_suspect"]
+    assert out[8]["non_ascii_frac"] > 0

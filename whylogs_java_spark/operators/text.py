@@ -502,3 +502,53 @@ def lm_score(
             (F.round(F.exp(-mean), 6) + 0.0).alias("perplexity"),
         )
     )
+
+
+# Encoding-hygiene regexes — shared Java-regex/RE2 subset (two-digit \xhh
+# and braced \x{hhhh} escapes, no lookaround) so the Spark expressions and
+# the DuckDB oracle compile the same automaton.
+REPLACEMENT_RE = "�"
+CTRL_RE = r"[\x00-\x08\x0B\x0C\x0E-\x1F]"
+# UTF-8 bytes decoded as Latin-1/Windows-1252: 'Ã'+continuation,
+# 'Â'+NBSP-range, or the 'â€¦'-family punctuation artifacts
+MOJIBAKE_RE = "(?:Ã[\\x{0080}-\\x{00BF}]|Â[\\x{00A0}-\\x{00BF}]|â€.)"
+ZERO_WIDTH_RE = "[\\x{200B}-\\x{200D}\\x{FEFF}]"
+NON_ASCII_RE = r"[^\x00-\x7F]"
+
+
+def encoding_scan(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-document encoding-hygiene signals for web-crawl text: U+FFFD
+    replacement characters (lossy transcoding), C0 control characters
+    (binary contamination), classic UTF-8-as-Latin-1/Windows-1252 mojibake
+    sequences ('Ã©', 'Â ', 'â€™'...), zero-width characters (invisible
+    spam/watermarks), and the non-ASCII fraction.
+
+    Pure scan-side projection — counters via ``regexp_extract_all`` sizes,
+    no shuffle at any scale; patterns stay in the Java-regex ∩ RE2 subset
+    so the DuckDB oracle runs the identical expressions.
+    Output: (id, n_chars, replacement_chars, control_chars, mojibake_hits,
+    zero_width_chars, non_ascii_frac, encoding_suspect).
+    """
+    t = F.col(text_col)
+
+    def hits(pat: str) -> Column:
+        return F.size(F.regexp_extract_all(t, F.lit(pat), 0))
+
+    n = F.length(t)
+    repl = hits(REPLACEMENT_RE)
+    ctrl = hits(CTRL_RE)
+    moji = hits(MOJIBAKE_RE)
+    zw = hits(ZERO_WIDTH_RE)
+    non_ascii = hits(NON_ASCII_RE)
+    return df.select(
+        F.col(id_col),
+        n.alias("n_chars"),
+        repl.alias("replacement_chars"),
+        ctrl.alias("control_chars"),
+        moji.alias("mojibake_hits"),
+        zw.alias("zero_width_chars"),
+        F.when(n > 0, F.round(non_ascii / n, 6) + 0.0).alias("non_ascii_frac"),
+        ((repl > 0) | (ctrl > 0) | (moji > 0) | (zw > 0)).alias(
+            "encoding_suspect"
+        ),
+    )
