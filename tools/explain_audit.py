@@ -106,6 +106,22 @@ AUDITED = [
         "exchange is the (source, split) summary aggregation.",
     ),
     (
+        "lm_score_documents",
+        "Bigram-LM quality score: the vocabulary (top-V TakeOrdered) and "
+        "the mapped-bigram count table (bounded at (V+1)^2 rows by "
+        "unk-mapping before counting) each checkpoint once and come back "
+        "as BroadcastExchanges; scoring is scan -> bigram array projection "
+        "-> explode -> three BroadcastHashJoins -> one doc-keyed "
+        "hash-aggregate. The corpus scans exactly three times (vocab, LM "
+        "build, scoring).",
+    ),
+    (
+        "encoding_documents",
+        "Encoding-hygiene scan: pure scan-side projection — every counter "
+        "is a regexp_extract_all size over the text column; no exchange "
+        "at any scale.",
+    ),
+    (
         "dedup_segments",
         "Segment-level corpus dedup: explode to (doc, pos, segment digest); "
         "owner = min(struct(id,pos)) hash-agg on the digest (map-side "
