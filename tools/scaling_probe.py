@@ -233,6 +233,22 @@ def main() -> None:
                     n_docs,
                 )
             )
+        if want("lm"):
+            # replica-suffixed words mean the 10x corpus has 10x the raw
+            # vocabulary, but the LM tables stay capped (top-V / (V+1)^2 /
+            # top-B) — the probe verifies build+score stays linear while
+            # the broadcast state stays constant-size
+            from whylogs_java_spark.operators.text import lm_score
+
+            runs.append(
+                _timed(
+                    spark, "lm", scale,
+                    lambda d=docs: lm_score(
+                        d, "text", "doc_id", vocab_size=256, top_bigrams=2048
+                    ),
+                    n_docs,
+                )
+            )
         if want("emb_fast"):
             runs.append(
                 _timed(
