@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "pipeline_manifest",
     "lm_score_documents",
     "encoding_documents",
+    "boilerplate_documents",
 ]
 
 

@@ -992,3 +992,37 @@ def test_encoding_scan_counts_planted_artifacts(spark):
     # real accented unicode is non-ascii but NOT suspect
     assert not out[8]["encoding_suspect"]
     assert out[8]["non_ascii_frac"] > 0
+
+
+# ---------------------------------------------------------------------------
+# corpus-frequency boilerplate saturation
+# ---------------------------------------------------------------------------
+
+def test_boilerplate_stats_distinct_doc_frequency(spark):
+    from whylogs_java_spark.operators.dedup import boilerplate_stats
+
+    footer = "copyright acme corp all rights reserved click here to subscribe"
+    uniq = "totally unique sentence number {} with its own special words"
+    rows = []
+    # 4 docs: unique body (1 segment) + shared footer (1 segment)
+    for i in range(4):
+        rows.append((i, uniq.format(i) + " " + footer))
+    # a doc that repeats ITS OWN refrain 3x but shares nothing: internal
+    # repetition is not corpus boilerplate (distinct-doc frequency)
+    refrain = "my very own refrain repeated inside one single document only"
+    rows.append((10, " ".join([refrain] * 3)))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in boilerplate_stats(
+            df, "text", "doc_id", seg_words=10, df_threshold=3
+        ).collect()
+    }
+    for i in range(4):
+        assert out[i]["n_segments"] == 2
+        assert out[i]["boiler_segments"] == 1  # the footer, df=4 >= 3
+        assert out[i]["boilerplate_fraction"] == pytest.approx(0.5)
+        assert out[i]["max_seg_df"] == 4
+    # internal repetition: df=1 per segment, nothing flagged
+    assert out[10]["boiler_segments"] == 0
+    assert out[10]["max_seg_df"] == 1

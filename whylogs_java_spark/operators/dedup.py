@@ -1010,6 +1010,35 @@ def containment_pairs(
 # Segment-level corpus dedup (C4-style repeated-span removal)
 # ---------------------------------------------------------------------------
 
+def _segment_rows(
+    df: DataFrame, text_col: str, id_col: str, seg_words: int
+) -> DataFrame:
+    """(id, pos, seg, seg_key) rows: consecutive non-overlapping
+    ``seg_words``-word segments per document with md5 digests — the shared
+    explode behind ``segment_dedup`` and ``boilerplate_stats``."""
+    words = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    n_segs = F.ceil(F.size(words) / F.lit(seg_words)).cast("int")
+    return _spread(df.select(id_col, text_col)).select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(n_segs, F.lit(1)) - 1),
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.concat_ws(
+                        " ", F.slice(words, i * seg_words + 1, seg_words)
+                    ).alias("seg"),
+                ),
+            )
+        ).alias("s"),
+    ).select(
+        F.col(id_col),
+        F.col("s.pos").alias("pos"),
+        F.col("s.seg").alias("seg"),
+        F.md5(F.col("s.seg")).alias("seg_key"),
+    )
+
+
 def segment_dedup(
     df: DataFrame,
     text_col: str,
@@ -1044,27 +1073,7 @@ def segment_dedup(
     Determinism: owner = lexicographic min (id, pos); digests are md5 of
     the space-joined segment — oracle-checkable in DuckDB.
     """
-    words = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
-    n_segs = F.ceil(F.size(words) / F.lit(seg_words)).cast("int")
-    segs = _spread(df.select(id_col, text_col)).select(
-        F.col(id_col),
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.greatest(n_segs, F.lit(1)) - 1),
-                lambda i: F.struct(
-                    i.alias("pos"),
-                    F.concat_ws(
-                        " ", F.slice(words, i * seg_words + 1, seg_words)
-                    ).alias("seg"),
-                ),
-            )
-        ).alias("s"),
-    ).select(
-        F.col(id_col),
-        F.col("s.pos").alias("pos"),
-        F.col("s.seg").alias("seg"),
-        F.md5(F.col("s.seg")).alias("seg_key"),
-    )
+    segs = _segment_rows(df, text_col, id_col, seg_words)
     owners = segs.groupBy("seg_key").agg(
         F.min(F.struct(F.col(id_col), F.col("pos"))).alias("owner")
     )
@@ -1095,6 +1104,63 @@ def segment_dedup(
                 lambda s: s["seg"],
             ),
         ).alias("dedup_text"),
+    )
+
+
+def boilerplate_stats(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    seg_words: int = 10,
+    df_threshold: int = 3,
+) -> DataFrame:
+    """Per-document boilerplate saturation via corpus segment frequency
+    (the CCNet paragraph-frequency signal, over the same non-overlapping
+    ``seg_words``-word segments as ``segment_dedup``).
+
+    A segment is *boilerplate* when it appears in ≥ ``df_threshold``
+    DISTINCT documents (distinct-doc frequency, so a doc internally
+    repeating its own refrain is not corpus boilerplate). Where
+    ``segment_dedup`` REMOVES repeats, this MEASURES how much of each
+    document is corpus-repeated — the quality-gate input for dropping
+    template/navigation-dominated pages wholesale instead of shredding
+    them segment by segment.
+
+    Output per document: (id, n_segments, boiler_segments,
+    boilerplate_fraction, max_seg_df) — fraction rounded to 6 decimals,
+    ``max_seg_df`` the highest document frequency among the doc's
+    segments (how viral its worst segment is).
+
+    Scale shape — two shuffles on high-cardinality skew-free keys: the
+    DF census hash-aggs on the segment digest (count_distinct id has
+    map-side partial aggregation), the per-doc rollup on the doc id;
+    between them one digest equi-join (the census is corpus-sized —
+    deliberately NOT broadcast). Deterministic (md5 digests, integer
+    counts), so fully oracle-checkable.
+    """
+    segs = _segment_rows(df, text_col, id_col, seg_words)
+    census = segs.groupBy("seg_key").agg(
+        F.count_distinct(F.col(id_col)).alias("__df")
+    )
+    per_doc = (
+        segs.join(census, "seg_key")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum(
+                (F.col("__df") >= df_threshold).cast("long")
+            ).alias("boiler_segments"),
+            F.max("__df").alias("max_seg_df"),
+        )
+    )
+    return per_doc.select(
+        F.col(id_col),
+        "n_segments",
+        "boiler_segments",
+        (
+            F.round(F.col("boiler_segments") / F.col("n_segments"), 6) + 0.0
+        ).alias("boilerplate_fraction"),
+        "max_seg_df",
     )
 
 
