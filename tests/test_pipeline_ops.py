@@ -1026,3 +1026,70 @@ def test_boilerplate_stats_distinct_doc_frequency(spark):
     # internal repetition: df=1 per segment, nothing flagged
     assert out[10]["boiler_segments"] == 0
     assert out[10]["max_seg_df"] == 1
+
+
+# ---------------------------------------------------------------------------
+# streaming LM scoring
+# ---------------------------------------------------------------------------
+
+def test_lm_stream_matches_batch_any_boundaries(spark, tmp_path):
+    """Streaming LM scoring == batch scoring with the same static LM over
+    the same rows, regardless of micro-batch boundaries (per-doc operator;
+    foreachBatch runs the exact batch scorer per batch)."""
+    from whylogs_java_spark.operators.text import build_bigram_lm, lm_score_with
+    from whylogs_java_spark.streaming.lm_stream import lm_score_stream
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    lm_corpus = docs.where(F.col("doc_id") % 3 == 0)
+    src = str(tmp_path / "lm_stream_src")
+    docs.repartition(8).write.parquet(src)
+
+    stream = spark.readStream.schema(docs.schema).option(
+        "maxFilesPerTrigger", 3
+    ).parquet(src)
+    collected: list = []
+    batches: list = []
+
+    def on_batch(report, batch_id):
+        rows = report.collect()
+        if rows:
+            batches.append(batch_id)
+            collected.extend(rows)
+
+    q = lm_score_stream(
+        stream, "text", "doc_id", lm_corpus, on_batch,
+        vocab_size=128, top_bigrams=1024,
+        checkpoint_dir=str(tmp_path / "lm_ckpt"),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    lm = build_bigram_lm(lm_corpus, "text", vocab_size=128, top_bigrams=1024)
+    batch_report = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_logp"], r["perplexity"])
+        for r in lm_score_with(docs, "text", "doc_id", lm).collect()
+    }
+    stream_report = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_logp"], r["perplexity"])
+        for r in collected
+    }
+    assert len(collected) == len(stream_report)
+    assert stream_report == batch_report
+    assert len(batches) > 1
+
+
+def test_lm_stream_rejects_streaming_lm_corpus(spark, tmp_path):
+    from whylogs_java_spark.streaming.lm_stream import lm_score_stream
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    src = str(tmp_path / "lm_s2")
+    docs.write.parquet(src)
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    with pytest.raises(ValueError):
+        lm_score_stream(stream, "text", "doc_id", stream, lambda df, b: None)

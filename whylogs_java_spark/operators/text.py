@@ -7,6 +7,8 @@ plans scale linearly with corpus size and stay inside whole-stage codegen.
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -360,63 +362,84 @@ def packing_stats(
     )
 
 
-def lm_score(
-    df: DataFrame,
+class BigramLM(NamedTuple):
+    """A built smoothed-bigram LM: three bounded DataFrame tables (all
+    checkpointed/broadcastable regardless of corpus size) plus the
+    smoothing constants. Build once with ``build_bigram_lm``; score any
+    number of corpora or micro-batches with ``lm_score_with``."""
+
+    vocab: DataFrame           # (tok) — exact top-V, deterministic ties
+    prefix_counts: DataFrame   # (prev, __cp) — ≤ V+1 rows
+    bigram_counts: DataFrame   # (prev, w, __cb) — exact top-B
+    vocab_size: int
+    alpha: float
+
+
+def _lm_toks(c: Column) -> Column:
+    return F.filter(F.split(F.lower(c), " "), lambda t: t != "")
+
+
+def _bigram_rows(
+    source: DataFrame, text_col: str, vocab: DataFrame, id_col: str | None
+) -> DataFrame:
+    """(id?, pos, prev, w) bigram rows with out-of-vocabulary tokens
+    mapped to ``<unk>`` via two broadcast joins. The bigram array is a
+    pure per-row array expression — no window, no per-doc state."""
+    cols = [F.col(id_col)] if id_col else []
+    t = _lm_toks(F.col(text_col))
+    arr = F.when(
+        F.size(t) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 1),
+            lambda i: F.struct(
+                F.element_at(t, i).alias("prev"),
+                F.element_at(t, i + 1).alias("w"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<prev:string,w:string>>"))
+    rows = source.select(*cols, F.posexplode(arr).alias("pos", "bg"))
+    pv = vocab.select(F.col("tok").alias("__pv"))
+    wv = vocab.select(F.col("tok").alias("__wv"))
+    return (
+        rows.join(F.broadcast(pv), rows["bg.prev"] == F.col("__pv"), "left")
+        .join(F.broadcast(wv), rows["bg.w"] == F.col("__wv"), "left")
+        .select(
+            *cols,
+            "pos",
+            F.coalesce("__pv", F.lit("<unk>")).alias("prev"),
+            F.coalesce("__wv", F.lit("<unk>")).alias("w"),
+        )
+    )
+
+
+def build_bigram_lm(
+    src: DataFrame,
     text_col: str,
-    id_col: str,
     vocab_size: int = 512,
     top_bigrams: int = 4096,
     alpha: float = 0.5,
-    lm_df: DataFrame | None = None,
-) -> DataFrame:
-    """Corpus-trained smoothed-bigram LM quality score (the CCNet-style
-    perplexity proxy: fluent, corpus-typical text scores low perplexity;
-    gibberish, boilerplate, and wrong-language text score high).
-
-    The LM is built from the corpus itself (or ``lm_df``, e.g. a clean
-    deterministic sample from ``operators.sampling``) in three bounded
-    tables, ALL broadcastable by construction regardless of corpus size:
+) -> BigramLM:
+    """Train the add-alpha smoothed bigram LM from ``src`` in two corpus
+    passes, returning three bounded tables:
 
     - vocabulary: exact top-``vocab_size`` lowercase whitespace tokens
       (count desc, token asc — deterministic ties); everything else maps
       to ``<unk>``, so the conditional denominator table is ≤ V+1 rows.
     - prefix counts: occurrences of each mapped token as a bigram prefix
-      (≤ V+1 rows).
+      (≤ V+1 rows) — derived from the bigram table, not a third pass.
     - bigram counts: exact top-``top_bigrams`` mapped bigrams (count
       desc, prev asc, w asc); dropped/unseen bigrams back off to the
       add-``alpha`` numerator.
 
-    The whole LM builds in two corpus passes (token counts for the
-    vocabulary; one mapped-bigram aggregation whose result is bounded at
-    (V+1)² rows and is checkpointed, with both count tables derived from
-    it), and scoring is a third — the corpus is never scanned more than
-    three times end-to-end.
-
-    Scoring is scan-shaped: per-row bigram arrays from pure array
-    expressions (no window, no per-doc state), one explode, three
-    broadcast joins, and a per-document aggregation keyed on the doc id —
-    the only shuffle, skew-free by key construction. Add-alpha
-    conditional: P(w|prev) = (c(prev,w)+α) / (c(prev)+α·(V+1)); the
-    smoothing denominator uses the CONFIGURED vocab_size so scores don't
-    shift when the corpus has fewer distinct tokens.
-
-    Output, one row per input doc: (id, n_bigrams, avg_logp, perplexity)
-    with avg_logp = mean ln P over the doc's bigrams rounded to 6
-    decimals, perplexity = exp(-mean) rounded to 6; docs with < 2 tokens
-    keep their row with n_bigrams=0 and null scores. Deterministic to the
-    rounding, so fully oracle-checkable in DuckDB.
+    Pass 1 is the token count for the vocabulary (checkpointed once — it
+    feeds the prev/w mapping joins of every later consumer); pass 2 is
+    ONE mapped-bigram aggregation whose result is bounded at (V+1)² rows
+    by unk-mapping-before-counting, checkpointed, with both count tables
+    derived from it.
     """
     from .dedup import _spread
 
-    def toks_of(c: Column) -> Column:
-        return F.filter(F.split(F.lower(c), " "), lambda t: t != "")
-
-    src = lm_df if lm_df is not None else df
-    lm_toks = _spread(src.select(toks_of(F.col(text_col)).alias("__toks")))
-
-    # vocab is <= vocab_size rows but feeds four downstream joins (prev/w
-    # mapping in both the LM-build and scoring passes) — materialize once
-    # so the corpus-wide token count doesn't re-execute per consumer
+    lm_toks = _spread(src.select(_lm_toks(F.col(text_col)).alias("__toks")))
     vocab = (
         lm_toks.select(F.explode("__toks").alias("tok"))
         .groupBy("tok")
@@ -426,42 +449,8 @@ def lm_score(
         .select("tok")
         .localCheckpoint(eager=True)
     )
-
-    def bigram_rows(source: DataFrame, with_id: bool) -> DataFrame:
-        cols = [F.col(id_col)] if with_id else []
-        t = toks_of(F.col(text_col))
-        arr = F.when(
-            F.size(t) >= 2,
-            F.transform(
-                F.sequence(F.lit(1), F.size(t) - 1),
-                lambda i: F.struct(
-                    F.element_at(t, i).alias("prev"),
-                    F.element_at(t, i + 1).alias("w"),
-                ),
-            ),
-        ).otherwise(F.array().cast("array<struct<prev:string,w:string>>"))
-        rows = source.select(*cols, F.posexplode(arr).alias("pos", "bg"))
-        # map out-of-vocabulary tokens to <unk> via two broadcast joins
-        pv = vocab.select(F.col("tok").alias("__pv"))
-        wv = vocab.select(F.col("tok").alias("__wv"))
-        return (
-            rows.join(F.broadcast(pv), rows["bg.prev"] == F.col("__pv"), "left")
-            .join(F.broadcast(wv), rows["bg.w"] == F.col("__wv"), "left")
-            .select(
-                *cols,
-                "pos",
-                F.coalesce("__pv", F.lit("<unk>")).alias("prev"),
-                F.coalesce("__wv", F.lit("<unk>")).alias("w"),
-            )
-        )
-
-    # one LM-build pass: unk-mapping happens BEFORE counting, so the full
-    # bigram-count table is bounded at (vocab_size+1)^2 rows regardless of
-    # corpus size — materialize it once and derive BOTH count tables from
-    # it (prefix count = sum over w, before the top-B cap) instead of
-    # re-aggregating the exploded corpus per table
     bc_full = (
-        bigram_rows(_spread(src), with_id=False)
+        _bigram_rows(_spread(src), text_col, vocab, id_col=None)
         .groupBy("prev", "w")
         .agg(F.count(F.lit(1)).alias("__cb"))
         .localCheckpoint(eager=True)
@@ -470,19 +459,39 @@ def lm_score(
     bigram_counts = bc_full.orderBy(
         F.desc("__cb"), F.asc("prev"), F.asc("w")
     ).limit(top_bigrams)
+    return BigramLM(vocab, prefix_counts, bigram_counts, vocab_size, alpha)
 
-    denom_v = float(alpha) * (vocab_size + 1)
+
+def lm_score_with(
+    df: DataFrame, text_col: str, id_col: str, lm: BigramLM
+) -> DataFrame:
+    """Score ``df`` against an already-built ``BigramLM``.
+
+    Scan-shaped: per-row bigram arrays, one explode, three broadcast
+    joins, one doc-keyed aggregation (the only shuffle, skew-free by key
+    construction). Add-alpha conditional: P(w|prev) = (c(prev,w)+α) /
+    (c(prev)+α·(V+1)); the smoothing denominator uses the CONFIGURED
+    vocab_size so scores don't shift when the corpus has fewer distinct
+    tokens. Both count joins are left + zero backoff, so a prefix the LM
+    corpus never saw still scores (as pure add-alpha mass) instead of
+    silently dropping the bigram.
+
+    Output, one row per input doc: (id, n_bigrams, avg_logp, perplexity)
+    with avg_logp = mean ln P rounded to 6 decimals, perplexity =
+    exp(-mean) rounded to 6; docs with < 2 tokens keep their row with
+    n_bigrams=0 and null scores.
+    """
+    from .dedup import _spread
+
+    denom_v = float(lm.alpha) * (lm.vocab_size + 1)
     scored = (
-        bigram_rows(_spread(df), with_id=True)
-        .join(F.broadcast(prefix_counts), on="prev", how="left")
-        .join(F.broadcast(bigram_counts), on=["prev", "w"], how="left")
+        _bigram_rows(_spread(df), text_col, lm.vocab, id_col)
+        .join(F.broadcast(lm.prefix_counts), on="prev", how="left")
+        .join(F.broadcast(lm.bigram_counts), on=["prev", "w"], how="left")
         .select(
             F.col(id_col),
-            # both joins are left + zero backoff so a prefix unseen by a
-            # SAMPLED lm_df still scores (as pure add-alpha mass) instead
-            # of silently dropping the bigram
             F.log(
-                (F.coalesce(F.col("__cb"), F.lit(0)) + F.lit(float(alpha)))
+                (F.coalesce(F.col("__cb"), F.lit(0)) + F.lit(float(lm.alpha)))
                 / (F.coalesce(F.col("__cp"), F.lit(0)) + F.lit(denom_v))
             ).alias("__lnp"),
         )
@@ -502,6 +511,37 @@ def lm_score(
             (F.round(F.exp(-mean), 6) + 0.0).alias("perplexity"),
         )
     )
+
+
+def lm_score(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    vocab_size: int = 512,
+    top_bigrams: int = 4096,
+    alpha: float = 0.5,
+    lm_df: DataFrame | None = None,
+) -> DataFrame:
+    """Corpus-trained smoothed-bigram LM quality score (the CCNet-style
+    perplexity proxy: fluent, corpus-typical text scores low perplexity;
+    gibberish, boilerplate, and wrong-language text score high).
+
+    ``build_bigram_lm`` + ``lm_score_with`` in one call: the LM trains on
+    the corpus itself (or ``lm_df``, e.g. a clean deterministic sample
+    from ``operators.sampling``) and the corpus is scanned at most three
+    times end-to-end (vocab count, mapped-bigram count, scoring). All LM
+    state is bounded and broadcast by construction, every decision is
+    deterministic (exact top-k with total-order ties), so the whole
+    pipeline is oracle-checkable in DuckDB to the 6-decimal rounding.
+    """
+    lm = build_bigram_lm(
+        lm_df if lm_df is not None else df,
+        text_col,
+        vocab_size=vocab_size,
+        top_bigrams=top_bigrams,
+        alpha=alpha,
+    )
+    return lm_score_with(df, text_col, id_col, lm)
 
 
 # Encoding-hygiene regexes — shared Java-regex/RE2 subset (two-digit \xhh
