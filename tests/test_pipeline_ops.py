@@ -1093,3 +1093,29 @@ def test_lm_stream_rejects_streaming_lm_corpus(spark, tmp_path):
     stream = spark.readStream.schema(docs.schema).parquet(src)
     with pytest.raises(ValueError):
         lm_score_stream(stream, "text", "doc_id", stream, lambda df, b: None)
+
+
+def test_lm_score_executed_plan_broadcast_and_scan_count(spark):
+    """Pin lm_score's scale claims: every LM table reaches the scorer as a
+    broadcast join (never a shuffled join), and the corpus parquet scan
+    appears at most 4x in the executed plan (vocab pass, LM-bigram pass,
+    scoring pass, plus the pruned doc_id row-preserving join) — a
+    regression to per-consumer re-aggregation would multiply scans."""
+    import re
+
+    from whylogs_java_spark.operators.text import lm_score
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    out = lm_score(docs, "text", "doc_id", vocab_size=64, top_bigrams=256)
+    out.collect()  # AQE finalizes the plan only after execution
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    if "== Initial Plan ==" in plan:
+        plan = plan.split("== Initial Plan ==", 1)[0]
+    n_scans = len(re.findall(r"FileScan parquet|Scan parquet", plan))
+    assert n_scans <= 4, f"corpus re-scanned: {n_scans} parquet scans"
+    # the count tables and vocab must come in as broadcasts; a sort-merge
+    # join on prev/w would shuffle the exploded corpus
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
