@@ -1119,3 +1119,39 @@ def test_lm_score_executed_plan_broadcast_and_scan_count(spark):
     # join on prev/w would shuffle the exploded corpus
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_training_manifest_boilerplate_gate(spark):
+    """The optional template-page gate drops docs whose corpus-repeated
+    segment fraction exceeds the threshold, and ONLY engages when asked."""
+    from whylogs_java_spark.operators.pipeline import training_manifest
+
+    def words(prefix, n):
+        return " ".join(f"{prefix}{i:02d}" for i in range(n))
+
+    template = words("tmpl", 30)  # 30-word template shared by three docs
+    rows = []
+    for i, p in enumerate(("aaa", "bbb", "ccc")):
+        # half unique, half template: J between any two ~ 1/3 < 0.5, so
+        # near-dup dedup keeps all three; boilerplate fraction = 0.5
+        rows.append((i, words(p, 30) + " " + template))
+    rows.append((10, words("ddd", 30)))  # clean doc, no template
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    ev = spark.createDataFrame([(0, words("zzz", 30)),], ["doc_id", "text"])
+
+    base = {
+        r["doc_id"]
+        for r in training_manifest(
+            docs, "text", "doc_id", ev, min_tokens=25, max_tokens=95
+        ).collect()
+    }
+    assert base == {0, 1, 2, 10}  # gate off: template docs survive
+
+    gated = {
+        r["doc_id"]
+        for r in training_manifest(
+            docs, "text", "doc_id", ev, min_tokens=25, max_tokens=95,
+            max_boilerplate_fraction=0.4, boiler_df_threshold=3,
+        ).collect()
+    }
+    assert gated == {10}  # template-saturated docs dropped wholesale

@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .decontam import decontaminate
-from .dedup import exact_dedup, near_dup_clusters
+from .dedup import boilerplate_stats, exact_dedup, near_dup_clusters
 from .sampling import assign_splits
 
 
@@ -52,12 +52,22 @@ def training_manifest(
         ("val", 0.1),
         ("test", 0.1),
     ),
+    max_boilerplate_fraction: float | None = None,
+    boiler_seg_words: int = 10,
+    boiler_df_threshold: int = 3,
 ) -> DataFrame:
     """Run the full cleaning pipeline; return the manifest (id, split).
 
     Quality gate: whitespace token count in [min_tokens, max_tokens] and
     chars-per-token (length/tokens) in [min_chars_per_token,
     max_chars_per_token] — the Gopher-style length/word-shape window.
+
+    ``max_boilerplate_fraction`` (off by default) adds the CCNet-style
+    template-page gate between decontamination and the token gates: docs
+    whose corpus-repeated segment fraction (``boilerplate_stats`` over
+    the post-dedup survivors — dedup first, so exact copies don't inflate
+    the document-frequency census) exceeds the threshold are dropped
+    wholesale.
     """
     src = docs.select(id_col, text_col)
     s1 = exact_dedup(src, text_col, id_col)
@@ -69,6 +79,15 @@ def training_manifest(
         ~F.col("contaminated")
     ).select(id_col)
     s3 = s2.join(clean, id_col, "left_semi")
+    if max_boilerplate_fraction is not None:
+        bp = boilerplate_stats(
+            s3, text_col, id_col,
+            seg_words=boiler_seg_words, df_threshold=boiler_df_threshold,
+        )
+        keep = bp.where(
+            F.col("boilerplate_fraction") <= max_boilerplate_fraction
+        ).select(id_col)
+        s3 = s3.join(keep, id_col, "left_semi")
     toks = F.size(F.filter(F.split(F.col(text_col), " "), lambda t: t != ""))
     cpt = F.length(F.col(text_col)) / toks
     s4 = s3.where(
