@@ -1155,3 +1155,16 @@ def test_training_manifest_boilerplate_gate(spark):
         ).collect()
     }
     assert gated == {10}  # template-saturated docs dropped wholesale
+
+
+def test_lm_stream_requires_model_or_corpus(spark, tmp_path):
+    from whylogs_java_spark.streaming.lm_stream import lm_score_stream
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    src = str(tmp_path / "lm_s3")
+    docs.write.parquet(src)
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    with pytest.raises(ValueError):
+        lm_score_stream(stream, "text", "doc_id", None, lambda df, b: None)

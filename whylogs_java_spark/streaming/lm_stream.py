@@ -32,7 +32,7 @@ def lm_score_stream(
     stream_df: DataFrame,
     text_col: str,
     id_col: str,
-    lm_df: DataFrame,
+    lm_df: DataFrame | None,
     on_batch: Callable[[DataFrame, int], None],
     vocab_size: int = 512,
     top_bigrams: int = 4096,
@@ -51,6 +51,8 @@ def lm_score_stream(
 
     Returns the started ``StreamingQuery``.
     """
+    if lm is None and lm_df is None:
+        raise ValueError("provide lm_df (to train) or a prebuilt lm")
     if lm_df is not None and lm_df.isStreaming:
         raise ValueError("lm_df must be static — the LM corpus is not a stream")
     model = lm if lm is not None else build_bigram_lm(
