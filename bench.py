@@ -83,6 +83,7 @@ BENCH_QUERIES = [
     "lm_score_documents",
     "encoding_documents",
     "boilerplate_documents",
+    "corpus_report",
 ]
 
 

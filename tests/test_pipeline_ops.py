@@ -1168,3 +1168,36 @@ def test_lm_stream_requires_model_or_corpus(spark, tmp_path):
     stream = spark.readStream.schema(docs.schema).parquet(src)
     with pytest.raises(ValueError):
         lm_score_stream(stream, "text", "doc_id", None, lambda df, b: None)
+
+
+# ---------------------------------------------------------------------------
+# per-slice corpus report
+# ---------------------------------------------------------------------------
+
+def test_corpus_report_known_values(spark):
+    from whylogs_java_spark.operators.report import corpus_report
+
+    template = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, "the cat sat on the mat and it is good", "A"),
+        (2, "a dog ran in the park for it is fun", "A"),
+        (3, "caf\u00c3\u00a9 mojibake page with some words inside it here", "B"),
+        (4, template, "B"),
+        (5, template, "B"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = {
+        r["source"]: r
+        for r in corpus_report(
+            df, "text", "doc_id", "source", boiler_df_threshold=2
+        ).collect()
+    }
+    a, b = out["A"], out["B"]
+    assert a["n_docs"] == 2 and b["n_docs"] == 3
+    assert a["total_tokens"] == 20 and b["total_tokens"] == 29
+    assert a["suspect_docs"] == 0 and b["suspect_docs"] == 1
+    # docs 4 and 5 share their single 10-word segment (df=2): fraction 1.0
+    # each; doc 3 is unique: 0 -> mean 2/3
+    assert b["mean_boilerplate_frac"] == pytest.approx(round(2 / 3, 6))
+    assert a["mean_boilerplate_frac"] == pytest.approx(0.0)
+    assert 0.0 <= a["mean_quality"] <= 1.0
