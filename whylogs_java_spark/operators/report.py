@@ -6,10 +6,11 @@ grouped summary a pipeline owner reads per source/language/shard before
 training: how many documents, how many tokens, how many encoding-suspect
 pages, and the mean quality / boilerplate saturation of the slice.
 
-Scale shape: each component is its own documented operator (pure
-projections except boilerplate's two digest-keyed shuffles); the
-composition joins them on the high-cardinality doc id (co-partitioned,
-skew-free) and ends in one hash-aggregate on the slice key. Mean doubles
+Scale shape: the three projection components chain through ``keep_cols``
+into ONE corpus scan (no self-joins); only the boilerplate branch —
+which needs its own segment explode and digest census regardless —
+joins back on the high-cardinality doc id (skew-free), and the whole
+report ends in one hash-aggregate on the slice key. Mean doubles
 accumulate as exact integers (floor(x·1e6 + 0.5) summed as BIGINT — the
 same magnitude-tiered-exact-sum idea as functions/metrics.py), because a
 shuffled double sum is order-nondeterministic and would break the
@@ -54,20 +55,24 @@ def corpus_report(
     ``boiler_df_threshold`` distinct docs. Deterministic end to end
     (exact counts + integerized means), so oracle-checkable.
     """
-    q = quality_metrics(df, text_col, id_col).select(id_col, "quality")
-    e = encoding_scan(df, text_col, id_col).select(id_col, "encoding_suspect")
-    t = token_counts(df, text_col, id_col).select(id_col, "ws_tokens")
+    # the three projection operators CHAIN via keep_cols — one corpus scan
+    # computes quality + encoding + tokens with no self-join; only the
+    # boilerplate branch (which needs its own segment explode and digest
+    # census regardless) joins back on the doc id
+    x = quality_metrics(
+        df, text_col, id_col, keep_cols=(group_col, text_col)
+    ).select(id_col, group_col, text_col, "quality")
+    x = encoding_scan(
+        x, text_col, id_col, keep_cols=(group_col, text_col, "quality")
+    ).select(id_col, group_col, text_col, "quality", "encoding_suspect")
+    x = token_counts(
+        x, text_col, id_col, keep_cols=(group_col, "quality", "encoding_suspect")
+    ).select(id_col, group_col, "quality", "encoding_suspect", "ws_tokens")
     b = boilerplate_stats(
         df, text_col, id_col,
         seg_words=boiler_seg_words, df_threshold=boiler_df_threshold,
     ).select(id_col, "boilerplate_fraction")
-    j = (
-        df.select(id_col, group_col)
-        .join(q, id_col)
-        .join(e, id_col)
-        .join(t, id_col)
-        .join(b, id_col)
-    )
+    j = x.join(b, id_col)
     return j.groupBy(group_col).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("ws_tokens").alias("total_tokens"),

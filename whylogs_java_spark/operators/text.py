@@ -32,14 +32,19 @@ def tokens(col: Column) -> Column:
     return F.filter(F.split(col, " "), lambda t: t != "")
 
 
-def token_counts(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def token_counts(
+    df: DataFrame, text_col: str, id_col: str, keep_cols: tuple[str, ...] = ()
+) -> DataFrame:
     """Whitespace + regex token counts per document.
 
-    Output: (id, ws_tokens, re_tokens, n_chars).
+    Output: (id, *keep_cols, ws_tokens, re_tokens, n_chars) —
+    ``keep_cols`` pass through untouched so projection operators chain in
+    ONE scan instead of self-joining on the id (`report.corpus_report`).
     """
     t = F.col(text_col)
     return df.select(
         F.col(id_col),
+        *[F.col(c) for c in keep_cols],
         F.size(tokens(t)).alias("ws_tokens"),
         F.size(F.regexp_extract_all(t, F.lit(REGEX_TOKEN_PATTERN), 0)).alias("re_tokens"),
         F.length(t).alias("n_chars"),
@@ -109,15 +114,18 @@ def language_id_sql(score_cols: dict[str, str] | None = None) -> str:
     return best_lang
 
 
-def quality_metrics(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def quality_metrics(
+    df: DataFrame, text_col: str, id_col: str, keep_cols: tuple[str, ...] = ()
+) -> DataFrame:
     """Gopher-style quality signals + a composite score.
 
     Signals: word count, mean word length, stopword ratio, punctuation
     ratio, digit ratio. Composite ``quality`` is the fraction of gates
     passed (word count in [5, 10000], mean word len in [2, 12], stopword
     ratio ≥ 0.01, punct ratio ≤ 0.2, digit ratio ≤ 0.3).
-    Output: (id, word_count, mean_word_len, stopword_ratio, punct_ratio,
-    digit_ratio, quality).
+    Output: (id, *keep_cols, word_count, mean_word_len, stopword_ratio,
+    punct_ratio, digit_ratio, quality); ``keep_cols`` pass through
+    untouched (single-scan chaining — see ``token_counts``).
     """
     t = F.col(text_col)
     toks = tokens(t)
@@ -150,6 +158,7 @@ def quality_metrics(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
     out = df.select(
         F.col(id_col),
+        *[F.col(c) for c in keep_cols],
         wc.alias("word_count"),
         mean_wl.alias("mean_word_len"),
         sw_ratio.alias("stopword_ratio"),
@@ -556,7 +565,9 @@ ZERO_WIDTH_RE = "[\\x{200B}-\\x{200D}\\x{FEFF}]"
 NON_ASCII_RE = r"[^\x00-\x7F]"
 
 
-def encoding_scan(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def encoding_scan(
+    df: DataFrame, text_col: str, id_col: str, keep_cols: tuple[str, ...] = ()
+) -> DataFrame:
     """Per-document encoding-hygiene signals for web-crawl text: U+FFFD
     replacement characters (lossy transcoding), C0 control characters
     (binary contamination), classic UTF-8-as-Latin-1/Windows-1252 mojibake
@@ -566,8 +577,10 @@ def encoding_scan(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     Pure scan-side projection — counters via ``regexp_extract_all`` sizes,
     no shuffle at any scale; patterns stay in the Java-regex ∩ RE2 subset
     so the DuckDB oracle runs the identical expressions.
-    Output: (id, n_chars, replacement_chars, control_chars, mojibake_hits,
-    zero_width_chars, non_ascii_frac, encoding_suspect).
+    Output: (id, *keep_cols, n_chars, replacement_chars, control_chars,
+    mojibake_hits, zero_width_chars, non_ascii_frac, encoding_suspect);
+    ``keep_cols`` pass through untouched (single-scan chaining — see
+    ``token_counts``).
     """
     t = F.col(text_col)
 
@@ -582,6 +595,7 @@ def encoding_scan(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     non_ascii = hits(NON_ASCII_RE)
     return df.select(
         F.col(id_col),
+        *[F.col(c) for c in keep_cols],
         n.alias("n_chars"),
         repl.alias("replacement_chars"),
         ctrl.alias("control_chars"),
