@@ -1201,3 +1201,39 @@ def test_corpus_report_known_values(spark):
     assert b["mean_boilerplate_frac"] == pytest.approx(round(2 / 3, 6))
     assert a["mean_boilerplate_frac"] == pytest.approx(0.0)
     assert 0.0 <= a["mean_quality"] <= 1.0
+
+
+def test_projection_operators_are_streaming_native(spark, tmp_path):
+    """encoding_scan / quality_metrics / token_counts are pure projections,
+    so they apply DIRECTLY to a streaming DataFrame — no foreachBatch
+    wrapper — and emit exactly the batch rows."""
+    from whylogs_java_spark.operators.text import encoding_scan
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    src = str(tmp_path / "proj_stream")
+    docs.write.parquet(src)
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+
+    out = encoding_scan(stream, "text", "doc_id")
+    assert out.isStreaming
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("enc_stream_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r["doc_id"]: (r["n_chars"], r["encoding_suspect"])
+        for r in spark.sql("SELECT * FROM enc_stream_out").collect()
+    }
+    want = {
+        r["doc_id"]: (r["n_chars"], r["encoding_suspect"])
+        for r in encoding_scan(docs, "text", "doc_id").collect()
+    }
+    assert got == want
