@@ -1,0 +1,318 @@
+"""Tests for operators/joins.py (as-of + range join) and
+operators/drift.py (numeric/categorical drift)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from whylogs_java_spark.operators.drift import (
+    auto_splits,
+    categorical_drift,
+    numeric_drift,
+)
+from whylogs_java_spark.operators.joins import asof_join, range_join_points
+
+
+# ---------------------------------------------------------------- as-of join
+
+
+@pytest.fixture(scope="module")
+def asof_sides(spark):
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 5, "b"), (2, 7, "c"), (3, 1, "d")],
+        "k int, ts int, lab string",
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 1.0), (1, 3, 2.0), (2, 99, 3.0), (1, 10, 9.0)],
+        "k int, ts int, p double",
+    )
+    return left, right
+
+
+def _asof_map(df):
+    return {r["lab"]: (r["ts_r"], r["p_r"]) for r in df.collect()}
+
+
+def test_asof_backward(spark, asof_sides):
+    left, right = asof_sides
+    out = _asof_map(
+        asof_join(left, right, on="k", left_ts="ts", right_tiebreak="p")
+    )
+    # equal timestamps match; tiebreak picks the greatest p at (1, 10)
+    assert out["a"] == (10, 9.0)
+    assert out["b"] == (3, 2.0)
+    assert out["c"] == (None, None)  # right row is in the future
+    assert out["d"] == (None, None)  # no right rows for key 3
+
+
+def test_asof_forward(spark, asof_sides):
+    left, right = asof_sides
+    out = _asof_map(
+        asof_join(
+            left, right, on="k", left_ts="ts",
+            direction="forward", right_tiebreak="p",
+        )
+    )
+    assert out["a"] == (10, 9.0)  # equality matches forward too
+    assert out["b"] == (10, 9.0)  # nearest later right row
+    assert out["c"] == (99, 3.0)
+    assert out["d"] == (None, None)
+
+
+def test_asof_tolerance(spark, asof_sides):
+    left, right = asof_sides
+    out = _asof_map(
+        asof_join(
+            left, right, on="k", left_ts="ts",
+            tolerance=2, right_tiebreak="p",
+        )
+    )
+    assert out["a"] == (10, 9.0)  # gap 0
+    assert out["b"] == (3, 2.0)  # gap 2 == tolerance: kept
+    out1 = _asof_map(
+        asof_join(
+            left, right, on="k", left_ts="ts",
+            tolerance=1, right_tiebreak="p",
+        )
+    )
+    assert out1["b"] == (None, None)  # gap 2 > 1: dropped, not replaced
+
+
+def test_asof_left_rows_preserved(spark, asof_sides):
+    left, right = asof_sides
+    out = asof_join(left, right, on="k", left_ts="ts")
+    assert out.count() == left.count()
+    assert set(out.columns) == {"k", "ts", "lab", "ts_r", "p_r"}
+
+
+def test_asof_plan_single_shuffle_no_nested_loop(spark, asof_sides):
+    left, right = asof_sides
+    plan = (
+        asof_join(left, right, on="k", left_ts="ts")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    # one Exchange for the window; local relations add no shuffles
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_asof_vs_pandas_merge_asof(spark):
+    """Randomized check against pandas' reference implementation."""
+    import pandas as pd
+
+    rng = __import__("numpy").random.default_rng(7)
+    lpd = pd.DataFrame(
+        {
+            "k": rng.integers(0, 5, 200),
+            "ts": rng.integers(0, 1000, 200),
+            "lid": range(200),
+        }
+    )
+    rpd = pd.DataFrame(
+        {
+            "k": rng.integers(0, 5, 150),
+            "ts": rng.integers(0, 1000, 150),
+            "val": rng.normal(size=150).round(3),
+        }
+    )
+    # unique (k, ts) on the right so the match is deterministic
+    rpd = rpd.drop_duplicates(["k", "ts"])
+    expected = pd.merge_asof(
+        lpd.sort_values("ts"),
+        rpd.sort_values("ts"),
+        on="ts", by="k", direction="backward",
+        suffixes=("", "_r"),
+    ).set_index("lid")["val"].to_dict()
+
+    out = asof_join(
+        spark.createDataFrame(lpd),
+        spark.createDataFrame(rpd),
+        on="k", left_ts="ts",
+    ).collect()
+    for row in out:
+        exp = expected[row["lid"]]
+        got = row["val_r"]
+        if got is None:
+            assert pd.isna(exp)
+        else:
+            assert got == pytest.approx(exp)
+
+
+# ---------------------------------------------------------------- range join
+
+
+def test_range_join_basic(spark):
+    pts = spark.createDataFrame(
+        [(1, 5.0), (2, 20.0), (3, 0.5), (4, 6.0)], "pid int, x double"
+    )
+    iv = spark.createDataFrame(
+        [(10, 0.0, 6.0), (11, 4.0, 30.0)], "iid int, lo double, hi double"
+    )
+    got = {
+        (r["pid"], r["iid"])
+        for r in range_join_points(pts, iv, "x", "lo", "hi", bucket_width=5.0).collect()
+    }
+    # [lo, hi): x=6.0 is excluded from [0, 6) but inside [4, 30)
+    assert got == {(1, 10), (1, 11), (2, 11), (3, 10), (4, 11)}
+
+
+def test_range_join_closed_modes(spark):
+    pts = spark.createDataFrame([(1, 6.0), (2, 0.0)], "pid int, x double")
+    iv = spark.createDataFrame([(9, 0.0, 6.0)], "iid int, lo double, hi double")
+
+    def pairs(closed):
+        return {
+            (r["pid"], r["iid"])
+            for r in range_join_points(
+                pts, iv, "x", "lo", "hi", bucket_width=2.0, closed=closed
+            ).collect()
+        }
+
+    assert pairs("left") == {(2, 9)}
+    assert pairs("both") == {(1, 9), (2, 9)}
+    assert pairs("right") == {(1, 9)}
+    assert pairs("neither") == set()
+
+
+def test_range_join_keys_and_multi_bucket_span(spark):
+    # interval spans many buckets; key column separates groups
+    pts = spark.createDataFrame(
+        [("g1", 1, 50.0), ("g2", 2, 50.0)], "g string, pid int, x double"
+    )
+    iv = spark.createDataFrame(
+        [("g1", 7, 0.0, 100.0)], "g string, iid int, lo double, hi double"
+    )
+    out = range_join_points(
+        pts, iv, "x", "lo", "hi", on=["g"], bucket_width=1.0
+    ).collect()
+    assert [(r["pid"], r["iid"]) for r in out] == [(1, 7)]
+
+
+def test_range_join_no_duplicate_matches(spark):
+    # a point matches an interval exactly once even when the interval
+    # explodes to many buckets
+    pts = spark.createDataFrame([(1, 5.0)], "pid int, x double")
+    iv = spark.createDataFrame([(2, 0.0, 1000.0)], "iid int, lo double, hi double")
+    out = range_join_points(pts, iv, "x", "lo", "hi", bucket_width=0.5)
+    assert out.count() == 1
+
+
+def test_range_join_plan_equi_join(spark):
+    pts = spark.createDataFrame([(1, 5.0)], "pid int, x double")
+    iv = spark.createDataFrame([(2, 0.0, 10.0)], "iid int, lo double, hi double")
+    plan = (
+        range_join_points(pts, iv, "x", "lo", "hi", bucket_width=5.0)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+# -------------------------------------------------------------------- drift
+
+
+def test_numeric_drift_identical_slices(spark):
+    a = spark.createDataFrame([(float(i % 7),) for i in range(70)], "v double")
+    d = numeric_drift(a, a, "v", splits=[2.0, 4.0]).first()
+    assert d["psi"] == pytest.approx(0.0)
+    assert d["cdf_linf"] == pytest.approx(0.0)
+    assert d["mean_delta"] == pytest.approx(0.0)
+    assert d["count_a"] == d["count_b"] == 70
+
+
+def test_numeric_drift_matches_numpy(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    av = rng.normal(0, 1, 500)
+    bv = rng.normal(0.5, 1.2, 400)
+    splits = [-1.0, 0.0, 1.0]
+    d = numeric_drift(
+        spark.createDataFrame([(float(x),) for x in av], "v double"),
+        spark.createDataFrame([(float(x),) for x in bv], "v double"),
+        "v",
+        splits=splits,
+    ).first()
+
+    def binc(vals):
+        bins = np.zeros(len(splits) + 1)
+        for x in vals:
+            bins[sum(x >= s for s in splits)] += 1
+        return bins
+
+    na, nb = binc(av), binc(bv)
+    pa = np.maximum(na / na.sum(), 1e-6)
+    pb = np.maximum(nb / nb.sum(), 1e-6)
+    psi = float(((pa - pb) * (np.log(pa) - np.log(pb))).sum())
+    linf = float(np.abs(np.cumsum(na) / na.sum() - np.cumsum(nb) / nb.sum()).max())
+
+    assert d["psi"] == pytest.approx(psi)
+    assert d["cdf_linf"] == pytest.approx(linf)
+    assert d["mean_a"] == pytest.approx(av.mean())
+    assert d["stddev_b"] == pytest.approx(bv.std())
+
+
+def test_numeric_drift_nulls_and_nan(spark):
+    a = spark.createDataFrame(
+        [(1.0,), (None,), (float("nan"),), (3.0,)], "v double"
+    )
+    b = spark.createDataFrame([(1.0,), (3.0,)], "v double")
+    d = numeric_drift(a, b, "v", splits=[2.0]).first()
+    assert d["null_rate_a"] == pytest.approx(0.5)  # NULL and NaN both count
+    assert d["null_rate_b"] == pytest.approx(0.0)
+    assert d["mean_a"] == pytest.approx(2.0)
+    assert d["psi"] == pytest.approx(0.0)
+
+
+def test_numeric_drift_grouped_one_sided_group(spark):
+    # a group present only in slice B must not error and must carry
+    # count_a = 0
+    a = spark.createDataFrame([("g1", 1.0)], "g string, v double")
+    b = spark.createDataFrame([("g1", 1.0), ("g2", 5.0)], "g string, v double")
+    rows = {
+        r["g"]: r
+        for r in numeric_drift(a, b, "v", splits=[2.0], group_by=["g"]).collect()
+    }
+    assert rows["g2"]["count_a"] == 0
+    assert rows["g2"]["count_b"] == 1
+    assert rows["g1"]["psi"] == pytest.approx(0.0)
+
+
+def test_categorical_drift_distances(spark):
+    a = spark.createDataFrame([("x",), ("x",), ("y",), (None,)], "c string")
+    b = spark.createDataFrame([("x",), ("z",), (None,), (None,)], "c string")
+    d = categorical_drift(a, b, "c").first()
+    # pa = {x:.5, y:.25, null:.25}; pb = {x:.25, z:.25, null:.5}
+    assert d["n_categories"] == 4
+    assert d["l1"] == pytest.approx(1.0)
+    assert d["linf"] == pytest.approx(0.25)
+    assert d["psi"] > 0
+
+
+def test_categorical_drift_identical(spark):
+    a = spark.createDataFrame([("x",), ("y",), (None,)], "c string")
+    d = categorical_drift(a, a, "c").first()
+    assert d["psi"] == pytest.approx(0.0)
+    assert d["l1"] == pytest.approx(0.0)
+
+
+def test_auto_splits(spark):
+    a = spark.createDataFrame([(0.0,), (10.0,)], "v double")
+    b = spark.createDataFrame([(5.0,), (None,)], "v double")
+    edges = auto_splits(a, b, "v", bins=5)
+    assert edges == pytest.approx([2.0, 4.0, 6.0, 8.0])
+    # degenerate range -> no interior edges
+    c = spark.createDataFrame([(3.0,), (3.0,)], "v double")
+    assert auto_splits(c, c, "v") == []
+
+
+def test_drift_aggregate_sized_shuffles(spark):
+    """The binned-counts join must join aggregate outputs, not data rows:
+    no bin/category table in the plan carries the raw row count."""
+    a = spark.createDataFrame([(float(i % 5), "g") for i in range(1000)], "v double, g string")
+    d = numeric_drift(a, a, "v", splits=[1.0, 3.0], group_by=["g"])
+    plan = d._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert d.count() == 1

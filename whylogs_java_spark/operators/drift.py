@@ -1,0 +1,236 @@
+"""Distribution drift between two data slices — the downstream read of a
+whylogs profile.
+
+The reference produces mergeable profiles; the thing consumers DO with
+two profiles (yesterday vs today, train vs serve) is compare them. These
+operators compute the standard drift suite directly from two slices of
+raw data in one aggregation pass per slice, so the comparison is exact
+(not sketch-derived) and oracle-checkable:
+
+- ``numeric_drift``: per (group, column) — counts, null rates, moments,
+  plus PSI and the binned CDF L-inf distance ("binned KS") over shared
+  equal-width or caller-supplied bins.
+- ``categorical_drift``: per (group,) — PSI / L1 (total variation) /
+  binned L-inf over category frequencies, full-outer-joined so
+  categories present in only one slice count against drift.
+
+Scale shape: each slice is scanned once into a per-(group, bin) partial
+HashAggregate — the shuffle carries O(groups × bins) rows, never data
+rows. The two binned tables join on (group, bin): both sides are
+aggregate-sized, so the join is trivially broadcastable. A 100 TB slice
+costs exactly its column-pruned scan.
+
+PSI convention: bins where either side is empty use the standard epsilon
+substitution (p -> max(p, eps)) so the sum stays finite; eps defaults to
+1e-6 and is part of the contract (the same substitution a monitoring
+system applies).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PSI_EPS = 1e-6
+
+
+def _binned_counts(
+    df: DataFrame,
+    column: str,
+    splits: Sequence[float],
+    group_by: Sequence[str],
+    side: str,
+) -> DataFrame:
+    """(keys..., bin, n_<side>) exact counts; bin i = [s_{i-1}, s_i) with
+    open ends, mirroring histogram_custom_splits."""
+    keys = list(group_by)
+    v = F.col(column).cast("double")
+    ok = v.isNotNull() & ~F.isnan(v)
+    bin_idx = F.lit(0)
+    for i, s in enumerate(sorted(float(x) for x in splits)):
+        bin_idx = F.when(v >= F.lit(s), F.lit(i + 1)).otherwise(bin_idx)
+    return (
+        df.where(ok)
+        .select(*keys, bin_idx.alias("bin"))
+        .groupBy(*keys, "bin")
+        .agg(F.count(F.lit(1)).alias(f"n_{side}"))
+    )
+
+
+def numeric_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    column: str,
+    splits: Sequence[float],
+    group_by: Sequence[str] = (),
+    eps: float = PSI_EPS,
+) -> DataFrame:
+    """Drift metrics for one numeric column between slices A and B.
+
+    Output, one row per group: (keys..., column_name, count_a, count_b,
+    null_rate_a, null_rate_b, mean_a, mean_b, mean_delta, stddev_a,
+    stddev_b, psi, cdf_linf). ``splits`` are the shared bin edges (use
+    ``auto_splits`` for data-driven equal-width edges); stddev is the
+    population form (whylogs reports sample stddev — here both slices
+    use stddevPop so the comparison is self-consistent and exact).
+    """
+    keys = list(group_by)
+    v = F.col(column).cast("double")
+    ok = v.isNotNull() & ~F.isnan(v)
+
+    def _stats(df: DataFrame, side: str) -> DataFrame:
+        return df.groupBy(*keys).agg(
+            F.count(F.lit(1)).alias(f"count_{side}"),
+            F.sum(F.when(~ok, 1).otherwise(0)).alias(f"nulls_{side}"),
+            F.avg(F.when(ok, v)).alias(f"mean_{side}"),
+            F.stddev_pop(F.when(ok, v)).alias(f"stddev_{side}"),
+        )
+
+    sa = _stats(df_a, "a")
+    sb = _stats(df_b, "b")
+    ba = _binned_counts(df_a, column, splits, keys, "a")
+    bb = _binned_counts(df_b, column, splits, keys, "b")
+
+    # A USING full-outer join coalesces the join keys into single
+    # output columns, so the post-join select can name them directly.
+    bins = ba.join(bb, on=keys + ["bin"], how="full").select(
+        *keys,
+        "bin",
+        F.coalesce(F.col("n_a"), F.lit(0)).alias("n_a"),
+        F.coalesce(F.col("n_b"), F.lit(0)).alias("n_b"),
+    )
+
+    # try_divide: a slice with zero non-null rows in a group (or a group
+    # present on one side only) yields p=0 -> eps, not a division error.
+    tot_a = F.sum("n_a").over(_group_window(keys))
+    tot_b = F.sum("n_b").over(_group_window(keys))
+    pa = F.greatest(F.coalesce(F.try_divide(F.col("n_a"), tot_a), F.lit(0.0)), F.lit(eps))
+    pb = F.greatest(F.coalesce(F.try_divide(F.col("n_b"), tot_b), F.lit(0.0)), F.lit(eps))
+    cum_a = F.coalesce(
+        F.try_divide(F.sum("n_a").over(_group_window(keys, order="bin")), tot_a),
+        F.lit(0.0),
+    )
+    cum_b = F.coalesce(
+        F.try_divide(F.sum("n_b").over(_group_window(keys, order="bin")), tot_b),
+        F.lit(0.0),
+    )
+
+    per_bin = bins.select(
+        *keys,
+        ((pa - pb) * (F.log(pa) - F.log(pb))).alias("__psi_term"),
+        F.abs(cum_a - cum_b).alias("__cdf_gap"),
+    )
+    drift = per_bin.groupBy(*keys).agg(
+        F.sum("__psi_term").alias("psi"),
+        F.max("__cdf_gap").alias("cdf_linf"),
+    )
+
+    if keys:
+        out = sa.join(sb, on=keys, how="full").join(drift, on=keys, how="left")
+    else:
+        out = sa.crossJoin(sb).crossJoin(drift)
+    ca, cb = F.col("count_a"), F.col("count_b")
+    return out.select(
+        *keys,
+        F.lit(column).alias("column_name"),
+        F.coalesce(ca, F.lit(0)).alias("count_a"),
+        F.coalesce(cb, F.lit(0)).alias("count_b"),
+        F.try_divide(F.col("nulls_a"), ca).alias("null_rate_a"),
+        F.try_divide(F.col("nulls_b"), cb).alias("null_rate_b"),
+        F.col("mean_a"),
+        F.col("mean_b"),
+        (F.col("mean_b") - F.col("mean_a")).alias("mean_delta"),
+        F.col("stddev_a"),
+        F.col("stddev_b"),
+        F.col("psi"),
+        F.col("cdf_linf"),
+    )
+
+
+def _group_window(keys: Sequence[str], order: str | None = None):
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys) if keys else Window.partitionBy()
+    if order is not None:
+        return w.orderBy(order).rowsBetween(Window.unboundedPreceding, 0)
+    return w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+
+
+def categorical_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    column: str,
+    group_by: Sequence[str] = (),
+    eps: float = PSI_EPS,
+) -> DataFrame:
+    """Category-frequency drift between slices A and B.
+
+    Output per group: (keys..., column_name, n_categories, psi, l1,
+    linf). NULL categories count as a category of their own (monitoring
+    cares when nulls appear) — they are mapped to a sentinel string so
+    the full-outer join matches them across slices (SQL NULL keys never
+    equal each other). l1 is twice the total variation distance; linf
+    the largest single-category frequency gap.
+    """
+    keys = list(group_by)
+    cat = F.coalesce(F.col(column).cast("string"), F.lit("\x00null"))
+
+    def _counts(df: DataFrame, side: str) -> DataFrame:
+        return df.groupBy(*keys, cat.alias("__cat")).agg(
+            F.count(F.lit(1)).alias(f"n_{side}")
+        )
+
+    ca, cb = _counts(df_a, "a"), _counts(df_b, "b")
+    both = ca.join(cb, on=keys + ["__cat"], how="full").select(
+        *keys,
+        "__cat",
+        F.coalesce(F.col("n_a"), F.lit(0)).alias("n_a"),
+        F.coalesce(F.col("n_b"), F.lit(0)).alias("n_b"),
+    )
+    tot_a = F.sum("n_a").over(_group_window(keys))
+    tot_b = F.sum("n_b").over(_group_window(keys))
+    # an empty slice in a group means every category frequency is 0 on
+    # that side (drifted-in group), not an error
+    pa_raw = F.coalesce(F.try_divide(F.col("n_a"), tot_a), F.lit(0.0))
+    pb_raw = F.coalesce(F.try_divide(F.col("n_b"), tot_b), F.lit(0.0))
+    pa = F.greatest(pa_raw, F.lit(eps))
+    pb = F.greatest(pb_raw, F.lit(eps))
+    per_cat = both.select(
+        *keys,
+        ((pa - pb) * (F.log(pa) - F.log(pb))).alias("__psi_term"),
+        F.abs(pa_raw - pb_raw).alias("__gap"),
+    )
+    return per_cat.groupBy(*keys).agg(
+        F.lit(column).alias("column_name"),
+        F.count(F.lit(1)).alias("n_categories"),
+        F.sum("__psi_term").alias("psi"),
+        F.sum("__gap").alias("l1"),
+        F.max("__gap").alias("linf"),
+    )
+
+
+def auto_splits(
+    df_a: DataFrame, df_b: DataFrame, column: str, bins: int = 10
+) -> list[float]:
+    """Equal-width interior edges over the COMBINED slices' [min, max].
+
+    One tiny aggregate per slice (a scalar row — the histogram
+    two-pass shape); the returned edges feed ``numeric_drift`` so both
+    slices bin identically.
+    """
+    v = F.col(column).cast("double")
+    ok = v.isNotNull() & ~F.isnan(v)
+    lo_hi = (
+        df_a.select(v.alias("v")).where(ok)
+        .unionAll(df_b.select(v.alias("v")).where(ok))
+        .agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+        .first()
+    )
+    lo, hi = lo_hi["lo"], lo_hi["hi"]
+    if lo is None or hi is None or not math.isfinite(hi - lo) or hi <= lo:
+        return []
+    width = (hi - lo) / bins
+    return [lo + i * width for i in range(1, bins)]

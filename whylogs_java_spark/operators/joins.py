@@ -1,0 +1,182 @@
+"""As-of and range joins: the temporal join surface Spark lacks.
+
+No reference counterpart (whylogs-java has no joins at all — SURVEY.md
+§2.3); these are the two join shapes an event/feature pipeline needs
+beyond equi-joins, implemented with scale-safe plans:
+
+- ``asof_join`` — for every left row, the latest right row at-or-before
+  it (per key). The naive formulation is a range join that Spark plans
+  as BroadcastNestedLoopJoin (quadratic per key); here it is the
+  union-merge pattern instead: tag both sides, ONE shuffle on the key,
+  and a running ``last(right_payload, ignorenulls)`` window carries the
+  most recent right row forward in time order. Cost is a single
+  Exchange + per-key sort — the same bound as sessionization
+  (operators/sessions.py), with the same mega-key skew note.
+
+- ``range_join_points`` — point-in-interval join without a cross
+  product. Intervals explode to the fixed-width buckets they span
+  (``F.sequence`` — bounded by interval length / width), points map to
+  their single bucket, and the join is a plain equi-join on
+  (keys…, bucket) followed by the exact containment filter. A point's
+  bucket equals exactly one of the interval's exploded buckets, so no
+  post-join dedup is needed. At 100 TB this is a shuffle on
+  (keys…, bucket) whose fan-out is controlled by ``bucket_width``;
+  skewed buckets fall to AQE skew-join handling like any equi-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_ts: str,
+    right_ts: str | None = None,
+    right_cols: list[str] | None = None,
+    direction: str = "backward",
+    tolerance: int | None = None,
+    suffix: str = "_r",
+    right_tiebreak: str | None = None,
+) -> DataFrame:
+    """Left rows + the nearest right row per key at-or-before them.
+
+    ``direction="backward"`` (default): match the right row with the
+    greatest ``right_ts`` <= ``left_ts``; ``"forward"``: the smallest
+    ``right_ts`` >= ``left_ts``. Equality matches in both directions
+    (DuckDB/pandas ``merge_asof`` semantics). ``tolerance`` (same units
+    as the ts columns) nulls out matches farther than that from the left
+    timestamp — the match is dropped, not replaced by the next-nearest.
+
+    Matched right columns (``right_cols``, default: all non-key,
+    non-ts) come back as ``<name><suffix>`` plus ``<right_ts><suffix>``;
+    unmatched left rows keep them NULL (left join semantics).
+
+    If several right rows share (key, ts), the one with the greatest
+    ``right_tiebreak`` (or the last in arbitrary order if unset — pass
+    a tiebreak for deterministic output) wins.
+
+    Plan: union of the two tagged sides -> ONE Exchange on ``on`` ->
+    per-key sort on (ts, side, tiebreak) -> running last(ignorenulls)
+    -> filter back to left rows. No nested-loop join, no range
+    predicate reaches the planner.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    keys = [on] if isinstance(on, str) else list(on)
+    rts = right_ts or left_ts
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in keys and c != rts]
+
+    payload = F.struct(
+        F.col(rts).alias("__ts"),
+        *[F.col(c).alias(c) for c in right_cols],
+        *(
+            [F.col(right_tiebreak).cast("double").alias("__tb")]
+            if right_tiebreak
+            else [F.lit(0.0).alias("__tb")]
+        ),
+    )
+    left_cols = left.columns
+    l_payload = F.struct(*[F.col(c).alias(c) for c in left_cols])
+    r_side = right.select(
+        *[F.col(k) for k in keys],
+        F.col(rts).alias("__t"),
+        F.lit(0).alias("__side"),
+        payload.alias("__rp"),
+        F.lit(None).cast(left.select(l_payload.alias("s")).schema["s"].dataType).alias("__lp"),
+    )
+    l_side = left.select(
+        *[F.col(k) for k in keys],
+        F.col(left_ts).alias("__t"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(right.select(payload.alias("s")).schema["s"].dataType).alias("__rp"),
+        l_payload.alias("__lp"),
+    )
+    both = r_side.unionByName(l_side)
+
+    # Backward: ascending time, right rows (side 0) before left at equal
+    # ts so an equal-timestamp right row is visible. Forward: descending
+    # time, same side order -> running last sees the nearest later row.
+    t_order = F.col("__t").asc() if direction == "backward" else F.col("__t").desc()
+    # Among equal (key, ts) right rows the LAST in tiebreak order wins
+    # the running last(); ascending tiebreak makes that the greatest, in
+    # both directions (equal-ts rows are adjacent either way).
+    tb_order = F.col("__rp.__tb").asc_nulls_first()
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(t_order, F.col("__side").asc(), tb_order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    matched = both.withColumn("__m", F.last("__rp", ignorenulls=True).over(w))
+
+    m = F.col("__m")
+    if tolerance is not None:
+        gap = (
+            (F.col("__t") - m["__ts"])
+            if direction == "backward"
+            else (m["__ts"] - F.col("__t"))
+        )
+        m = F.when(gap <= F.lit(tolerance), F.col("__m"))
+    out = matched.where(F.col("__side") == 1).select(
+        *[F.col("__lp")[c].alias(c) for c in left_cols],
+        m["__ts"].alias(rts + suffix),
+        *[m[c].alias(c + suffix) for c in right_cols],
+    )
+    return out
+
+
+def range_join_points(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    on: list[str] | None = None,
+    bucket_width: float = 1.0,
+    closed: str = "left",
+) -> DataFrame:
+    """Equi-join plan for ``lo <= point < hi`` (point-in-interval).
+
+    ``closed``: "left" ([lo, hi)), "both" ([lo, hi]), "right" ((lo, hi]),
+    "neither" ((lo, hi)). ``on`` adds equi-key columns shared by both
+    sides. Output: all point columns + all interval columns (names must
+    not collide; alias beforehand).
+
+    Each interval explodes to ``1 + floor(hi/w) - floor(lo/w)`` bucket
+    rows — pick ``bucket_width`` near the typical interval length so the
+    explode factor stays O(1). Catalyst plans the result as a shuffled
+    hash equi-join on (keys…, bucket): no BroadcastNestedLoopJoin, and a
+    small interval side still broadcasts automatically under AQE.
+    """
+    on = on or []
+    w = float(bucket_width)
+    if w <= 0:
+        raise ValueError("bucket_width must be positive")
+
+    p_bucket = F.floor(F.col(point_col) / F.lit(w)).cast("long")
+    i_buckets = F.sequence(
+        F.floor(F.col(lo_col) / F.lit(w)).cast("long"),
+        F.floor(F.col(hi_col) / F.lit(w)).cast("long"),
+    )
+    p = points.withColumn("__bucket", p_bucket)
+    i = intervals.withColumn("__bucket", F.explode(i_buckets))
+
+    lo_ok = {
+        "left": F.col(point_col) >= F.col(lo_col),
+        "both": F.col(point_col) >= F.col(lo_col),
+        "right": F.col(point_col) > F.col(lo_col),
+        "neither": F.col(point_col) > F.col(lo_col),
+    }[closed]
+    hi_ok = {
+        "left": F.col(point_col) < F.col(hi_col),
+        "both": F.col(point_col) <= F.col(hi_col),
+        "right": F.col(point_col) <= F.col(hi_col),
+        "neither": F.col(point_col) < F.col(hi_col),
+    }[closed]
+
+    joined = p.join(i, on=on + ["__bucket"], how="inner").where(lo_ok & hi_ok)
+    return joined.drop("__bucket")
