@@ -84,6 +84,10 @@ BENCH_QUERIES = [
     "encoding_documents",
     "boilerplate_documents",
     "corpus_report",
+    "asof_events",
+    "range_bands",
+    "drift_events_value",
+    "drift_documents_lang",
 ]
 
 

@@ -316,3 +316,112 @@ def test_drift_aggregate_sized_shuffles(spark):
     plan = d._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
     assert d.count() == 1
+
+
+# ---------------------------------------------------------- streaming drift
+
+
+def test_drift_scores_matches_categorical_drift_math(spark):
+    from whylogs_java_spark.streaming.drift_stream import (
+        drift_scores,
+        reference_fractions,
+    )
+
+    ref_df = spark.createDataFrame(
+        [("x",), ("x",), ("y",), (None,)], "c string"
+    )
+    live = spark.createDataFrame(
+        [("x",), ("z",), (None,), (None,)], "c string"
+    )
+    reference = reference_fractions(ref_df, "c")
+    # one synthetic closed window over the live slice
+    counts = (
+        live.select(
+            F.lit("2024-01-01 00:00:00").cast("timestamp").alias("window_start"),
+            F.lit("2024-01-01 01:00:00").cast("timestamp").alias("window_end"),
+            F.coalesce(F.col("c"), F.lit("\x00null")).alias("cat"),
+        )
+        .groupBy("window_start", "window_end", "cat")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    got = drift_scores(counts, reference).first()
+    # same distributions as test_categorical_drift_distances
+    assert got["l1"] == pytest.approx(1.0)
+    assert got["linf"] == pytest.approx(0.25)
+    expected_psi = categorical_drift(ref_df, live, "c").first()["psi"]
+    assert got["psi"] == pytest.approx(expected_psi)
+
+
+def test_drift_scores_counts_vanished_categories(spark):
+    """A category present only in the reference still contributes."""
+    from whylogs_java_spark.streaming.drift_stream import (
+        drift_scores,
+        reference_fractions,
+    )
+
+    ref_df = spark.createDataFrame([("x",), ("gone",)], "c string")
+    counts = spark.createDataFrame(
+        [("2024-01-01 00:00:00", "2024-01-01 01:00:00", "x", 2)],
+        "window_start string, window_end string, cat string, n long",
+    ).select(
+        F.col("window_start").cast("timestamp").alias("window_start"),
+        F.col("window_end").cast("timestamp").alias("window_end"),
+        "cat",
+        "n",
+    )
+    got = drift_scores(counts, reference_fractions(ref_df, "c")).first()
+    # live = {x: 1.0}; ref = {x: .5, gone: .5} -> l1 = 0.5 + 0.5
+    assert got["l1"] == pytest.approx(1.0)
+    assert got["linf"] == pytest.approx(0.5)
+
+
+def test_windowed_category_counts_stream_matches_batch(spark, tmp_path):
+    from whylogs_java_spark.streaming.drift_stream import (
+        windowed_category_counts,
+    )
+
+    rows = [
+        (f"2024-01-01 {h:02d}:{m:02d}:00", cat)
+        for h in range(3)
+        for m, cat in [(5, "a"), (20, "b"), (40, "a")]
+    ]
+    # sentinel far in the future flushes every real window past the
+    # watermark so append mode emits them
+    rows.append(("2024-01-02 12:00:00", "flush"))
+    df = spark.createDataFrame(rows, "ts string, cat string").select(
+        F.col("ts").cast("timestamp").alias("ts"), "cat"
+    )
+    src = str(tmp_path / "src")
+    df.coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    counts = windowed_category_counts(
+        stream, "cat", "ts", window_duration="1 hour", watermark="0 seconds"
+    )
+    q = (
+        counts.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("drift_counts")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (str(r["window_start"]), r["cat"]): r["n"]
+            for r in spark.sql("SELECT * FROM drift_counts").collect()
+        }
+    finally:
+        q.stop()
+
+    batch = {
+        (str(r["window_start"]), r["cat"]): r["n"]
+        for r in df.groupBy(
+            F.window("ts", "1 hour").alias("w"), "cat"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "cat", "n")
+        .collect()
+        if r["cat"] != "flush"
+    }
+    assert got == batch

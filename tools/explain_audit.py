@@ -130,6 +130,26 @@ AUDITED = [
         "deliberately NOT broadcast); reassembly agg keys on the doc id "
         "with O(doc) state.",
     ),
+    (
+        "asof_events",
+        "As-of join via union-merge: both sides union into ONE Exchange on "
+        "the key, per-key time-sorted Window carries the latest right row "
+        "forward (last ignorenulls), filter back to left rows. No "
+        "BroadcastNestedLoopJoin, no range predicate in the planner.",
+    ),
+    (
+        "range_bands",
+        "Point-in-interval as an equi-join: intervals explode to the "
+        "buckets they span, points hash to one bucket, join on the bucket "
+        "key + exact containment filter. A small interval side broadcasts "
+        "under AQE; no cross product at any scale.",
+    ),
+    (
+        "drift_events_value",
+        "Numeric drift: each slice reduces in one scan to per-(group, bin) "
+        "partial HashAggregates; the cross-slice full-outer join and the "
+        "PSI/CDF windows run over O(groups x bins) rows only.",
+    ),
 ]
 
 

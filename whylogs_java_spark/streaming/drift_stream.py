@@ -1,0 +1,141 @@
+"""Streaming drift: windowed category/bin frequencies scored against a
+static reference distribution.
+
+The monitoring loop a profile store exists for: a reference slice (last
+week, the training set) is reduced once to per-category fractions, and
+the live stream's windows are scored against it continuously. No
+reference counterpart (whylogs-java has no streaming operators —
+SURVEY.md §2.10); this is the streaming face of operators/drift.py.
+
+Design: Structured Streaming allows ONE stateful aggregation per query,
+so the stream side does exactly one — counts per (window, group, cat) —
+and the PSI reduction over a window's categories happens either:
+
+- in ``drift_scores`` applied inside ``foreachBatch`` (batch DataFrame →
+  same math as operators/drift.categorical_drift, reference broadcast),
+  the shape every other sink in this package uses; or
+- downstream on the compacted counts sink.
+
+The reference table is O(categories) rows and broadcast-joined, so a
+window's score costs one small join + hash-agg per micro-batch; stream
+state is the bounded windowed-counts state (watermark-expired), never
+the reference.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.drift import PSI_EPS
+
+_NULL_CAT = "\x00null"
+
+
+def reference_fractions(
+    df: DataFrame, column: str, group_by: Sequence[str] = ()
+) -> DataFrame:
+    """(keys..., cat, p_ref) from a static reference slice. NULLs map to
+    the same sentinel category as operators/drift.categorical_drift."""
+    keys = list(group_by)
+    cat = F.coalesce(F.col(column).cast("string"), F.lit(_NULL_CAT))
+    counts = df.groupBy(*keys, cat.alias("cat")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    from ..operators.drift import _group_window
+
+    tot = F.sum("n").over(_group_window(keys))
+    return counts.select(
+        *keys, "cat", (F.col("n") / tot).alias("p_ref")
+    )
+
+
+def windowed_category_counts(
+    stream_df: DataFrame,
+    column: str,
+    time_column: str,
+    window_duration: str = "1 hour",
+    slide_duration: str | None = None,
+    watermark: str = "10 minutes",
+    group_by: Sequence[str] = (),
+) -> DataFrame:
+    """The one stateful step: streaming counts per (window, keys, cat).
+
+    Append mode emits a window's counts once its watermark passes —
+    score those finalized rows with ``drift_scores``.
+    """
+    keys = list(group_by)
+    cat = F.coalesce(F.col(column).cast("string"), F.lit(_NULL_CAT))
+    win = (
+        F.window(F.col(time_column), window_duration, slide_duration)
+        if slide_duration
+        else F.window(F.col(time_column), window_duration)
+    )
+    return (
+        stream_df.withWatermark(time_column, watermark)
+        .groupBy(win.alias("window"), *keys, cat.alias("cat"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            *keys,
+            "cat",
+            "n",
+        )
+    )
+
+
+def drift_scores(
+    counts: DataFrame,
+    reference: DataFrame,
+    group_by: Sequence[str] = (),
+    eps: float = PSI_EPS,
+) -> DataFrame:
+    """PSI / L1 / L-inf per (window, keys) from windowed counts vs the
+    reference fractions (output of ``reference_fractions``).
+
+    Works on the batch handed to ``foreachBatch`` or on a compacted
+    counts table. The join is a broadcast of the reference (O(categories)
+    rows); categories seen only in the reference still count against
+    drift (full outer per window via a window-key cross of the reference).
+    """
+    keys = list(group_by)
+    win_keys = ["window_start", "window_end", *keys]
+
+    # every (window, key) needs the reference's full category set so a
+    # category that disappeared from the live stream still contributes
+    windows = counts.select(*win_keys).distinct()
+    ref_keys = keys if keys else None
+    ref_expanded = (
+        windows.join(F.broadcast(reference), on=ref_keys, how="inner")
+        if keys
+        else windows.crossJoin(F.broadcast(reference))
+    )
+
+    full = ref_expanded.join(
+        counts, on=win_keys + ["cat"], how="full"
+    ).select(
+        *win_keys,
+        "cat",
+        F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+        F.coalesce(F.col("p_ref"), F.lit(0.0)).alias("p_ref"),
+    )
+
+    from ..operators.drift import _group_window
+
+    tot = F.sum("n").over(_group_window(win_keys))
+    p_live_raw = F.coalesce(F.try_divide(F.col("n"), tot), F.lit(0.0))
+    p_live = F.greatest(p_live_raw, F.lit(eps))
+    p_ref = F.greatest(F.col("p_ref"), F.lit(eps))
+    per = full.select(
+        *win_keys,
+        ((p_live - p_ref) * (F.log(p_live) - F.log(p_ref))).alias("__psi_term"),
+        F.abs(p_live_raw - F.col("p_ref")).alias("__gap"),
+    )
+    return per.groupBy(*win_keys).agg(
+        F.sum("__psi_term").alias("psi"),
+        F.sum("__gap").alias("l1"),
+        F.max("__gap").alias("linf"),
+    )
