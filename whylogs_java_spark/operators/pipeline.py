@@ -55,6 +55,7 @@ def training_manifest(
     max_boilerplate_fraction: float | None = None,
     boiler_seg_words: int = 10,
     boiler_df_threshold: int = 3,
+    materialize: bool = True,
 ) -> DataFrame:
     """Run the full cleaning pipeline; return the manifest (id, split).
 
@@ -71,10 +72,21 @@ def training_manifest(
     """
     src = docs.select(id_col, text_col)
     s1 = exact_dedup(src, text_col, id_col)
+    if materialize:
+        # s1 feeds three consumers (the near-dup signature pipeline, the
+        # survivor semi-join, and decontamination); without a stage
+        # boundary each branch re-derives it from the raw scan + content
+        # -hash shuffle. localCheckpoint is the single-node analog of the
+        # parquet staging a cluster pipeline would do between phases —
+        # set materialize=False to keep pure lineage (e.g. for plan
+        # audits or when the input is already a materialized table).
+        s1 = s1.localCheckpoint(eager=True)
     survivors = near_dup_clusters(
         s1, text_col, id_col, threshold=near_threshold
     ).where(F.col("is_survivor")).select(id_col)
     s2 = s1.join(survivors, id_col, "left_semi")
+    if materialize:
+        s2 = s2.localCheckpoint(eager=True)
     clean = decontaminate(s2, text_col, id_col, eval_df, n=ngram_n).where(
         ~F.col("contaminated")
     ).select(id_col)
