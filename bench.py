@@ -86,6 +86,7 @@ BENCH_QUERIES = [
     "corpus_report",
     "asof_events",
     "range_bands",
+    "overlap_lineitem",
     "drift_events_value",
     "drift_documents_lang",
 ]

@@ -425,3 +425,66 @@ def test_windowed_category_counts_stream_matches_batch(spark, tmp_path):
         if r["cat"] != "flush"
     }
     assert got == batch
+
+
+# ------------------------------------------------------ interval overlap join
+
+
+def test_interval_overlap_vs_brute_force(spark):
+    from whylogs_java_spark.operators.joins import range_join_intervals
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    n = 120
+    lo = rng.integers(0, 300, n)
+    length = rng.integers(0, 60, n)
+    rows = [(int(i), float(lo[i]), float(lo[i] + length[i])) for i in range(n)]
+    a = spark.createDataFrame(rows, "a_id int, a_lo double, a_hi double")
+    b = spark.createDataFrame(
+        [(i, l, h) for i, l, h in rows], "b_id int, b_lo double, b_hi double"
+    )
+    got = {
+        (r["a_id"], r["b_id"])
+        for r in range_join_intervals(
+            a, b, "a_lo", "a_hi", "b_lo", "b_hi", bucket_width=25.0
+        ).collect()
+    }
+    expected = {
+        (i, j)
+        for i, (_, li_, hi_) in enumerate(rows)
+        for j, (_, lj, hj) in enumerate(rows)
+        if li_ <= hj and lj <= hi_
+    }
+    assert got == expected
+
+
+def test_interval_overlap_no_duplicate_pairs(spark):
+    from whylogs_java_spark.operators.joins import range_join_intervals
+
+    # long overlapping intervals share MANY buckets; the first-shared-
+    # bucket rule must emit each pair exactly once
+    a = spark.createDataFrame([(1, 0.0, 1000.0)], "a_id int, a_lo double, a_hi double")
+    b = spark.createDataFrame([(2, 500.0, 900.0)], "b_id int, b_lo double, b_hi double")
+    out = range_join_intervals(a, b, "a_lo", "a_hi", "b_lo", "b_hi", bucket_width=10.0)
+    assert out.count() == 1
+
+
+def test_interval_overlap_keys_and_disjoint(spark):
+    from whylogs_java_spark.operators.joins import range_join_intervals
+
+    a = spark.createDataFrame(
+        [("g1", 1, 0.0, 5.0), ("g2", 2, 0.0, 5.0)],
+        "g string, a_id int, a_lo double, a_hi double",
+    )
+    b = spark.createDataFrame(
+        [("g1", 7, 5.0, 9.0), ("g1", 8, 6.0, 9.0)],
+        "g string, b_id int, b_lo double, b_hi double",
+    )
+    got = {
+        (r["a_id"], r["b_id"])
+        for r in range_join_intervals(
+            a, b, "a_lo", "a_hi", "b_lo", "b_hi", on=["g"], bucket_width=3.0
+        ).collect()
+    }
+    # closed intervals: touching at 5.0 overlaps; g2 never joins g1 rows
+    assert got == {(1, 7)}

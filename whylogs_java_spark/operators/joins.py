@@ -180,3 +180,56 @@ def range_join_points(
 
     joined = p.join(i, on=on + ["__bucket"], how="inner").where(lo_ok & hi_ok)
     return joined.drop("__bucket")
+
+
+def range_join_intervals(
+    left: DataFrame,
+    right: DataFrame,
+    left_lo: str,
+    left_hi: str,
+    right_lo: str,
+    right_hi: str,
+    on: list[str] | None = None,
+    bucket_width: float = 1.0,
+) -> DataFrame:
+    """Interval-overlap join (closed intervals: ``lo_a <= hi_b AND
+    lo_b <= hi_a``) as a bucketed equi-join.
+
+    Both sides explode to the fixed-width buckets they span and join per
+    (keys…, bucket). An overlapping pair shares every bucket between
+    ``max(lo)`` and ``min(hi)``, which would duplicate the pair — so the
+    join keeps only the FIRST shared bucket, ``floor(max(lo_a, lo_b) /
+    w)``: it lies inside both intervals whenever they overlap, each pair
+    owns exactly one such bucket, and no post-join ``distinct`` (a
+    second full shuffle) is needed.
+
+    Column names (besides ``on`` keys) must be distinct across the two
+    sides; alias beforehand. Explode factor per row = interval length /
+    ``bucket_width`` — pick the width near the typical interval length.
+    """
+    on = on or []
+    w = float(bucket_width)
+    if w <= 0:
+        raise ValueError("bucket_width must be positive")
+
+    def buckets(lo: str, hi: str):
+        return F.sequence(
+            F.floor(F.col(lo) / F.lit(w)).cast("long"),
+            F.floor(F.col(hi) / F.lit(w)).cast("long"),
+        )
+
+    l = left.withColumn("__bucket", F.explode(buckets(left_lo, left_hi)))
+    r = right.withColumn("__bucket", F.explode(buckets(right_lo, right_hi)))
+
+    overlap = (F.col(left_lo) <= F.col(right_hi)) & (
+        F.col(right_lo) <= F.col(left_hi)
+    )
+    first_shared = (
+        F.floor(F.greatest(F.col(left_lo), F.col(right_lo)) / F.lit(w)).cast("long")
+        == F.col("__bucket")
+    )
+    return (
+        l.join(r, on=on + ["__bucket"], how="inner")
+        .where(overlap & first_shared)
+        .drop("__bucket")
+    )
