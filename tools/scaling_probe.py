@@ -124,6 +124,57 @@ def _replicate_embeddings(emb: DataFrame, replicas: int, dim: int) -> DataFrame:
     return out
 
 
+def _replicate_events(ev: DataFrame, replicas: int) -> DataFrame:
+    """Replica r: ids and user_ids shifted — more keys, same per-key
+    depth, so the as-of window's per-key sort cost stays constant while
+    the key space (and shuffle) scales linearly."""
+    parts = [ev]
+    for r in range(1, replicas):
+        parts.append(
+            ev.select(
+                (F.col("event_id") + r * REPLICA_STRIDE).alias("event_id"),
+                (F.col("user_id") + r * REPLICA_STRIDE).alias("user_id"),
+                "ts",
+                "event_type",
+                "value",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _asof_views(ev: DataFrame) -> DataFrame:
+    from whylogs_java_spark.operators.joins import asof_join
+
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("view_value"))
+    )
+    return asof_join(
+        purchases, views, on="user_id", left_ts="ts",
+        right_cols=["view_value"], suffix="_v",
+    )
+
+
+def _drift_halves(ev: DataFrame) -> DataFrame:
+    from whylogs_java_spark.operators.drift import numeric_drift
+
+    cut = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    return numeric_drift(
+        ev.where(F.col("ts") < cut),
+        ev.where(F.col("ts") >= cut),
+        "value",
+        splits=[50.0, 100.0, 150.0, 200.0, 250.0, 300.0],
+        group_by=["event_type"],
+    )
+
+
 def _shuffle_totals(spark: SparkSession) -> tuple[int, int]:
     """(shuffle_read_bytes, shuffle_write_bytes) summed over all completed
     stages so far, via the UI REST API."""
@@ -185,16 +236,26 @@ def main() -> None:
     dim = len(emb_raw.select("embedding").first()[0])
     emb1 = _mutated_embeddings(emb_raw)
 
+    from whylogs_java_spark.sources.parquet import load_table
+
+    ev1 = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+
     corpora: dict[str, dict[str, DataFrame]] = {}
     for scale, mult in (("1x", 1), ("10x", 10)):
         d = _replicate_docs(docs1, mult)
         e = _replicate_embeddings(emb1, mult, dim)
+        ev = _replicate_events(ev1, mult)
         dpath, epath = f"{out_dir}/docs_{scale}", f"{out_dir}/emb_{scale}"
+        evpath = f"{out_dir}/events_{scale}"
         d.write.mode("overwrite").parquet(dpath)
         e.write.mode("overwrite").parquet(epath)
+        ev.write.mode("overwrite").parquet(evpath)
         corpora[scale] = {
             "docs": spark.read.parquet(dpath),
             "emb": spark.read.parquet(epath),
+            "events": spark.read.parquet(evpath),
         }
 
     runs = []
@@ -258,6 +319,24 @@ def main() -> None:
                         bucket_cap=2000,
                     ),
                     n_emb,
+                )
+            )
+        if want("asof"):
+            events = corpora[scale]["events"]
+            runs.append(
+                _timed(
+                    spark, "asof", scale,
+                    lambda ev=events: _asof_views(ev),
+                    events.count(),
+                )
+            )
+        if want("drift"):
+            events = corpora[scale]["events"]
+            runs.append(
+                _timed(
+                    spark, "drift", scale,
+                    lambda ev=events: _drift_halves(ev),
+                    events.count(),
                 )
             )
         if scale == "10x" and want("emb_fast"):
