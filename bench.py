@@ -88,6 +88,7 @@ BENCH_QUERIES = [
     "range_bands",
     "overlap_lineitem",
     "drift_events_value",
+    "drift_events_rolling",
     "drift_documents_lang",
 ]
 

@@ -488,3 +488,51 @@ def test_interval_overlap_keys_and_disjoint(spark):
     }
     # closed intervals: touching at 5.0 overlaps; g2 never joins g1 rows
     assert got == {(1, 7)}
+
+
+# ------------------------------------------------------------- rolling drift
+
+
+def test_rolling_drift_day_pairs_and_gap_reset(spark):
+    from whylogs_java_spark.operators.drift import rolling_drift
+
+    rows = []
+    # day 1 and day 2: identical distributions; day 3 missing; day 4
+    # present (must be dropped: previous calendar day is empty)
+    for d in ("2024-01-01", "2024-01-02", "2024-01-04"):
+        rows += [(f"{d} 10:00:00", float(v)) for v in (1, 1, 5, 9)]
+    df = spark.createDataFrame(rows, "ts string, v double").select(
+        F.col("ts").cast("timestamp").alias("ts"), "v"
+    )
+    out = {str(r["day"]): r for r in rolling_drift(df, "v", "ts", splits=[4.0, 8.0]).collect()}
+    assert set(out) == {"2024-01-02"}  # first day and post-gap day dropped
+    assert out["2024-01-02"]["psi"] == pytest.approx(0.0)
+    assert out["2024-01-02"]["count_cur"] == 4
+    assert out["2024-01-02"]["count_prev"] == 4
+
+
+def test_rolling_drift_detects_shift(spark):
+    from whylogs_java_spark.operators.drift import rolling_drift
+
+    rows = [("2024-01-01 00:00:00", float(v % 10)) for v in range(100)]
+    rows += [("2024-01-02 00:00:00", float(v % 10) + 5) for v in range(100)]
+    df = spark.createDataFrame(rows, "ts string, v double").select(
+        F.col("ts").cast("timestamp").alias("ts"), "v"
+    )
+    out = rolling_drift(df, "v", "ts", splits=[5.0, 10.0]).collect()
+    assert len(out) == 1
+    assert out[0]["psi"] > 0.5
+    assert out[0]["cdf_linf"] > 0.4
+
+
+def test_rolling_drift_grouped(spark):
+    from whylogs_java_spark.operators.drift import rolling_drift
+
+    rows = [("2024-01-01 00:00:00", "g1", 1.0), ("2024-01-02 00:00:00", "g1", 1.0),
+            ("2024-01-02 00:00:00", "g2", 1.0)]
+    df = spark.createDataFrame(rows, "ts string, g string, v double").select(
+        F.col("ts").cast("timestamp").alias("ts"), "g", "v"
+    )
+    out = rolling_drift(df, "v", "ts", splits=[2.0], group_by=["g"]).collect()
+    # only (g1, Jan 2) has a previous day within its group
+    assert [(str(r["day"]), r["g"]) for r in out] == [("2024-01-02", "g1")]

@@ -212,6 +212,99 @@ def categorical_drift(
     )
 
 
+def rolling_drift(
+    df: DataFrame,
+    column: str,
+    time_column: str,
+    splits: Sequence[float],
+    group_by: Sequence[str] = (),
+    eps: float = PSI_EPS,
+) -> DataFrame:
+    """PSI + binned-CDF L-inf of each day's distribution vs the PREVIOUS
+    calendar day — continuous monitoring over a time-series table.
+
+    Output per (keys..., day) with a non-empty previous day:
+    (keys..., day, column_name, count_cur, count_prev, psi, cdf_linf).
+    Days whose previous calendar day has no rows (including the first
+    day) are dropped — there is nothing to compare against; a gap day
+    therefore also resets the comparison rather than silently comparing
+    across the gap.
+
+    One scan reduces the table to per-(day, keys, bin) counts; the
+    "previous day" side is the SAME aggregate shifted by one day, so the
+    self-join and the PSI windows run over O(days × groups × bins) rows.
+    At 100 TB this costs the column-pruned scan plus aggregate-sized
+    exchanges — never a second data pass.
+    """
+    keys = list(group_by)
+    day = F.col(time_column).cast("date").alias("__day")
+    v = F.col(column).cast("double")
+    ok = v.isNotNull() & ~F.isnan(v)
+    bin_idx = F.lit(0)
+    for i, s in enumerate(sorted(float(x) for x in splits)):
+        bin_idx = F.when(v >= F.lit(s), F.lit(i + 1)).otherwise(bin_idx)
+    binned = (
+        df.where(ok)
+        .select(day, *keys, bin_idx.alias("bin"))
+        .groupBy("__day", *keys, "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    cur = binned.select(
+        F.col("__day"), *keys, "bin", F.col("n").alias("n_cur")
+    )
+    prev = binned.select(
+        F.date_add("__day", 1).alias("__day"),
+        *keys,
+        "bin",
+        F.col("n").alias("n_prev"),
+    )
+    both = cur.join(prev, on=["__day", *keys, "bin"], how="full").select(
+        "__day",
+        *keys,
+        "bin",
+        F.coalesce(F.col("n_cur"), F.lit(0)).alias("n_cur"),
+        F.coalesce(F.col("n_prev"), F.lit(0)).alias("n_prev"),
+    )
+    wk = ["__day", *keys]
+    tot_c = F.sum("n_cur").over(_group_window(wk))
+    tot_p = F.sum("n_prev").over(_group_window(wk))
+    pc = F.greatest(F.coalesce(F.try_divide(F.col("n_cur"), tot_c), F.lit(0.0)), F.lit(eps))
+    pp = F.greatest(F.coalesce(F.try_divide(F.col("n_prev"), tot_p), F.lit(0.0)), F.lit(eps))
+    cum_c = F.coalesce(
+        F.try_divide(F.sum("n_cur").over(_group_window(wk, order="bin")), tot_c),
+        F.lit(0.0),
+    )
+    cum_p = F.coalesce(
+        F.try_divide(F.sum("n_prev").over(_group_window(wk, order="bin")), tot_p),
+        F.lit(0.0),
+    )
+    per = both.select(
+        "__day",
+        *keys,
+        F.col("n_cur"),
+        F.col("n_prev"),
+        ((pc - pp) * (F.log(pc) - F.log(pp))).alias("__psi_term"),
+        F.abs(cum_c - cum_p).alias("__cdf_gap"),
+    )
+    out = per.groupBy("__day", *keys).agg(
+        F.sum("n_cur").alias("count_cur"),
+        F.sum("n_prev").alias("count_prev"),
+        F.sum("__psi_term").alias("psi"),
+        F.max("__cdf_gap").alias("cdf_linf"),
+    )
+    return out.where(
+        (F.col("count_prev") > 0) & (F.col("count_cur") > 0)
+    ).select(
+        F.col("__day").alias("day"),
+        *keys,
+        F.lit(column).alias("column_name"),
+        "count_cur",
+        "count_prev",
+        "psi",
+        "cdf_linf",
+    )
+
+
 def auto_splits(
     df_a: DataFrame, df_b: DataFrame, column: str, bins: int = 10
 ) -> list[float]:
