@@ -536,3 +536,39 @@ def test_rolling_drift_grouped(spark):
     out = rolling_drift(df, "v", "ts", splits=[2.0], group_by=["g"]).collect()
     # only (g1, Jan 2) has a previous day within its group
     assert [(str(r["day"]), r["g"]) for r in out] == [("2024-01-02", "g1")]
+
+
+def test_asof_null_ts_and_keys(spark):
+    """SQL/merge_asof NULL semantics: NULL right ts never matches; NULL
+    left ts or NULL keys on either side yield NULL match columns."""
+    left = spark.createDataFrame(
+        [(1, 5, "a"), (1, None, "b"), (None, 5, "c")],
+        "k int, ts int, lab string",
+    )
+    right = spark.createDataFrame(
+        [(1, None, 7.0), (1, 3, 2.0), (None, 1, 9.0)],
+        "k int, ts int, p double",
+    )
+    out = _asof_map(asof_join(left, right, on="k", left_ts="ts"))
+    assert out["a"] == (3, 2.0)  # NULL-ts right row (p=7.0) ignored
+    assert out["b"] == (None, None)  # NULL left ts matches nothing
+    assert out["c"] == (None, None)  # NULL key matches nothing (not even NULL key)
+
+    fwd = _asof_map(
+        asof_join(left, right, on="k", left_ts="ts", direction="forward")
+    )
+    assert fwd["b"] == (None, None)  # NULL ts sorts last under desc: still no match
+    assert fwd["c"] == (None, None)
+
+
+def test_numeric_drift_infinity_is_invalid(spark):
+    """±Inf follows the package null convention (predicates.null_predicate)."""
+    a = spark.createDataFrame(
+        [(1.0,), (float("inf",),), (float("-inf"),), (3.0,)], "v double"
+    )
+    b = spark.createDataFrame([(1.0,), (3.0,)], "v double")
+    d = numeric_drift(a, b, "v", splits=[2.0]).first()
+    assert d["null_rate_a"] == pytest.approx(0.5)
+    assert d["mean_a"] == pytest.approx(2.0)  # Inf excluded from moments
+    assert d["psi"] == pytest.approx(0.0)  # Inf rows never reach a bin
+    assert math.isfinite(d["stddev_a"])

@@ -238,25 +238,30 @@ def main() -> None:
 
     from whylogs_java_spark.sources.parquet import load_table
 
-    ev1 = load_table(spark, sf_dir, "events").select(
-        "event_id", "user_id", "ts", "event_type", "value"
+    want_events = not only or bool(only & {"asof", "drift"})
+    ev1 = (
+        load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "ts", "event_type", "value"
+        )
+        if want_events
+        else None
     )
 
     corpora: dict[str, dict[str, DataFrame]] = {}
     for scale, mult in (("1x", 1), ("10x", 10)):
         d = _replicate_docs(docs1, mult)
         e = _replicate_embeddings(emb1, mult, dim)
-        ev = _replicate_events(ev1, mult)
         dpath, epath = f"{out_dir}/docs_{scale}", f"{out_dir}/emb_{scale}"
-        evpath = f"{out_dir}/events_{scale}"
         d.write.mode("overwrite").parquet(dpath)
         e.write.mode("overwrite").parquet(epath)
-        ev.write.mode("overwrite").parquet(evpath)
         corpora[scale] = {
             "docs": spark.read.parquet(dpath),
             "emb": spark.read.parquet(epath),
-            "events": spark.read.parquet(evpath),
         }
+        if want_events:
+            evpath = f"{out_dir}/events_{scale}"
+            _replicate_events(ev1, mult).write.mode("overwrite").parquet(evpath)
+            corpora[scale]["events"] = spark.read.parquet(evpath)
 
     runs = []
     for scale in ("1x", "10x"):
@@ -321,24 +326,25 @@ def main() -> None:
                     n_emb,
                 )
             )
-        if want("asof"):
+        if want("asof") or want("drift"):
             events = corpora[scale]["events"]
-            runs.append(
-                _timed(
-                    spark, "asof", scale,
-                    lambda ev=events: _asof_views(ev),
-                    events.count(),
+            n_events = events.count()
+            if want("asof"):
+                runs.append(
+                    _timed(
+                        spark, "asof", scale,
+                        lambda ev=events: _asof_views(ev),
+                        n_events,
+                    )
                 )
-            )
-        if want("drift"):
-            events = corpora[scale]["events"]
-            runs.append(
-                _timed(
-                    spark, "drift", scale,
-                    lambda ev=events: _drift_halves(ev),
-                    events.count(),
+            if want("drift"):
+                runs.append(
+                    _timed(
+                        spark, "drift", scale,
+                        lambda ev=events: _drift_halves(ev),
+                        n_events,
+                    )
                 )
-            )
         if scale == "10x" and want("emb_fast"):
             # LSH bucket count is fixed by `planes`, so holding planes
             # constant while the corpus grows 10x multiplies within-bucket

@@ -36,6 +36,48 @@ from pyspark.sql import functions as F
 
 PSI_EPS = 1e-6
 
+# sentinel category NULLs map to (SQL NULL join keys never equal each
+# other); shared with streaming/drift_stream.py
+NULL_CAT = "\x00null"
+
+
+def _valid_value(v):
+    """NULL ∪ NaN ∪ ±Inf are non-values — the package null convention
+    (functions/predicates.null_predicate, mirrored here on an
+    already-double column)."""
+    return v.isNotNull() & ~F.isnan(v) & (F.abs(v) != F.lit(float("inf")))
+
+
+def _bin_index(v, splits: Sequence[float]):
+    """Split-point bin index: bin i = [s_{i-1}, s_i) with open ends,
+    mirroring summary.histogram_custom_splits."""
+    bin_idx = F.lit(0)
+    for i, s in enumerate(sorted(float(x) for x in splits)):
+        bin_idx = F.when(v >= F.lit(s), F.lit(i + 1)).otherwise(bin_idx)
+    return bin_idx
+
+
+def _psi_cdf_terms(keys: Sequence[str], a: str, b: str, eps: float):
+    """(psi_term, cdf_gap) column pair over a binned-counts table with
+    count columns ``a``/``b``, windowed per ``keys`` ordered by `bin`.
+    The shared core of numeric_drift / rolling_drift (and the same math
+    drift_stream.drift_scores applies against a precomputed reference)."""
+    tot_a = F.sum(a).over(_group_window(keys))
+    tot_b = F.sum(b).over(_group_window(keys))
+    pa = F.greatest(F.coalesce(F.try_divide(F.col(a), tot_a), F.lit(0.0)), F.lit(eps))
+    pb = F.greatest(F.coalesce(F.try_divide(F.col(b), tot_b), F.lit(0.0)), F.lit(eps))
+    cum_a = F.coalesce(
+        F.try_divide(F.sum(a).over(_group_window(keys, order="bin")), tot_a),
+        F.lit(0.0),
+    )
+    cum_b = F.coalesce(
+        F.try_divide(F.sum(b).over(_group_window(keys, order="bin")), tot_b),
+        F.lit(0.0),
+    )
+    psi_term = (pa - pb) * (F.log(pa) - F.log(pb))
+    cdf_gap = F.abs(cum_a - cum_b)
+    return psi_term, cdf_gap
+
 
 def _binned_counts(
     df: DataFrame,
@@ -44,17 +86,12 @@ def _binned_counts(
     group_by: Sequence[str],
     side: str,
 ) -> DataFrame:
-    """(keys..., bin, n_<side>) exact counts; bin i = [s_{i-1}, s_i) with
-    open ends, mirroring histogram_custom_splits."""
+    """(keys..., bin, n_<side>) exact counts over valid values."""
     keys = list(group_by)
     v = F.col(column).cast("double")
-    ok = v.isNotNull() & ~F.isnan(v)
-    bin_idx = F.lit(0)
-    for i, s in enumerate(sorted(float(x) for x in splits)):
-        bin_idx = F.when(v >= F.lit(s), F.lit(i + 1)).otherwise(bin_idx)
     return (
-        df.where(ok)
-        .select(*keys, bin_idx.alias("bin"))
+        df.where(_valid_value(v))
+        .select(*keys, _bin_index(v, splits).alias("bin"))
         .groupBy(*keys, "bin")
         .agg(F.count(F.lit(1)).alias(f"n_{side}"))
     )
@@ -79,7 +116,7 @@ def numeric_drift(
     """
     keys = list(group_by)
     v = F.col(column).cast("double")
-    ok = v.isNotNull() & ~F.isnan(v)
+    ok = _valid_value(v)
 
     def _stats(df: DataFrame, side: str) -> DataFrame:
         return df.groupBy(*keys).agg(
@@ -103,25 +140,14 @@ def numeric_drift(
         F.coalesce(F.col("n_b"), F.lit(0)).alias("n_b"),
     )
 
-    # try_divide: a slice with zero non-null rows in a group (or a group
-    # present on one side only) yields p=0 -> eps, not a division error.
-    tot_a = F.sum("n_a").over(_group_window(keys))
-    tot_b = F.sum("n_b").over(_group_window(keys))
-    pa = F.greatest(F.coalesce(F.try_divide(F.col("n_a"), tot_a), F.lit(0.0)), F.lit(eps))
-    pb = F.greatest(F.coalesce(F.try_divide(F.col("n_b"), tot_b), F.lit(0.0)), F.lit(eps))
-    cum_a = F.coalesce(
-        F.try_divide(F.sum("n_a").over(_group_window(keys, order="bin")), tot_a),
-        F.lit(0.0),
-    )
-    cum_b = F.coalesce(
-        F.try_divide(F.sum("n_b").over(_group_window(keys, order="bin")), tot_b),
-        F.lit(0.0),
-    )
-
+    # try_divide inside _psi_cdf_terms: a slice with zero valid rows in
+    # a group (or a group present on one side only) yields p=0 -> eps,
+    # not a division error.
+    psi_term, cdf_gap = _psi_cdf_terms(keys, "n_a", "n_b", eps)
     per_bin = bins.select(
         *keys,
-        ((pa - pb) * (F.log(pa) - F.log(pb))).alias("__psi_term"),
-        F.abs(cum_a - cum_b).alias("__cdf_gap"),
+        psi_term.alias("__psi_term"),
+        cdf_gap.alias("__cdf_gap"),
     )
     drift = per_bin.groupBy(*keys).agg(
         F.sum("__psi_term").alias("psi"),
@@ -176,7 +202,7 @@ def categorical_drift(
     the largest single-category frequency gap.
     """
     keys = list(group_by)
-    cat = F.coalesce(F.col(column).cast("string"), F.lit("\x00null"))
+    cat = F.coalesce(F.col(column).cast("string"), F.lit(NULL_CAT))
 
     def _counts(df: DataFrame, side: str) -> DataFrame:
         return df.groupBy(*keys, cat.alias("__cat")).agg(
@@ -239,13 +265,9 @@ def rolling_drift(
     keys = list(group_by)
     day = F.col(time_column).cast("date").alias("__day")
     v = F.col(column).cast("double")
-    ok = v.isNotNull() & ~F.isnan(v)
-    bin_idx = F.lit(0)
-    for i, s in enumerate(sorted(float(x) for x in splits)):
-        bin_idx = F.when(v >= F.lit(s), F.lit(i + 1)).otherwise(bin_idx)
     binned = (
-        df.where(ok)
-        .select(day, *keys, bin_idx.alias("bin"))
+        df.where(_valid_value(v))
+        .select(day, *keys, _bin_index(v, splits).alias("bin"))
         .groupBy("__day", *keys, "bin")
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -266,25 +288,14 @@ def rolling_drift(
         F.coalesce(F.col("n_prev"), F.lit(0)).alias("n_prev"),
     )
     wk = ["__day", *keys]
-    tot_c = F.sum("n_cur").over(_group_window(wk))
-    tot_p = F.sum("n_prev").over(_group_window(wk))
-    pc = F.greatest(F.coalesce(F.try_divide(F.col("n_cur"), tot_c), F.lit(0.0)), F.lit(eps))
-    pp = F.greatest(F.coalesce(F.try_divide(F.col("n_prev"), tot_p), F.lit(0.0)), F.lit(eps))
-    cum_c = F.coalesce(
-        F.try_divide(F.sum("n_cur").over(_group_window(wk, order="bin")), tot_c),
-        F.lit(0.0),
-    )
-    cum_p = F.coalesce(
-        F.try_divide(F.sum("n_prev").over(_group_window(wk, order="bin")), tot_p),
-        F.lit(0.0),
-    )
+    psi_term, cdf_gap = _psi_cdf_terms(wk, "n_cur", "n_prev", eps)
     per = both.select(
         "__day",
         *keys,
         F.col("n_cur"),
         F.col("n_prev"),
-        ((pc - pp) * (F.log(pc) - F.log(pp))).alias("__psi_term"),
-        F.abs(cum_c - cum_p).alias("__cdf_gap"),
+        psi_term.alias("__psi_term"),
+        cdf_gap.alias("__cdf_gap"),
     )
     out = per.groupBy("__day", *keys).agg(
         F.sum("n_cur").alias("count_cur"),
@@ -315,7 +326,7 @@ def auto_splits(
     slices bin identically.
     """
     v = F.col(column).cast("double")
-    ok = v.isNotNull() & ~F.isnan(v)
+    ok = _valid_value(v)
     lo_hi = (
         df_a.select(v.alias("v")).where(ok)
         .unionAll(df_b.select(v.alias("v")).where(ok))

@@ -59,6 +59,12 @@ def asof_join(
     ``right_tiebreak`` (or the last in arbitrary order if unset — pass
     a tiebreak for deterministic output) wins.
 
+    NULL semantics follow SQL / DuckDB ASOF / pandas merge_asof: right
+    rows with a NULL timestamp or NULL key can never match (they are
+    dropped before the union), and left rows with a NULL timestamp or
+    NULL key get NULL match columns (a NULL key equals nothing, not
+    even another NULL).
+
     Plan: union of the two tagged sides -> ONE Exchange on ``on`` ->
     per-key sort on (ts, side, tiebreak) -> running last(ignorenulls)
     -> filter back to left rows. No nested-loop join, no range
@@ -80,6 +86,12 @@ def asof_join(
             else [F.lit(0.0).alias("__tb")]
         ),
     )
+    # NULL-ts / NULL-key right rows can never match; dropping them here
+    # also keeps them out of the window's carry-forward state (a NULL ts
+    # sorts first under asc and would otherwise be carried as a match).
+    for c in [rts, *keys]:
+        right = right.where(F.col(c).isNotNull())
+
     left_cols = left.columns
     l_payload = F.struct(*[F.col(c).alias(c) for c in left_cols])
     r_side = right.select(
@@ -121,6 +133,13 @@ def asof_join(
             else (m["__ts"] - F.col("__t"))
         )
         m = F.when(gap <= F.lit(tolerance), F.col("__m"))
+    # a left row with a NULL ts or NULL key matches nothing (under the
+    # forward sort NULL ts lands last and would otherwise see the whole
+    # partition; NULL keys would pair up via partitionBy, unlike SQL)
+    left_valid = F.col("__t").isNotNull()
+    for k in keys:
+        left_valid = left_valid & F.col(k).isNotNull()
+    m = F.when(left_valid, m)
     out = matched.where(F.col("__side") == 1).select(
         *[F.col("__lp")[c].alias(c) for c in left_cols],
         m["__ts"].alias(rts + suffix),

@@ -16,12 +16,18 @@ pass a real pre-training pipeline runs over a raw corpus:
                                 train/val/test)
       → manifest               (doc_id, split)
 
-Composition is pure DataFrame lineage — Catalyst sees the whole plan, so
-column pruning and filter pushdown cross stage boundaries, and each
-stage's scale properties (documented per operator in SCALE.md) are
-unchanged by being chained. Every decision is deterministic (md5 keys,
-min-id survivors, exact filters), so the WHOLE pipeline output is
-oracle-checkable end to end, not just stage by stage.
+Composition is DataFrame lineage with two materialized stage boundaries
+by default (``materialize=True``): the exact-dedup survivor corpus and
+the near-dup survivor corpus each feed multiple downstream branches, so
+they are eagerly ``localCheckpoint``-ed — the single-node analog of
+staging to parquet between pipeline phases — which means CONSTRUCTING
+the manifest runs those two stages as Spark jobs. Pass
+``materialize=False`` for pure lazy lineage (Catalyst then sees the
+whole plan and prunes/pushes across stage boundaries, at the cost of
+re-deriving the shared corpus per branch). Either way, every decision
+is deterministic (md5 keys, min-id survivors, exact filters), so the
+WHOLE pipeline output is oracle-checkable end to end, not just stage by
+stage.
 """
 
 from __future__ import annotations

@@ -29,9 +29,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..operators.drift import NULL_CAT as _NULL_CAT
 from ..operators.drift import PSI_EPS
-
-_NULL_CAT = "\x00null"
 
 
 def reference_fractions(
@@ -107,9 +106,8 @@ def drift_scores(
     # every (window, key) needs the reference's full category set so a
     # category that disappeared from the live stream still contributes
     windows = counts.select(*win_keys).distinct()
-    ref_keys = keys if keys else None
     ref_expanded = (
-        windows.join(F.broadcast(reference), on=ref_keys, how="inner")
+        windows.join(F.broadcast(reference), on=keys, how="inner")
         if keys
         else windows.crossJoin(F.broadcast(reference))
     )
