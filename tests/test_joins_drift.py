@@ -572,3 +572,89 @@ def test_numeric_drift_infinity_is_invalid(spark):
     assert d["mean_a"] == pytest.approx(2.0)  # Inf excluded from moments
     assert d["psi"] == pytest.approx(0.0)  # Inf rows never reach a bin
     assert math.isfinite(d["stddev_a"])
+
+
+# ------------------------------------------------------ streaming as-of
+
+
+def test_asof_enrich_stream_matches_batch(spark, tmp_path):
+    """Streaming enrichment (broadcast dim + mapInPandas merge_asof)
+    must agree row-for-row with the batch asof_join on the same data."""
+    from whylogs_java_spark.streaming.asof_stream import asof_enrich_stream
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    if "ts" in [f.name for f in ev.schema.fields if str(f.dataType) != "TimestampType()"]:
+        ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+    left = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    dim = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("view_value"))
+    )
+
+    src = str(tmp_path / "src")
+    left.coalesce(2).write.parquet(src)
+    stream = spark.readStream.schema(left.schema).parquet(src)
+    enriched = asof_enrich_stream(
+        stream, dim, on="user_id", left_ts="ts", right_cols=["view_value"]
+    )
+    q = (
+        enriched.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("asof_enriched")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            r["event_id"]: (r["ts_r"], r["view_value_r"])
+            for r in spark.sql("SELECT * FROM asof_enriched").collect()
+        }
+    finally:
+        q.stop()
+
+    batch = {
+        r["event_id"]: (r["ts_r"], r["view_value_r"])
+        for r in asof_join(
+            left, dim, on="user_id", left_ts="ts", right_cols=["view_value"]
+        ).collect()
+    }
+    assert got == batch
+    assert len(got) == left.count()
+
+
+def test_asof_enrich_stream_null_rows(spark, tmp_path):
+    from whylogs_java_spark.streaming.asof_stream import asof_enrich_stream
+
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, None, "b"), (None, 10, "c")],
+        "k int, ts int, lab string",
+    )
+    dim = spark.createDataFrame(
+        [(1, 5, 2.0), (1, None, 9.0)], "k int, ts int, p double"
+    )
+    src = str(tmp_path / "src")
+    left.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(left.schema).parquet(src)
+    out = asof_enrich_stream(stream, dim, on="k", left_ts="ts")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("asof_nulls")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            r["lab"]: (r["ts_r"], r["p_r"])
+            for r in spark.sql("SELECT * FROM asof_nulls").collect()
+        }
+    finally:
+        q.stop()
+    assert got["a"] == (5, 2.0)  # NULL-ts dim row ignored
+    assert got["b"] == (None, None)
+    assert got["c"] == (None, None)

@@ -1,0 +1,139 @@
+"""Streaming as-of enrichment against a static dimension.
+
+The streaming face of ``operators/joins.asof_join``: each stream row is
+annotated with the latest at-or-before row of a STATIC right table (a
+slowly-changing dimension: price books, model versions, config
+history). Structured Streaming cannot run the batch operator's window
+over an unbounded stream, and a stream-static join cannot express the
+"latest at-or-before" predicate as an equi-join — so this is the
+sanctioned Python escape hatch: the dimension is collected once, sorted,
+broadcast, and each Arrow batch is enriched with pandas ``merge_asof``
+inside ``mapInPandas``.
+
+Scale shape: the dimension must fit in executor memory (it is a
+broadcast — the same constraint as any broadcast dim join; ~10^7 rows
+is comfortable). The stream side is scan-shaped: no shuffle, no state,
+no watermark — every micro-batch is enriched independently, so the
+operator composes with any downstream windowing. For a dimension too
+big to broadcast, run the batch ``asof_join`` per micro-batch in
+``foreachBatch`` instead (it shuffles both sides on the key each
+batch, but has no memory bound).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F  # noqa: F401  (kept for callers)
+from pyspark.sql.types import StructField, StructType
+
+
+def asof_enrich_stream(
+    stream_df: DataFrame,
+    dim_df: DataFrame,
+    on: str | list[str],
+    left_ts: str,
+    right_ts: str | None = None,
+    right_cols: list[str] | None = None,
+    tolerance: int | None = None,
+    suffix: str = "_r",
+) -> DataFrame:
+    """Stream rows + the dimension's latest at-or-before row per key.
+
+    Backward direction only (the streaming case: enrich with the state
+    that WAS current). Output schema: stream columns +
+    ``<right_ts><suffix>`` + ``<col><suffix>`` per right column, NULL
+    where no dimension row qualifies. NULL semantics match the batch
+    operator: NULL-ts/NULL-key dimension rows never match; NULL-ts/
+    NULL-key stream rows get NULL enrichment.
+
+    ``dim_df`` is evaluated ONCE at stream definition time (collected to
+    pandas, sorted, broadcast). A changed dimension needs a new query —
+    by design: a streaming query's enrichment should be versioned, not
+    silently drifting.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    rts = right_ts or left_ts
+    if right_cols is None:
+        right_cols = [c for c in dim_df.columns if c not in keys and c != rts]
+
+    dim_pdf = (
+        dim_df.select(*keys, rts, *right_cols)
+        .where(F.col(rts).isNotNull())
+        .toPandas()
+    )
+    for k in keys:
+        dim_pdf = dim_pdf[dim_pdf[k].notna()]
+    dim_pdf = dim_pdf.sort_values(rts, kind="mergesort").reset_index(drop=True)
+    # rename right columns up front so merge_asof never collides with
+    # stream column names
+    ts_out = rts + suffix
+    ren = {rts: ts_out, **{c: c + suffix for c in right_cols}}
+    dim_pdf = dim_pdf.rename(columns=ren)
+    out_cols = [ts_out] + [c + suffix for c in right_cols]
+
+    spark = stream_df.sparkSession
+    bc = spark.sparkContext.broadcast(dim_pdf)
+
+    dim_schema = dim_df.select(rts, *right_cols).schema
+    out_schema = StructType(
+        list(stream_df.schema.fields)
+        + [StructField(ren[f.name], f.dataType, True) for f in dim_schema.fields]
+    )
+
+    def enrich(batches: Iterator["object"]) -> Iterator["object"]:
+        import pandas as pd
+
+        def merge_key(s: "pd.Series") -> "pd.Series":
+            # Arrow batches and toPandas may disagree on width/nullability
+            # (int32 vs float64-with-NaN); merge_asof demands identical
+            # dtypes, and float64 represents every numeric key exactly up
+            # to 2^53 — datetimes pass through
+            if str(s.dtype).startswith(("datetime", "timedelta")):
+                return s
+            return s.astype("float64")
+
+        dim = bc.value.copy()
+        dim["__rk"] = merge_key(dim[ts_out])
+        dim_by = [f"__by{i}" for i in range(len(keys))]
+        for i, k in enumerate(keys):
+            dim[dim_by[i]] = merge_key(dim[k]) if dim[k].dtype.kind in "biufc" else dim[k]
+        dim = dim.drop(columns=keys)
+
+        for pdf in batches:
+            names = [f.name for f in out_schema.fields]
+            if len(pdf) == 0:
+                yield pdf.reindex(columns=names)
+                continue
+            ok = pdf[left_ts].notna()
+            for k in keys:
+                ok &= pdf[k].notna()
+            good = pdf[ok].copy()
+            good["__lk"] = merge_key(good[left_ts])
+            for i, k in enumerate(keys):
+                good[dim_by[i]] = (
+                    merge_key(good[k]) if good[k].dtype.kind in "biufc" else good[k]
+                )
+            good = good.sort_values("__lk", kind="mergesort")
+            tol = pd.Timedelta(seconds=tolerance) if (
+                tolerance is not None
+                and str(good["__lk"].dtype).startswith("datetime")
+            ) else tolerance
+            merged = pd.merge_asof(
+                good,
+                dim,
+                left_on="__lk",
+                right_on="__rk",
+                by=dim_by,
+                direction="backward",
+                tolerance=tol,
+                allow_exact_matches=True,
+            )
+            bad = pdf[~ok].copy()
+            for c in out_cols:
+                bad[c] = None
+            out = pd.concat([merged[names], bad[names]], ignore_index=True)
+            yield out
+
+    return stream_df.mapInPandas(enrich, schema=out_schema)
