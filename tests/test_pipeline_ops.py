@@ -764,6 +764,11 @@ def test_decontam_stream_matches_batch_any_boundaries(spark, tmp_path):
         q.processAllAvailable()
     finally:
         q.stop()
+        # release the internally-built digest cache via the documented
+        # handle (leaving it would also trip the persisted-RDD-count
+        # assertion in test_near_dup_materialize_matches_lazy when the
+        # two files share one session)
+        q.decontam_grams.unpersist()
 
     batch_report = {
         r["doc_id"]: (r["n_ngrams"], r["n_hits"], r["contaminated"])
@@ -885,7 +890,11 @@ def test_training_manifest_each_stage_engages(spark):
             F.slice(F.filter(F.split("text", " "), lambda t: t != ""), 3, 10),
         ).alias("text")
     )
-    manifest = training_manifest(corpus, "text", "doc_id", ev)
+    manifest = training_manifest(
+        corpus, "text", "doc_id", ev,
+        min_tokens=25, max_tokens=95,
+        min_chars_per_token=3.5, max_chars_per_token=7.5,
+    )
     ids = {r["doc_id"]: r["split"] for r in manifest.collect()}
 
     assert all(s in ("train", "val", "test") for s in ids.values())

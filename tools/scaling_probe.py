@@ -345,7 +345,7 @@ def main() -> None:
                         n_events,
                     )
                 )
-        if scale == "10x" and want("emb_fast"):
+        if scale == "10x" and want("emb_fast_scaled_planes"):
             # LSH bucket count is fixed by `planes`, so holding planes
             # constant while the corpus grows 10x multiplies within-bucket
             # pair generation ~100x (the cap bounds the worst of it). The

@@ -500,16 +500,14 @@ def near_dup_pairs(
             verified = _jaccard_from_shingle_arrays(
                 df, pairs, text_col, id_col, shingle_size, char_ngrams
             )
-        elif verify == "explode":
+        else:
             sh = shingle_sets(df, text_col, id_col, shingle_size, char_ngrams)
             verified = _jaccard_from_shingle_sets(sh, pairs, id_col)
-        else:
-            raise ValueError(f"unknown verify mode: {verify!r}")
         return verified.where(F.col("jaccard") >= threshold)
 
     pairs, sh_cand, verified = near_dup_stages(
         df, text_col, id_col, threshold, num_hashes, bands, shingle_size,
-        char_ngrams, hash_family=hash_family,
+        char_ngrams, hash_family=hash_family, verify=verify,
     )
     try:
         return verified.localCheckpoint(eager=True)
@@ -528,12 +526,15 @@ def near_dup_stages(
     shingle_size: int = 3,
     char_ngrams: bool = False,
     hash_family: str = "affine",
+    verify: str = "explode",
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """The staged near-dup pipeline: (candidate_pairs, candidate_shingles,
+    """The staged near-dup pipeline: (candidate_pairs, candidate_stage,
     verified).
 
-    ``candidate_pairs`` and ``candidate_shingles`` come back persisted —
-    the caller owns unpersisting them once ``verified`` is materialized
+    ``candidate_pairs`` and the middle ``candidate_stage`` (candidate
+    shingle sets in ``verify="explode"`` mode, the candidate-pruned
+    corpus rows in ``verify="array"`` mode) come back persisted — the
+    caller owns unpersisting them once ``verified`` is materialized
     (``near_dup_pairs`` is the wrapper that does exactly that). Exposed
     separately so the per-stage physical plans can be audited: explode #1
     lives inside the candidate stage (collapsed to 16 longs/doc before its
@@ -553,6 +554,14 @@ def near_dup_stages(
         .distinct()
     )
     src = df.join(cand_ids, on=id_col, how="left_semi")
+    if verify == "array":
+        # array-intersect verify on the candidate-pruned corpus — the
+        # char-n-gram regime where exploded (doc, shingle) rows blow up
+        src_c = src.persist()
+        verified = _jaccard_from_shingle_arrays(
+            src_c, pairs, text_col, id_col, shingle_size, char_ngrams
+        ).where(F.col("jaccard") >= threshold)
+        return pairs, src_c, verified
     sh_cand = shingle_sets(src, text_col, id_col, shingle_size, char_ngrams).persist()
     verified = _jaccard_from_shingle_sets(sh_cand, pairs, id_col).where(
         F.col("jaccard") >= threshold

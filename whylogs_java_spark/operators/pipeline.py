@@ -49,10 +49,10 @@ def training_manifest(
     eval_df: DataFrame,
     near_threshold: float = 0.5,
     ngram_n: int = 5,
-    min_tokens: int = 25,
-    max_tokens: int = 95,
-    min_chars_per_token: float = 3.5,
-    max_chars_per_token: float = 7.5,
+    min_tokens: int = 50,
+    max_tokens: int = 100_000,
+    min_chars_per_token: float = 3.0,
+    max_chars_per_token: float = 10.0,
     splits: Sequence[tuple[str, float]] = (
         ("train", 0.8),
         ("val", 0.1),
@@ -67,7 +67,9 @@ def training_manifest(
 
     Quality gate: whitespace token count in [min_tokens, max_tokens] and
     chars-per-token (length/tokens) in [min_chars_per_token,
-    max_chars_per_token] — the Gopher-style length/word-shape window.
+    max_chars_per_token]. The defaults are the Gopher-style window for a
+    REAL corpus (50..100k words, mean word length 3..10); test/bench
+    runs over the short synthetic corpora pass explicit tighter windows.
 
     ``max_boilerplate_fraction`` (off by default) adds the CCNet-style
     template-page gate between decontamination and the token gates: docs

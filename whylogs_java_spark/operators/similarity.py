@@ -454,14 +454,33 @@ def hyperplane_buckets_exact(
     target = embeddings.sparkSession.sparkContext.defaultParallelism
     if embeddings.rdd.getNumPartitions() < target:
         embeddings = embeddings.repartition(target)
+
+    # sign components depend only on (plane, dim): build each plane's
+    # ±1 array ONCE per distinct vector length and broadcast-join, the
+    # same shape as banded_buckets — NOT per row, which re-derives
+    # planes × dim interpreted md5 digests for every vector. The fold
+    # order and values are unchanged, so the DuckDB twin still matches.
+    lengths = embeddings.select(F.size(F.col(vec_col)).alias("__len")).distinct()
+
+    def _sign_array(p: int) -> Column:
+        dims = F.when(
+            F.col("__len") > 0, F.sequence(F.lit(0), F.col("__len") - 1)
+        ).otherwise(F.array().cast("array<int>"))
+        # one-parameter lambda on purpose — see the banded_buckets NOTE
+        return F.transform(dims, lambda d: _plane_sign(p, d).cast("double")).alias(
+            f"__sa{p}"
+        )
+
+    sign_arrays = lengths.select("__len", *[_sign_array(p) for p in range(total)])
+    joined = embeddings.join(
+        F.broadcast(sign_arrays), on=F.size(F.col(vec_col)) == F.col("__len")
+    )
     vecd = _as_double(F.col(vec_col))
-    dims_seq = _dims_seq(F.col(vec_col))
 
     def proj(p: int) -> Column:
-        signs = F.transform(dims_seq, lambda d: _plane_sign(p, d).cast("double"))
-        return dot(vecd, signs)
+        return dot(vecd, F.col(f"__sa{p}"))
 
-    projs = embeddings.select(
+    projs = joined.select(
         F.col(id_col), *[proj(p).alias(f"proj{p}") for p in range(total)]
     )
 

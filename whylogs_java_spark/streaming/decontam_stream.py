@@ -37,6 +37,7 @@ def decontam_stream(
     eval_text_col: str | None = None,
     n: int = 5,
     checkpoint_dir: str | None = None,
+    eval_grams: DataFrame | None = None,
 ):
     """Start a streaming query reporting contamination per micro-batch.
 
@@ -45,12 +46,24 @@ def decontam_stream(
     ``decontaminate`` — and owns the sink write. ``eval_df`` must be a
     static (non-streaming) DataFrame.
 
+    Pass a pre-persisted ``eval_grams`` (output of ``eval_ngram_set``) to
+    share one digest set across several queries and own its lifecycle;
+    otherwise the set is built and persisted here and exposed on the
+    returned query as ``query.decontam_grams`` — after ``query.stop()``,
+    call ``query.decontam_grams.unpersist()`` to release the cache (it is
+    NOT released automatically; a long-lived session starting many
+    screens without cleanup accumulates cached digest sets).
+
     Returns the started ``StreamingQuery``.
     """
     if eval_df.isStreaming:
         raise ValueError("eval_df must be static — benchmarks are not a stream")
 
-    grams = eval_ngram_set(eval_df, eval_text_col or text_col, n).persist()
+    grams = (
+        eval_grams
+        if eval_grams is not None
+        else eval_ngram_set(eval_df, eval_text_col or text_col, n).persist()
+    )
 
     def _handle(batch_df: DataFrame, batch_id: int) -> None:
         report = decontaminate(
@@ -62,4 +75,6 @@ def decontam_stream(
     writer = stream_df.writeStream.foreachBatch(_handle).outputMode("append")
     if checkpoint_dir is not None:
         writer = writer.option("checkpointLocation", checkpoint_dir)
-    return writer.start()
+    query = writer.start()
+    query.decontam_grams = grams
+    return query
