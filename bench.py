@@ -90,6 +90,7 @@ BENCH_QUERIES = [
     "drift_events_value",
     "drift_events_rolling",
     "drift_documents_lang",
+    "profile_diff_lineitem",
 ]
 
 

@@ -658,3 +658,48 @@ def test_asof_enrich_stream_null_rows(spark, tmp_path):
     assert got["a"] == (5, 2.0)  # NULL-ts dim row ignored
     assert got["b"] == (None, None)
     assert got["c"] == (None, None)
+
+
+# -------------------------------------------------------------- profile diff
+
+
+def test_profile_diff_schema_drift_and_types(spark):
+    from whylogs_java_spark import profile
+    from whylogs_java_spark.operators.drift import profile_diff
+
+    a = spark.createDataFrame(
+        [(1, 7, 10.0), (2, 9, None)], "id long, s long, v double"
+    )
+    b = spark.createDataFrame(
+        [(3, "abc", 20.0), (4, "def", 30.0)], "id long, s string, v double"
+    ).withColumnRenamed("v", "w")
+    d = {
+        r["column_name"]: r
+        for r in profile_diff(profile(a), profile(b)).collect()
+    }
+    # dropped column v: only side a; new column w: only side b
+    assert d["v"]["count_b"] is None and d["v"]["count_a"] == 2
+    assert d["w"]["count_a"] is None and d["w"]["count_b"] == 2
+    # s is a long column in profile a, a string column in profile b
+    assert d["s"]["type_changed"] is True
+    assert d["s"]["inferred_type_a"] == "INTEGRAL"
+    assert d["s"]["inferred_type_b"] == "STRING"
+    # shared numeric column id: exact deltas from the profile atoms
+    assert d["id"]["mean_delta"] == pytest.approx(2.0)
+    assert d["id"]["count_ratio"] == pytest.approx(1.0)
+    # null-rate delta for v is NULL on the b side (column absent)
+    assert d["v"]["null_rate_b"] is None
+
+
+def test_profile_diff_identical_profiles(spark):
+    from whylogs_java_spark import profile
+    from whylogs_java_spark.operators.drift import profile_diff
+
+    a = spark.createDataFrame([(i, float(i)) for i in range(50)], "id long, v double")
+    p = profile(a)
+    d = profile_diff(p, p).collect()
+    for r in d:
+        assert r["count_ratio"] == pytest.approx(1.0)
+        assert r["type_changed"] is False
+        if r["mean_delta"] is not None:
+            assert r["mean_delta"] == pytest.approx(0.0)

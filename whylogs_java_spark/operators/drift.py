@@ -316,6 +316,78 @@ def rolling_drift(
     )
 
 
+def profile_diff(
+    profile_a: DataFrame,
+    profile_b: DataFrame,
+    keys: Sequence[str] = ("column_name",),
+) -> DataFrame:
+    """Column-level diff of two finalized profiles — drift straight from
+    the PROFILE STORE, no raw-data pass.
+
+    Inputs are long-format finalized profiles (the output of
+    ``operators/profile.profile`` / ``finalize_profile``, or a stored
+    profile parquet read back): one row per (keys...) carrying count /
+    null_count / inferred_type / numeric stats. Output per key:
+
+      count_a, count_b, count_ratio (b/a), null_rate_a/b/_delta,
+      type_changed + inferred_type_a/b, mean_a/b/_delta, stddev_delta,
+      min_delta, max_delta
+
+    Numeric deltas are NULL for columns without numeric stats (strings).
+    Columns present in only one profile keep the other side's metrics
+    NULL — schema drift (new/dropped columns) is visible as such rows.
+    Profiles are O(columns) rows, so this join is driver-trivial at any
+    data scale; the heavy lifting already happened when the profiles
+    were built.
+    """
+    ks = list(keys)
+    a = profile_a.select(
+        *ks,
+        F.col("count").alias("count_a"),
+        F.col("null_count").alias("nulls_a"),
+        F.col("inferred_type").alias("inferred_type_a"),
+        F.col("mean").alias("mean_a"),
+        F.col("stddev").alias("stddev_a"),
+        F.col("min").alias("min_a"),
+        F.col("max").alias("max_a"),
+    )
+    b = profile_b.select(
+        *ks,
+        F.col("count").alias("count_b"),
+        F.col("null_count").alias("nulls_b"),
+        F.col("inferred_type").alias("inferred_type_b"),
+        F.col("mean").alias("mean_b"),
+        F.col("stddev").alias("stddev_b"),
+        F.col("min").alias("min_b"),
+        F.col("max").alias("max_b"),
+    )
+    j = a.join(b, on=ks, how="full")
+    nr_a = F.try_divide(F.col("nulls_a"), F.col("count_a"))
+    nr_b = F.try_divide(F.col("nulls_b"), F.col("count_b"))
+    return j.select(
+        *ks,
+        F.col("count_a"),
+        F.col("count_b"),
+        F.try_divide(F.col("count_b"), F.col("count_a")).alias("count_ratio"),
+        nr_a.alias("null_rate_a"),
+        nr_b.alias("null_rate_b"),
+        (nr_b - nr_a).alias("null_rate_delta"),
+        (
+            F.col("inferred_type_a").isNotNull()
+            & F.col("inferred_type_b").isNotNull()
+            & (F.col("inferred_type_a") != F.col("inferred_type_b"))
+        ).alias("type_changed"),
+        F.col("inferred_type_a"),
+        F.col("inferred_type_b"),
+        F.col("mean_a"),
+        F.col("mean_b"),
+        (F.col("mean_b") - F.col("mean_a")).alias("mean_delta"),
+        (F.col("stddev_b") - F.col("stddev_a")).alias("stddev_delta"),
+        (F.col("min_b") - F.col("min_a")).alias("min_delta"),
+        (F.col("max_b") - F.col("max_a")).alias("max_delta"),
+    )
+
+
 def auto_splits(
     df_a: DataFrame, df_b: DataFrame, column: str, bins: int = 10
 ) -> list[float]:
