@@ -703,3 +703,88 @@ def test_profile_diff_identical_profiles(spark):
         assert r["type_changed"] is False
         if r["mean_delta"] is not None:
             assert r["mean_delta"] == pytest.approx(0.0)
+
+
+def test_windowed_bin_counts_and_numeric_reference(spark, tmp_path):
+    """Numeric streaming drift: windowed bin counts + bin-fraction
+    reference score shifted data above the identical-data baseline."""
+    from whylogs_java_spark.streaming.drift_stream import (
+        drift_scores,
+        reference_bin_fractions,
+        windowed_bin_counts,
+    )
+
+    ref = spark.createDataFrame(
+        [(float(i % 10),) for i in range(100)], "v double"
+    )
+    rows = [("2024-01-01 00:10:00", float(i % 10) + 4) for i in range(100)]
+    rows.append(("2024-01-02 00:00:00", 0.0))  # watermark flush
+    df = spark.createDataFrame(rows, "ts string, v double").select(
+        F.col("ts").cast("timestamp").alias("ts"), "v"
+    )
+    src = str(tmp_path / "src")
+    df.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    splits = [3.0, 6.0, 9.0]
+    counts = windowed_bin_counts(
+        stream, "v", splits, "ts", window_duration="1 hour", watermark="0 seconds"
+    )
+    q = (
+        counts.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("bin_counts")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql("SELECT * FROM bin_counts")
+        scored = drift_scores(got, reference_bin_fractions(ref, "v", splits)).collect()
+    finally:
+        q.stop()
+    shifted = [r for r in scored if str(r["window_start"]).startswith("2024-01-01 00")]
+    assert len(shifted) == 1
+    assert shifted[0]["psi"] > 0.3  # +4 shift across 3 splits is loud
+    # identical distribution scores ~0
+    base = drift_scores(
+        spark.createDataFrame(
+            [("2024-01-01 00:00:00", "2024-01-01 01:00:00", str(b), n)
+             for b, n in [(0, 30), (1, 30), (2, 30), (3, 10)]],
+            "window_start string, window_end string, cat string, n long",
+        ).select(
+            F.col("window_start").cast("timestamp").alias("window_start"),
+            F.col("window_end").cast("timestamp").alias("window_end"),
+            "cat", "n",
+        ),
+        reference_bin_fractions(ref, "v", splits),
+    ).first()
+    assert base["psi"] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_drift_scores_grouped_reference(spark):
+    from whylogs_java_spark.streaming.drift_stream import (
+        drift_scores,
+        reference_fractions,
+    )
+
+    ref_df = spark.createDataFrame(
+        [("g1", "x"), ("g1", "y"), ("g2", "x")], "g string, c string"
+    )
+    counts = spark.createDataFrame(
+        [("2024-01-01 00:00:00", "2024-01-01 01:00:00", "g1", "x", 4)],
+        "window_start string, window_end string, g string, cat string, n long",
+    ).select(
+        F.col("window_start").cast("timestamp").alias("window_start"),
+        F.col("window_end").cast("timestamp").alias("window_end"),
+        "g", "cat", "n",
+    )
+    got = {
+        r["g"]: r
+        for r in drift_scores(
+            counts, reference_fractions(ref_df, "c", group_by=["g"]),
+            group_by=["g"],
+        ).collect()
+    }
+    # only g1 has a window; live {x:1.0} vs ref {x:.5, y:.5}: l1 = 1.0
+    assert set(got) == {"g1"}
+    assert got["g1"]["l1"] == pytest.approx(1.0)

@@ -86,6 +86,70 @@ def windowed_category_counts(
     )
 
 
+def reference_bin_fractions(
+    df: DataFrame,
+    column: str,
+    splits,
+    group_by: Sequence[str] = (),
+) -> DataFrame:
+    """Numeric twin of ``reference_fractions``: (keys..., cat, p_ref)
+    where ``cat`` is the split-point bin index as a string — feed the
+    result to ``drift_scores`` together with ``windowed_bin_counts``."""
+    from ..operators.drift import _bin_index, _group_window, _valid_value
+
+    keys = list(group_by)
+    v = F.col(column).cast("double")
+    counts = (
+        df.where(_valid_value(v))
+        .groupBy(*keys, _bin_index(v, splits).cast("string").alias("cat"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = F.sum("n").over(_group_window(keys))
+    return counts.select(*keys, "cat", (F.col("n") / tot).alias("p_ref"))
+
+
+def windowed_bin_counts(
+    stream_df: DataFrame,
+    column: str,
+    splits,
+    time_column: str,
+    window_duration: str = "1 hour",
+    slide_duration: str | None = None,
+    watermark: str = "10 minutes",
+    group_by: Sequence[str] = (),
+) -> DataFrame:
+    """Streaming counts per (window, keys, bin) for a NUMERIC column —
+    the same one-stateful-agg shape as ``windowed_category_counts`` with
+    the split-point bin index (stringified) as the category, so
+    ``drift_scores`` scores both kinds identically."""
+    from ..operators.drift import _bin_index, _valid_value
+
+    keys = list(group_by)
+    v = F.col(column).cast("double")
+    win = (
+        F.window(F.col(time_column), window_duration, slide_duration)
+        if slide_duration
+        else F.window(F.col(time_column), window_duration)
+    )
+    return (
+        stream_df.where(_valid_value(v))
+        .withWatermark(time_column, watermark)
+        .groupBy(
+            win.alias("window"),
+            *keys,
+            _bin_index(v, splits).cast("string").alias("cat"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            *keys,
+            "cat",
+            "n",
+        )
+    )
+
+
 def drift_scores(
     counts: DataFrame,
     reference: DataFrame,
@@ -104,12 +168,26 @@ def drift_scores(
     win_keys = ["window_start", "window_end", *keys]
 
     # every (window, key) needs the reference's full category set so a
-    # category that disappeared from the live stream still contributes
-    windows = counts.select(*win_keys).distinct()
-    ref_expanded = (
-        windows.join(F.broadcast(reference), on=keys, how="inner")
-        if keys
-        else windows.crossJoin(F.broadcast(reference))
+    # category that disappeared from the live stream still contributes.
+    # The window list derives from `counts` itself, so its columns are
+    # renamed through fresh aliases before the full-outer self-join —
+    # otherwise both join branches carry the same attribute ids and the
+    # analyzer rejects the plan (conflicting references).
+    wk_alias = {c: f"__wk{i}" for i, c in enumerate(win_keys)}
+    windows = counts.select(
+        *[F.col(c).alias(wk_alias[c]) for c in win_keys]
+    ).distinct()
+    ref_b = F.broadcast(reference)
+    if keys:
+        cond = None
+        for k in keys:
+            c = windows[wk_alias[k]] == reference[k]
+            cond = c if cond is None else (cond & c)
+        ref_expanded = windows.join(ref_b, on=cond, how="inner")
+    else:
+        ref_expanded = windows.crossJoin(ref_b)
+    ref_expanded = ref_expanded.select(
+        *[F.col(wk_alias[c]).alias(c) for c in win_keys], "cat", "p_ref"
     )
 
     full = ref_expanded.join(
