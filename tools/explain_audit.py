@@ -150,6 +150,18 @@ AUDITED = [
         "partial HashAggregates; the cross-slice full-outer join and the "
         "PSI/CDF windows run over O(groups x bins) rows only.",
     ),
+    (
+        "overlap_lineitem",
+        "Interval-overlap join: both sides explode to spanned buckets, "
+        "equi-join per (key, bucket), and the first-shared-bucket filter "
+        "keeps each pair exactly once — no distinct, no nested loop.",
+    ),
+    (
+        "profile_diff_lineitem",
+        "Profile-store drift: two full profile aggregations (each the "
+        "single-pass profile plan) joined per column — the join operates "
+        "on O(columns) rows, broadcast under AQE.",
+    ),
 ]
 
 

@@ -1,5 +1,5 @@
-"""Streaming drift: windowed category/bin frequencies scored against a
-static reference distribution.
+"""Streaming drift: windowed category OR numeric-bin frequencies scored
+against a static reference distribution.
 
 The monitoring loop a profile store exists for: a reference slice (last
 week, the training set) is reduced once to per-category fractions, and
