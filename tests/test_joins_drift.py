@@ -788,3 +788,81 @@ def test_drift_scores_grouped_reference(spark):
     # only g1 has a window; live {x:1.0} vs ref {x:.5, y:.5}: l1 = 1.0
     assert set(got) == {"g1"}
     assert got["g1"]["l1"] == pytest.approx(1.0)
+
+
+def test_asof_tolerance_timestamp_seconds(spark):
+    """Timestamp ts columns take tolerance in SECONDS (the streaming
+    twin's convention) instead of erroring on interval-vs-int."""
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 00:01:00", "a")], "k int, ts string, lab string"
+    ).select("k", F.col("ts").cast("timestamp").alias("ts"), "lab")
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 5.0)], "k int, ts string, p double"
+    ).select("k", F.col("ts").cast("timestamp").alias("ts"), "p")
+    hit = _asof_map(asof_join(left, right, on="k", left_ts="ts", tolerance=60))
+    miss = _asof_map(asof_join(left, right, on="k", left_ts="ts", tolerance=59))
+    assert hit["a"][1] == 5.0
+    assert miss["a"] == (None, None)
+
+
+def test_hyperplane_buckets_exact_keeps_null_vectors(spark):
+    from whylogs_java_spark.operators.similarity import hyperplane_buckets_exact
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, None)], "vec_id long, embedding array<double>"
+    )
+    out = {r["vec_id"]: r["bucket"] for r in hyperplane_buckets_exact(
+        emb, "vec_id", "embedding", planes=4, bands=1
+    ).collect()}
+    assert set(out) == {1, 2}
+    assert out[2] == "0000"  # NULL projections -> all-zero bucket
+
+
+def test_near_dup_stages_rejects_unknown_verify(spark):
+    from whylogs_java_spark.operators.dedup import near_dup_stages
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="verify"):
+        near_dup_stages(df, "text", "doc_id", verify="arrays")
+
+
+def test_windowed_bin_counts_invalid_values_advance_watermark(spark, tmp_path):
+    """A stream gone all-NaN must still flush completed windows: the
+    invalid rows advance event time even though they count in no bin."""
+    from whylogs_java_spark.streaming.drift_stream import windowed_bin_counts
+
+    rows = [("2024-01-01 00:30:00", 5.0)]
+    rows += [("2024-01-01 %02d:00:00" % h, float("nan")) for h in range(2, 8)]
+    df = spark.createDataFrame(rows, "ts string, v double").select(
+        F.col("ts").cast("timestamp").alias("ts"), "v"
+    )
+    src = str(tmp_path / "src")
+    df.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    counts = windowed_bin_counts(
+        stream, "v", [3.0], "ts", window_duration="1 hour", watermark="0 seconds"
+    )
+    q = (
+        counts.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("nan_flush")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql("SELECT * FROM nan_flush").collect()
+    finally:
+        q.stop()
+    # the 00:00 window (one valid value, bin '1') emitted because the
+    # NaN tail advanced the watermark past its end; the NaN windows
+    # themselves emit under the invalid sentinel (drift signal)
+    from whylogs_java_spark.streaming.drift_stream import INVALID_CAT
+
+    out = {(str(r["window_start"]), r["cat"]): r["n"] for r in got}
+    assert out[("2024-01-01 00:00:00", "1")] == 1
+    nan_windows = {k for k in out if k[1] == INVALID_CAT}
+    # hours 02..06 closed (the 07:00 row is the watermark frontier)
+    assert nan_windows == {
+        ("2024-01-01 %02d:00:00" % h, INVALID_CAT) for h in range(2, 7)
+    }

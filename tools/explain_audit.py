@@ -159,8 +159,9 @@ AUDITED = [
     (
         "profile_diff_lineitem",
         "Profile-store drift: two full profile aggregations (each the "
-        "single-pass profile plan) joined per column — the join operates "
-        "on O(columns) rows, broadcast under AQE.",
+        "single-pass profile plan) joined per column. The full-outer join "
+        "(not broadcastable by definition) sort-merges O(columns) rows — "
+        "trivial at any corpus size; the scans dominate.",
     ),
 ]
 

@@ -227,18 +227,24 @@ def main() -> None:
     # for the stage-level shuffle ledger
     spark = get_spark("scaling-probe", extra_conf={"spark.ui.enabled": "true"})
 
-    docs1 = _mutated_docs(
-        spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
-    )
-    emb_raw = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
-        "vec_id", "embedding"
-    )
-    dim = len(emb_raw.select("embedding").first()[0])
-    emb1 = _mutated_embeddings(emb_raw)
-
     from whylogs_java_spark.sources.parquet import load_table
 
+    # build only the corpora the selected queries read — corpus
+    # replication + parquet writes dominate probe setup
     want_events = not only or bool(only & {"asof", "drift"})
+    want_docs = not only or bool(only & {"near_dup", "clusters", "segments", "lm"})
+    want_emb = not only or bool(only & {"emb_fast", "emb_fast_scaled_planes"})
+
+    docs1 = _mutated_docs(
+        spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    ) if want_docs else None
+    dim, emb1 = None, None
+    if want_emb:
+        emb_raw = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+            "vec_id", "embedding"
+        )
+        dim = len(emb_raw.select("embedding").first()[0])
+        emb1 = _mutated_embeddings(emb_raw)
     ev1 = (
         load_table(spark, sf_dir, "events").select(
             "event_id", "user_id", "ts", "event_type", "value"
@@ -249,15 +255,17 @@ def main() -> None:
 
     corpora: dict[str, dict[str, DataFrame]] = {}
     for scale, mult in (("1x", 1), ("10x", 10)):
-        d = _replicate_docs(docs1, mult)
-        e = _replicate_embeddings(emb1, mult, dim)
-        dpath, epath = f"{out_dir}/docs_{scale}", f"{out_dir}/emb_{scale}"
-        d.write.mode("overwrite").parquet(dpath)
-        e.write.mode("overwrite").parquet(epath)
-        corpora[scale] = {
-            "docs": spark.read.parquet(dpath),
-            "emb": spark.read.parquet(epath),
-        }
+        corpora[scale] = {}
+        if want_docs:
+            dpath = f"{out_dir}/docs_{scale}"
+            _replicate_docs(docs1, mult).write.mode("overwrite").parquet(dpath)
+            corpora[scale]["docs"] = spark.read.parquet(dpath)
+        if want_emb:
+            epath = f"{out_dir}/emb_{scale}"
+            _replicate_embeddings(emb1, mult, dim).write.mode(
+                "overwrite"
+            ).parquet(epath)
+            corpora[scale]["emb"] = spark.read.parquet(epath)
         if want_events:
             evpath = f"{out_dir}/events_{scale}"
             _replicate_events(ev1, mult).write.mode("overwrite").parquet(evpath)
@@ -265,9 +273,10 @@ def main() -> None:
 
     runs = []
     for scale in ("1x", "10x"):
-        docs = corpora[scale]["docs"]
-        emb = corpora[scale]["emb"]
-        n_docs, n_emb = docs.count(), emb.count()
+        docs = corpora[scale].get("docs")
+        emb = corpora[scale].get("emb")
+        n_docs = docs.count() if docs is not None else 0
+        n_emb = emb.count() if emb is not None else 0
 
         def want(name: str) -> bool:
             return not only or name in only

@@ -541,6 +541,8 @@ def near_dup_stages(
     shuffle), explode #2 inside the persisted candidate-shingle stage
     (restricted to docs that appear in a pair); verification reads caches.
     """
+    if verify not in ("array", "explode"):
+        raise ValueError(f"unknown verify mode: {verify!r}")
     df = _spread(df)
     sigs = minhash_signatures(
         df, text_col, id_col, num_hashes, shingle_size, char_ngrams,

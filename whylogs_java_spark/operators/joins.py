@@ -47,9 +47,11 @@ def asof_join(
     ``direction="backward"`` (default): match the right row with the
     greatest ``right_ts`` <= ``left_ts``; ``"forward"``: the smallest
     ``right_ts`` >= ``left_ts``. Equality matches in both directions
-    (DuckDB/pandas ``merge_asof`` semantics). ``tolerance`` (same units
-    as the ts columns) nulls out matches farther than that from the left
-    timestamp — the match is dropped, not replaced by the next-nearest.
+    (DuckDB/pandas ``merge_asof`` semantics). ``tolerance`` nulls out
+    matches farther than that from the left timestamp — the match is
+    dropped, not replaced by the next-nearest. Units: SECONDS when the
+    ts columns are timestamps (matching ``asof_enrich_stream``), the
+    column's own units when numeric.
 
     Matched right columns (``right_cols``, default: all non-key,
     non-ts) come back as ``<name><suffix>`` plus ``<right_ts><suffix>``;
@@ -127,12 +129,19 @@ def asof_join(
 
     m = F.col("__m")
     if tolerance is not None:
-        gap = (
-            (F.col("__t") - m["__ts"])
-            if direction == "backward"
-            else (m["__ts"] - F.col("__t"))
-        )
-        m = F.when(gap <= F.lit(tolerance), F.col("__m"))
+        from pyspark.sql.types import TimestampNTZType, TimestampType
+
+        t_type = both.schema["__t"].dataType
+        if isinstance(t_type, (TimestampType, TimestampNTZType)):
+            # timestamp columns: tolerance is SECONDS (matching the
+            # streaming twin asof_enrich_stream) — a raw subtraction
+            # yields a day-time interval that an int can't compare to
+            lhs, rhs = F.unix_micros(F.col("__t")), F.unix_micros(m["__ts"])
+            tol = F.lit(int(tolerance * 1_000_000))
+        else:
+            lhs, rhs, tol = F.col("__t"), m["__ts"], F.lit(tolerance)
+        gap = (lhs - rhs) if direction == "backward" else (rhs - lhs)
+        m = F.when(gap <= tol, F.col("__m"))
     # a left row with a NULL ts or NULL key matches nothing (under the
     # forward sort NULL ts lands last and would otherwise see the whole
     # partition; NULL keys would pair up via partitionBy, unlike SQL)

@@ -472,8 +472,13 @@ def hyperplane_buckets_exact(
         )
 
     sign_arrays = lengths.select("__len", *[_sign_array(p) for p in range(total)])
+    # LEFT join: a NULL vector has NULL size, which matches no length row
+    # — the row must still survive (NULL projections -> all-'0' bucket,
+    # the same output the per-row formulation and the DuckDB twin give it)
     joined = embeddings.join(
-        F.broadcast(sign_arrays), on=F.size(F.col(vec_col)) == F.col("__len")
+        F.broadcast(sign_arrays),
+        on=F.size(F.col(vec_col)) == F.col("__len"),
+        how="left",
     )
     vecd = _as_double(F.col(vec_col))
 

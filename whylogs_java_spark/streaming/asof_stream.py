@@ -85,21 +85,23 @@ def asof_enrich_stream(
     def enrich(batches: Iterator["object"]) -> Iterator["object"]:
         import pandas as pd
 
-        def merge_key(s: "pd.Series") -> "pd.Series":
-            # Arrow batches and toPandas may disagree on width/nullability
-            # (int32 vs float64-with-NaN); merge_asof demands identical
-            # dtypes, and float64 represents every numeric key exactly up
-            # to 2^53 — datetimes pass through
-            if str(s.dtype).startswith(("datetime", "timedelta")):
-                return s
-            return s.astype("float64")
+        def align(l: "pd.Series", r: "pd.Series"):
+            # merge_asof demands identical key dtypes, but Arrow batches
+            # and toPandas can disagree on width/nullability (int32 vs
+            # float64-with-NaN). Align minimally: equal dtypes pass
+            # through untouched; integer/integer widens to int64
+            # (lossless — float64 would corrupt int64 ids/epochs above
+            # 2^53); only a genuine int/float mix falls back to float64,
+            # exact to 2^53 (nullable-int columns arrive as float64
+            # already, so nothing further is lost).
+            if l.dtype == r.dtype:
+                return l, r
+            if l.dtype.kind in "iu" and r.dtype.kind in "iu":
+                return l.astype("int64"), r.astype("int64")
+            return l.astype("float64"), r.astype("float64")
 
-        dim = bc.value.copy()
-        dim["__rk"] = merge_key(dim[ts_out])
+        dim_base = bc.value
         dim_by = [f"__by{i}" for i in range(len(keys))]
-        for i, k in enumerate(keys):
-            dim[dim_by[i]] = merge_key(dim[k]) if dim[k].dtype.kind in "biufc" else dim[k]
-        dim = dim.drop(columns=keys)
 
         for pdf in batches:
             names = [f.name for f in out_schema.fields]
@@ -110,11 +112,11 @@ def asof_enrich_stream(
             for k in keys:
                 ok &= pdf[k].notna()
             good = pdf[ok].copy()
-            good["__lk"] = merge_key(good[left_ts])
+            dim = dim_base.copy()
+            good["__lk"], dim["__rk"] = align(good[left_ts], dim[ts_out])
             for i, k in enumerate(keys):
-                good[dim_by[i]] = (
-                    merge_key(good[k]) if good[k].dtype.kind in "biufc" else good[k]
-                )
+                good[dim_by[i]], dim[dim_by[i]] = align(good[k], dim[k])
+            dim = dim.drop(columns=keys)
             good = good.sort_values("__lk", kind="mergesort")
             tol = pd.Timedelta(seconds=tolerance) if (
                 tolerance is not None

@@ -33,22 +33,81 @@ from ..operators.drift import NULL_CAT as _NULL_CAT
 from ..operators.drift import PSI_EPS
 
 
+# sentinel category for invalid numeric values (NULL/NaN/±Inf). They are
+# COUNTED, deliberately: a stream whose values go NaN is drifting — the
+# category shows up against any clean reference and drives PSI up — and
+# counting (rather than filtering) keeps every row advancing the event-
+# time watermark. A pre-aggregation filter would NOT: Catalyst pushes
+# deterministic filters below the EventTimeWatermark collector, so an
+# all-invalid stream would freeze the watermark and stall window
+# emission (verified empirically: eventTime.max ignored filtered rows).
+INVALID_CAT = "\x01invalid"
+
+
+def _cat_expr(column: str):
+    """Category column with the shared NULL sentinel."""
+    return F.coalesce(F.col(column).cast("string"), F.lit(_NULL_CAT))
+
+
+def _bin_cat_expr(column: str, splits):
+    """Numeric split-point bin index, stringified to act as a category;
+    invalid values (NULL/NaN/±Inf) map to ``INVALID_CAT``."""
+    from ..operators.drift import _bin_index, _valid_value
+
+    v = F.col(column).cast("double")
+    return F.coalesce(
+        F.when(_valid_value(v), _bin_index(v, splits).cast("string")),
+        F.lit(INVALID_CAT),
+    )
+
+
+def _reference_fracs(df: DataFrame, cat, keys: list[str]) -> DataFrame:
+    from ..operators.drift import _group_window
+
+    counts = (
+        df.select(*keys, cat.alias("cat"))
+        .groupBy(*keys, "cat")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = F.sum("n").over(_group_window(keys))
+    return counts.select(*keys, "cat", (F.col("n") / tot).alias("p_ref"))
+
+
+def _windowed_counts(
+    stream_df: DataFrame,
+    cat,
+    time_column: str,
+    window_duration: str,
+    slide_duration: str | None,
+    watermark: str,
+    keys: list[str],
+) -> DataFrame:
+    win = (
+        F.window(F.col(time_column), window_duration, slide_duration)
+        if slide_duration
+        else F.window(F.col(time_column), window_duration)
+    )
+    return (
+        stream_df.withWatermark(time_column, watermark)
+        .select(F.col(time_column), *keys, cat.alias("cat"))
+        .groupBy(win.alias("window"), *keys, "cat")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            *keys,
+            "cat",
+            "n",
+        )
+    )
+
+
 def reference_fractions(
     df: DataFrame, column: str, group_by: Sequence[str] = ()
 ) -> DataFrame:
     """(keys..., cat, p_ref) from a static reference slice. NULLs map to
     the same sentinel category as operators/drift.categorical_drift."""
-    keys = list(group_by)
-    cat = F.coalesce(F.col(column).cast("string"), F.lit(_NULL_CAT))
-    counts = df.groupBy(*keys, cat.alias("cat")).agg(
-        F.count(F.lit(1)).alias("n")
-    )
-    from ..operators.drift import _group_window
-
-    tot = F.sum("n").over(_group_window(keys))
-    return counts.select(
-        *keys, "cat", (F.col("n") / tot).alias("p_ref")
-    )
+    return _reference_fracs(df, _cat_expr(column), list(group_by))
 
 
 def windowed_category_counts(
@@ -65,24 +124,9 @@ def windowed_category_counts(
     Append mode emits a window's counts once its watermark passes —
     score those finalized rows with ``drift_scores``.
     """
-    keys = list(group_by)
-    cat = F.coalesce(F.col(column).cast("string"), F.lit(_NULL_CAT))
-    win = (
-        F.window(F.col(time_column), window_duration, slide_duration)
-        if slide_duration
-        else F.window(F.col(time_column), window_duration)
-    )
-    return (
-        stream_df.withWatermark(time_column, watermark)
-        .groupBy(win.alias("window"), *keys, cat.alias("cat"))
-        .agg(F.count(F.lit(1)).alias("n"))
-        .select(
-            F.col("window.start").alias("window_start"),
-            F.col("window.end").alias("window_end"),
-            *keys,
-            "cat",
-            "n",
-        )
+    return _windowed_counts(
+        stream_df, _cat_expr(column), time_column,
+        window_duration, slide_duration, watermark, list(group_by),
     )
 
 
@@ -95,17 +139,7 @@ def reference_bin_fractions(
     """Numeric twin of ``reference_fractions``: (keys..., cat, p_ref)
     where ``cat`` is the split-point bin index as a string — feed the
     result to ``drift_scores`` together with ``windowed_bin_counts``."""
-    from ..operators.drift import _bin_index, _group_window, _valid_value
-
-    keys = list(group_by)
-    v = F.col(column).cast("double")
-    counts = (
-        df.where(_valid_value(v))
-        .groupBy(*keys, _bin_index(v, splits).cast("string").alias("cat"))
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    tot = F.sum("n").over(_group_window(keys))
-    return counts.select(*keys, "cat", (F.col("n") / tot).alias("p_ref"))
+    return _reference_fracs(df, _bin_cat_expr(column, splits), list(group_by))
 
 
 def windowed_bin_counts(
@@ -121,32 +155,12 @@ def windowed_bin_counts(
     """Streaming counts per (window, keys, bin) for a NUMERIC column —
     the same one-stateful-agg shape as ``windowed_category_counts`` with
     the split-point bin index (stringified) as the category, so
-    ``drift_scores`` scores both kinds identically."""
-    from ..operators.drift import _bin_index, _valid_value
-
-    keys = list(group_by)
-    v = F.col(column).cast("double")
-    win = (
-        F.window(F.col(time_column), window_duration, slide_duration)
-        if slide_duration
-        else F.window(F.col(time_column), window_duration)
-    )
-    return (
-        stream_df.where(_valid_value(v))
-        .withWatermark(time_column, watermark)
-        .groupBy(
-            win.alias("window"),
-            *keys,
-            _bin_index(v, splits).cast("string").alias("cat"),
-        )
-        .agg(F.count(F.lit(1)).alias("n"))
-        .select(
-            F.col("window.start").alias("window_start"),
-            F.col("window.end").alias("window_end"),
-            *keys,
-            "cat",
-            "n",
-        )
+    ``drift_scores`` scores both kinds identically. Invalid values
+    (NULL/NaN/±Inf) count under ``INVALID_CAT`` — see its comment: they
+    both advance the watermark and register as drift."""
+    return _windowed_counts(
+        stream_df, _bin_cat_expr(column, splits), time_column,
+        window_duration, slide_duration, watermark, list(group_by),
     )
 
 
