@@ -866,3 +866,32 @@ def test_windowed_bin_counts_invalid_values_advance_watermark(spark, tmp_path):
     assert nan_windows == {
         ("2024-01-01 %02d:00:00" % h, INVALID_CAT) for h in range(2, 7)
     }
+
+
+def test_rolling_window_scores(spark):
+    from whylogs_java_spark.streaming.drift_stream import rolling_window_scores
+
+    def w(h):
+        return (f"2024-01-01 {h:02d}:00:00", f"2024-01-01 {h+1:02d}:00:00")
+
+    rows = []
+    # window 0 and 1 identical; window 3 present after a gap (2 missing);
+    # window 4 shifted hard
+    for h, dist in [(0, {"a": 8, "b": 2}), (1, {"a": 8, "b": 2}),
+                    (3, {"a": 5, "b": 5}), (4, {"z": 10})]:
+        for cat, n in dist.items():
+            rows.append((*w(h), cat, n))
+    counts = spark.createDataFrame(
+        rows, "window_start string, window_end string, cat string, n long"
+    ).select(
+        F.col("window_start").cast("timestamp").alias("window_start"),
+        F.col("window_end").cast("timestamp").alias("window_end"),
+        "cat", "n",
+    )
+    out = {str(r["window_start"]): r for r in rolling_window_scores(counts).collect()}
+    # window 1 vs 0: identical -> 0; window 3 has no predecessor (gap);
+    # window 4 vs 3: disjoint categories -> l1 = 2
+    assert set(out) == {"2024-01-01 01:00:00", "2024-01-01 04:00:00"}
+    assert out["2024-01-01 01:00:00"]["psi"] == pytest.approx(0.0)
+    assert out["2024-01-01 04:00:00"]["l1"] == pytest.approx(2.0)
+    assert out["2024-01-01 04:00:00"]["psi"] > 1

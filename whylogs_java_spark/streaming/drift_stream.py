@@ -164,6 +164,80 @@ def windowed_bin_counts(
     )
 
 
+def rolling_window_scores(
+    counts: DataFrame,
+    group_by: Sequence[str] = (),
+    eps: float = PSI_EPS,
+) -> DataFrame:
+    """PSI / L1 / L-inf of each window vs the PREVIOUS window — the
+    reference-FREE rolling monitor over a windowed-counts table (the
+    output of ``windowed_category_counts`` / ``windowed_bin_counts``,
+    batch-compacted or inside ``foreachBatch``).
+
+    The previous side is the same counts table with ``window_start``
+    shifted forward by one window length, so tumbling windows line up
+    exactly; windows whose predecessor is absent (the first window, or
+    one after a gap) are dropped — a gap resets the comparison, the same
+    contract as operators/drift.rolling_drift. All joins and windows run
+    over aggregate-sized rows.
+    """
+    keys = list(group_by)
+    win_len = F.col("window_end").cast("long") - F.col("window_start").cast("long")
+    cur = counts.select(
+        "window_start", "window_end", *keys, "cat", F.col("n").alias("n_cur")
+    )
+    prev = counts.select(
+        (F.col("window_start") + F.make_interval(secs=win_len)).alias(
+            "window_start"
+        ),
+        *keys,
+        "cat",
+        F.col("n").alias("n_prev"),
+    )
+    both = cur.join(
+        prev, on=["window_start", *keys, "cat"], how="full"
+    ).select(
+        "window_start",
+        "window_end",
+        *keys,
+        "cat",
+        F.coalesce(F.col("n_cur"), F.lit(0)).alias("n_cur"),
+        F.coalesce(F.col("n_prev"), F.lit(0)).alias("n_prev"),
+    )
+    from ..operators.drift import _group_window
+
+    wk = ["window_start", *keys]
+    tot_c = F.sum("n_cur").over(_group_window(wk))
+    tot_p = F.sum("n_prev").over(_group_window(wk))
+    pc_raw = F.coalesce(F.try_divide(F.col("n_cur"), tot_c), F.lit(0.0))
+    pp_raw = F.coalesce(F.try_divide(F.col("n_prev"), tot_p), F.lit(0.0))
+    pc = F.greatest(pc_raw, F.lit(eps))
+    pp = F.greatest(pp_raw, F.lit(eps))
+    per = both.select(
+        "window_start",
+        "window_end",
+        *keys,
+        F.col("n_cur"),
+        F.col("n_prev"),
+        ((pc - pp) * (F.log(pc) - F.log(pp))).alias("__psi_term"),
+        F.abs(pc_raw - pp_raw).alias("__gap"),
+    )
+    out = per.groupBy("window_start", *keys).agg(
+        F.max("window_end").alias("window_end"),
+        F.sum("n_cur").alias("count_cur"),
+        F.sum("n_prev").alias("count_prev"),
+        F.sum("__psi_term").alias("psi"),
+        F.sum("__gap").alias("l1"),
+        F.max("__gap").alias("linf"),
+    )
+    return out.where(
+        (F.col("count_prev") > 0) & (F.col("count_cur") > 0)
+    ).select(
+        "window_start", "window_end", *keys,
+        "count_cur", "count_prev", "psi", "l1", "linf",
+    )
+
+
 def drift_scores(
     counts: DataFrame,
     reference: DataFrame,
