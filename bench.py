@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "asof_events",
     "range_bands",
     "overlap_lineitem",
+    "weighted_sample_documents",
     "drift_events_value",
     "drift_events_rolling",
     "drift_documents_lang",

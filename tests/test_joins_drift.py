@@ -895,3 +895,36 @@ def test_rolling_window_scores(spark):
     assert out["2024-01-01 01:00:00"]["psi"] == pytest.approx(0.0)
     assert out["2024-01-01 04:00:00"]["l1"] == pytest.approx(2.0)
     assert out["2024-01-01 04:00:00"]["psi"] > 1
+
+
+# ---------------------------------------------------------- weighted sample
+
+
+def test_weighted_sample_k_proportional_and_deterministic(spark):
+    import numpy as np
+    from whylogs_java_spark.operators.sampling import weighted_sample_k
+
+    # two weight classes: weight 9 vs 1 -> heavy rows should dominate
+    rows = [(i, 9.0 if i % 2 == 0 else 1.0) for i in range(2000)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    picked = weighted_sample_k(df, "id", "w", k=200).collect()
+    heavy = sum(1 for r in picked if r["id"] % 2 == 0)
+    # E[heavy] ~ 180 of 200; loose bound well away from uniform (100)
+    assert heavy > 140
+    # deterministic: same ids on re-run and under different partitioning
+    again = {r["id"] for r in weighted_sample_k(
+        df.repartition(7), "id", "w", k=200).collect()}
+    assert {r["id"] for r in picked} == again
+
+
+def test_weighted_sample_k_excludes_bad_weights_and_groups(spark):
+    from whylogs_java_spark.operators.sampling import weighted_sample_k
+
+    df = spark.createDataFrame(
+        [("g1", 1, 5.0), ("g1", 2, 0.0), ("g1", 3, None),
+         ("g1", 4, float("nan")), ("g2", 5, 1.0)],
+        "g string, id long, w double",
+    )
+    out = weighted_sample_k(df, "id", "w", k=10, group_by=["g"]).collect()
+    ids = {r["id"] for r in out}
+    assert ids == {1, 5}  # zero/NULL/NaN weights never selected

@@ -65,6 +65,59 @@ def hash_sample(
     return df.where(key < thr)
 
 
+def weighted_priority(id_col: Column, weight: Column, salt: str = "") -> Column:
+    """Efraimidis–Spirakis A-ES sampling priority, deterministic.
+
+    u = (md5-prefix + 1) / 2^60 is an exact engine-portable uniform in
+    (0, 1]; the A-ES key u^(1/w) selects weight-proportionally, and
+    ln(u)/w orders identically (ln is monotone) without the pow. Rounded
+    to 6 decimals so the cross-engine ordering is reproducible (ties
+    break on the id downstream)."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), id_col.cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    u = (h + F.lit(1)).cast("double") / F.lit(float(1 << 60))
+    return F.round(F.log(u) / weight, 6)
+
+
+def weighted_sample_k(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    group_by: Sequence[str] = (),
+    salt: str = "",
+) -> DataFrame:
+    """Exactly-k weight-proportional without-replacement sample per group
+    (A-ES): keep the k rows with the largest ``ln(u)/w`` priority.
+
+    Deterministic in (id, salt) like every sampler here — stable under
+    partitioning, re-runs, and engines. Rows with NULL, NaN, or
+    non-positive weights are excluded (they have zero selection mass).
+    Data-mixing use case: weight by token count to sample long documents
+    proportionally to their training-token contribution.
+
+    Scale: one shuffle on the group keys; Spark plans the per-group
+    row_number + filter as WindowGroupLimit (top-k retained map-side),
+    so state per task is O(k), not O(group).
+    """
+    from pyspark.sql import Window
+
+    w = F.col(weight_col).cast("double")
+    eligible = df.where(w.isNotNull() & ~F.isnan(w) & (w > 0))
+    pri = weighted_priority(F.col(id_col), w, salt)
+    win = Window.partitionBy(*group_by).orderBy(
+        pri.desc(), F.col(id_col).asc()
+    )
+    return (
+        eligible.withColumn("__rk", F.row_number().over(win))
+        .where(F.col("__rk") <= k)
+        .drop("__rk")
+    )
+
+
 def assign_splits(
     df: DataFrame,
     id_col: str,
