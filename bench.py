@@ -97,6 +97,14 @@ BENCH_QUERIES = [
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # Optional comma-separated subset for isolated A/B runs (fresh-JVM
+    # single-query timing vs the full contention-prone sweep).
+    subset = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+    bench_queries = (
+        [q.strip() for q in subset.split(",") if q.strip()]
+        if subset
+        else BENCH_QUERIES
+    )
     spark = get_spark("bench")
     qs = entry_mod.queries()
 
@@ -106,7 +114,7 @@ def main() -> None:
     warm_dir = "/root/testdata/sf0.001"
     if not os.path.isdir(warm_dir):
         warm_dir = sf_dir
-    for name in BENCH_QUERIES:
+    for name in bench_queries:
         if name in qs:
             qs[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
 
@@ -114,7 +122,7 @@ def main() -> None:
     # for this sf's files, per-plan JIT profiling); the min reflects the
     # steady-state throughput that matters for long scans.
     times: dict[str, float] = {}
-    for name in BENCH_QUERIES:
+    for name in bench_queries:
         if name not in qs:
             continue
         best = float("inf")

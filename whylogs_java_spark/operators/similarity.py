@@ -589,20 +589,24 @@ def banded_buckets(
             for b in range(bands)
         ]
     )
-    cols = [F.col(id_col), F.posexplode(band_buckets).alias("band", "bucket")]
-    for r in range(split_rounds if bucket_cap is not None else 0):
-        extra = F.concat(
-            *[bit(bands * planes + r * split_planes + i) for i in range(split_planes)]
-        )
-        cols.append(extra.alias(f"__extra{r}"))
-    # Materialize the signature table ONCE: it is tiny (one short row per
-    # (id, band)) but its plan carries `planes` dot-product folds per row,
-    # and downstream it feeds the oversized-bucket census PLUS both sides
-    # of the candidate self-join — without this the fold pipeline executes
-    # up to 4x (AQE exchange reuse covers the symmetric join sides but not
-    # the census branch).
-    sig = e.select(*cols).localCheckpoint(eager=True)
+    # Materialize the BASE signature table ONCE: it is tiny (one short row
+    # per (id, band)) but its plan carries `planes*bands` dot-product folds
+    # per row, and downstream it feeds the oversized-bucket census PLUS
+    # both sides of the candidate self-join — without this the fold
+    # pipeline executes up to 4x (AQE exchange reuse covers the symmetric
+    # join sides but not the census branch). Refinement bits are NOT
+    # computed here: each extra plane is another interpreted fold over the
+    # whole corpus, and the common case (every bucket under cap) never
+    # needs them — they are derived lazily below, only for ids that sit in
+    # an oversized bucket (eagerly computing split_planes*split_rounds
+    # extra folds per row was the r6 dedup_embedding_fast regression:
+    # 20 folds/row instead of 8 for refinements that never fired).
+    sig = e.select(
+        F.col(id_col), F.posexplode(band_buckets).alias("band", "bucket")
+    ).localCheckpoint(eager=True)
     if bucket_cap is not None:
+        extra_names = [f"__extra{r}" for r in range(split_rounds)]
+        extras = None
         for r in range(split_rounds):
             oversized = (
                 sig.groupBy("band", "bucket")
@@ -612,10 +616,43 @@ def banded_buckets(
             )
             # driver-side emptiness probe on the tiny census aggregate —
             # the common case (no bucket over cap) costs one cheap round
+            # and ZERO refinement folds
             if oversized.isEmpty():
                 break
+            if extras is None:
+                # ids needing refinement at any later round are a subset
+                # of the ids oversized NOW (refinement only ever splits
+                # already-oversized buckets), so one fold pass over this
+                # subset serves every round. The join back to the corpus
+                # is id-keyed equi (one shuffle of the affected subset at
+                # worst; AQE broadcasts it when small) — never all rows.
+                over_ids = (
+                    sig.join(
+                        F.broadcast(oversized.drop("__over")),
+                        on=["band", "bucket"],
+                    )
+                    .select(id_col)
+                    .distinct()
+                )
+                extras = (
+                    e.join(over_ids, on=id_col, how="leftsemi")
+                    .select(
+                        F.col(id_col),
+                        *[
+                            F.concat(
+                                *[
+                                    bit(bands * planes + rr * split_planes + i)
+                                    for i in range(split_planes)
+                                ]
+                            ).alias(extra_names[rr])
+                            for rr in range(split_rounds)
+                        ],
+                    )
+                    .localCheckpoint(eager=True)
+                )
             sig = (
                 sig.join(F.broadcast(oversized), on=["band", "bucket"], how="left")
+                .join(extras, on=id_col, how="left")
                 .withColumn(
                     "bucket",
                     F.when(
@@ -623,12 +660,11 @@ def banded_buckets(
                         F.concat(F.col("bucket"), F.col(f"__extra{r}")),
                     ).otherwise(F.col("bucket")),
                 )
-                .drop("__over")
+                .drop("__over", *extra_names)
                 # keep each round's census scanning a materialized table,
                 # not a growing join chain
                 .localCheckpoint(eager=True)
             )
-        sig = sig.drop(*[f"__extra{r}" for r in range(split_rounds)])
     return sig
 
 
