@@ -92,6 +92,7 @@ BENCH_QUERIES = [
     "drift_events_rolling",
     "drift_documents_lang",
     "profile_diff_lineitem",
+    "profile_diff_sketch",
 ]
 
 

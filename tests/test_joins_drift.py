@@ -928,3 +928,17 @@ def test_weighted_sample_k_excludes_bad_weights_and_groups(spark):
     out = weighted_sample_k(df, "id", "w", k=10, group_by=["g"]).collect()
     ids = {r["id"] for r in out}
     assert ids == {1, 5}  # zero/NULL/NaN weights never selected
+
+
+def test_numeric_drift_ungrouped_all_invalid_keeps_row(spark):
+    # ADVICE r6: with group_by=() and NO valid value on either side the
+    # binned table is empty; the output row must survive (counts + null
+    # rates populated, psi/cdf_linf NULL) — matching grouped semantics.
+    a = spark.createDataFrame([(None,), (float("nan"),)], "v double")
+    b = spark.createDataFrame([(None,)], "v double")
+    rows = numeric_drift(a, b, "v", splits=[1.0, 2.0]).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["count_a"] == 2 and r["count_b"] == 1
+    assert r["null_rate_a"] == 1.0 and r["null_rate_b"] == 1.0
+    assert r["psi"] is None and r["cdf_linf"] is None

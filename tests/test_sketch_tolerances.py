@@ -160,3 +160,65 @@ def test_dedup_simhash_deterministic_and_wellformed(spark):
     s2 = sorted(tuple(x) for x in r2)
     assert s1 == s2 and len(s1) > 0
     assert all(len(h) == 16 for _, h in s1)
+
+
+def test_profile_diff_sketch_brackets_exact_twin(spark):
+    # KLL(k=256) normalized rank error ~= 1.3% (two-sided, 99%); every
+    # sketch-derived score must sit within a rank-error-derived band of
+    # the exact numeric_drift twin computed on the SAME halves with the
+    # SAME bin edges.
+    from whylogs_java_spark.operators.approx import sketch_profile
+    from whylogs_java_spark.operators.drift import (
+        numeric_drift,
+        sketch_profile_diff,
+    )
+
+    rank_eps = 0.013
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    ha = li.where(F.col("l_orderkey") % 2 == 0)
+    hb = li.where(F.col("l_orderkey") % 2 == 1)
+    cols = ["l_quantity", "l_extendedprice"]
+    sk = sketch_profile_diff(
+        sketch_profile(ha, columns=cols),
+        sketch_profile(hb, columns=cols),
+        bins=8,
+    ).collect()
+    assert {r["column_name"] for r in sk} == set(cols)
+    for r in sk:
+        c = r["column_name"]
+        # counts are exact in a KLL sketch (n is tracked, not estimated)
+        assert r["count_a"] == ha.where(F.col(c).isNotNull()).count()
+        assert r["count_b"] == hb.where(F.col(c).isNotNull()).count()
+
+        # exact twin on the same halves with the sketch's own edges:
+        # reconstruct them the same way (combined min/max, 8 equal bins)
+        agg = (
+            ha.select(F.col(c).cast("double").alias("v"))
+            .unionAll(hb.select(F.col(c).cast("double").alias("v")))
+            .agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+            .first()
+        )
+        width = (agg["hi"] - agg["lo"]) / 8
+        splits = [agg["lo"] + i * width for i in range(1, 8)]
+        exact = (
+            numeric_drift(ha, hb, c, splits=splits)
+            .select("psi", "cdf_linf", "mean_a", "mean_b")
+            .first()
+        )
+        # CDF L-inf: each probed CDF value is off by <= rank_eps per
+        # side, so the max-gap is off by <= 2*rank_eps — plus the edge
+        # set differs slightly (sketch min/max vs exact min/max), so
+        # allow one more rank_eps of slack.
+        assert abs(r["cdf_linf"] - exact["cdf_linf"]) <= 3 * rank_eps, (c, r)
+        # PSI: with p floored at eps=1e-6 and bin probabilities off by
+        # <= 2*rank_eps each, psi error is bounded by
+        # sum_bins 2*rank_eps * |log p ratio|; empirically loose-bound
+        # at 0.1 absolute for these smooth columns.
+        assert abs(r["psi"] - exact["psi"]) <= 0.1, (c, r)
+        # medians: the sketch median must lie between the exact
+        # quantiles at 0.5 +/- rank_eps on each half
+        for side, half in (("a", ha), ("b", hb)):
+            lo, hi = _exact_bracket(half, c, 0.5, rank_eps)
+            assert lo - 1e-9 <= r[f"median_{side}"] <= hi + 1e-9, (c, side, r)

@@ -157,7 +157,17 @@ def numeric_drift(
     if keys:
         out = sa.join(sb, on=keys, how="full").join(drift, on=keys, how="left")
     else:
-        out = sa.crossJoin(sb).crossJoin(drift)
+        # LEFT join on a dummy key, not crossJoin(drift): when neither
+        # slice has a valid value the binned table is empty and a cross
+        # join would drop the whole output row — the grouped path keeps
+        # counts/null rates with NULL psi, and the ungrouped path must
+        # match that semantics.
+        out = (
+            sa.crossJoin(sb)
+            .withColumn("__k", F.lit(1))
+            .join(drift.withColumn("__k", F.lit(1)), on="__k", how="left")
+            .drop("__k")
+        )
     ca, cb = F.col("count_a"), F.col("count_b")
     return out.select(
         *keys,
@@ -385,6 +395,208 @@ def profile_diff(
         (F.col("stddev_b") - F.col("stddev_a")).alias("stddev_delta"),
         (F.col("min_b") - F.col("min_a")).alias("min_delta"),
         (F.col("max_b") - F.col("max_a")).alias("max_delta"),
+    )
+
+
+def sketch_profile_diff(
+    sketch_a: DataFrame,
+    sketch_b: DataFrame,
+    keys: Sequence[str] = (),
+    bins: int = 10,
+    splits: Sequence[float] | None = None,
+    eps: float = PSI_EPS,
+) -> DataFrame:
+    """Distribution drift straight from STORED SKETCH profiles — no raw
+    data, no exact atoms.
+
+    Inputs are two ``approx.sketch_profile`` outputs (one row per group
+    carrying ``{col}__kll`` / ``{col}__theta`` / ``{col}__hll`` binaries
+    — the mergeable state a profile store persists). For every column
+    with a KLL sketch on BOTH sides, the quantile sketch is read back as
+    a CDF (``kll_sketch_get_rank_float`` — the same quantile surface the
+    reference exposes from stored profiles, SummaryConverters.java:110-124)
+    and scored with the numeric_drift math:
+
+    - shared bin edges: ``splits`` if given (numeric_drift-compatible
+      split points), else ``bins`` equal-width edges over the combined
+      sketch [min, max];
+    - psi over the per-bin probabilities (rank deltas), with the same
+      eps substitution as the exact tier;
+    - cdf_linf = max CDF gap at the interior edges;
+    - count_a/b (sketch n), median_a/b/delta, unique_theta_a/b.
+
+    Output, long format per (keys..., column_name). Estimates inherit
+    KLL rank error (k=256 → ~1% normalized) — this is the rows-only
+    sketch tier; ``tests/test_sketch_tolerances.py`` brackets it against
+    the exact ``numeric_drift`` twin. Both inputs are aggregate-sized
+    (O(groups) rows × O(columns) sketch binaries), so the join and every
+    rank read cost nothing at any raw-data scale: diffing two 100 TB
+    days = reading two profile rows.
+
+    Columns present on one side only (schema drift) yield NULL metrics;
+    a side whose sketch is empty (zero valid values) likewise — guarded
+    by lazy CaseWhen so empty KLL binaries are never queried.
+    """
+    ks = list(keys)
+
+    def _prefixed(df: DataFrame, side: str) -> DataFrame:
+        return df.select(
+            *ks,
+            *[
+                F.col(f.name).alias(f"{side}__{f.name}")
+                for f in df.schema.fields
+                if f.name not in ks
+            ],
+        )
+
+    a, b = _prefixed(sketch_a, "a"), _prefixed(sketch_b, "b")
+    if ks:
+        j = a.join(b, on=ks, how="full")
+    else:
+        # sketch_profile's global groupBy() always yields exactly one
+        # row per side, so the cross join is 1×1
+        j = a.crossJoin(b)
+
+    fields = {f.name for f in j.schema.fields}
+    cols = sorted(
+        {
+            n[len("a__"): -len("__kll")]
+            for n in fields
+            if n.startswith("a__") and n.endswith("__kll")
+        }
+        | {
+            n[len("b__"): -len("__kll")]
+            for n in fields
+            if n.startswith("b__") and n.endswith("__kll")
+        }
+    )
+
+    def _rank(sk, edge):
+        # the probe value must be FOLDABLE (kll_sketch_get_rank_float
+        # rejects data-dependent probes) — edges below are literals, and
+        # a cast of a literal stays foldable under constant folding
+        return F.kll_sketch_get_rank_float(sk, edge.cast("float"))
+
+    def _q(sk, p: float):
+        return F.kll_sketch_get_quantile_float(sk, F.lit(float(p)))
+
+    def _guarded_q(name: str, p: float):
+        if name not in fields:
+            return F.lit(None).cast("float")
+        sk = F.col(name)
+        return F.when(
+            sk.isNotNull() & (F.kll_sketch_get_n_float(sk) > 0), _q(sk, p)
+        )
+
+    # Shared literal bin edges per column. With caller splits they are
+    # literal already; otherwise derive [lo, hi] with ONE driver-side
+    # aggregate over the sketch table — aggregate-sized input (O(groups)
+    # rows of binaries), the same tiny-collect shape as auto_splits, so
+    # this costs nothing at any raw-data scale.
+    edges_by_col: dict[str, list] = {}
+    if splits is not None:
+        lits = [F.lit(float(s)) for s in sorted(float(x) for x in splits)]
+        for c in cols:
+            edges_by_col[c] = lits
+    else:
+        probe_aggs = []
+        for c in cols:
+            ka, kb = f"a__{c}__kll", f"b__{c}__kll"
+            probe_aggs.append(
+                F.min(F.least(_guarded_q(ka, 0.0), _guarded_q(kb, 0.0)))
+                .cast("double")
+                .alias(f"{c}__lo")
+            )
+            probe_aggs.append(
+                F.max(F.greatest(_guarded_q(ka, 1.0), _guarded_q(kb, 1.0)))
+                .cast("double")
+                .alias(f"{c}__hi")
+            )
+        probe = j.agg(*probe_aggs).first()
+        for c in cols:
+            lo, hi = probe[f"{c}__lo"], probe[f"{c}__hi"]
+            if (
+                lo is None
+                or hi is None
+                or not math.isfinite(hi - lo)
+                or hi <= lo
+            ):
+                # constant/empty column: no distributional information —
+                # a single bin scores psi 0, cdf_linf 0
+                edges_by_col[c] = []
+                continue
+            width = (hi - lo) / bins
+            edges_by_col[c] = [
+                F.lit(float(lo + i * width)) for i in range(1, bins)
+            ]
+
+    structs = []
+    for c in cols:
+        ka, kb = f"a__{c}__kll", f"b__{c}__kll"
+        parts = [F.lit(c).alias("column_name")]
+        sk_a_col = F.col(ka) if ka in fields else F.lit(None).cast("binary")
+        sk_b_col = F.col(kb) if kb in fields else F.lit(None).cast("binary")
+        n_a = (
+            F.kll_sketch_get_n_float(sk_a_col) if ka in fields else F.lit(None)
+        ).cast("long")
+        n_b = (
+            F.kll_sketch_get_n_float(sk_b_col) if kb in fields else F.lit(None)
+        ).cast("long")
+        both = (
+            sk_a_col.isNotNull()
+            & sk_b_col.isNotNull()
+            & (n_a > 0)
+            & (n_b > 0)
+        )
+        parts.append(n_a.alias("count_a"))
+        parts.append(n_b.alias("count_b"))
+
+        edges = edges_by_col[c]
+
+        ra = [F.lit(0.0)] + [_rank(sk_a_col, e).cast("double") for e in edges] + [F.lit(1.0)]
+        rb = [F.lit(0.0)] + [_rank(sk_b_col, e).cast("double") for e in edges] + [F.lit(1.0)]
+        psi_terms = []
+        for i in range(len(edges) + 1):
+            pa = F.greatest(ra[i + 1] - ra[i], F.lit(eps))
+            pb = F.greatest(rb[i + 1] - rb[i], F.lit(eps))
+            psi_terms.append((pa - pb) * (F.log(pa) - F.log(pb)))
+        psi = sum(psi_terms[1:], psi_terms[0])
+        gaps = [
+            F.abs(ra[i + 1] - rb[i + 1]) for i in range(len(edges))
+        ]
+        cdf_linf = F.greatest(*gaps) if len(gaps) > 1 else (
+            gaps[0] if gaps else F.lit(0.0)
+        )
+        med_a = F.when(sk_a_col.isNotNull() & (n_a > 0), _q(sk_a_col, 0.5)).cast(
+            "double"
+        )
+        med_b = F.when(sk_b_col.isNotNull() & (n_b > 0), _q(sk_b_col, 0.5)).cast(
+            "double"
+        )
+        parts.append(med_a.alias("median_a"))
+        parts.append(med_b.alias("median_b"))
+        parts.append((med_b - med_a).alias("median_delta"))
+        parts.append(F.when(both, psi).alias("psi"))
+        parts.append(F.when(both, cdf_linf).alias("cdf_linf"))
+        ta, tb = f"a__{c}__theta", f"b__{c}__theta"
+        parts.append(
+            (
+                F.theta_sketch_estimate(F.col(ta))
+                if ta in fields
+                else F.lit(None)
+            ).cast("double").alias("unique_theta_a")
+        )
+        parts.append(
+            (
+                F.theta_sketch_estimate(F.col(tb))
+                if tb in fields
+                else F.lit(None)
+            ).cast("double").alias("unique_theta_b")
+        )
+        structs.append(F.struct(*parts))
+
+    return j.select(*ks, F.explode(F.array(*structs)).alias("m")).select(
+        *ks, "m.*"
     )
 
 
