@@ -942,3 +942,148 @@ def test_numeric_drift_ungrouped_all_invalid_keeps_row(spark):
     assert r["count_a"] == 2 and r["count_b"] == 1
     assert r["null_rate_a"] == 1.0 and r["null_rate_b"] == 1.0
     assert r["psi"] is None and r["cdf_linf"] is None
+
+
+def test_asof_time_buckets_equivalent(spark):
+    """time_buckets=n must be row-for-row identical to the unbucketed
+    plan — randomized corpus with duplicate (k, ts) right rows, both
+    directions, with and without tolerance."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    import pandas as pd
+
+    lpd = pd.DataFrame(
+        {
+            "k": rng.integers(0, 4, 300),
+            "ts": rng.integers(0, 500, 300),
+            "lid": range(300),
+        }
+    )
+    rpd = pd.DataFrame(
+        {
+            "k": rng.integers(0, 4, 250),
+            "ts": rng.integers(0, 500, 250),
+            "val": rng.normal(size=250).round(3),
+            "tb": rng.integers(0, 1000, 250),
+        }
+    )
+    left, right = spark.createDataFrame(lpd), spark.createDataFrame(rpd)
+    for direction in ("backward", "forward"):
+        for tol in (None, 50):
+            base = asof_join(
+                left, right, on="k", left_ts="ts",
+                direction=direction, tolerance=tol, right_tiebreak="tb",
+            )
+            buck = asof_join(
+                left, right, on="k", left_ts="ts",
+                direction=direction, tolerance=tol, right_tiebreak="tb",
+                time_buckets=5,
+            )
+            b = {r["lid"]: (r["ts_r"], r["val_r"], r["tb_r"]) for r in base.collect()}
+            q = {r["lid"]: (r["ts_r"], r["val_r"], r["tb_r"]) for r in buck.collect()}
+            assert b == q, (direction, tol)
+
+
+def test_asof_time_buckets_plan_partitions_on_range(spark, asof_sides):
+    left, right = asof_sides
+    out = asof_join(left, right, on="k", left_ts="ts", time_buckets=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the window's exchange must carry the range bucket alongside the key
+    assert "__rng" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    rows = {r["lab"]: r["p_r"] for r in out.collect()}
+    base = {
+        r["lab"]: r["p_r"]
+        for r in asof_join(left, right, on="k", left_ts="ts").collect()
+    }
+    assert rows == base
+
+
+def test_asof_string_tiebreak_orders_lexicographically(spark):
+    # ADVICE r6: a non-numeric tiebreak must order in its own type, not
+    # silently become all-NULL via a double cast
+    left = spark.createDataFrame([(1, 10)], "k int, ts int")
+    right = spark.createDataFrame(
+        [(1, 10, "alpha", 1.0), (1, 10, "zeta", 2.0), (1, 10, "beta", 3.0)],
+        "k int, ts int, name string, p double",
+    )
+    r = asof_join(
+        left, right, on="k", left_ts="ts", right_tiebreak="name"
+    ).first()
+    assert r["name_r"] == "zeta" and r["p_r"] == 2.0
+
+
+def test_rolling_window_scores_sliding_slide_seconds(spark):
+    # ADVICE r6: sliding-window counts must be scored against the window
+    # ONE SLIDE back, not one full window length back.
+    from whylogs_java_spark.streaming.drift_stream import rolling_window_scores
+
+    rows = []  # 1h windows sliding every 30 min
+    starts = ["00:00", "00:30", "01:00"]
+    dists = [{"a": 8, "b": 2}, {"a": 8, "b": 2}, {"z": 10}]
+    for s, dist in zip(starts, dists):
+        h, m = s.split(":")
+        ws = f"2024-01-01 {h}:{m}:00"
+        we_h = int(h) + 1
+        we = f"2024-01-01 {we_h:02d}:{m}:00"
+        for cat, n in dist.items():
+            rows.append((ws, we, cat, n))
+    counts = spark.createDataFrame(
+        rows, "window_start string, window_end string, cat string, n long"
+    ).select(
+        F.col("window_start").cast("timestamp").alias("window_start"),
+        F.col("window_end").cast("timestamp").alias("window_end"),
+        "cat", "n",
+    )
+    out = {
+        str(r["window_start"]): r
+        for r in rolling_window_scores(counts, slide_seconds=1800).collect()
+    }
+    # 00:30 vs 00:00 identical -> psi 0; 01:00 vs 00:30 disjoint -> l1 2
+    assert set(out) == {"2024-01-01 00:30:00", "2024-01-01 01:00:00"}
+    assert out["2024-01-01 00:30:00"]["psi"] == pytest.approx(0.0)
+    assert out["2024-01-01 01:00:00"]["l1"] == pytest.approx(2.0)
+    # default (tumbling assumption) mis-aligns: only 01:00 finds a
+    # "predecessor" (00:00, a full hour back)
+    wrong = {
+        str(r["window_start"])
+        for r in rolling_window_scores(counts).collect()
+    }
+    assert wrong == {"2024-01-01 01:00:00"}
+
+    with pytest.raises(ValueError, match="slide_seconds"):
+        rolling_window_scores(counts, slide_seconds=0)
+
+
+def test_asof_enrich_stream_dim_size_guard(spark):
+    from whylogs_java_spark.streaming.asof_stream import asof_enrich_stream
+
+    stream = spark.createDataFrame([(1, 5)], "k int, ts int")
+    dim = spark.createDataFrame(
+        [(1, i, float(i)) for i in range(10)], "k int, ts int, v double"
+    )
+    with pytest.raises(ValueError, match="max_dim_rows"):
+        asof_enrich_stream(stream, dim, on="k", left_ts="ts", max_dim_rows=5)
+
+
+def test_asof_enrich_stream_timestamp_columns(spark):
+    # datetime64 unit/tz alignment: timestamp ts columns on both sides
+    # must enrich correctly (and not crash on a unit mismatch between
+    # Arrow batches and driver toPandas)
+    from whylogs_java_spark.streaming.asof_stream import asof_enrich_stream
+
+    stream = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00"), (1, "2024-01-01 08:00:00")],
+        "k int, ts string",
+    ).select("k", F.col("ts").cast("timestamp").alias("ts"))
+    dim = spark.createDataFrame(
+        [(1, "2024-01-01 09:00:00", 7.0), (1, "2024-01-01 11:00:00", 9.0)],
+        "k int, ts string, v double",
+    ).select("k", F.col("ts").cast("timestamp").alias("ts"), "v")
+    out = {
+        str(r["ts"]): r["v_r"]
+        for r in asof_enrich_stream(stream, dim, on="k", left_ts="ts").collect()
+    }
+    assert out["2024-01-01 10:00:00"] == 7.0
+    assert out["2024-01-01 08:00:00"] is None

@@ -892,3 +892,38 @@ def test_hyperplane_buckets_empty_vector_matches_fold_identity(spark):
     ).collect()}
     assert out[2] == "1111"
     assert len(out[1]) == 4 and set(out[1]) <= {"0", "1"}
+
+
+def test_find_best_split_constant_job_count(spark):
+    # one melted aggregation scores ALL candidates: Spark job count per
+    # greedy round must not grow with the candidate count
+    from whylogs_java_spark.operators.segmentation import find_best_split
+
+    cols = [f"c{i}" for i in range(8)]
+    rows = [
+        tuple(str((r * (i + 3)) % (i + 2)) for i in range(8)) + (str(r % 3), 1)
+        for r in range(60)
+    ]
+    countdf = spark.createDataFrame(
+        rows, ", ".join(f"{c} string" for c in cols) + ", tgt string, count long"
+    ).cache()
+    countdf.count()  # materialize outside the measured group
+
+    sc = spark.sparkContext
+
+    def jobs_for(cands, tag):
+        sc.setJobGroup(tag, "find_best_split job-count probe")
+        try:
+            gain, chosen = find_best_split(countdf, [], cands, "tgt")
+        finally:
+            sc.setJobGroup(None, None)
+        return len(sc.statusTracker().getJobIdsForGroup(tag)), gain, chosen
+
+    # AQE splits one query into several jobs, so the absolute count is
+    # config-dependent — the invariant is that it does NOT grow with the
+    # candidate count (the per-candidate loop grew by >=1 job each).
+    n2, _, _ = jobs_for(cols[:2], "fbs_2")
+    n8, gain, chosen = jobs_for(cols, "fbs_8")
+    assert n8 <= n2 + 1, (n2, n8)
+    assert chosen in cols and gain >= 0.0
+    countdf.unpersist()

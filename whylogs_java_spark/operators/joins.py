@@ -41,6 +41,7 @@ def asof_join(
     tolerance: int | None = None,
     suffix: str = "_r",
     right_tiebreak: str | None = None,
+    time_buckets: int | None = None,
 ) -> DataFrame:
     """Left rows + the nearest right row per key at-or-before them.
 
@@ -59,7 +60,19 @@ def asof_join(
 
     If several right rows share (key, ts), the one with the greatest
     ``right_tiebreak`` (or the last in arbitrary order if unset — pass
-    a tiebreak for deterministic output) wins.
+    a tiebreak for deterministic output) wins. The tiebreak orders in
+    its OWN type (strings compare lexicographically; no numeric cast).
+
+    ``time_buckets=n`` is the hot-key remedy (SCALE.md): a single key
+    holding a pathological share of rows makes the per-key sort a
+    straggler. With n > 1 the timeline is split into n equal global
+    time ranges; the running-state window runs per (key, range) — the
+    per-task sort shrinks by ~n — and a per-(key, range) boundary
+    aggregate (the final right state of each range, O(keys × n) rows)
+    is carried across ranges so every cross-range match is preserved.
+    Output is row-for-row identical to the unbucketed plan; costs one
+    extra aggregate over the union plus a tiny boundary join that
+    pre-shuffles on the window's own (key, range) key.
 
     NULL semantics follow SQL / DuckDB ASOF / pandas merge_asof: right
     rows with a NULL timestamp or NULL key can never match (they are
@@ -83,7 +96,9 @@ def asof_join(
         F.col(rts).alias("__ts"),
         *[F.col(c).alias(c) for c in right_cols],
         *(
-            [F.col(right_tiebreak).cast("double").alias("__tb")]
+            # raw column, NOT cast to double: a string tiebreak must
+            # order lexicographically, not become all-NULL silently
+            [F.col(right_tiebreak).alias("__tb")]
             if right_tiebreak
             else [F.lit(0.0).alias("__tb")]
         ),
@@ -120,12 +135,80 @@ def asof_join(
     # the running last(); ascending tiebreak makes that the greatest, in
     # both directions (equal-ts rows are adjacent either way).
     tb_order = F.col("__rp.__tb").asc_nulls_first()
-    w = (
-        Window.partitionBy(*keys)
-        .orderBy(t_order, F.col("__side").asc(), tb_order)
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    matched = both.withColumn("__m", F.last("__rp", ignorenulls=True).over(w))
+
+    bucketed = time_buckets is not None and time_buckets > 1
+    if bucketed:
+        # Effective numeric time: forward negates so the bucketed
+        # machinery is single-direction (ascending __e ≡ t_order), and
+        # equal timestamps always land in the SAME range — no
+        # cross-range equal-ts tiebreak cases exist by construction.
+        from pyspark.sql.types import TimestampNTZType, TimestampType
+
+        t_type = both.schema["__t"].dataType
+        if isinstance(t_type, (TimestampType, TimestampNTZType)):
+            base = F.unix_micros(F.col("__t").cast("timestamp")).cast("double")
+        else:
+            base = F.col("__t").cast("double")
+        sign = F.lit(1.0) if direction == "backward" else F.lit(-1.0)
+        both = both.withColumn("__e", sign * base)
+        mm = both.agg(F.min("__e").alias("lo"), F.max("__e").alias("hi")).first()
+        lo, hi = mm["lo"], mm["hi"]
+        bucketed = lo is not None and hi is not None and hi > lo
+
+    if bucketed:
+        n = int(time_buckets)
+        span = hi - lo
+        rng = F.least(
+            F.floor((F.col("__e") - F.lit(lo)) / F.lit(span) * F.lit(n)),
+            F.lit(n - 1),
+        ).cast("int")
+        both = both.withColumn("__rng", rng)
+        # Final right state per (key, range): greatest (__e, tiebreak)
+        # among RIGHT rows (left rows order NULL and are ignored by
+        # max_by). Grouping the full union keeps ranges that hold only
+        # left rows present with a NULL state, so the carry below
+        # reaches them too. Partial aggregation makes this one cheap
+        # extra pass; the result is O(keys × n) rows.
+        boundary = both.groupBy(*keys, "__rng").agg(
+            F.max_by(
+                F.col("__rp"),
+                F.when(
+                    F.col("__side") == 0,
+                    F.struct(F.col("__e"), F.col("__rp.__tb")),
+                ),
+            ).alias("__bstate")
+        )
+        w_carry = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col("__rng").asc())
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        carried = boundary.select(
+            *keys,
+            "__rng",
+            F.last("__bstate", ignorenulls=True).over(w_carry).alias("__carry"),
+        )
+        # the (keys, __rng) equi-join pre-shuffles the union on exactly
+        # the window's partitioning, so the window below reuses it
+        both = both.join(carried, on=keys + ["__rng"], how="left")
+        w = (
+            Window.partitionBy(*keys, "__rng")
+            .orderBy(F.col("__e").asc(), F.col("__side").asc(), tb_order)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        matched = both.withColumn(
+            "__m",
+            F.coalesce(
+                F.last("__rp", ignorenulls=True).over(w), F.col("__carry")
+            ),
+        )
+    else:
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(t_order, F.col("__side").asc(), tb_order)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        matched = both.withColumn("__m", F.last("__rp", ignorenulls=True).over(w))
 
     m = F.col("__m")
     if tolerance is not None:

@@ -127,6 +127,62 @@ def weighted_entropy(
     return row["we"] or 0.0
 
 
+def weighted_entropies_batch(
+    countdf: DataFrame,
+    total_count: int,
+    prev_split_columns: Sequence[str],
+    candidates: Sequence[str],
+    target_column: str,
+) -> dict[str, float]:
+    """H(target | prev + [c]) for EVERY candidate c in ONE aggregation.
+
+    The count table melts once — each row explodes to (candidate,
+    candidate-value) pairs — so scoring N candidates costs one job over
+    N × |count table| rows instead of N windowed jobs
+    (``find_best_split`` used to launch one Spark job per candidate per
+    greedy round; on a 1000-column candidate set that is 1000 jobs vs 1).
+    The candidate value is stringified to share one struct type across
+    heterogeneous columns; within a column the cast preserves value
+    distinctness, so the grouping (and the entropy) is unchanged.
+    """
+    cands = list(candidates)
+    prev = list(prev_split_columns)
+    melted = countdf.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("__cand"),
+                        F.col(c).cast("string").alias("__cv"),
+                    )
+                    for c in cands
+                ]
+            )
+        ).alias("e"),
+        *prev,
+        target_column,
+        "count",
+    ).select("e.*", *prev, target_column, "count")
+    grouped = melted.groupBy("__cand", *prev, "__cv", target_column).agg(
+        F.sum("count").alias("group_count")
+    )
+    w = Window.partitionBy("__cand", *prev, "__cv")
+    per_split = grouped.withColumn(
+        "p", F.col("group_count") / F.sum("group_count").over(w)
+    )
+    entropy = per_split.groupBy("__cand", *prev, "__cv").agg(
+        (-F.sum(F.col("p") * F.log2("p"))).alias("entropy"),
+        (F.sum(F.col("group_count") / total_count)).alias("weight"),
+    )
+    rows = (
+        entropy.groupBy("__cand")
+        .agg(F.sum(F.col("entropy") * F.col("weight")).alias("we"))
+        .collect()
+    )
+    got = {r["__cand"]: (r["we"] or 0.0) for r in rows}
+    return {c: got.get(c, 0.0) for c in cands}
+
+
 def find_best_split(
     countdf: DataFrame,
     prev_split_columns: list[str],
@@ -136,6 +192,11 @@ def find_best_split(
 ) -> tuple[float, str | None]:
     """Greedy argmax of (normalized) information gain over candidates.
 
+    All candidates score in one melted aggregation
+    (``weighted_entropies_batch``) — O(1) Spark jobs per greedy round
+    regardless of candidate count, same math and pinned outcomes as the
+    reference's per-candidate loop (autosegmentation.py:48-74).
+
     NOTE: the weight denominator is the count-table row count (number of
     distinct value combinations), faithfully matching the reference
     (autosegmentation.py:54 ``total_count = countdf.count()``) — its pinned
@@ -144,14 +205,16 @@ def find_best_split(
     total = countdf.count()
     if total == 0:
         return 0.0, None
+    cands = [c for c in candidates if c != target_column]
+    if not cands:
+        return 0.0, None
     base = weighted_entropy(countdf, total, prev_split_columns, target_column)
+    ents = weighted_entropies_batch(
+        countdf, total, prev_split_columns, cands, target_column
+    )
     best: tuple[float, str | None] = (0.0, None)
-    for c in candidates:
-        if c == target_column:
-            continue
-        gain = base - weighted_entropy(
-            countdf, total, [*prev_split_columns, c], target_column
-        )
+    for c in cands:
+        gain = base - ents[c]
         if normalization and normalization.get(c, 0) > 1:
             gain /= math.log(normalization[c])
         if gain > best[0]:

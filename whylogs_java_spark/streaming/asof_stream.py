@@ -38,6 +38,7 @@ def asof_enrich_stream(
     right_cols: list[str] | None = None,
     tolerance: int | None = None,
     suffix: str = "_r",
+    max_dim_rows: int = 10_000_000,
 ) -> DataFrame:
     """Stream rows + the dimension's latest at-or-before row per key.
 
@@ -57,6 +58,21 @@ def asof_enrich_stream(
     rts = right_ts or left_ts
     if right_cols is None:
         right_cols = [c for c in dim_df.columns if c not in keys and c != rts]
+
+    # Driver-size guard: the dimension is collected to the DRIVER and
+    # broadcast — a fact-sized right side would OOM it silently. The
+    # count is one cheap aggregate over a table that must be small
+    # anyway for this operator to be the right choice.
+    n_dim = dim_df.count()
+    if n_dim > max_dim_rows:
+        raise ValueError(
+            f"asof_enrich_stream collects the dimension to the driver: "
+            f"{n_dim} rows exceeds max_dim_rows={max_dim_rows}. For a "
+            f"fact-sized right side run the batch operators.joins."
+            f"asof_join per micro-batch in foreachBatch (unbounded, one "
+            f"shuffle per batch), or raise max_dim_rows if the driver "
+            f"really has the memory."
+        )
 
     dim_pdf = (
         dim_df.select(*keys, rts, *right_cols)
@@ -96,8 +112,27 @@ def asof_enrich_stream(
             # already, so nothing further is lost).
             if l.dtype == r.dtype:
                 return l, r
+            if l.dtype.kind == "M" and r.dtype.kind == "M":
+                # datetime64 with differing units (ns vs us — possible
+                # between driver toPandas and Arrow mapInPandas batches)
+                # or tz-awareness: normalize both to naive ns. A float64
+                # fallback would raise in pandas 2 ("Cannot cast
+                # DatetimeArray to dtype float64") and kill the query.
+                def to_ns(s: "pd.Series") -> "pd.Series":
+                    if getattr(s.dtype, "tz", None) is not None:
+                        s = s.dt.tz_localize(None)
+                    return s.astype("datetime64[ns]")
+
+                return to_ns(l), to_ns(r)
             if l.dtype.kind in "iu" and r.dtype.kind in "iu":
                 return l.astype("int64"), r.astype("int64")
+            if "M" in (l.dtype.kind, r.dtype.kind):
+                raise TypeError(
+                    f"asof_enrich_stream: cannot align datetime column "
+                    f"with non-datetime ({l.dtype} vs {r.dtype}) — the "
+                    f"stream and dimension ts/key columns must both be "
+                    f"timestamps or both numeric"
+                )
             return l.astype("float64"), r.astype("float64")
 
         dim_base = bc.value

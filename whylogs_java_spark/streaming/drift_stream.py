@@ -168,6 +168,7 @@ def rolling_window_scores(
     counts: DataFrame,
     group_by: Sequence[str] = (),
     eps: float = PSI_EPS,
+    slide_seconds: int | None = None,
 ) -> DataFrame:
     """PSI / L1 / L-inf of each window vs the PREVIOUS window — the
     reference-FREE rolling monitor over a windowed-counts table (the
@@ -175,19 +176,27 @@ def rolling_window_scores(
     batch-compacted or inside ``foreachBatch``).
 
     The previous side is the same counts table with ``window_start``
-    shifted forward by one window length, so tumbling windows line up
-    exactly; windows whose predecessor is absent (the first window, or
-    one after a gap) are dropped — a gap resets the comparison, the same
-    contract as operators/drift.rolling_drift. All joins and windows run
-    over aggregate-sized rows.
+    shifted forward by the window STRIDE. Default (``slide_seconds``
+    None) assumes TUMBLING windows and shifts by one window length; if
+    the counts came from a sliding aggregation (``slide_duration`` set
+    upstream) you MUST pass the slide in seconds here, or every window
+    would silently be compared against one a full window length back
+    instead of the immediately preceding slide. Windows whose
+    predecessor is absent (the first window, or one after a gap) are
+    dropped — a gap resets the comparison, the same contract as
+    operators/drift.rolling_drift. All joins and windows run over
+    aggregate-sized rows.
     """
     keys = list(group_by)
+    if slide_seconds is not None and slide_seconds <= 0:
+        raise ValueError("slide_seconds must be a positive number of seconds")
     win_len = F.col("window_end").cast("long") - F.col("window_start").cast("long")
+    stride = F.lit(int(slide_seconds)) if slide_seconds is not None else win_len
     cur = counts.select(
         "window_start", "window_end", *keys, "cat", F.col("n").alias("n_cur")
     )
     prev = counts.select(
-        (F.col("window_start") + F.make_interval(secs=win_len)).alias(
+        (F.col("window_start") + F.make_interval(secs=stride)).alias(
             "window_start"
         ),
         *keys,
