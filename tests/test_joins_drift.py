@@ -1087,3 +1087,93 @@ def test_asof_enrich_stream_timestamp_columns(spark):
     }
     assert out["2024-01-01 10:00:00"] == 7.0
     assert out["2024-01-01 08:00:00"] is None
+
+
+def test_interval_enrich_stream_matches_batch(spark, tmp_path):
+    """Streaming point-in-interval enrichment (stateless stream-static
+    bucketed equi-join) must agree row-for-row with the batch
+    range_join_points on the same data, inner and left."""
+    from whylogs_java_spark.streaming.interval_stream import (
+        interval_enrich_stream,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        "event_id", F.col("value").cast("double").alias("pos")
+    )
+    bands = spark.createDataFrame(
+        [(i, i * 10.0, i * 10.0 + 15.0, f"band{i}") for i in range(12)],
+        "band_id int, lo double, hi double, band string",
+    )
+    src = str(tmp_path / "ipts")
+    ev.coalesce(2).write.parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+
+    for how in ("inner", "left"):
+        out = interval_enrich_stream(
+            stream, bands, "pos", "lo", "hi", bucket_width=10.0, how=how
+        )
+        name = f"interval_enriched_{how}"
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{how}"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            got = sorted(
+                (r["event_id"], r["band_id"])
+                for r in spark.sql(f"SELECT * FROM {name}").collect()
+            )
+        finally:
+            q.stop()
+
+        batch_inner = sorted(
+            (r["event_id"], r["band_id"])
+            for r in range_join_points(
+                ev, bands, "pos", "lo", "hi", bucket_width=10.0
+            ).collect()
+        )
+        if how == "inner":
+            assert got == batch_inner
+        else:
+            matched_ids = {e for e, _ in batch_inner}
+            expected = batch_inner + sorted(
+                (r["event_id"], None)
+                for r in ev.collect()
+                if r["event_id"] not in matched_ids
+            )
+            assert got == sorted(expected)
+    # overlapping bands really exercised (k-row fan-out)
+    fan = [e for e, _ in batch_inner]
+    assert len(fan) > len(set(fan))
+
+
+def test_interval_enrich_stream_stateless_plan(spark, tmp_path):
+    from whylogs_java_spark.streaming.interval_stream import (
+        interval_enrich_stream,
+    )
+
+    ev = spark.createDataFrame([(1, 5.0)], "event_id int, pos double")
+    src = str(tmp_path / "ipts2")
+    ev.write.parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    bands = spark.createDataFrame(
+        [(1, 0.0, 10.0)], "band_id int, lo double, hi double"
+    )
+    out = interval_enrich_stream(stream, bands, "pos", "lo", "hi", how="left")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("interval_plan_probe")
+        .option("checkpointLocation", str(tmp_path / "ckpt3"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # no state store: stateless stream-static broadcast join
+        assert q.lastProgress["stateOperators"] in ([], None)
+        assert spark.sql("SELECT * FROM interval_plan_probe").count() == 1
+    finally:
+        q.stop()

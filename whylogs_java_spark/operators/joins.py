@@ -268,14 +268,33 @@ def range_join_points(
     if w <= 0:
         raise ValueError("bucket_width must be positive")
 
-    p_bucket = F.floor(F.col(point_col) / F.lit(w)).cast("long")
-    i_buckets = F.sequence(
+    p = points.withColumn("__bucket", point_bucket(point_col, w))
+    i = intervals.withColumn(
+        "__bucket", F.explode(interval_buckets(lo_col, hi_col, w))
+    )
+    joined = p.join(i, on=on + ["__bucket"], how="inner").where(
+        containment_predicate(point_col, lo_col, hi_col, closed)
+    )
+    return joined.drop("__bucket")
+
+
+def point_bucket(point_col: str, bucket_width: float):
+    """The single fixed-width bucket a point falls in (shared by the
+    batch and streaming point-in-interval joins)."""
+    return F.floor(F.col(point_col) / F.lit(float(bucket_width))).cast("long")
+
+
+def interval_buckets(lo_col: str, hi_col: str, bucket_width: float):
+    """Array of every fixed-width bucket an interval spans."""
+    w = float(bucket_width)
+    return F.sequence(
         F.floor(F.col(lo_col) / F.lit(w)).cast("long"),
         F.floor(F.col(hi_col) / F.lit(w)).cast("long"),
     )
-    p = points.withColumn("__bucket", p_bucket)
-    i = intervals.withColumn("__bucket", F.explode(i_buckets))
 
+
+def containment_predicate(point_col: str, lo_col: str, hi_col: str, closed: str):
+    """Exact lo/hi containment for the ``closed`` mode."""
     lo_ok = {
         "left": F.col(point_col) >= F.col(lo_col),
         "both": F.col(point_col) >= F.col(lo_col),
@@ -288,9 +307,7 @@ def range_join_points(
         "right": F.col(point_col) <= F.col(hi_col),
         "neither": F.col(point_col) < F.col(hi_col),
     }[closed]
-
-    joined = p.join(i, on=on + ["__bucket"], how="inner").where(lo_ok & hi_ok)
-    return joined.drop("__bucket")
+    return lo_ok & hi_ok
 
 
 def range_join_intervals(
