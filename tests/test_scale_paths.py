@@ -212,3 +212,46 @@ def test_grouped_frequent_items_high_cardinality_bounded(spark):
         assert rows[(g, 1)] == ("hot0", 1000)
         assert rows[(g, 2)] == ("hot1", 1000)
         assert rows[(g, 3)] == ("hot2", 1000)
+
+
+def test_top_cost_query_plan_guards(spark):
+    """Plan pins for the remaining top-cost bench queries (PLANS.md r7
+    sections): no cross product / nested loop anywhere, plus each
+    query's distinguishing scale feature."""
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    sf = "/root/testdata/sf0.001"
+
+    def plan_of(name):
+        df = qs[name](spark, sf)
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    for name in (
+        "profile_events_hourly",
+        "dedup_char_ngram",
+        "dedup_containment_fragment",
+        "dedup_incremental",
+        "pipeline_manifest",
+    ):
+        p = plan_of(name)
+        assert "CartesianProduct" not in p, name
+        assert "BroadcastNestedLoopJoin" not in p, name
+
+    # grouped profile: ONE data shuffle (partial+final agg), no join,
+    # long-format explode strictly post-aggregation
+    p = plan_of("profile_events_hourly")
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "Join" not in p
+    # char n-gram LSH: candidates via the band-signature equi-join
+    p = plan_of("dedup_char_ngram")
+    assert "band_sig" in p
+    # fragment containment: inverted-index candidates on shingle digests
+    p = plan_of("dedup_containment_fragment")
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
+    # incremental: ref x new candidates via the band equi-join — the
+    # candidate stage materializes behind a localCheckpoint at
+    # definition time, so the final plan shows the checkpointed scan
+    # (the band join itself is covered by the no-cross-product guard)
+    p = plan_of("dedup_incremental")
+    assert "band" in p or "ExistingRDD" in p

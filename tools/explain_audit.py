@@ -163,6 +163,48 @@ AUDITED = [
         "(not broadcastable by definition) sort-merges O(columns) rows — "
         "trivial at any corpus size; the scans dominate.",
     ),
+    (
+        "profile_events_hourly",
+        "Grouped profile at 13.5k (hour, type) groups: the identical "
+        "single-pass partial+final HashAggregate shape as "
+        "profile_lineitem — more groups inflate only the aggregate row "
+        "count (O(groups × columns)), never the data-row shuffle; the "
+        "explode to long format stays post-aggregation.",
+    ),
+    (
+        "dedup_char_ngram",
+        "Char-5-gram MinHash LSH — the heaviest query by nature "
+        "(≈n_chars shingles/doc). Same bucketed shape as the word tier: "
+        "the shingle explode feeds the minhash partial aggregate, "
+        "candidates come from the band self equi-join on "
+        "(band, band_sig), and the distinct (doc, gram) shuffle is "
+        "written once and re-read for sizes + both Jaccard sides. No "
+        "cross product; cost scales with total characters.",
+    ),
+    (
+        "dedup_containment_fragment",
+        "Containment dedup, fragment mode: small fragments draw "
+        "candidates from an inverted index on their RAREST shingles "
+        "(bounded explode per doc), so candidate generation stays an "
+        "equi-join on the shingle digest — never all-pairs — and exact "
+        "containment verifies on candidate pairs only.",
+    ),
+    (
+        "dedup_incremental",
+        "Incremental cross-corpus dedup: only REF × NEW band collisions "
+        "generate candidates (the new side never self-joins), so a daily "
+        "increment costs its own scan plus an equi-join against the "
+        "reference signature table keyed on (band, band_sig).",
+    ),
+    (
+        "pipeline_manifest",
+        "Six composed operators (clean → exact dedup → near dedup → "
+        "decontam → quality gate → split) planned as ONE statement; "
+        "materialized boundaries (localCheckpoint) only where a corpus "
+        "is reused by later stages, each stage keeping its own audited "
+        "shape (broadcast digest screens, bucketed LSH candidates, "
+        "scan-side split labels).",
+    ),
 ]
 
 
