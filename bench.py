@@ -85,9 +85,11 @@ BENCH_QUERIES = [
     "boilerplate_documents",
     "corpus_report",
     "asof_events",
+    "asof_nearest_events",
     "range_bands",
     "overlap_lineitem",
     "weighted_sample_documents",
+    "constraints_lineitem",
     "drift_events_value",
     "drift_events_rolling",
     "drift_documents_lang",

@@ -1177,3 +1177,63 @@ def test_interval_enrich_stream_stateless_plan(spark, tmp_path):
         assert spark.sql("SELECT * FROM interval_plan_probe").count() == 1
     finally:
         q.stop()
+
+
+def test_asof_nearest_vs_pandas(spark):
+    """direction='nearest' (incl. tolerance) against pandas merge_asof."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(23)
+    lpd = pd.DataFrame(
+        {
+            "k": rng.integers(0, 4, 250),
+            "ts": rng.integers(0, 600, 250),
+            "lid": range(250),
+        }
+    )
+    rpd = pd.DataFrame(
+        {
+            "k": rng.integers(0, 4, 200),
+            "ts": rng.integers(0, 600, 200),
+            "val": rng.normal(size=200).round(3),
+        }
+    ).drop_duplicates(["k", "ts"])
+    for tol in (None, 25):
+        expected = pd.merge_asof(
+            lpd.sort_values("ts"),
+            rpd.sort_values("ts"),
+            on="ts", by="k", direction="nearest", tolerance=tol,
+            suffixes=("", "_r"),
+        ).set_index("lid")["val"].to_dict()
+        out = asof_join(
+            spark.createDataFrame(lpd),
+            spark.createDataFrame(rpd),
+            on="k", left_ts="ts", direction="nearest", tolerance=tol,
+        ).collect()
+        for row in out:
+            exp, got = expected[row["lid"]], row["val_r"]
+            if got is None:
+                assert pd.isna(exp), (tol, dict(row))
+            else:
+                assert got == pytest.approx(exp), (tol, dict(row))
+
+
+def test_asof_nearest_single_exchange(spark, asof_sides):
+    left, right = asof_sides
+    out = asof_join(left, right, on="k", left_ts="ts", direction="nearest")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    got = {r["lab"]: (r["ts_r"], r["p_r"]) for r in out.collect()}
+    # a: equal ts both sides -> backward tie -> greatest arbitrary-order
+    # right at (1,10); b(ts=5): backward (3) gap 2 beats forward (10) gap 5
+    assert got["b"][0] == 3
+    assert got["c"] == (99, 3.0)  # only a forward match exists
+    assert got["d"] == (None, None)
+
+    with pytest.raises(ValueError, match="time_buckets"):
+        asof_join(
+            left, right, on="k", left_ts="ts",
+            direction="nearest", time_buckets=4,
+        )

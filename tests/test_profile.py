@@ -186,3 +186,52 @@ def test_token_count_java_split_semantics(spark):
     assert r["tok_n"] == 4
     assert r["tok_min"] == 0.0 and r["tok_max"] == 3.0
     assert r["tok_mean"] == pytest.approx(1.5)
+
+
+def test_check_constraints_grouped_and_summary(spark):
+    from whylogs_java_spark.operators.constraints import (
+        check_constraints,
+        constraints_summary,
+    )
+    from whylogs_java_spark.operators.profile import profile
+
+    df = spark.createDataFrame(
+        [("a", 1.0, "x"), ("a", 3.0, None), ("b", 10.0, "y"), ("b", None, "z")],
+        "g string, v double, s string",
+    )
+    prof = profile(df, group_by=["g"])
+    rules = [
+        ("v", "null_rate", "<=", "0.1"),     # fails in group b (0.5)
+        ("v", "max", "<=", "100"),           # passes both groups
+        ("s", "inferred_type", "==", "STRING"),
+        ("s", "mean", ">=", "0"),            # NULL observed -> fails
+    ]
+    out = check_constraints(prof, rules, keys=["g"]).collect()
+    got = {(r["g"], r["rule_id"]): r["passed"] for r in out}
+    assert got[("a", 0)] is True and got[("b", 0)] is False
+    assert got[("a", 1)] is True and got[("b", 1)] is True
+    assert got[("a", 2)] is True and got[("b", 2)] is True
+    assert got[("a", 3)] is False and got[("b", 3)] is False
+
+    summ = {
+        r["rule_id"]: (r["n_groups"], r["n_failed"], r["passed"])
+        for r in constraints_summary(
+            check_constraints(prof, rules, keys=["g"])
+        ).collect()
+    }
+    assert summ[0] == (2, 1, False)
+    assert summ[1] == (2, 0, True)
+    assert summ[3] == (2, 2, False)
+
+
+def test_check_constraints_validates_rules(spark):
+    import pytest as _pytest
+
+    from whylogs_java_spark.operators.constraints import check_constraints
+    from whylogs_java_spark.operators.profile import profile
+
+    prof = profile(spark.createDataFrame([(1.0,)], "v double"))
+    with _pytest.raises(ValueError, match="string metric"):
+        check_constraints(prof, [("v", "inferred_type", "<=", "STRING")])
+    with _pytest.raises(ValueError, match="unknown op"):
+        check_constraints(prof, [("v", "mean", "~", "1")])

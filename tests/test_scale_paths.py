@@ -255,3 +255,104 @@ def test_top_cost_query_plan_guards(spark):
     # (the band join itself is covered by the no-cross-product guard)
     p = plan_of("dedup_incremental")
     assert "band" in p or "ExistingRDD" in p
+
+
+def test_windowed_sketch_profile_stream_vs_batch(spark, tmp_path):
+    """Streaming sketch profile: closed windows carry the same exact
+    atoms (KLL n = valid count, theta/HLL estimates = small-n exact
+    distincts) as a batch groupBy on the same rows, and the emitted
+    rows feed merge + diff unchanged."""
+    from whylogs_java_spark.operators.approx import merge_sketch_profiles
+    from whylogs_java_spark.streaming.sketch_stream import (
+        windowed_sketch_profile,
+    )
+
+    rows = [
+        ("2024-01-01 00:%02d:00" % (i % 45), "g%d" % (i % 2), float(i % 20))
+        for i in range(180)
+    ]
+    # frontier row far ahead so every earlier window closes
+    rows.append(("2024-01-01 06:00:00", "g0", 1.0))
+    src = str(tmp_path / "src")
+    df = spark.createDataFrame(rows, "ts string, g string, v double").select(
+        F.col("ts").cast("timestamp").alias("ts"), "g", "v"
+    )
+    df.write.parquet(src)
+    stream = spark.readStream.schema("ts timestamp, g string, v double").parquet(src)
+    prof = windowed_sketch_profile(
+        stream, "ts", columns=["v"], window_duration="30 minutes",
+        watermark="5 minutes", group_by=["g"],
+    )
+    q = (
+        prof.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sketch_prof")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql(
+            """SELECT window_start, g,
+                      kll_sketch_get_n_float(v__kll) AS n,
+                      theta_sketch_estimate(v__theta) AS uniq,
+                      hll_sketch_estimate(v__hll) AS huniq
+               FROM sketch_prof"""
+        ).collect()
+    finally:
+        q.stop()
+
+    batch = {
+        (str(r["w"]), r["g"]): (r["n"], r["uniq"])
+        for r in df.groupBy(
+            F.date_trunc("minute", F.col("ts")).alias("ts_m"), "g"
+        )
+        .agg(F.count("v").alias("n"), F.countDistinct("v").alias("uniq"))
+        .select(
+            F.window("ts_m", "30 minutes").alias("win"), "g", "n", "uniq"
+        )
+        .select(F.col("win.start").alias("w"), "g", "n", "uniq")
+        .collect()
+    }
+    # aggregate the batch reference to (window, g)
+    from collections import defaultdict
+
+    batch_agg = defaultdict(lambda: [0, 0])
+    for (w, g), (n, u) in batch.items():
+        batch_agg[(w, g)][0] += n
+    exact = {
+        (str(r["w"]), r["g"]): (r["n"], r["uniq"])
+        for r in df.select(F.window("ts", "30 minutes").alias("win"), "g", "v")
+        .groupBy(F.col("win.start").alias("w"), "g")
+        .agg(F.count("v").alias("n"), F.countDistinct("v").alias("uniq"))
+        .collect()
+    }
+    assert len(got) >= 2  # at least the two 00:00/00:30 windows per group
+    for r in got:
+        key = (str(r["window_start"]), r["g"])
+        n, uniq = exact[key]
+        assert r["n"] == n, key
+        # <=20 distinct doubles: theta and HLL are exact at this n
+        assert round(r["uniq"]) == uniq, key
+        assert round(r["huniq"]) == uniq, key
+
+    # emitted rows are store rows: merge windows back to per-group and
+    # the KLL n stays additive
+    emitted = spark.sql("SELECT * FROM sketch_prof").drop(
+        "window_start", "window_end"
+    )
+    merged = merge_sketch_profiles(emitted, group_by=["g"])
+    mn = {
+        r["g"]: r["n"]
+        for r in merged.select(
+            "g", F.kll_sketch_get_n_float("v__kll").alias("n")
+        ).collect()
+    }
+    emitted_n = {
+        r["g"]: r["tot"]
+        for r in spark.sql(
+            "SELECT g, SUM(kll_sketch_get_n_float(v__kll)) AS tot "
+            "FROM sketch_prof GROUP BY g"
+        ).collect()
+    }
+    assert mn == emitted_n

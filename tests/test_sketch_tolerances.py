@@ -222,3 +222,65 @@ def test_profile_diff_sketch_brackets_exact_twin(spark):
         for side, half in (("a", ha), ("b", hb)):
             lo, hi = _exact_bracket(half, c, 0.5, rank_eps)
             assert lo - 1e-9 <= r[f"median_{side}"] <= hi + 1e-9, (c, side, r)
+
+
+def test_sketch_profile_store_roundtrip_and_diff(spark, tmp_path):
+    # the profile-store consumer workflow for the SKETCH tier: persist
+    # sketch binaries to parquet, read back, merge and diff FROM THE
+    # STORE — binaries must survive byte-for-byte and the store-side
+    # diff must equal the in-memory diff exactly
+    from whylogs_java_spark.operators.approx import (
+        merge_sketch_profiles,
+        sketch_profile,
+    )
+    from whylogs_java_spark.operators.drift import sketch_profile_diff
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    cols = ["l_quantity", "l_extendedprice"]
+    # materialize ONCE: every Spark action re-runs the aggregation, and
+    # KLL compaction is run-nondeterministic — byte comparisons are only
+    # meaningful against a single materialized set of binaries
+    sa = sketch_profile(
+        li.where(F.col("l_orderkey") % 2 == 0), columns=cols
+    ).localCheckpoint(eager=True)
+    sb = sketch_profile(
+        li.where(F.col("l_orderkey") % 2 == 1), columns=cols
+    ).localCheckpoint(eager=True)
+
+    pa, pb = str(tmp_path / "prof_a"), str(tmp_path / "prof_b")
+    sa.write.parquet(pa)
+    sb.write.parquet(pb)
+    ra, rb = spark.read.parquet(pa), spark.read.parquet(pb)
+
+    # byte-for-byte roundtrip
+    for orig, read in ((sa, ra), (sb, rb)):
+        o, r = orig.first(), read.first()
+        for f in orig.schema.fields:
+            assert bytes(o[f.name]) == bytes(r[f.name]), f.name
+
+    # diff computed from the STORE equals the in-memory diff exactly
+    mem = {
+        r["column_name"]: (r["psi"], r["cdf_linf"], r["count_a"], r["count_b"])
+        for r in sketch_profile_diff(sa, sb, bins=6).collect()
+    }
+    store = {
+        r["column_name"]: (r["psi"], r["cdf_linf"], r["count_a"], r["count_b"])
+        for r in sketch_profile_diff(ra, rb, bins=6).collect()
+    }
+    assert mem == store
+
+    # store-side MERGE: union the two halves' sketches back to a whole;
+    # theta/HLL unions are algebraically exact, KLL n is additive
+    merged = merge_sketch_profiles(ra.unionByName(rb))
+    whole = sketch_profile(li, columns=cols)
+    m, w = merged.first(), whole.first()
+    for c in cols:
+        got_n = spark.range(1).select(
+            F.kll_sketch_get_n_float(F.lit(bytes(m[f"{c}__kll"]))).alias("n")
+        ).first()["n"]
+        want_n = spark.range(1).select(
+            F.kll_sketch_get_n_float(F.lit(bytes(w[f"{c}__kll"]))).alias("n")
+        ).first()["n"]
+        assert got_n == want_n, c

@@ -32,20 +32,11 @@ from ..constants import HLL_LGK, KLL_K, SUMMARY_QUANTILES
 from ..functions.predicates import masked, truncated_text
 
 
-def sketch_profile(
-    df: DataFrame,
-    columns: Sequence[str] | None = None,
-    group_by: Sequence[str] = (),
-) -> DataFrame:
-    """Mergeable sketch atoms: one row per group, sketch binaries per column.
-
-    Numeric columns get a KLL(256) quantile sketch + theta distinct sketch;
-    every column gets an HLL(lgK=12) sketch over its 256-char-truncated
-    string form (ColumnProfile.trackText semantics).
-    """
-    keys = list(group_by)
+def sketch_aggs(df: DataFrame, columns: Sequence[str] | None, exclude: Sequence[str]):
+    """The per-column sketch aggregate list (shared by the batch
+    ``sketch_profile`` and the streaming ``windowed_sketch_profile``)."""
     schema = {f.name: f.dataType for f in df.schema.fields}
-    cols = [c for c in (columns or df.columns) if c not in set(keys)]
+    cols = [c for c in (columns or df.columns) if c not in set(exclude)]
     aggs = []
     for c in cols:
         dt = schema[c]
@@ -58,6 +49,22 @@ def sketch_profile(
         aggs.append(
             F.hll_sketch_agg(truncated_text(F.col(c)), F.lit(HLL_LGK)).alias(f"{c}__hll")
         )
+    return aggs
+
+
+def sketch_profile(
+    df: DataFrame,
+    columns: Sequence[str] | None = None,
+    group_by: Sequence[str] = (),
+) -> DataFrame:
+    """Mergeable sketch atoms: one row per group, sketch binaries per column.
+
+    Numeric columns get a KLL(256) quantile sketch + theta distinct sketch;
+    every column gets an HLL(lgK=12) sketch over its 256-char-truncated
+    string form (ColumnProfile.trackText semantics).
+    """
+    keys = list(group_by)
+    aggs = sketch_aggs(df, columns, keys)
     grouped = df.groupBy(*keys) if keys else df.groupBy()
     return grouped.agg(*aggs)
 

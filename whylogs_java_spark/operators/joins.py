@@ -47,12 +47,16 @@ def asof_join(
 
     ``direction="backward"`` (default): match the right row with the
     greatest ``right_ts`` <= ``left_ts``; ``"forward"``: the smallest
-    ``right_ts`` >= ``left_ts``. Equality matches in both directions
-    (DuckDB/pandas ``merge_asof`` semantics). ``tolerance`` nulls out
+    ``right_ts`` >= ``left_ts``; ``"nearest"``: whichever of the two is
+    closer in absolute distance (equal gaps prefer the backward match —
+    pandas ``merge_asof`` semantics, pinned by a randomized pytest).
+    Equality matches in every direction. ``tolerance`` nulls out
     matches farther than that from the left timestamp — the match is
-    dropped, not replaced by the next-nearest. Units: SECONDS when the
-    ts columns are timestamps (matching ``asof_enrich_stream``), the
-    column's own units when numeric.
+    dropped, not replaced by the next-nearest (for ``nearest`` it
+    applies per side before the pick, so the nearer-but-out-of-range
+    side loses to a qualifying farther side — pandas semantics). Units:
+    SECONDS when the ts columns are timestamps (matching
+    ``asof_enrich_stream``), the column's own units when numeric.
 
     Matched right columns (``right_cols``, default: all non-key,
     non-ts) come back as ``<name><suffix>`` plus ``<right_ts><suffix>``;
@@ -85,8 +89,16 @@ def asof_join(
     -> filter back to left rows. No nested-loop join, no range
     predicate reaches the planner.
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward|forward|nearest, got {direction!r}"
+        )
+    if direction == "nearest" and time_buckets is not None and time_buckets > 1:
+        raise ValueError(
+            "time_buckets is not supported with direction='nearest' — run "
+            "backward and forward bucketed joins and pick per row, or use "
+            "the unbucketed nearest"
+        )
     keys = [on] if isinstance(on, str) else list(on)
     rts = right_ts or left_ts
     if right_cols is None:
@@ -135,6 +147,60 @@ def asof_join(
     # the running last(); ascending tiebreak makes that the greatest, in
     # both directions (equal-ts rows are adjacent either way).
     tb_order = F.col("__rp.__tb").asc_nulls_first()
+
+    if direction == "nearest":
+        # pandas merge_asof nearest semantics: the right row with the
+        # smallest |left_ts - right_ts| per key; tolerance applies to
+        # the absolute gap on each side BEFORE choosing; equal gaps
+        # prefer the backward (at-or-before) match. ONE exchange, two
+        # sorted window passes over it (asc for the backward state,
+        # desc for the forward state), then a per-row pick.
+        from pyspark.sql.types import TimestampNTZType, TimestampType
+
+        w_b = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col("__t").asc(), F.col("__side").asc(), tb_order)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        w_f = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col("__t").desc(), F.col("__side").asc(), tb_order)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        matched = both.withColumn(
+            "__mb", F.last("__rp", ignorenulls=True).over(w_b)
+        ).withColumn("__mf", F.last("__rp", ignorenulls=True).over(w_f))
+        mb, mf = F.col("__mb"), F.col("__mf")
+        t_type = both.schema["__t"].dataType
+        if isinstance(t_type, (TimestampType, TimestampNTZType)):
+            tval = F.unix_micros(F.col("__t").cast("timestamp"))
+            b_ts = F.unix_micros(mb["__ts"].cast("timestamp"))
+            f_ts = F.unix_micros(mf["__ts"].cast("timestamp"))
+            tol = (
+                F.lit(int(tolerance * 1_000_000))
+                if tolerance is not None
+                else None
+            )
+        else:
+            tval, b_ts, f_ts = F.col("__t"), mb["__ts"], mf["__ts"]
+            tol = F.lit(tolerance) if tolerance is not None else None
+        gap_b, gap_f = tval - b_ts, f_ts - tval
+        mb_ok = mb.isNotNull() if tol is None else (mb.isNotNull() & (gap_b <= tol))
+        mf_ok = mf.isNotNull() if tol is None else (mf.isNotNull() & (gap_f <= tol))
+        m = (
+            F.when(mb_ok & mf_ok, F.when(gap_b <= gap_f, mb).otherwise(mf))
+            .when(mb_ok, mb)
+            .when(mf_ok, mf)
+        )
+        left_valid = F.col("__t").isNotNull()
+        for k in keys:
+            left_valid = left_valid & F.col(k).isNotNull()
+        m = F.when(left_valid, m)
+        return matched.where(F.col("__side") == 1).select(
+            *[F.col("__lp")[c].alias(c) for c in left_cols],
+            m["__ts"].alias(rts + suffix),
+            *[m[c].alias(c + suffix) for c in right_cols],
+        )
 
     bucketed = time_buckets is not None and time_buckets > 1
     if bucketed:
