@@ -1237,3 +1237,29 @@ def test_asof_nearest_single_exchange(spark, asof_sides):
             left, right, on="k", left_ts="ts",
             direction="nearest", time_buckets=4,
         )
+
+
+def test_quantile_splits_equal_mass(spark):
+    import numpy as np
+
+    from whylogs_java_spark.operators.drift import quantile_splits
+
+    rng = np.random.default_rng(5)
+    vals = np.exp(rng.normal(0, 1, 4000))  # heavily skewed
+    a = spark.createDataFrame([(float(x),) for x in vals[:2000]], "v double")
+    b = spark.createDataFrame([(float(x),) for x in vals[2000:]], "v double")
+    edges = quantile_splits(a, b, "v", bins=10)
+    assert len(edges) == 9 and edges == sorted(edges)
+    # exact percentiles of the combined data (numpy 'linear' matches
+    # Spark percentile())
+    want = np.percentile(vals, [10 * i for i in range(1, 10)])
+    assert np.allclose(edges, want)
+    # equal-mass property: each bin holds ~10% of the combined rows
+    d = numeric_drift(a, b, "v", splits=edges).first()
+    assert d["psi"] is not None and d["count_a"] == 2000
+
+    # degenerate inputs
+    empty = spark.createDataFrame([], "v double")
+    assert quantile_splits(empty, empty, "v") == []
+    const = spark.createDataFrame([(1.0,), (1.0,)], "v double")
+    assert quantile_splits(const, const, "v") == [1.0]

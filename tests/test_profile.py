@@ -235,3 +235,37 @@ def test_check_constraints_validates_rules(spark):
         check_constraints(prof, [("v", "inferred_type", "<=", "STRING")])
     with _pytest.raises(ValueError, match="unknown op"):
         check_constraints(prof, [("v", "mean", "~", "1")])
+
+
+def test_constraints_over_sketch_summary_store(spark, tmp_path):
+    # the sketch-store gate: windowed sketch profiles (streaming store
+    # rows) -> merge -> sketch_summary long format -> the SAME
+    # check_constraints evaluates cardinality expectations
+    from whylogs_java_spark.operators.approx import (
+        merge_sketch_profiles,
+        sketch_profile,
+        sketch_summary,
+    )
+    from whylogs_java_spark.operators.constraints import check_constraints
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").select(
+        "l_orderkey", "l_quantity", "l_linestatus"
+    )
+    halves = [
+        sketch_profile(li.where(F.col("l_orderkey") % 2 == i)) for i in (0, 1)
+    ]
+    store = str(tmp_path / "store")
+    halves[0].write.parquet(store)
+    halves[1].write.mode("append").parquet(store)
+    summary = sketch_summary(merge_sketch_profiles(spark.read.parquet(store)))
+    rules = [
+        ("l_quantity", "unique_theta", "<=", "100"),     # 50 distinct
+        ("l_quantity", "unique_theta", ">=", "10"),
+        ("l_linestatus", "unique_hll", "<=", "5"),       # 2 distinct
+        ("l_orderkey", "unique_theta", ">", "1000000"),  # fails
+    ]
+    got = {
+        r["rule_id"]: r["passed"]
+        for r in check_constraints(summary, rules).collect()
+    }
+    assert got == {0: True, 1: True, 2: True, 3: False}

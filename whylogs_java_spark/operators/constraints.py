@@ -86,7 +86,10 @@ def check_constraints(
             F.col("metric") == m, metric_value(m).cast("double")
         ).otherwise(observed_num)
     observed_str = F.when(
-        F.col("metric") == "inferred_type", F.col("inferred_type")
+        F.col("metric") == "inferred_type",
+        F.col("inferred_type")
+        if "inferred_type" in prof_fields
+        else F.lit(None).cast("string"),
     )
 
     joined = profile_df.join(F.broadcast(rules_df), on="column_name")

@@ -600,6 +600,36 @@ def sketch_profile_diff(
     )
 
 
+def quantile_splits(
+    df_a: DataFrame, df_b: DataFrame, column: str, bins: int = 10
+) -> list[float]:
+    """Quantile (equal-mass) interior edges over the COMBINED slices —
+    the standard PSI binning (each bin holds ~1/bins of the combined
+    mass, so no bin is starved and the eps floor rarely fires, unlike
+    equal-width edges on skewed columns). EXACT percentiles (one tiny
+    sort-based aggregate per call, deciles of a 100 TB column cost one
+    column-pruned scan) so the edges — and the resulting drift scores —
+    are engine-deterministic. Duplicated edges (heavy atoms) collapse
+    to one. Feed to ``numeric_drift`` like ``auto_splits``.
+    """
+    v = F.col(column).cast("double")
+    ok = _valid_value(v)
+    qs = [i / bins for i in range(1, bins)]
+    row = (
+        df_a.select(v.alias("v")).where(ok)
+        .unionAll(df_b.select(v.alias("v")).where(ok))
+        .agg(F.percentile(F.col("v"), F.lit(qs)).alias("p"))
+        .first()
+    )
+    if row["p"] is None:
+        return []
+    out: list[float] = []
+    for x in row["p"]:
+        if x is not None and math.isfinite(x) and (not out or x > out[-1]):
+            out.append(float(x))
+    return out
+
+
 def auto_splits(
     df_a: DataFrame, df_b: DataFrame, column: str, bins: int = 10
 ) -> list[float]:
