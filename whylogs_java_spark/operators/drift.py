@@ -456,6 +456,14 @@ def sketch_profile_diff(
         # sketch_profile's global groupBy() always yields exactly one
         # row per side, so the cross join is 1×1
         j = a.crossJoin(b)
+    if splits is None:
+        # the lo/hi probe below is an ACTION: without materialization it
+        # would execute both sketch aggregations once for the probe and
+        # again for the real output — two full input scans per side. The
+        # joined table is aggregate-sized (O(groups) rows of binaries),
+        # so checkpointing it costs its size, and both the probe and the
+        # final select read the materialized rows.
+        j = j.localCheckpoint(eager=True)
 
     fields = {f.name for f in j.schema.fields}
     cols = sorted(
