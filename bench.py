@@ -90,6 +90,7 @@ BENCH_QUERIES = [
     "overlap_lineitem",
     "weighted_sample_documents",
     "constraints_lineitem",
+    "cluster_embeddings",
     "drift_events_value",
     "drift_events_rolling",
     "drift_documents_lang",

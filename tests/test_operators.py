@@ -927,3 +927,56 @@ def test_find_best_split_constant_job_count(spark):
     assert n8 <= n2 + 1, (n2, n8)
     assert chosen in cols and gain >= 0.0
     countdf.unpersist()
+
+
+def test_kmeans_assign_deterministic_and_converging(spark):
+    import numpy as np
+
+    from whylogs_java_spark.operators.cluster import (
+        cluster_sizes,
+        kmeans_assign,
+    )
+
+    rng = np.random.default_rng(3)
+    # three well-separated blobs of 40 vectors each
+    centers = np.array([[5.0, 0.0, 0.0], [0.0, 5.0, 0.0], [0.0, 0.0, 5.0]])
+    rows = []
+    for i in range(120):
+        c = centers[i % 3] + rng.normal(0, 0.2, 3)
+        rows.append((i, [float(x) for x in c]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    out = kmeans_assign(emb, k=3, n_iter=4).collect()
+    assert len(out) == 120
+    # blob membership must align with cluster assignment perfectly once
+    # converged on separated blobs
+    by_blob = {}
+    for r in out:
+        by_blob.setdefault(r["vec_id"] % 3, set()).add(r["cluster"])
+    assert all(len(s) == 1 for s in by_blob.values())
+    assert len({next(iter(s)) for s in by_blob.values()}) == 3
+
+    # determinism: a second run is identical row-for-row
+    again = kmeans_assign(emb, k=3, n_iter=4).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+    sizes = {r["cluster"]: r["n"] for r in cluster_sizes(
+        kmeans_assign(emb, k=3, n_iter=4)
+    ).collect()}
+    assert sorted(sizes.values()) == [40, 40, 40]
+
+
+def test_kmeans_assign_empty_and_degenerate(spark):
+    from whylogs_java_spark.operators.cluster import kmeans_assign
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert kmeans_assign(empty, k=2).count() == 0
+
+    # k larger than corpus: every vector seeds its own cluster; extra
+    # clusters stay empty and keep their seed centroid without error
+    tiny = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    out = kmeans_assign(tiny, k=5, n_iter=2).collect()
+    assert len(out) == 2
+    assert all(r["dist"] == 0.0 for r in out)
