@@ -91,6 +91,7 @@ BENCH_QUERIES = [
     "weighted_sample_documents",
     "constraints_lineitem",
     "cluster_embeddings",
+    "dedup_semantic",
     "drift_events_value",
     "drift_events_rolling",
     "drift_documents_lang",

@@ -980,3 +980,35 @@ def test_kmeans_assign_empty_and_degenerate(spark):
     out = kmeans_assign(tiny, k=5, n_iter=2).collect()
     assert len(out) == 2
     assert all(r["dist"] == 0.0 for r in out)
+
+
+def test_semantic_dedup_subset_of_exact_and_finds_mutations(spark):
+    from whylogs_java_spark.operators.cluster import semantic_dedup_pairs
+    from whylogs_java_spark.operators.similarity import cosine_pairs_exact
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    mut = emb.where(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: (x * F.lit(0.9) + F.lit(0.01)).cast("float")
+        ).alias("embedding"),
+    )
+    corpus = emb.unionByName(mut)
+    sem = {
+        (r["id_a"], r["id_b"])
+        for r in semantic_dedup_pairs(corpus, threshold=0.9, k=3, n_iter=1).collect()
+    }
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_pairs_exact(corpus, threshold=0.9).collect()
+    }
+    # cluster pruning can only DROP pairs (split across clusters),
+    # never invent them
+    assert sem <= exact
+    # the planted (orig, mutated) near-identical pairs are close in L2
+    # too, so cluster pruning keeps the vast majority of them
+    planted = {p for p in exact if p[1] - p[0] == 100000}
+    kept = planted & sem
+    assert len(kept) >= 0.8 * len(planted)

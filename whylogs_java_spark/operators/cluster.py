@@ -63,6 +63,13 @@ def kmeans_assign(
     ).where(F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) > 0))
     vecd = F.transform(F.col("__v"), lambda x: x.cast("double"))
     emb = emb.select("__id", vecd.alias("__v"))
+    # distance folds are interpreted: spread the corpus across cores
+    # when the scan arrives in fewer partitions than parallelism (the
+    # small-file regime; a no-op at cluster scale — the similarity
+    # family's guard)
+    target = embeddings.sparkSession.sparkContext.defaultParallelism
+    if emb.rdd.getNumPartitions() < target:
+        emb = emb.repartition(target)
 
     seeds = (
         emb.orderBy(F.md5(F.col("__id").cast("string")), F.col("__id"))
@@ -77,13 +84,27 @@ def kmeans_assign(
     dim = len(centroids[0])
 
     def assign_expr():
-        dists = [_sq_l2(F.col("__v"), c) for c in centroids]
-        best_d, best_c = dists[0], F.lit(0)
-        for ci in range(1, len(centroids)):
-            is_less = dists[ci] < best_d
-            best_c = F.when(is_less, F.lit(ci)).otherwise(best_c)
-            best_d = F.when(is_less, dists[ci]).otherwise(best_d)
-        return best_c, best_d
+        # ONE fold over a (dist, idx) struct array — NOT a chained
+        # when(d_i < best, ...) ladder: each chain step references the
+        # running best twice (comparison + otherwise), doubling the
+        # expression tree per centroid, i.e. 2^k copies of the distance
+        # folds. Here every distance appears exactly once; strictly-less
+        # keeps the earlier (lowest) centroid id on ties, the same rule
+        # the DuckDB twin's MIN([dist, cid]) replays.
+        darr = F.array(*[_sq_l2(F.col("__v"), c) for c in centroids])
+        pairs = F.zip_with(
+            darr,
+            F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
+            lambda d, i: F.struct(d.alias("d"), i.alias("i")),
+        )
+        best = F.aggregate(
+            pairs,
+            F.struct(
+                F.lit(float("inf")).alias("d"), F.lit(-1).alias("i")
+            ),
+            lambda acc, x: F.when(x["d"] < acc["d"], x).otherwise(acc),
+        )
+        return best["i"], best["d"]
 
     for _ in range(n_iter):
         cid, _d = assign_expr()
@@ -123,6 +144,81 @@ def kmeans_assign(
         cid.alias("cluster"),
         (F.round(d, 6) + F.lit(0.0)).alias("dist"),
     )
+
+
+def semantic_dedup_pairs(
+    embeddings: DataFrame,
+    threshold: float,
+    k: int = 8,
+    n_iter: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): near-duplicate pairs by cosine,
+    with candidate generation pruned to k-means clusters — pairs are
+    only scored WITHIN a cluster, so the quadratic term is bounded by
+    the largest cluster, not the corpus (vs the corpus-wide LSH bands
+    of ``similarity.cosine_pairs_bucketed`` — use that when clusters
+    are themselves huge; the two candidate generators compose).
+
+    Deterministic end to end (seeded k-means + fold cosine), so the
+    pair set is oracle-checkable. Output: (id_a, id_b, cluster, cosine)
+    with cosine ≥ threshold, id_a < id_b.
+
+    Plan: the assignment join keys the corpus on id once; candidates
+    come from a self equi-join on the cluster id; norms fold once per
+    vector before the pair join. No cross product at any scale.
+    """
+    from .similarity import _as_double, dot
+
+    assign = kmeans_assign(
+        embeddings, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col
+    ).select(F.col(id_col), "cluster")
+    emb = embeddings.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
+    ).where(F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) > 0))
+    vecs = emb.join(assign, on=id_col).select(
+        F.col(id_col),
+        "cluster",
+        "__v",
+        F.sqrt(
+            F.aggregate(
+                F.transform(F.col("__v"), lambda x: x * x),
+                F.lit(0.0),
+                lambda acc, d: acc + d,
+            )
+        ).alias("__n"),
+    )
+    # materialize ONCE: both sides of the cluster self-join would
+    # otherwise re-execute the k assignment folds + the norm fold over
+    # the whole corpus (AQE exchange reuse does not cover a join whose
+    # sides differ only in aliases)
+    vecs = vecs.localCheckpoint(eager=True)
+    a = vecs.select(
+        F.col(id_col).alias("id_a"),
+        "cluster",
+        F.col("__v").alias("__va"),
+        F.col("__n").alias("__na"),
+    )
+    b = vecs.select(
+        F.col(id_col).alias("id_b"),
+        "cluster",
+        F.col("__v").alias("__vb"),
+        F.col("__n").alias("__nb"),
+    )
+    pairs = a.join(b, on="cluster").where(F.col("id_a") < F.col("id_b"))
+    # the join partitioning has only k distinct keys, so the interpreted
+    # cosine folds would run on at most k cores — spread the pair table
+    # across the cluster before scoring (tiny rows: two vectors + norms)
+    target = embeddings.sparkSession.sparkContext.defaultParallelism
+    pairs = pairs.repartition(target, "id_a", "id_b")
+    cosine = F.round(
+        dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")), 6
+    ) + F.lit(0.0)
+    return pairs.select(
+        "id_a", "id_b", "cluster", cosine.alias("cosine")
+    ).where(F.col("cosine") >= F.lit(float(threshold)))
 
 
 def cluster_sizes(assignments: DataFrame) -> DataFrame:
