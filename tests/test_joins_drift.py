@@ -1263,3 +1263,51 @@ def test_quantile_splits_equal_mass(spark):
     assert quantile_splits(empty, empty, "v") == []
     const = spark.createDataFrame([(1.0,), (1.0,)], "v double")
     assert quantile_splits(const, const, "v") == [1.0]
+
+
+def test_metric_anomalies_flags_planted_spike(spark):
+    from whylogs_java_spark.operators.monitor import metric_anomalies
+
+    rows = [(f"2024-01-{d:02d}", "m", 10.0 + (d % 3) * 0.1) for d in range(1, 15)]
+    rows.append(("2024-01-15", "m", 50.0))      # spike
+    rows.append(("2024-01-16", "m", 10.1))      # back to normal
+    store = spark.createDataFrame(
+        rows, "day string, column_name string, mean double"
+    ).select(F.col("day").cast("date").alias("day"), "column_name", "mean")
+    out = {
+        str(r["day"]): r
+        for r in metric_anomalies(
+            store, "mean", "day", keys=["column_name"], window=7, z=3.0
+        ).collect()
+    }
+    assert len(out) == 16
+    # first two days: not enough history -> NULL zscore, never anomalous
+    assert out["2024-01-02"]["zscore"] is None
+    assert out["2024-01-02"]["is_anomaly"] is False
+    # the spike flags; its neighbors don't
+    assert out["2024-01-15"]["is_anomaly"] is True
+    assert out["2024-01-15"]["zscore"] > 3
+    assert out["2024-01-14"]["is_anomaly"] is False
+    # the day AFTER the spike is judged against a window containing the
+    # spike (inflated std) - still not anomalous
+    assert out["2024-01-16"]["is_anomaly"] is False
+
+
+def test_metric_anomalies_constant_history(spark):
+    from whylogs_java_spark.operators.monitor import metric_anomalies
+
+    rows = [(f"2024-01-{d:02d}", "m", 5.0) for d in range(1, 8)]
+    rows.append(("2024-01-08", "m", 5.1))  # any deviation from constant flags
+    rows.append(("2024-01-09", "m", 5.0))  # wait: window now has the 5.1
+    store = spark.createDataFrame(
+        rows, "day string, column_name string, mean double"
+    ).select(F.col("day").cast("date").alias("day"), "column_name", "mean")
+    out = {
+        str(r["day"]): r
+        for r in metric_anomalies(
+            store, "mean", "day", keys=["column_name"], window=7, z=3.0
+        ).collect()
+    }
+    r8 = out["2024-01-08"]
+    assert r8["trailing_std"] == 0.0 and r8["zscore"] is None
+    assert r8["is_anomaly"] is True  # |5.1-5.0| > 3*0
