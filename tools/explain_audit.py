@@ -197,6 +197,21 @@ AUDITED = [
         "reference signature table keyed on (band, band_sig).",
     ),
     (
+        "dedup_semantic",
+        "SemDeDup: candidates pruned to k-means clusters — the cluster "
+        "self equi-join bounds the cosine quadratic by the largest "
+        "cluster; the checkpointed assignment table feeds both join "
+        "sides; fold-once norms; pairs repartition before the "
+        "interpreted cosine folds. No cross product.",
+    ),
+    (
+        "monitor_events_mean",
+        "Profile-store stddev monitor: ONE daily-profile aggregation "
+        "(the flagship single-pass shape) filtered to the monitored "
+        "column, then pure window functions over O(days) rows — exact "
+        "integer trailing sums, no second data pass.",
+    ),
+    (
         "pipeline_manifest",
         "Six composed operators (clean → exact dedup → near dedup → "
         "decontam → quality gate → split) planned as ONE statement; "
