@@ -92,6 +92,7 @@ BENCH_QUERIES = [
     "constraints_lineitem",
     "cluster_embeddings",
     "dedup_semantic",
+    "dedup_semantic_survivors",
     "monitor_events_mean",
     "drift_events_value",
     "drift_events_rolling",

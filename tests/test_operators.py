@@ -1012,3 +1012,35 @@ def test_semantic_dedup_subset_of_exact_and_finds_mutations(spark):
     planted = {p for p in exact if p[1] - p[0] == 100000}
     kept = planted & sem
     assert len(kept) >= 0.8 * len(planted)
+
+
+def test_semantic_dedup_survivors_consistent_with_pairs(spark):
+    from whylogs_java_spark.operators.cluster import (
+        semantic_dedup,
+        semantic_dedup_pairs,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    mut = emb.where(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: (x * F.lit(0.9) + F.lit(0.01)).cast("float")
+        ).alias("embedding"),
+    )
+    corpus = emb.unionByName(mut)
+    res = semantic_dedup(corpus, threshold=0.9, k=3, n_iter=1).collect()
+    assert len(res) == corpus.count()
+    by_id = {r["vec_id"]: r for r in res}
+    pairs = semantic_dedup_pairs(corpus, threshold=0.9, k=3, n_iter=1).collect()
+    # paired vectors share a cluster; every cluster's survivor is its min id
+    for p in pairs:
+        assert by_id[p["id_a"]]["cluster_id"] == by_id[p["id_b"]]["cluster_id"]
+    clusters = {}
+    for r in res:
+        clusters.setdefault(r["cluster_id"], []).append(r)
+    for cid, members in clusters.items():
+        survivors = [m for m in members if m["is_survivor"]]
+        assert len(survivors) == 1
+        assert survivors[0]["vec_id"] == min(m["vec_id"] for m in members) == cid
