@@ -356,3 +356,60 @@ def test_windowed_sketch_profile_stream_vs_batch(spark, tmp_path):
         ).collect()
     }
     assert mn == emitted_n
+
+
+def test_streaming_monitoring_loop(spark, tmp_path):
+    """The full streaming monitoring loop: windowed profile atoms stream
+    into a store, the batch anomaly monitor reads the store — each
+    window's metric z-scored against its trailing windows, the planted
+    spike window flagged."""
+    from whylogs_java_spark.operators.monitor import metric_anomalies
+    from whylogs_java_spark.streaming.profile_stream import profile_stream
+
+    rows = []
+    for h in range(12):
+        base = 100.0 if h == 9 else 10.0  # hour 9 is the anomaly
+        for i in range(50):
+            rows.append((f"2024-01-01 {h:02d}:{i % 60:02d}:00", base + (i % 5)))
+    src = str(tmp_path / "mon_src")
+    spark.createDataFrame(rows, "ts string, value double").select(
+        F.col("ts").cast("timestamp").alias("ts"), "value"
+    ).write.parquet(src)
+
+    stream = spark.readStream.schema("ts timestamp, value double").parquet(src)
+    atoms = profile_stream(
+        stream, time_column="ts", window_duration="1 hour",
+        watermark="0 seconds", columns=["value"],
+    )
+    store_path = str(tmp_path / "mon_store")
+    q = (
+        atoms.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", store_path)
+        .option("checkpointLocation", str(tmp_path / "mon_ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    store = spark.read.parquet(store_path).select(
+        "window_start",
+        F.lit("value").alias("column_name"),
+        (F.col("value_num_sum_hi").cast("double") / F.col("value_num_n"))
+        .alias("metric"),
+    )
+    # append mode holds back the watermark-frontier window; at least the
+    # first 11 hours must have been finalized into the store
+    assert store.count() >= 10
+    out = {
+        str(r["window_start"]): r
+        for r in metric_anomalies(
+            store, "metric", "window_start", window=6, z=3.0
+        ).collect()
+    }
+    spike = out.get("2024-01-01 09:00:00")
+    assert spike is not None and spike["is_anomaly"] is True
+    normal = out.get("2024-01-01 08:00:00")
+    assert normal is not None and normal["is_anomaly"] is False

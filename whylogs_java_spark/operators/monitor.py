@@ -47,9 +47,12 @@ def metric_anomalies(
     flags (|x − mean| > 0 = z·0).
     """
     ks = list(keys)
+    # metric as a secondary sort key: a store slice should hold ONE row
+    # per (keys, bucket), but if duplicates sneak in the trailing frame
+    # stays deterministic instead of partition-order-dependent
     w = (
         Window.partitionBy(*ks)
-        .orderBy(F.col(time_col).asc())
+        .orderBy(F.col(time_col).asc(), F.col(metric).asc_nulls_first())
         .rowsBetween(-window, -1)
     )
     x = F.col(metric).cast("double")
