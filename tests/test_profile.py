@@ -269,3 +269,16 @@ def test_constraints_over_sketch_summary_store(spark, tmp_path):
         for r in check_constraints(summary, rules).collect()
     }
     assert got == {0: True, 1: True, 2: True, 3: False}
+
+
+def test_check_constraints_missing_column_fails(spark):
+    from whylogs_java_spark.operators.constraints import check_constraints
+    from whylogs_java_spark.operators.profile import profile
+
+    prof = profile(spark.createDataFrame([(1.0,)], "v double"))
+    out = check_constraints(
+        prof, [("v", "count", ">=", "1"), ("no_such_col", "count", ">=", "1")]
+    ).collect()
+    got = {r["rule_id"]: r["passed"] for r in out}
+    # the typo'd rule surfaces as a FAILING row, not a silent no-op
+    assert got == {0: True, 1: False}

@@ -92,7 +92,11 @@ def check_constraints(
         else F.lit(None).cast("string"),
     )
 
-    joined = profile_df.join(F.broadcast(rules_df), on="column_name")
+    # RIGHT join from the rules side: a rule naming a column absent from
+    # the profile must surface as a failing row (NULL observed -> FAIL),
+    # not silently disappear — a typo'd expectation that vanishes reads
+    # as "passed". Both sides are aggregate-sized.
+    joined = profile_df.join(rules_df, on="column_name", how="right")
     thr_num = F.col("threshold").cast("double")
     o = F.round(observed_num, 6)
     num_pass = (
