@@ -94,6 +94,7 @@ BENCH_QUERIES = [
     "dedup_semantic",
     "dedup_semantic_survivors",
     "monitor_events_mean",
+    "topk_drift_part",
     "drift_events_value",
     "drift_events_rolling",
     "drift_documents_lang",

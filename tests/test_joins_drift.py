@@ -1311,3 +1311,41 @@ def test_metric_anomalies_constant_history(spark):
     r8 = out["2024-01-08"]
     assert r8["trailing_std"] == 0.0 and r8["zscore"] is None
     assert r8["is_anomaly"] is True  # |5.1-5.0| > 3*0
+
+
+def test_topk_drift_statuses(spark):
+    from whylogs_java_spark.operators.drift import topk_drift
+
+    a = spark.createDataFrame(
+        [("x",)] * 5 + [("y",)] * 3 + [("z",)] * 2 + [(None,)], "v string"
+    )
+    b = spark.createDataFrame(
+        [("x",)] * 2 + [("y",)] * 6 + [("w",)] * 4, "v string"
+    )
+    out = {r["value"]: r for r in topk_drift(a, b, "v", k=2).collect()}
+    # A top-2: x(5), y(3); B top-2: y(6), w(4)
+    assert set(out) == {"x", "y", "w"}
+    assert out["w"]["status"] == "new" and out["w"]["rank_a"] is None
+    assert out["x"]["status"] == "vanished" and out["x"]["rank_b"] is None
+    assert out["y"]["status"] == "moved"
+    assert out["y"]["rank_a"] == 2 and out["y"]["rank_b"] == 1
+    # frequencies over TRACKED rows: A has 10 non-null of 11 rows
+    assert out["x"]["freq_a"] == 0.5
+    assert out["y"]["freq_delta"] == round(6 / 12 - 3 / 10, 6)
+
+
+def test_topk_drift_grouped(spark):
+    from whylogs_java_spark.operators.drift import topk_drift
+
+    a = spark.createDataFrame(
+        [("g1", "x"), ("g1", "x"), ("g1", "y"), ("g2", "p")], "g string, v string"
+    )
+    b = spark.createDataFrame(
+        [("g1", "y"), ("g1", "y"), ("g2", "p"), ("g2", "q")], "g string, v string"
+    )
+    rows = topk_drift(a, b, "v", k=2, group_by=["g"]).collect()
+    got = {(r["g"], r["value"]): r["status"] for r in rows}
+    assert got[("g1", "x")] == "vanished"
+    assert got[("g1", "y")] == "moved"
+    assert got[("g2", "p")] == "stable"
+    assert got[("g2", "q")] == "new"

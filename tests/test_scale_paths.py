@@ -413,3 +413,42 @@ def test_streaming_monitoring_loop(spark, tmp_path):
     assert spike is not None and spike["is_anomaly"] is True
     normal = out.get("2024-01-01 08:00:00")
     assert normal is not None and normal["is_anomaly"] is False
+
+
+def test_r7_query_plan_guards(spark):
+    """Plan pins for the round-7 queries: no cross product anywhere;
+    the monitor is agg+window with no join; constraints join is a hash
+    equi-join over aggregate-sized sides."""
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    sf = "/root/testdata/sf0.001"
+
+    def plan_of(name):
+        return (
+            qs[name](spark, sf)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+
+    for name in (
+        "constraints_lineitem",
+        "monitor_events_mean",
+        "cluster_embeddings",
+        "dedup_semantic",
+        "asof_nearest_events",
+        "profile_diff_sketch",
+    ):
+        p = plan_of(name)
+        assert "CartesianProduct" not in p, name
+        assert "BroadcastNestedLoopJoin" not in p, name
+
+    p = plan_of("monitor_events_mean")
+    assert "Join" not in p  # store monitor: one agg + windows, no join
+    p = plan_of("asof_nearest_events")
+    # nearest still rides ONE key-only exchange (two window passes over
+    # it); the other user_id exchange is the views (user_id, ts) agg
+    import re
+
+    assert len(re.findall(r"hashpartitioning\(user_id#\d+L?, \d+\)", p)) <= 1

@@ -398,6 +398,77 @@ def profile_diff(
     )
 
 
+def topk_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    column: str,
+    k: int = 10,
+    group_by: Sequence[str] = (),
+) -> DataFrame:
+    """Heavy-hitter churn between slices A and B — the frequent-items
+    face of drift monitoring: which values entered the top-k, which
+    vanished, how ranks and frequencies moved.
+
+    Both slices rank with the exact bounded two-phase
+    ``summary.frequent_items`` (null semantics and 256-char truncation
+    included), then full-outer join per (keys…, value). Output per
+    surviving value: (keys…, column_name, value, count_a, count_b,
+    rank_a, rank_b, freq_a, freq_b, freq_delta, status) where status ∈
+    {'new', 'vanished', 'moved', 'stable'} ('new' = in B's top-k only,
+    'vanished' = in A's only, 'moved' = rank changed). Frequencies are
+    counts over the slice's TRACKED rows (the frequent-items
+    denominator: non-null values), rounded to 6.
+
+    Aggregate-sized end to end: each slice reduces to ≤ k rows per
+    group plus one total row; the join is trivially broadcastable.
+    """
+    from .summary import frequent_items
+
+    keys = list(group_by)
+
+    def side(df: DataFrame, tag: str) -> DataFrame:
+        top = frequent_items(df, column, group_by=keys, k=k).select(
+            *keys,
+            "value",
+            F.col("count").alias(f"count_{tag}"),
+            F.col("rank").alias(f"rank_{tag}"),
+        )
+        from ..functions.predicates import masked
+
+        schema = {f.name: f.dataType for f in df.schema.fields}
+        tot = df.groupBy(*keys).agg(
+            F.count(masked(F.col(column), schema[column])).alias(f"__tot_{tag}")
+        )
+        if keys:
+            return top.join(tot, on=keys, how="left")
+        return top.crossJoin(tot)
+
+    a, b = side(df_a, "a"), side(df_b, "b")
+    j = a.join(b, on=keys + ["value"], how="full")
+    ra, rb = F.col("rank_a"), F.col("rank_b")
+    fa = F.try_divide(F.col("count_a"), F.col("__tot_a"))
+    fb = F.try_divide(F.col("count_b"), F.col("__tot_b"))
+    status = (
+        F.when(ra.isNull(), F.lit("new"))
+        .when(rb.isNull(), F.lit("vanished"))
+        .when(ra != rb, F.lit("moved"))
+        .otherwise(F.lit("stable"))
+    )
+    return j.select(
+        *keys,
+        F.lit(column).alias("column_name"),
+        "value",
+        "count_a",
+        "count_b",
+        ra.alias("rank_a"),
+        rb.alias("rank_b"),
+        (F.round(fa, 6) + F.lit(0.0)).alias("freq_a"),
+        (F.round(fb, 6) + F.lit(0.0)).alias("freq_b"),
+        (F.round(fb - fa, 6) + F.lit(0.0)).alias("freq_delta"),
+        status.alias("status"),
+    )
+
+
 def sketch_profile_diff(
     sketch_a: DataFrame,
     sketch_b: DataFrame,
