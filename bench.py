@@ -68,6 +68,7 @@ BENCH_QUERIES = [
     "weighted_entropy_events",
     "topk_part_brand",
     "dedup_simhash",
+    "dedup_simhash_pairs",
     "dedup_embedding_bucketed",
     "dedup_containment_fragment",
     "similarity_ivf_md5",

@@ -1044,3 +1044,34 @@ def test_semantic_dedup_survivors_consistent_with_pairs(spark):
         survivors = [m for m in members if m["is_survivor"]]
         assert len(survivors) == 1
         assert survivors[0]["vec_id"] == min(m["vec_id"] for m in members) == cid
+
+
+def test_simhash_pairs_pigeonhole_complete(spark):
+    # the block join must find EVERY pair within max_hamming — compare
+    # against brute-force hamming over all fingerprint pairs
+    from itertools import combinations
+
+    from whylogs_java_spark.operators.dedup import simhash, simhash_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    ).limit(60)
+    mut = docs.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail")).alias("text"),
+    )
+    corpus = docs.unionByName(mut)
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_pairs(corpus, "text", "doc_id", max_hamming=4).collect()
+    }
+    sigs = {
+        r["doc_id"]: r["simhash_bits"]
+        for r in simhash(corpus, "text", "doc_id").collect()
+    }
+    want = {}
+    for i, j in combinations(sorted(sigs), 2):
+        d = sum(x != y for x, y in zip(sigs[i], sigs[j]))
+        if d <= 4:
+            want[(i, j)] = d
+    assert got == want and len(want) > 0

@@ -575,6 +575,89 @@ def near_dup_stages(
 # SimHash
 # ---------------------------------------------------------------------------
 
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    bits: int = 64,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """SimHash near-dup pairs within ``max_hamming`` bits — the Manku et
+    al. (WWW'07) web-dedup shape, scale-correct by the pigeonhole
+    principle: the ``bits``-bit fingerprint splits into
+    ``max_hamming + 1`` blocks, so any pair within distance d ≤
+    max_hamming matches EXACTLY on at least one block. Candidates come
+    from a self equi-join per (block index, block string) — never a
+    cross product, never an all-pairs Hamming scan — then the exact
+    Hamming distance verifies on candidates only.
+
+    Determinism: ``hash_family="md5"`` makes the fingerprints (hence
+    the pair set) engine-portable — the DuckDB oracle tier; xxhash64 is
+    the cheap default. Output: (id_a, id_b, hamming), id_a < id_b,
+    hamming ≤ max_hamming.
+    """
+    blocks = int(max_hamming) + 1
+    if blocks < 1 or blocks > bits:
+        raise ValueError("max_hamming must be in [0, bits-1]")
+    sig = simhash(
+        df, text_col, id_col, bits=bits, hash_family=hash_family
+    ).select(F.col(id_col).alias("__id"), "simhash_bits")
+    sig = sig.localCheckpoint(eager=True)  # feeds blocks AND both verify sides
+
+    # block b covers bit positions [b*len .. start of b+1), last block
+    # takes the remainder — slice() is 1-based
+    base = bits // blocks
+    bounds = []
+    pos = 0
+    for b in range(blocks):
+        ln = base + (1 if b < bits % blocks else 0)
+        bounds.append((pos, ln))
+        pos += ln
+    block_rows = sig.select(
+        "__id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "",
+                        F.transform(
+                            F.slice("simhash_bits", start + 1, ln),
+                            lambda x: x.cast("string"),
+                        ),
+                    )
+                    for start, ln in bounds
+                ]
+            )
+        ).alias("__blk", "__bs"),
+    )
+    a = block_rows.select(
+        F.col("__id").alias("id_a"), "__blk", "__bs"
+    )
+    b_side = block_rows.select(
+        F.col("__id").alias("id_b"), "__blk", "__bs"
+    )
+    cand = (
+        a.join(b_side, on=["__blk", "__bs"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = sig.select(F.col("__id").alias("id_a"), F.col("simhash_bits").alias("__ba"))
+    vb = sig.select(F.col("__id").alias("id_b"), F.col("simhash_bits").alias("__bb"))
+    hamming = F.aggregate(
+        F.zip_with(F.col("__ba"), F.col("__bb"), lambda x, y: F.abs(x - y)),
+        F.lit(0),
+        lambda acc, d: acc + d,
+    )
+    return (
+        cand.join(va, on="id_a")
+        .join(vb, on="id_b")
+        .select("id_a", "id_b", hamming.alias("hamming"))
+        .where(F.col("hamming") <= F.lit(int(max_hamming)))
+    )
+
+
 def simhash(
     df: DataFrame,
     text_col: str,
