@@ -683,11 +683,23 @@ def simhash(
         F.col(id_col), F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("tok")
     ).where(F.col("tok") != "")
     if hash_family == "md5":
-        hhex = F.md5("tok")
+        # parse each hex nibble ONCE in the pre-aggregation projection
+        # (bits/4 convs per token) instead of once per BIT inside the 64
+        # sum expressions (bits convs per token — 4x the parse work)
+        toks = toks.select(
+            id_col,
+            *[
+                F.conv(F.substring(F.md5("tok"), 1 + i, 1), 16, 10)
+                .cast("int")
+                .alias(f"__nib{i}")
+                for i in range(bits // 4)
+            ],
+        )
 
         def bit_of(b: int) -> Column:
-            nib = F.conv(F.substring(hhex, 1 + b // 4, 1), 16, 10).cast("int")
-            return F.shiftright(nib, b % 4).bitwiseAND(F.lit(1))
+            return F.shiftright(F.col(f"__nib{b // 4}"), b % 4).bitwiseAND(
+                F.lit(1)
+            )
 
         aggs = [
             F.sum(F.when(bit_of(b) == 1, 1).otherwise(-1)).alias(f"b{b}")
