@@ -96,6 +96,7 @@ BENCH_QUERIES = [
     "dedup_semantic_survivors",
     "monitor_events_mean",
     "topk_drift_part",
+    "rolling_topk_events",
     "drift_events_value",
     "drift_events_rolling",
     "drift_documents_lang",

@@ -1349,3 +1349,26 @@ def test_topk_drift_grouped(spark):
     assert got[("g1", "y")] == "moved"
     assert got[("g2", "p")] == "stable"
     assert got[("g2", "q")] == "new"
+
+
+def test_rolling_topk_drift_semantics(spark):
+    from whylogs_java_spark.operators.drift import rolling_topk_drift
+
+    rows = []
+    # day 1: a,a,b ; day 2: b,b,a ; day 4: c (gap at day 3)
+    for v in ["a", "a", "b"]:
+        rows.append(("2024-01-01 10:00:00", v))
+    for v in ["b", "b", "a"]:
+        rows.append(("2024-01-02 10:00:00", v))
+    rows.append(("2024-01-04 10:00:00", "c"))
+    df = spark.createDataFrame(rows, "ts string, v string").select(
+        F.col("ts").cast("timestamp").alias("ts"), "v"
+    )
+    out = rolling_topk_drift(df, "v", "ts", k=2).collect()
+    days = {str(r["day"]) for r in out}
+    # only day 2 has a previous day; day 4's predecessor (day 3) is a gap
+    assert days == {"2024-01-02"}
+    got = {r["value"]: r["status"] for r in out}
+    assert got == {"a": "moved", "b": "moved"}
+    ranks = {r["value"]: (r["rank_cur"], r["rank_prev"]) for r in out}
+    assert ranks["b"] == (1, 2) and ranks["a"] == (2, 1)

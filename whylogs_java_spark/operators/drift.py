@@ -469,6 +469,76 @@ def topk_drift(
     )
 
 
+def rolling_topk_drift(
+    df: DataFrame,
+    column: str,
+    time_column: str,
+    k: int = 10,
+    eps_days: int = 1,
+) -> DataFrame:
+    """Day-over-day heavy-hitter churn — the rolling face of
+    ``topk_drift``: each calendar day's top-k values vs the previous
+    day's, with rank moves and new/vanished/moved/stable statuses.
+
+    One scan reduces the table to per-(day, value) counts; both the
+    ranking and the previous-day side are derived from that aggregate
+    (shifted by ``eps_days``), so everything after the scan is
+    O(days × values) rows. Days without a previous day drop (gap
+    resets, the ``rolling_drift`` contract). NULL values are not
+    tracked (frequent-items semantics).
+    """
+    from pyspark.sql import Window
+
+    day = F.col(time_column).cast("date")
+    counts = (
+        df.where(F.col(column).isNotNull())
+        .groupBy(day.alias("day"), F.col(column).cast("string").alias("value"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("day").orderBy(
+        F.col("n").desc(), F.col("value").asc()
+    )
+    ranked = counts.select(
+        "day", "value", "n", F.row_number().over(w).alias("rank")
+    ).where(F.col("rank") <= k)
+    cur = ranked.select(
+        "day", "value", F.col("n").alias("count_cur"), F.col("rank").alias("rank_cur")
+    )
+    prev = ranked.select(
+        F.date_add("day", eps_days).alias("day"),
+        "value",
+        F.col("n").alias("count_prev"),
+        F.col("rank").alias("rank_prev"),
+    )
+    # only days that HAVE a previous top-k participate (gap reset)
+    prev_days = ranked.select(
+        F.date_add("day", eps_days).alias("day")
+    ).distinct()
+    cur_days = ranked.select("day").distinct()
+    both_days = cur_days.join(prev_days, on="day")
+    j = (
+        cur.join(prev, on=["day", "value"], how="full")
+        .join(F.broadcast(both_days), on="day")
+    )
+    rc, rp = F.col("rank_cur"), F.col("rank_prev")
+    status = (
+        F.when(rp.isNull(), F.lit("new"))
+        .when(rc.isNull(), F.lit("vanished"))
+        .when(rc != rp, F.lit("moved"))
+        .otherwise(F.lit("stable"))
+    )
+    return j.select(
+        "day",
+        F.lit(column).alias("column_name"),
+        "value",
+        "count_cur",
+        "count_prev",
+        rc.alias("rank_cur"),
+        rp.alias("rank_prev"),
+        status.alias("status"),
+    )
+
+
 def sketch_profile_diff(
     sketch_a: DataFrame,
     sketch_b: DataFrame,
