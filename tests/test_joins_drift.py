@@ -1372,3 +1372,33 @@ def test_rolling_topk_drift_semantics(spark):
     assert got == {"a": "moved", "b": "moved"}
     ranks = {r["value"]: (r["rank_cur"], r["rank_prev"]) for r in out}
     assert ranks["b"] == (1, 2) and ranks["a"] == (2, 1)
+
+
+def test_rolling_window_topk_churn(spark):
+    from whylogs_java_spark.streaming.drift_stream import rolling_window_topk
+
+    def w(h):
+        return (f"2024-01-01 {h:02d}:00:00", f"2024-01-01 {h+1:02d}:00:00")
+
+    rows = []
+    for h, dist in [
+        (0, {"a": 5, "b": 3, "c": 1}),
+        (1, {"b": 6, "a": 2, "d": 4}),
+        (3, {"z": 2}),  # gap at hour 2 -> hour 3 drops
+    ]:
+        for cat, n in dist.items():
+            rows.append((*w(h), cat, n))
+    counts = spark.createDataFrame(
+        rows, "window_start string, window_end string, cat string, n long"
+    ).select(
+        F.col("window_start").cast("timestamp").alias("window_start"),
+        F.col("window_end").cast("timestamp").alias("window_end"),
+        "cat", "n",
+    )
+    out = rolling_window_topk(counts, k=2).collect()
+    assert {str(r["window_start"]) for r in out} == {"2024-01-01 01:00:00"}
+    got = {r["cat"]: r["status"] for r in out}
+    # hour0 top2: a(5), b(3); hour1 top2: b(6), d(4)
+    assert got == {"a": "vanished", "b": "moved", "d": "new"}
+    ranks = {r["cat"]: (r["rank_cur"], r["rank_prev"]) for r in out}
+    assert ranks["b"] == (1, 2) and ranks["d"] == (2, None)

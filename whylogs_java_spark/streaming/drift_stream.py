@@ -164,6 +164,77 @@ def windowed_bin_counts(
     )
 
 
+def rolling_window_topk(
+    counts: DataFrame,
+    k: int = 10,
+    group_by: Sequence[str] = (),
+    slide_seconds: int | None = None,
+) -> DataFrame:
+    """Window-over-window heavy-hitter churn — the top-k sibling of
+    ``rolling_window_scores`` over the same windowed-counts table
+    (``windowed_category_counts`` output, batch-compacted or inside
+    ``foreachBatch``): each window's top-k categories vs the previous
+    window's, with new/vanished/moved/stable statuses.
+
+    Stride semantics match ``rolling_window_scores``: tumbling by
+    default, pass ``slide_seconds`` for sliding counts. Windows whose
+    predecessor emitted no counts drop (gap reset). Everything runs
+    over aggregate-sized rows.
+    """
+    from pyspark.sql import Window
+
+    keys = list(group_by)
+    if slide_seconds is not None and slide_seconds <= 0:
+        raise ValueError("slide_seconds must be a positive number of seconds")
+    win_len = F.col("window_end").cast("long") - F.col("window_start").cast(
+        "long"
+    )
+    stride = F.lit(int(slide_seconds)) if slide_seconds is not None else win_len
+    w = Window.partitionBy("window_start", *keys).orderBy(
+        F.col("n").desc(), F.col("cat").asc()
+    )
+    ranked = counts.select(
+        "window_start",
+        (F.col("window_start") + F.make_interval(secs=stride)).alias("__next"),
+        *keys,
+        "cat",
+        "n",
+        F.row_number().over(w).alias("rank"),
+    ).where(F.col("rank") <= k)
+    cur = ranked.select(
+        "window_start", *keys, "cat",
+        F.col("n").alias("count_cur"), F.col("rank").alias("rank_cur"),
+    )
+    prev = ranked.select(
+        F.col("__next").alias("window_start"), *keys, "cat",
+        F.col("n").alias("count_prev"), F.col("rank").alias("rank_prev"),
+    )
+    both_windows = (
+        ranked.select("window_start", *keys)
+        .distinct()
+        .join(
+            prev.select("window_start", *keys).distinct(),
+            on=["window_start", *keys],
+        )
+    )
+    j = cur.join(prev, on=["window_start", *keys, "cat"], how="full").join(
+        F.broadcast(both_windows), on=["window_start", *keys]
+    )
+    rc, rp = F.col("rank_cur"), F.col("rank_prev")
+    status = (
+        F.when(rp.isNull(), F.lit("new"))
+        .when(rc.isNull(), F.lit("vanished"))
+        .when(rc != rp, F.lit("moved"))
+        .otherwise(F.lit("stable"))
+    )
+    return j.select(
+        "window_start", *keys, "cat",
+        "count_cur", "count_prev",
+        rc.alias("rank_cur"), rp.alias("rank_prev"),
+        status.alias("status"),
+    )
+
+
 def rolling_window_scores(
     counts: DataFrame,
     group_by: Sequence[str] = (),
