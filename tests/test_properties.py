@@ -164,3 +164,57 @@ def test_segment_dedup_invariants(spark, texts):
         assert remaining == ""
     # exactly one surviving copy per distinct segment, corpus-wide
     assert total_kept == n_distinct
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    left=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 60)),
+        min_size=1, max_size=25,
+    ),
+    right=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 60)),
+        min_size=1, max_size=25, unique=True,
+    ),
+    direction=st.sampled_from(["backward", "forward", "nearest"]),
+    buckets=st.sampled_from([None, 3]),
+)
+def test_asof_join_matches_pandas_all_directions(
+    spark, left, right, direction, buckets
+):
+    """asof_join (every direction, bucketed or not) == pandas merge_asof
+    on arbitrary small frames; unique (k, ts) right rows keep the match
+    deterministic without a tiebreak."""
+    import pandas as pd
+
+    from whylogs_java_spark.operators.joins import asof_join
+
+    if direction == "nearest" and buckets:
+        return  # unsupported combination (raises by contract)
+    lpd = pd.DataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(left)],
+        columns=["k", "ts", "lid"],
+    )
+    rpd = pd.DataFrame(right, columns=["k", "ts"])
+    rpd["val"] = rpd["k"] * 1000 + rpd["ts"]
+    expected = (
+        pd.merge_asof(
+            lpd.sort_values(["ts", "lid"]),
+            rpd.sort_values("ts"),
+            on="ts", by="k", direction=direction, suffixes=("", "_r"),
+        )
+        .set_index("lid")["val"]
+        .to_dict()
+    )
+    out = asof_join(
+        spark.createDataFrame(lpd),
+        spark.createDataFrame(rpd),
+        on="k", left_ts="ts", direction=direction, time_buckets=buckets,
+    ).collect()
+    assert len(out) == len(lpd)
+    for row in out:
+        exp, got = expected[row["lid"]], row["val_r"]
+        if got is None:
+            assert pd.isna(exp), (direction, buckets, dict(row))
+        else:
+            assert got == exp, (direction, buckets, dict(row))
