@@ -212,6 +212,25 @@ AUDITED = [
         "integer trailing sums, no second data pass.",
     ),
     (
+        "dedup_simhash_pairs",
+        "SimHash pair generation: pigeonhole block equi-join (a "
+        "within-distance pair matches exactly on ≥1 of max_hamming+1 "
+        "fingerprint blocks) over the checkpointed fingerprint table; "
+        "exact Hamming verify on candidates only — never all-pairs.",
+    ),
+    (
+        "topk_drift_part",
+        "Heavy-hitter churn: two bounded exact top-k tables (two-phase "
+        "salted partial top-k each) full-outer joined per value — "
+        "aggregate-sized end to end.",
+    ),
+    (
+        "rolling_topk_events",
+        "Day-over-day top-k churn: one scan to per-(day, value) counts; "
+        "rank windows and the shifted previous side both derive from "
+        "that aggregate — O(days × values) rows after the scan.",
+    ),
+    (
         "pipeline_manifest",
         "Six composed operators (clean → exact dedup → near dedup → "
         "decontam → quality gate → split) planned as ONE statement; "
