@@ -282,3 +282,25 @@ def test_check_constraints_missing_column_fails(spark):
     got = {r["rule_id"]: r["passed"] for r in out}
     # the typo'd rule surfaces as a FAILING row, not a silent no-op
     assert got == {0: True, 1: False}
+
+
+def test_quantile_constraints(spark):
+    # quantile expectations: quantile_metrics pivots into the SAME gate
+    from whylogs_java_spark.operators.constraints import (
+        check_constraints,
+        quantile_metrics,
+    )
+
+    df = spark.createDataFrame(
+        [(float(i),) for i in range(1, 101)], "latency double"
+    )
+    qm = quantile_metrics(df, ["latency"], quantiles=(0.5, 0.99), tier="exact")
+    row = qm.first()
+    assert row["column_name"] == "latency"
+    assert abs(row["q_50"] - 50.5) < 1e-6
+    rules = [
+        ("latency", "q_50", "<=", "60"),
+        ("latency", "q_99", "<=", "50"),   # fails: p99 ~ 99
+    ]
+    got = {r["rule_id"]: r["passed"] for r in check_constraints(qm, rules).collect()}
+    assert got == {0: True, 1: False}

@@ -284,3 +284,32 @@ def test_sketch_profile_store_roundtrip_and_diff(spark, tmp_path):
             F.kll_sketch_get_n_float(F.lit(bytes(w[f"{c}__kll"]))).alias("n")
         ).first()["n"]
         assert got_n == want_n, c
+
+
+def test_sketch_profile_diff_grouped(spark):
+    # grouped path: per-key sketch rows full-outer joined; a key present
+    # on one side only yields NULL metrics, shared keys score normally
+    from whylogs_java_spark.operators.approx import sketch_profile
+    from whylogs_java_spark.operators.drift import sketch_profile_diff
+
+    rows_a = [("g1", float(i % 10)) for i in range(200)] + [
+        ("g2", float(i % 5)) for i in range(100)
+    ]
+    rows_b = [("g1", float(i % 10) + 3.0) for i in range(150)] + [
+        ("g3", 1.0) for _ in range(50)
+    ]
+    a = spark.createDataFrame(rows_a, "g string, v double")
+    b = spark.createDataFrame(rows_b, "g string, v double")
+    sa = sketch_profile(a, columns=["v"], group_by=["g"])
+    sb = sketch_profile(b, columns=["v"], group_by=["g"])
+    out = {r["g"]: r for r in sketch_profile_diff(sa, sb, keys=["g"]).collect()}
+    assert set(out) == {"g1", "g2", "g3"}
+    g1 = out["g1"]
+    assert g1["count_a"] == 200 and g1["count_b"] == 150
+    assert g1["psi"] is not None and g1["psi"] > 0.5  # shifted by +3
+    assert g1["median_delta"] is not None and 2.0 <= g1["median_delta"] <= 4.0
+    # one-sided keys: metrics NULL, counts show what exists
+    assert out["g2"]["count_a"] == 100 and out["g2"]["count_b"] is None
+    assert out["g2"]["psi"] is None
+    assert out["g3"]["count_a"] is None and out["g3"]["count_b"] == 50
+    assert out["g3"]["psi"] is None

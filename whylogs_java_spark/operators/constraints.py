@@ -129,6 +129,39 @@ def check_constraints(
     )
 
 
+def quantile_metrics(
+    df: DataFrame,
+    columns: Sequence[str],
+    quantiles: Sequence[float] = (0.5, 0.9, 0.99),
+    group_by: Sequence[str] = (),
+    tier: str | None = None,
+) -> DataFrame:
+    """Wide quantile table for QUANTILE expectations: (keys…,
+    column_name, q_50, q_90, q_99, …) — a pivot of
+    ``summary.quantile_summary`` whose metric names
+    (``q_<pct>``, dots → underscores) plug straight into
+    ``check_constraints`` rules, e.g. ``("latency", "q_99", "<=",
+    "250")``. ``tier`` as in quantile_summary (sketch default — the
+    scale path; "exact" for oracle runs)."""
+    from .summary import quantile_summary
+
+    long = quantile_summary(
+        df, list(columns), group_by=list(group_by),
+        quantiles=list(quantiles), tier=tier,
+    )
+
+    def mname(q: float) -> str:
+        return "q_" + f"{q * 100:g}".replace(".", "_")
+
+    aggs = [
+        F.max(F.when(F.col("quantile") == float(q), F.col("value"))).alias(
+            mname(q)
+        )
+        for q in quantiles
+    ]
+    return long.groupBy(*group_by, "column_name").agg(*aggs)
+
+
 def constraints_summary(
     checked: DataFrame, keys: Sequence[str] = ()
 ) -> DataFrame:
