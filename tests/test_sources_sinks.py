@@ -522,3 +522,90 @@ def test_stateful_session_fn_late_events():
     assert r["n_events"] == 2 and r["closed_by"] == "gap"
     # open session extended backwards to 9h50 with the late event counted
     assert st.updated == (9 * hour + 50 * 60 * _US, 10 * hour + 30 * 60 * _US, 4)
+
+
+def test_cli_dedup_subcommand(spark, tmp_path, monkeypatch):
+    import whylogs_java_spark.__main__ as cli
+    import whylogs_java_spark.session as sess
+
+    monkeypatch.setattr(sess, "get_spark", lambda *a, **k: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "other text")],
+        "doc_id long, text string",
+    ).write.parquet(src)
+    out = str(tmp_path / "dedup_out")
+    rc = cli.main([
+        "dedup", src, "-o", out, "--id-col", "doc_id",
+        "--text-col", "text", "--method", "exact",
+    ])
+    assert rc == 0
+    kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert kept == {1, 3}
+
+
+def test_cli_constraints_gate_exit_codes(spark, tmp_path, monkeypatch):
+    import json
+
+    import whylogs_java_spark.__main__ as cli
+    import whylogs_java_spark.session as sess
+
+    monkeypatch.setattr(sess, "get_spark", lambda *a, **k: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+
+    src = str(tmp_path / "data.parquet")
+    spark.createDataFrame(
+        [(float(i),) for i in range(10)], "v double"
+    ).write.parquet(src)
+
+    ok_rules = str(tmp_path / "ok.json")
+    json.dump([["v", "count", ">=", "5"]], open(ok_rules, "w"))
+    assert cli.main(["constraints", src, "--rules", ok_rules]) == 0
+
+    bad_rules = str(tmp_path / "bad.json")
+    json.dump(
+        [["v", "count", ">=", "5"], ["v", "max", "<=", "3"]],
+        open(bad_rules, "w"),
+    )
+    rep = str(tmp_path / "rep")
+    assert cli.main(
+        ["constraints", src, "--rules", bad_rules, "-o", rep]
+    ) == 1
+    rows = {r["rule_id"]: r["passed"] for r in spark.read.parquet(rep).collect()}
+    assert rows == {0: True, 1: False}
+
+
+def test_cli_drift_and_monitor_subcommands(spark, tmp_path, monkeypatch):
+    import whylogs_java_spark.__main__ as cli
+    import whylogs_java_spark.session as sess
+
+    monkeypatch.setattr(sess, "get_spark", lambda *a, **k: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+
+    a = str(tmp_path / "a.parquet")
+    b = str(tmp_path / "b.parquet")
+    spark.createDataFrame(
+        [(float(i % 10),) for i in range(100)], "v double"
+    ).write.parquet(a)
+    spark.createDataFrame(
+        [(float(i % 10) + 5.0,) for i in range(100)], "v double"
+    ).write.parquet(b)
+    dout = str(tmp_path / "drift_out")
+    assert cli.main(["drift", a, b, "-o", dout, "--column", "v"]) == 0
+    d = spark.read.parquet(dout).first()
+    assert d["psi"] > 0.1 and d["mean_delta"] == 5.0
+
+    store = str(tmp_path / "store.parquet")
+    rows = [(f"2024-01-{i:02d}", "v", 10.0 + (i % 2) * 0.1) for i in range(1, 12)]
+    rows.append(("2024-01-12", "v", 99.0))
+    spark.createDataFrame(
+        rows, "day string, column_name string, mean double"
+    ).selectExpr("CAST(day AS DATE) AS day", "column_name", "mean").write.parquet(store)
+    mout = str(tmp_path / "mon_out")
+    assert cli.main([
+        "monitor", store, "-o", mout, "--metric", "mean", "--time-col", "day",
+    ]) == 0
+    flagged = [r for r in spark.read.parquet(mout).collect() if r["is_anomaly"]]
+    assert len(flagged) == 1 and str(flagged[0]["day"]) == "2024-01-12"

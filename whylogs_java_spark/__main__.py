@@ -52,7 +52,189 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+SUBCOMMANDS = ("dedup", "drift", "constraints", "monitor")
+
+
+def _read_input(spark, path: str, limit: int | None = None):
+    if path.endswith(".csv"):
+        from .sources.csv import read_csv
+
+        return read_csv(spark, path, limit=limit)
+    df = spark.read.parquet(path)
+    return df.limit(limit) if limit is not None else df
+
+
+def _run_dedup(argv: list[str]) -> int:
+    p = argparse.ArgumentParser(prog="python -m whylogs_java_spark dedup")
+    p.add_argument("input")
+    p.add_argument("-o", "--output", required=True)
+    p.add_argument("--id-col", required=True)
+    p.add_argument("--text-col", default=None, help="for text methods")
+    p.add_argument("--vec-col", default=None, help="for semantic")
+    p.add_argument(
+        "--method",
+        choices=["exact", "minhash", "simhash", "semantic"],
+        default="minhash",
+    )
+    p.add_argument("--threshold", type=float, default=0.5,
+                   help="jaccard (minhash) / cosine (semantic)")
+    p.add_argument("--max-hamming", type=int, default=3, help="simhash")
+    p.add_argument("--pairs", action="store_true",
+                   help="emit the pair list instead of survivor rows")
+    a = p.parse_args(argv)
+    from .session import get_spark
+
+    spark = get_spark("whylogs-cli-dedup")
+    try:
+        df = _read_input(spark, a.input)
+        if a.method == "exact":
+            from .operators.dedup import exact_dedup
+
+            out = exact_dedup(df, a.text_col, a.id_col)
+        elif a.method == "minhash":
+            from .operators.dedup import near_dup_clusters, near_dup_pairs
+
+            out = (
+                near_dup_pairs(df, a.text_col, a.id_col, threshold=a.threshold)
+                if a.pairs
+                else near_dup_clusters(
+                    df, a.text_col, a.id_col, threshold=a.threshold
+                )
+            )
+        elif a.method == "simhash":
+            from .operators.dedup import simhash_pairs
+
+            out = simhash_pairs(
+                df, a.text_col, a.id_col, max_hamming=a.max_hamming
+            )
+        else:
+            from .operators.cluster import semantic_dedup, semantic_dedup_pairs
+
+            fn = semantic_dedup_pairs if a.pairs else semantic_dedup
+            out = fn(
+                df, a.threshold, id_col=a.id_col,
+                vec_col=a.vec_col or "embedding",
+            )
+        out.write.mode("overwrite").parquet(a.output)
+        print(f"wrote {a.method} dedup output to {a.output}")
+        return 0
+    finally:
+        spark.stop()
+
+
+def _run_drift(argv: list[str]) -> int:
+    p = argparse.ArgumentParser(prog="python -m whylogs_java_spark drift")
+    p.add_argument("input_a")
+    p.add_argument("input_b")
+    p.add_argument("-o", "--output", required=True)
+    p.add_argument("--column", required=True)
+    p.add_argument("--group-by", default="")
+    p.add_argument("--bins", type=int, default=10)
+    p.add_argument("--categorical", action="store_true")
+    a = p.parse_args(argv)
+    from .session import get_spark
+
+    spark = get_spark("whylogs-cli-drift")
+    try:
+        da, db = _read_input(spark, a.input_a), _read_input(spark, a.input_b)
+        keys = [c for c in a.group_by.split(",") if c]
+        if a.categorical:
+            from .operators.drift import categorical_drift
+
+            out = categorical_drift(da, db, a.column, group_by=keys)
+        else:
+            from .operators.drift import numeric_drift, quantile_splits
+
+            splits = quantile_splits(da, db, a.column, bins=a.bins)
+            out = numeric_drift(da, db, a.column, splits=splits, group_by=keys)
+        out.write.mode("overwrite").parquet(a.output)
+        print(f"wrote drift report to {a.output}")
+        return 0
+    finally:
+        spark.stop()
+
+
+def _run_constraints(argv: list[str]) -> int:
+    """CI-gate semantics: exit 1 when any expectation fails."""
+    p = argparse.ArgumentParser(prog="python -m whylogs_java_spark constraints")
+    p.add_argument("input")
+    p.add_argument("--rules", required=True,
+                   help="JSON file: [[column, metric, op, threshold], ...]")
+    p.add_argument("-o", "--output", default=None,
+                   help="optional parquet report path")
+    p.add_argument("--group-by", default="")
+    a = p.parse_args(argv)
+    import json as _json
+
+    from .session import get_spark
+
+    with open(a.rules) as fh:
+        rules = [tuple(r) for r in _json.load(fh)]
+    spark = get_spark("whylogs-cli-constraints")
+    try:
+        df = _read_input(spark, a.input)
+        keys = [c for c in a.group_by.split(",") if c]
+        from .operators.constraints import check_constraints
+        from .operators.profile import profile
+
+        checked = check_constraints(
+            profile(df, group_by=keys), rules, keys=keys
+        )
+        rows = checked.collect()
+        if a.output:
+            checked.write.mode("overwrite").parquet(a.output)
+        failed = [r for r in rows if not r["passed"]]
+        for r in sorted(rows, key=lambda r: r["rule_id"]):
+            state = "PASS" if r["passed"] else "FAIL"
+            obs = r["observed_str"] if r["observed_str"] is not None else r["observed_num"]
+            print(
+                f"[{state}] {r['column_name']} {r['metric']} {r['op']} "
+                f"{r['threshold']} (observed: {obs})"
+            )
+        print(f"{len(rows) - len(failed)}/{len(rows)} expectations passed")
+        return 1 if failed else 0
+    finally:
+        spark.stop()
+
+
+def _run_monitor(argv: list[str]) -> int:
+    p = argparse.ArgumentParser(prog="python -m whylogs_java_spark monitor")
+    p.add_argument("store", help="profile-store parquet (long format)")
+    p.add_argument("-o", "--output", required=True)
+    p.add_argument("--metric", default="mean")
+    p.add_argument("--time-col", default="dataset_timestamp")
+    p.add_argument("--window", type=int, default=7)
+    p.add_argument("--z", type=float, default=3.0)
+    a = p.parse_args(argv)
+    from .session import get_spark
+
+    spark = get_spark("whylogs-cli-monitor")
+    try:
+        store = spark.read.parquet(a.store)
+        from .operators.monitor import metric_anomalies
+
+        out = metric_anomalies(
+            store, a.metric, a.time_col, window=a.window, z=a.z
+        )
+        out.write.mode("overwrite").parquet(a.output)
+        n = out.where("is_anomaly").count()
+        print(f"wrote monitor report to {a.output} ({n} anomalies)")
+        return 0
+    finally:
+        spark.stop()
+
+
 def main(argv: list[str] | None = None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    # subcommand dispatch; bare invocation keeps the reference Profiler
+    # shape (profile a dataset) for backward compatibility
+    if argv and argv[0] in SUBCOMMANDS:
+        return {
+            "dedup": _run_dedup,
+            "drift": _run_drift,
+            "constraints": _run_constraints,
+            "monitor": _run_monitor,
+        }[argv[0]](argv[1:])
     args = build_parser().parse_args(argv)
     from .operators.profile import profile_atoms
     from .session import get_spark
