@@ -1246,3 +1246,57 @@ def test_projection_operators_are_streaming_native(spark, tmp_path):
         for r in encoding_scan(docs, "text", "doc_id").collect()
     }
     assert got == want
+
+
+def test_dedup_embedding_stream_matches_batch_buckets(spark, tmp_path):
+    """Streaming embedding near-dup flags == batch banded_buckets min-id
+    bucket groups on the same corpus (single batch: every non-owner of a
+    shared (band, bucket) is flagged against the bucket's min id)."""
+    from whylogs_java_spark.operators.similarity import banded_buckets
+    from whylogs_java_spark.streaming.dedup_embedding_stream import (
+        dedup_embedding_stream,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    mut = emb.where(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: (x * F.lit(0.9) + F.lit(0.01)).cast("float")
+        ).alias("embedding"),
+    )
+    corpus = emb.unionByName(mut)
+    dim = len(corpus.select("embedding").first()[0])
+
+    src = str(tmp_path / "emb_stream_src")
+    corpus.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(corpus.schema).parquet(src)
+    flagged = dedup_embedding_stream(stream, dim=dim, planes=4, bands=2)
+    q = (
+        flagged.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("emb_dedup_stream")
+        .option("checkpointLocation", str(tmp_path / "emb_ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["vec_id"], r["dup_of"], r["band"])
+            for r in spark.sql("SELECT * FROM emb_dedup_stream").collect()
+        }
+    finally:
+        q.stop()
+
+    sig = banded_buckets(corpus, planes=4, bands=2).collect()
+    groups = {}
+    for r in sig:
+        groups.setdefault((r["band"], r["bucket"]), []).append(r["vec_id"])
+    want = set()
+    for (band, _bucket), ids in groups.items():
+        owner = min(ids)
+        for i in ids:
+            if i != owner:
+                want.add((i, owner, band))
+    assert got == want and len(want) > 0
