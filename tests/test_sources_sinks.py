@@ -609,3 +609,62 @@ def test_cli_drift_and_monitor_subcommands(spark, tmp_path, monkeypatch):
     ]) == 0
     flagged = [r for r in spark.read.parquet(mout).collect() if r["is_anomaly"]]
     assert len(flagged) == 1 and str(flagged[0]["day"]) == "2024-01-12"
+
+
+def test_read_jsonl_policies(spark, tmp_path):
+    from whylogs_java_spark.sources.jsonl import corrupt_lines, read_jsonl
+
+    p = str(tmp_path / "docs.jsonl")
+    with open(p, "w") as fh:
+        fh.write('{"doc_id": 1, "text": "hello world"}\n')
+        fh.write("this is not json\n")
+        fh.write('{"doc_id": 2, "text": "second"}\n')
+
+    kept = read_jsonl(spark, p, schema="doc_id long, text string", corrupt="keep")
+    rows = kept.collect()
+    assert len(rows) == 3
+    good = {r["doc_id"]: r["text"] for r in rows if r["doc_id"] is not None}
+    assert good == {1: "hello world", 2: "second"}
+    bad = corrupt_lines(kept).collect()
+    assert len(bad) == 1 and "not json" in bad[0][0]
+
+    dropped = read_jsonl(
+        spark, p, schema="doc_id long, text string", corrupt="drop"
+    )
+    assert dropped.count() == 2
+
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        read_jsonl(
+            spark, p, schema="doc_id long, text string", corrupt="fail"
+        ).collect()
+    with _pytest.raises(ValueError, match="corrupt must be"):
+        read_jsonl(spark, p, corrupt="ignore")
+
+
+def test_canonical_text_dedup(spark):
+    from whylogs_java_spark.operators.dedup import exact_dedup
+    from whylogs_java_spark.operators.text import canonical_text
+
+    df = spark.createDataFrame(
+        [
+            (1, "Hello,  World!"),
+            (2, "hello world"),
+            (3, "HELLO WORLD"),
+            (4, "different doc"),
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+    canon = df.withColumn(
+        "canon", canonical_text(F.col("text"), strip_punct=True)
+    )
+    vals = {r["doc_id"]: r["canon"] for r in canon.collect()}
+    assert vals[1] == vals[2] == vals[3] == "hello world"
+    assert vals[5] is None
+    kept = {
+        r["doc_id"] for r in exact_dedup(canon, "canon", "doc_id").collect()
+    }
+    # min-id survivor among the canonical triple; NULL text keeps its row
+    assert kept == {1, 4, 5}

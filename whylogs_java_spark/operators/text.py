@@ -606,3 +606,34 @@ def encoding_scan(
             "encoding_suspect"
         ),
     )
+
+
+def canonical_text(
+    col,
+    casefold: bool = True,
+    collapse_whitespace: bool = True,
+    strip_punct: bool = False,
+):
+    """Canonical form of a text column for content-keyed dedup — pure
+    JVM expressions (lower / regexp_replace / trim), so it composes
+    into any scan projection: ``exact_dedup(df.withColumn("canon",
+    canonical_text(F.col("text"))), "canon", "doc_id")`` dedups
+    case/whitespace(/punctuation) variants the raw md5 key would treat
+    as distinct.
+
+    Order: casefold → punctuation strip (Unicode-category punctuation,
+    RE2-compatible ``\\p{P}``) → whitespace collapse (all runs → one
+    space, ends trimmed). NULL stays NULL. Unicode NFC normalization is
+    NOT applied (no JVM builtin; a pipeline needing it normalizes at
+    ingestion).
+    """
+    from pyspark.sql import functions as F
+
+    out = col
+    if casefold:
+        out = F.lower(out)
+    if strip_punct:
+        out = F.regexp_replace(out, r"\p{P}+", " ")
+    if collapse_whitespace:
+        out = F.trim(F.regexp_replace(out, r"\s+", " "))
+    return out
