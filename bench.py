@@ -147,6 +147,16 @@ def main() -> None:
         sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
     except ValueError:
         sf = -1.0
+    # control-normalized ratios: this box drifts ±15-20% between identical
+    # sweeps (BENCH_AB_r07.md), so cross-round comparisons must divide by
+    # an in-sweep control query rather than trust raw seconds. The control
+    # (histogram_lineitem) is a stable scan+agg whose code never changes.
+    control = times.get("histogram_lineitem")
+    ratios = (
+        {k: round(v / control, 3) for k, v in times.items()}
+        if control
+        else {}
+    )
     print(
         json.dumps(
             {
@@ -154,6 +164,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "control": "histogram_lineitem",
+                "ratios": ratios,
                 "sf": sf,
             }
         )

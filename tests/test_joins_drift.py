@@ -1313,6 +1313,35 @@ def test_metric_anomalies_constant_history(spark):
     assert r8["is_anomaly"] is True  # |5.1-5.0| > 3*0
 
 
+def test_metric_anomalies_large_magnitude(spark):
+    """count/sum-scale metrics: xi*xi as long overflows past |metric|~3037
+    under ANSI mode — the decimal(38,0) square must survive and stay exact."""
+    import math
+
+    from whylogs_java_spark.operators.monitor import metric_anomalies
+
+    vals = [5000.0, 5010.0, 4990.0, 5005.0, 4995.0, 5002.0, 4998.0, 5100.0,
+            2.5e9, 2.6e9]  # daily-count scale too
+    rows = [(f"2024-01-{d:02d}", "m", v) for d, v in enumerate(vals, start=1)]
+    store = spark.createDataFrame(
+        rows, "day string, column_name string, mean double"
+    ).select(F.col("day").cast("date").alias("day"), "column_name", "mean")
+    out = {
+        str(r["day"]): r
+        for r in metric_anomalies(
+            store, "mean", "day", keys=["column_name"], window=7, z=3.0
+        ).collect()
+    }
+    assert len(out) == len(vals)
+    r8 = out["2024-01-08"]
+    trail = vals[:7]
+    m = sum(trail) / len(trail)
+    sd = math.sqrt(sum((x - m) ** 2 for x in trail) / len(trail))
+    assert r8["trailing_mean"] == pytest.approx(m, abs=1e-5)
+    assert r8["trailing_std"] == pytest.approx(sd, abs=1e-4)
+    assert r8["is_anomaly"] == (abs(5100.0 - m) > 3.0 * sd)
+
+
 def test_topk_drift_statuses(spark):
     from whylogs_java_spark.operators.drift import topk_drift
 

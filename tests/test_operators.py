@@ -981,6 +981,48 @@ def test_kmeans_assign_empty_and_degenerate(spark):
     assert len(out) == 2
     assert all(r["dist"] == 0.0 for r in out)
 
+    # empty input with a STRING id column: the empty result's schema must
+    # carry the input's id type, not a hardcoded long
+    sempty = spark.createDataFrame([], "vec_id string, embedding array<double>")
+    sout = kmeans_assign(sempty, k=2)
+    assert sout.count() == 0
+    assert dict(sout.dtypes)["vec_id"] == "string"
+    # and it unions cleanly with a non-empty string-id result
+    sfull = kmeans_assign(
+        spark.createDataFrame(
+            [("a", [1.0, 0.0]), ("b", [0.0, 1.0])],
+            "vec_id string, embedding array<double>",
+        ),
+        k=2,
+        n_iter=1,
+    )
+    assert sout.unionByName(sfull).count() == 2
+
+
+def test_semantic_dedup_zero_norm_not_universal_dup(spark):
+    """An all-zero embedding has NaN cosine to everything; Spark sorts NaN
+    above all numbers, so without a norm guard it would pass
+    `cosine >= threshold` against every cluster-mate."""
+    from whylogs_java_spark.operators.cluster import (
+        semantic_dedup,
+        semantic_dedup_pairs,
+    )
+
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.99, 0.01, 0.0]),   # genuine near-dup of 1
+        (3, [0.0, 1.0, 0.0]),     # orthogonal
+        (4, [0.0, 0.0, 0.0]),     # zero norm
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = semantic_dedup_pairs(emb, threshold=0.9, k=1, n_iter=1).collect()
+    ids_in_pairs = {r["id_a"] for r in pairs} | {r["id_b"] for r in pairs}
+    assert 4 not in ids_in_pairs
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
+    # and in the end-to-end dedup the zero vector survives as a singleton
+    res = {r["vec_id"]: r for r in semantic_dedup(emb, 0.9, k=1, n_iter=1).collect()}
+    assert res[4]["is_survivor"] is True
+
 
 def test_semantic_dedup_subset_of_exact_and_finds_mutations(spark):
     from whylogs_java_spark.operators.cluster import semantic_dedup_pairs

@@ -45,14 +45,25 @@ def test_profile_stats_match_numpy(spark, xs):
     assert r["n"] == len(clean)
     if len(clean):
         assert r["min"] == clean.min() and r["max"] == clean.max()
-        # engine quantizes fractional parts at 1e-6 per value: the sum error
-        # bound is 0.5e-6 * n (+ output rounding)
-        assert r["sum"] == pytest.approx(clean.sum(), abs=5e-7 * len(clean) + 1e-6, rel=1e-9)
-        assert r["mean"] == pytest.approx(clean.mean(), abs=1e-6, rel=1e-9)
+        # truth = math.fsum (exact rounding); tolerance combines the engine's
+        # 1e-6/value fractional quantization (0.5e-6*n) with the inherent
+        # float64 summation drift n*ulp(max|x|) — at |x|~1e12 numpy's own
+        # pairwise sum is off by ~1e-4, so a fixed 1e-6 bound is unachievable
+        maxabs = float(np.abs(clean).max())
+        fsum = math.fsum(float(x) for x in clean)
+        tol = 5e-7 * len(clean) + 1e-6 + len(clean) * np.spacing(maxabs or 1.0)
+        assert r["sum"] == pytest.approx(fsum, abs=tol)
+        assert r["mean"] == pytest.approx(fsum / len(clean), abs=tol / len(clean) + 1e-6)
     if len(clean) > 1:
-        assert r["variance"] == pytest.approx(
-            clean.var(ddof=1), rel=1e-6, abs=1e-4
-        )
+        mean = fsum / len(clean)
+        var = math.fsum((float(x) - mean) ** 2 for x in clean) / (len(clean) - 1)
+        maxdev = max(abs(float(x) - mean) for x in clean) or 1.0
+        # each value's 0.5e-6 quantization + ulp-level drift perturbs a
+        # squared deviation by ~2*maxdev*eps; n of them, over (n-1)
+        vtol = 1e-4 + 2.0 * maxdev * (5e-7 + np.spacing(maxabs or 1.0)) * len(
+            clean
+        ) / (len(clean) - 1)
+        assert r["variance"] == pytest.approx(var, rel=1e-6, abs=vtol)
     else:
         assert r["variance"] == (0.0 if len(clean) == 1 else None)
 

@@ -545,6 +545,57 @@ def test_cli_dedup_subcommand(spark, tmp_path, monkeypatch):
     kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
     assert kept == {1, 3}
 
+    # missing required per-method column -> argparse error (exit 2),
+    # not an opaque py4j failure deep inside the operator
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit) as ei:
+        cli.main(["dedup", src, "-o", out, "--id-col", "doc_id",
+                  "--method", "exact"])
+    assert ei.value.code == 2
+    with _pytest.raises(SystemExit) as ei:
+        cli.main(["dedup", src, "-o", out, "--id-col", "doc_id",
+                  "--method", "semantic"])
+    assert ei.value.code == 2
+
+
+def test_cli_view_subcommand_golden_fixture(spark, tmp_path, monkeypatch, capsys):
+    """ProfileViewer parity (ProfileViewer.java:78-97): load the reference
+    golden binary through `view`, pin summary values, check the abort
+    rules (missing input, existing output)."""
+    import json
+
+    import whylogs_java_spark.__main__ as cli
+    import whylogs_java_spark.session as sess
+
+    monkeypatch.setattr(sess, "get_spark", lambda *a, **k: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+
+    fixture = "/root/reference/core/src/test/resources/python_profile.bin"
+    out = str(tmp_path / "summary.json")
+    assert cli.main(["view", "-i", fixture, "-o", out]) == 0
+    doc = json.load(open(out))
+    profs = doc["profiles"]
+    assert len(profs) == 1
+    (prof,) = profs.values()
+    cols = prof["columns"]
+    assert len(cols) == 105
+    c = cols["mths_since_recent_revol_delinq"]
+    assert c["n"] == 816777
+    assert c["count"] == c["null_count"] + c["n"]
+    assert c["min"] == pytest.approx(-261.765, abs=0.01)
+    assert c["max"] == pytest.approx(575.476, abs=0.01)
+    assert c["mean"] == pytest.approx(34.8778, abs=0.001)
+    stdout = capsys.readouterr().out
+    assert "mths_since_recent_revol_delinq" in stdout and "105 columns" in stdout
+
+    # reference abort rules: existing output -> abort (unless --force),
+    # missing input -> abort
+    assert cli.main(["view", "-i", fixture, "-o", out]) == 1
+    assert cli.main(["view", "-i", fixture, "-o", out, "--force"]) == 0
+    assert cli.main(["view", "-i", str(tmp_path / "nope.bin"), "-o",
+                     str(tmp_path / "x.json")]) == 1
+
 
 def test_cli_constraints_gate_exit_codes(spark, tmp_path, monkeypatch):
     import json

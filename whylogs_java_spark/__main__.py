@@ -52,7 +52,7 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
-SUBCOMMANDS = ("dedup", "drift", "constraints", "monitor")
+SUBCOMMANDS = ("dedup", "drift", "constraints", "monitor", "view")
 
 
 def _read_input(spark, path: str, limit: int | None = None):
@@ -82,6 +82,12 @@ def _run_dedup(argv: list[str]) -> int:
     p.add_argument("--pairs", action="store_true",
                    help="emit the pair list instead of survivor rows")
     a = p.parse_args(argv)
+    # fail at the argparse layer, not deep inside the operator with an
+    # opaque py4j error: text methods need --text-col, semantic --vec-col
+    if a.method in ("exact", "minhash", "simhash") and not a.text_col:
+        p.error(f"--text-col is required for --method {a.method}")
+    if a.method == "semantic" and not a.vec_col:
+        p.error("--vec-col is required for --method semantic")
     from .session import get_spark
 
     spark = get_spark("whylogs-cli-dedup")
@@ -111,10 +117,7 @@ def _run_dedup(argv: list[str]) -> int:
             from .operators.cluster import semantic_dedup, semantic_dedup_pairs
 
             fn = semantic_dedup_pairs if a.pairs else semantic_dedup
-            out = fn(
-                df, a.threshold, id_col=a.id_col,
-                vec_col=a.vec_col or "embedding",
-            )
+            out = fn(df, a.threshold, id_col=a.id_col, vec_col=a.vec_col)
         out.write.mode("overwrite").parquet(a.output)
         print(f"wrote {a.method} dedup output to {a.output}")
         return 0
@@ -224,6 +227,84 @@ def _run_monitor(argv: list[str]) -> int:
         spark.stop()
 
 
+def _run_view(argv: list[str]) -> int:
+    """Serialized whylogs binary profile -> JSON summaries + stdout table
+    (ProfileViewer.java:78-97: parse each delimited DatasetProfileMessage,
+    key the summaries by the session timestamp's ISO date, write JSON;
+    default output path = <input-basename>.json beside the input, refuse
+    to overwrite an existing file)."""
+    import json as _json
+    import os as _os
+
+    p = argparse.ArgumentParser(prog="python -m whylogs_java_spark view")
+    p.add_argument("-i", "--input", required=True,
+                   help="binary output of the profiler (delimited messages)")
+    p.add_argument("-o", "--output", default=None,
+                   help="output JSON file; default <input-basename>.json "
+                        "next to the input")
+    p.add_argument("--force", action="store_true",
+                   help="overwrite an existing output file")
+    a = p.parse_args(argv)
+    if not _os.path.exists(a.input):
+        print(f"ABORTING! Input file does not exist at: {a.input}",
+              file=sys.stderr)
+        return 1
+    out = a.output or _os.path.join(
+        _os.path.dirname(_os.path.abspath(a.input)),
+        _os.path.splitext(_os.path.basename(a.input))[0] + ".json",
+    )
+    if _os.path.exists(out) and not a.force:
+        print(f"ABORTING! Output file already exists at: {out}",
+              file=sys.stderr)
+        return 1
+    from .session import get_spark
+
+    spark = get_spark("whylogs-cli-view")
+    try:
+        from .sources.protobuf import read_profile_bin
+
+        # profiles are O(columns x sketch constants) small by construction
+        # — the reference viewer likewise builds the whole summary in
+        # memory; only the PARSE is distributed
+        rows = (
+            read_profile_bin(spark, a.input)
+            .drop("kll", "theta", "hll", "items")
+            .collect()
+        )
+        summaries: dict[str, dict] = {}
+        for r in sorted(rows, key=lambda r: (r["msg_index"], r["column_name"])):
+            d = r.asDict(recursive=True)
+            ts_ms = d.pop("session_timestamp") or 0
+            day = time.strftime("%Y-%m-%d", time.gmtime(ts_ms / 1000.0))
+            prof = summaries.setdefault(
+                day,
+                {
+                    "session_id": d["session_id"],
+                    "session_timestamp": ts_ms,
+                    "tags": d["tags"],
+                    "metadata": d["metadata"],
+                    "columns": {},
+                },
+            )
+            for k in ("path", "msg_index", "session_id", "tags", "metadata"):
+                d.pop(k, None)
+            prof["columns"][d.pop("column_name")] = d
+        with open(out, "w") as f:
+            _json.dump({"profiles": summaries}, f, indent=2, sort_keys=True)
+        for day, prof in sorted(summaries.items()):
+            print(f"profile {day} ({len(prof['columns'])} columns)")
+            for name, c in sorted(prof["columns"].items()):
+                print(
+                    f"  {name}: count={c['count']} null={c['null_count']} "
+                    f"n={c['n']} min={c['min']} max={c['max']} "
+                    f"mean={c['mean']}"
+                )
+        print(f"wrote JSON summary to {out}")
+        return 0
+    finally:
+        spark.stop()
+
+
 def main(argv: list[str] | None = None) -> int:
     argv = sys.argv[1:] if argv is None else argv
     # subcommand dispatch; bare invocation keeps the reference Profiler
@@ -234,6 +315,7 @@ def main(argv: list[str] | None = None) -> int:
             "drift": _run_drift,
             "constraints": _run_constraints,
             "monitor": _run_monitor,
+            "view": _run_view,
         }[argv[0]](argv[1:])
     args = build_parser().parse_args(argv)
     from .operators.profile import profile_atoms

@@ -77,8 +77,20 @@ def kmeans_assign(
         .collect()
     )
     if not seeds:
+        # empty result must carry the input's actual id type (string ids
+        # are legal) or downstream unions/joins break on the empty case
+        import pyspark.sql.types as T
+
+        id_type = embeddings.schema[id_col].dataType
         return embeddings.sparkSession.createDataFrame(
-            [], f"{id_col} long, cluster int, dist double"
+            [],
+            T.StructType(
+                [
+                    T.StructField(id_col, id_type),
+                    T.StructField("cluster", T.IntegerType()),
+                    T.StructField("dist", T.DoubleType()),
+                ]
+            ),
         )
     centroids: list[list[float]] = [[float(x) for x in r["__v"]] for r in seeds]
     dim = len(centroids[0])
@@ -190,6 +202,10 @@ def semantic_dedup_pairs(
             )
         ).alias("__n"),
     )
+    # an all-zero embedding has no direction: 0.0/0.0 = NaN, and Spark
+    # orders NaN ABOVE every number, so `cosine >= threshold` would flag
+    # it as a near-dup of every cluster-mate — drop it like NULL/empty
+    vecs = vecs.where(F.col("__n") > 0)
     # materialize ONCE: both sides of the cluster self-join would
     # otherwise re-execute the k assignment folds + the norm fold over
     # the whole corpus (AQE exchange reuse does not cover a join whose

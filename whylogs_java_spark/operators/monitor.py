@@ -57,10 +57,14 @@ def metric_anomalies(
     )
     x = F.col(metric).cast("double")
     xi = F.floor(x * INT_SCALE + F.lit(0.5)).cast("long")
+    # square in decimal(38,0): (2^63)^2 < 10^38, so xi*xi is exact for ANY
+    # long xi — a long*long square overflows (ANSI throw) past |metric|~3037,
+    # which count/sum metrics exceed routinely
+    xid = xi.cast("decimal(38,0)")
     n = F.count(xi).over(w)
     s = F.sum(xi).over(w)
-    s2 = F.sum(xi * xi).over(w)
-    # exact-int sums -> two deterministic double divisions; var via
+    s2 = F.sum(xid * xid).over(w).cast("double")
+    # exact-int sums -> deterministic double divisions; var via
     # E[x^2] - E[x]^2 on the scaled ints, descaled once
     mean = s / n / F.lit(float(INT_SCALE))
     var = (
