@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     "dedup_embedding_bucketed",
     "dedup_containment_fragment",
     "similarity_ivf_md5",
+    "similarity_ivf_int8",
     "fingerprint_documents",
     "multimodal_meta",
     "sketch_summary_lineitem",
@@ -92,6 +93,7 @@ BENCH_QUERIES = [
     "weighted_sample_documents",
     "constraints_lineitem",
     "cluster_embeddings",
+    "cluster_embeddings_k64",
     "dedup_semantic",
     "dedup_semantic_survivors",
     "monitor_events_mean",

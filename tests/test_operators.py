@@ -463,6 +463,45 @@ def test_ivf_exact_tier_degenerates_to_brute_force(spark):
     assert hits >= 3, f"md5-IVF nprobe=4 top-1 recall too low: {hits}/5"
 
 
+def test_ivf_quantized_recall_floor_and_exact_survivor_scores(spark):
+    """IVF x int8 (PQ-lite): quantized candidate scoring + exact refine.
+    (a) with every list probed and rerank >= candidate count, the int8
+    detour must not change the final top-k (survivor scores are EXACT
+    doubles); (b) at nprobe<n_centroids the recall floor holds; (c)
+    every emitted cosine equals the brute-force value (no quantized
+    score leaks into the output)."""
+    from whylogs_java_spark.operators.similarity import (
+        cosine_topk_exact,
+        ivf_topk_quantized,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    qids = [0, 1, 2, 3, 4]
+    exact = sorted(map(tuple, cosine_topk_exact(emb, qids, k=5).collect()))
+    # (a) full probe + wide rerank == brute force bit-for-bit
+    full = sorted(
+        map(
+            tuple,
+            ivf_topk_quantized(
+                emb, qids, k=5, n_centroids=8, nprobe=8, rerank=10**6
+            ).collect(),
+        )
+    )
+    assert full == exact
+    # (b)+(c) pruned probe: recall floor on top-1, exact cosines always
+    probed = ivf_topk_quantized(
+        emb, qids, k=5, n_centroids=8, nprobe=4, rerank=15
+    ).collect()
+    exact_scores = {(r[0], r[1]): r[2] for r in exact}
+    for r in probed:
+        if (r["query_id"], r["neighbor_id"]) in exact_scores:
+            assert r["cosine"] == exact_scores[(r["query_id"], r["neighbor_id"])]
+    top1 = {r[0]: r[1] for r in exact if r[3] == 1}
+    probed1 = {r["query_id"]: r["neighbor_id"] for r in probed if r["rank"] == 1}
+    hits = sum(1 for q in top1 if probed1.get(q) == top1[q])
+    assert hits >= 3, f"int8-IVF nprobe=4 top-1 recall too low: {hits}/5"
+
+
 def test_banded_bucketing_improves_recall(spark):
     # OR-construction: 2 bands of 4 planes must find every pair the single
     # 8-plane signature finds, and (generically) more — a pair is a
@@ -997,6 +1036,57 @@ def test_kmeans_assign_empty_and_degenerate(spark):
         n_iter=1,
     )
     assert sout.unionByName(sfull).count() == 2
+
+
+def test_kmeans_join_path_equals_literal(spark):
+    """The broadcast-table join assignment must be bit-identical to the
+    plan-literal path (same fold arithmetic, same tie-to-lowest-cid)."""
+    from whylogs_java_spark.operators.cluster import kmeans_assign
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    lit_rows = sorted(
+        kmeans_assign(emb, k=8, n_iter=2, assign="literal").collect()
+    )
+    join_rows = sorted(
+        kmeans_assign(emb, k=8, n_iter=2, assign="join").collect()
+    )
+    assert lit_rows == join_rows
+
+    # auto picks literal at coarse k, join past LITERAL_K_MAX
+    from whylogs_java_spark.operators import cluster as cl
+
+    assert cl.LITERAL_K_MAX == 32
+
+
+def test_kmeans_large_k_plan_constant_in_k(spark):
+    """k=512: the join path must run, cover every vector, and its plan
+    must NOT grow with k (the literal path embeds k*dim literals and
+    chokes Catalyst analysis at SemDeDup-scale k)."""
+    from whylogs_java_spark.operators.cluster import kmeans_assign
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    n = emb.count()
+    out = kmeans_assign(emb, k=512, n_iter=1)  # auto -> join
+    plan512 = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan512
+    plan64 = (
+        kmeans_assign(emb, k=64, n_iter=1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # plan text is constant in k (the centroids live in a broadcast
+    # relation, not in the plan) — allow only trivial drift
+    assert len(plan512) < 2 * len(plan64)
+    rows = out.collect()
+    assert len(rows) == n
+    # with k=512 seeds over a small corpus most vectors sit at/near a
+    # seed: every cluster id must be within range and dists nonnegative
+    assert all(0 <= r["cluster"] < 512 and r["dist"] >= 0.0 for r in rows)
 
 
 def test_semantic_dedup_zero_norm_not_universal_dup(spark):

@@ -452,3 +452,43 @@ def test_r7_query_plan_guards(spark):
     import re
 
     assert len(re.findall(r"hashpartitioning\(user_id#\d+L?, \d+\)", p)) <= 1
+
+
+def test_r8_query_plan_guards(spark):
+    """Plan pins for the round-8 queries (PLANS.md r8 sections):
+    survivors resolution stays bucketed, the int8 IVF keeps its census
+    broadcast + equi-join probes, and the large-k assignment's only
+    nested loop is the deliberate k-bounded broadcast fan-out."""
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    sf = "/root/testdata/sf0.001"
+
+    def plan_of(name):
+        return (
+            qs[name](spark, sf)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+
+    for name in ("dedup_semantic_survivors", "similarity_ivf_int8"):
+        p = plan_of(name)
+        assert "CartesianProduct" not in p, name
+        assert "BroadcastNestedLoopJoin" not in p, name
+
+    # constraints gate: the rules side must ride a broadcast hash join
+    # (never shuffle the profile on the rule key)
+    p = plan_of("constraints_lineitem")
+    assert "BroadcastHashJoin" in p
+    # int8 IVF: candidate probe is an equi-join; the checkpointed
+    # reconstructed-vector table shows as an ExistingRDD scan
+    p = plan_of("similarity_ivf_int8")
+    assert "BroadcastHashJoin" in p or "SortMergeJoin" in p
+    assert "ExistingRDD" in p
+    # large-k assignment: exactly the k-bounded broadcast fan-out —
+    # BroadcastNestedLoopJoin against the centroid TABLE is deliberate
+    # (k rows, not data x data) and the argmin combines map-side
+    p = plan_of("cluster_embeddings_k64")
+    assert "BroadcastNestedLoopJoin" in p
+    assert "partial_min" in p or "partial min" in p.lower() or "HashAggregate" in p

@@ -231,6 +231,52 @@ AUDITED = [
         "that aggregate — O(days × values) rows after the scan.",
     ),
     (
+        "constraints_lineitem",
+        "Profile constraints gate: the rules table (O(rules) literal "
+        "rows) broadcasts into a hash equi-join against the generated "
+        "profile — O(groups × columns) aggregate rows; the single wide "
+        "exchange is the profile aggregation itself, same as the "
+        "flagship. Evaluation is pure projection over the joined rows.",
+    ),
+    (
+        "profile_diff_sketch",
+        "Sketch-store drift: both days' KLL/HLL/theta sketch blobs "
+        "aggregate once each into O(columns) sketch rows; the diff "
+        "(rank probes at foldable literal edges, cardinality deltas) "
+        "runs entirely over those aggregate-sized rows — diffing two "
+        "stored 100 TB days reads only sketch rows, never data rows.",
+    ),
+    (
+        "dedup_semantic_survivors",
+        "SemDeDup end-to-end: within-cluster cosine pairs (the vecs "
+        "table localCheckpoints ONCE before the cluster-keyed self "
+        "equi-join — the k-means lineage does not re-execute per side) "
+        "feed min-label connected components; the star/label loop joins "
+        "checkpointed (id, label) rows only. Quadratic term bounded by "
+        "the largest cluster; no cross product.",
+    ),
+    (
+        "cluster_embeddings_k64",
+        "Large-k k-means via the broadcast-centroid-TABLE join "
+        "assignment (k=64 > LITERAL_K_MAX): plan size constant in k — "
+        "the fan-out is ONE BroadcastNestedLoopJoin against a bounded "
+        "k-row broadcast relation (deliberate: the 'nested loop' is "
+        "k-bounded, not data × data), then a map-side-combined "
+        "min-struct argmin keyed on the vector id. The k·dim "
+        "exact-integer centroid aggregate is unchanged from the "
+        "literal path.",
+    ),
+    (
+        "similarity_ivf_int8",
+        "IVF × int8 (PQ-lite): the per-dim affine census reduces to ONE "
+        "broadcast row; codes/reconstruction are zip_with folds inside "
+        "the scan (8 bits/dim in the lists instead of 64 — the 100 TB "
+        "ANN memory story); list probe is the same centroid_id "
+        "equi-join as similarity_ivf; candidates score on reconstructed "
+        "vectors (query side exact — asymmetric); only O(queries × "
+        "rerank) survivors re-score on doubles.",
+    ),
+    (
         "pipeline_manifest",
         "Six composed operators (clean → exact dedup → near dedup → "
         "decontam → quality gate → split) planned as ONE statement; "

@@ -19,10 +19,14 @@ the embedding family):
   new centroids are shuffle-order-independent, then two IEEE double
   divisions applied identically in both engines.
 
-Scale shape: per iteration ONE scan with k broadcast-literal centroid
-folds (k·dim literals in the plan — fine for the coarse k this is for)
-plus one (k × dim)-key exact-integer aggregate whose result (k·dim
-rows) collects to the driver — the same tiny-collect loop shape as the
+Scale shape: two assignment strategies, bit-identical results.
+``literal`` (coarse k ≤ LITERAL_K_MAX): ONE scan with k plan-literal
+centroid folds. ``join`` (large k, SemDeDup's k in the thousands):
+emb × broadcast centroid TABLE → per-pair fold distance → min-struct
+argmin — plan size constant in k, n×k narrow intermediate rows with
+map-side partial-min combine. Either way one (k × dim)-key
+exact-integer aggregate per iteration whose result (k·dim rows)
+collects to the driver — the same tiny-collect loop shape as the
 reference's own ``estimate_segments`` driver greedy. ``n_iter`` scans
 total; an empty cluster keeps its previous centroid.
 """
@@ -45,19 +49,72 @@ def _sq_l2(vec_col, centroid: list[float]):
     return F.aggregate(diffs, F.lit(0.0), lambda acc, d: acc + d)
 
 
+#: past this k the assignment switches from k plan-literal distance folds
+#: to a broadcast centroid-table join — the literal plan grows k*dim
+#: literals per scan and chokes Catalyst analysis in the thousands, while
+#: the join path's plan size is constant in k (SemDeDup wants k ~ 50k)
+LITERAL_K_MAX = 32
+
+
+def _assign_join(emb: DataFrame, centroids: list[list[float]]) -> DataFrame:
+    """(__id, __cid, __d) via emb x broadcast(centroid TABLE) -> per-pair
+    fold distance -> min-struct argmin. Bit-identical to the literal
+    path: the same left-to-right ``F.aggregate`` fold over ``zip_with``
+    squared diffs (the centroid components are the same doubles, rows
+    instead of literals), and ``F.min(struct(d, cid))`` replays the
+    strictly-less tie rule (exact tie -> lowest cid) — also exactly the
+    DuckDB twin's ``MIN([dist, cid])``. Plan shape: one
+    BroadcastNestedLoopJoin fan-out (n x k narrow rows: id, int, double),
+    partial-agg min combines map-side before the single shuffle on id.
+    """
+    spark = emb.sparkSession
+    cent = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cluster int, __c array<double>",
+    )
+    d = F.aggregate(
+        F.zip_with(
+            F.col("__v"), F.col("__c"), lambda x, y: (x - y) * (x - y)
+        ),
+        F.lit(0.0),
+        lambda acc, dd: acc + dd,
+    )
+    scored = emb.join(F.broadcast(cent), how="cross").select(
+        "__id", "cluster", d.alias("__d")
+    )
+    best = scored.groupBy("__id").agg(
+        F.min(
+            F.struct(F.col("__d").alias("d"), F.col("cluster").alias("i"))
+        ).alias("__b")
+    )
+    return best.select(
+        "__id", F.col("__b.i").alias("__cid"), F.col("__b.d").alias("__d")
+    )
+
+
 def kmeans_assign(
     embeddings: DataFrame,
     k: int = 8,
     n_iter: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assign: str = "auto",
 ) -> DataFrame:
     """(id, cluster, dist) after ``n_iter`` deterministic Lloyd rounds.
 
     ``dist`` is the squared L2 to the final assigned centroid, rounded
     to 6 decimals. Rows with NULL/empty vectors are dropped (they have
     no geometry). All vectors must share one dimensionality.
+
+    ``assign``: "literal" embeds the k centroids as plan literals (one
+    scan, no join — fastest for coarse k), "join" fans out against a
+    broadcast centroid table (plan size constant in k — required for
+    SemDeDup-scale k in the thousands), "auto" picks by
+    ``LITERAL_K_MAX``. Both paths produce bit-identical assignments.
     """
+    if assign not in ("auto", "literal", "join"):
+        raise ValueError(f"unknown assign mode {assign!r}")
+    use_join = (k > LITERAL_K_MAX) if assign == "auto" else (assign == "join")
     emb = embeddings.select(
         F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")
     ).where(F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) > 0))
@@ -119,8 +176,12 @@ def kmeans_assign(
         return best["i"], best["d"]
 
     for _ in range(n_iter):
-        cid, _d = assign_expr()
-        assigned = emb.select("__id", "__v", cid.alias("__cid"))
+        if use_join:
+            best = _assign_join(emb, centroids)
+            assigned = emb.join(best.select("__id", "__cid"), on="__id")
+        else:
+            cid, _d = assign_expr()
+            assigned = emb.select("__id", "__v", cid.alias("__cid"))
         # exact-integer per-dim sums: shuffle-order-independent means
         dims = assigned.select(
             "__cid",
@@ -150,6 +211,12 @@ def kmeans_assign(
             )
         centroids = new_centroids
 
+    if use_join:
+        return _assign_join(emb, centroids).select(
+            F.col("__id").alias(id_col),
+            F.col("__cid").alias("cluster"),
+            (F.round("__d", 6) + F.lit(0.0)).alias("dist"),
+        )
     cid, d = assign_expr()
     return emb.select(
         F.col("__id").alias(id_col),
@@ -165,6 +232,7 @@ def semantic_dedup_pairs(
     n_iter: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assign: str = "auto",
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): near-duplicate pairs by cosine,
     with candidate generation pruned to k-means clusters — pairs are
@@ -183,14 +251,15 @@ def semantic_dedup_pairs(
     """
     from .similarity import _as_double, dot
 
-    assign = kmeans_assign(
-        embeddings, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col
+    assignments = kmeans_assign(
+        embeddings, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col,
+        assign=assign,
     ).select(F.col(id_col), "cluster")
     emb = embeddings.select(
         F.col(id_col),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
     ).where(F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) > 0))
-    vecs = emb.join(assign, on=id_col).select(
+    vecs = emb.join(assignments, on=id_col).select(
         F.col(id_col),
         "cluster",
         "__v",
@@ -246,6 +315,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     max_iters: int = 20,
     algorithm: str = "label",
+    assign: str = "auto",
 ) -> DataFrame:
     """End-to-end SemDeDup: cosine pairs within k-means clusters →
     connected components → (id, cluster_id, is_survivor). Keeping only
@@ -256,7 +326,7 @@ def semantic_dedup(
 
     pairs = semantic_dedup_pairs(
         embeddings, threshold, k=k, n_iter=n_iter,
-        id_col=id_col, vec_col=vec_col,
+        id_col=id_col, vec_col=vec_col, assign=assign,
     ).select("id_a", "id_b")
     return resolve_clusters(
         pairs, embeddings.select(id_col), id_col, max_iters,

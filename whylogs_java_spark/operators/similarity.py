@@ -418,6 +418,205 @@ def ivf_topk_exact(
     )
 
 
+def ivf_topk_quantized(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    rerank: int | None = None,
+    bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF × int8 affine quantization (PQ-lite) — the memory story for
+    100 TB-scale ANN: the inverted lists store only ``bits``-bit codes
+    (8 bits/dim vs 64 for doubles), candidates are scored on the
+    RECONSTRUCTED vectors, and only the ``rerank`` best survivors per
+    query are re-scored exactly on doubles (the asymmetric-distance +
+    exact-refine pattern; composition of ``ivf_topk_exact``'s probe
+    mechanics with ``quantize.quantize_stats``'s floor-exact affine).
+
+    Deterministic end to end (md5 centroid ranks, floor-exact codes,
+    strict fold cosines, (score DESC, id ASC) ranks), so the full
+    output is DuckDB-oracle-checkable. Output: (query_id, neighbor_id,
+    cosine, rank) — cosine is the EXACT double cosine of survivors.
+
+    Scale shape: the per-dim census is a dim-key aggregate (dim keys,
+    nothing else shuffles); codes/reconstruction are one ``zip_with``
+    against a single broadcast census row inside the scan; list probe =
+    equi-join on centroid_id; exact refine touches only
+    O(queries × rerank) rows.
+    """
+    from pyspark.sql import Window
+
+    if rerank is None:
+        rerank = 3 * k
+    levels = (1 << bits) - 1
+
+    target = embeddings.sparkSession.sparkContext.defaultParallelism
+    if embeddings.rdd.getNumPartitions() < target:
+        embeddings = embeddings.repartition(target)
+    vecd = _as_double(F.col(vec_col))
+    vecs = embeddings.select(
+        F.col(id_col), vecd.alias("__v"), norm(vecd).alias("__n")
+    )
+
+    # per-dim affine census -> ONE broadcast row: array<struct<vmin,scale>>
+    # ordered by dim (floor-exact in both engines; scale==0 = constant dim)
+    census = (
+        vecs.select(F.posexplode("__v").alias("dim", "x"))
+        .groupBy("dim")
+        .agg(F.min("x").alias("vmin"), F.max("x").alias("vmax"))
+        .select(
+            "dim",
+            "vmin",
+            ((F.col("vmax") - F.col("vmin")) / F.lit(float(levels))).alias(
+                "scale"
+            ),
+        )
+    )
+    carr = census.agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("dim", "vmin", "scale"))
+            ),
+            lambda s: F.struct(s["vmin"].alias("vmin"), s["scale"].alias("scale")),
+        ).alias("__carr")
+    )
+
+    def recon(vcol):
+        # code = clamp(floor((x - vmin)/scale + 0.5), 0, levels); recon =
+        # vmin + code*scale — floor is IEEE-exact, round()'s half rule isn't
+        return F.zip_with(
+            vcol,
+            F.col("__carr"),
+            lambda x, c: F.when(c["scale"] == 0.0, c["vmin"]).otherwise(
+                c["vmin"]
+                + F.least(
+                    F.lit(float(levels)),
+                    F.greatest(
+                        F.lit(0.0),
+                        F.floor(
+                            (x - c["vmin"]) / c["scale"] + F.lit(0.5)
+                        ).cast("double"),
+                    ),
+                )
+                * c["scale"]
+            ),
+        )
+
+    rvecs = (
+        vecs.crossJoin(F.broadcast(carr))
+        .select(id_col, "__v", "__n", recon(F.col("__v")).alias("__rv"))
+        .select(id_col, "__v", "__n", "__rv", norm(F.col("__rv")).alias("__rn"))
+    )
+
+    # the census row feeds every corpus partition and rvecs feeds list
+    # assignment + candidate scoring + the exact refine: materialize once
+    rvecs = rvecs.localCheckpoint(eager=True)
+
+    # --- identical probe mechanics to ivf_topk_exact (md5 ranks) ---
+    cent = (
+        rvecs.select(
+            F.col(id_col).alias("centroid_id"),
+            F.md5(F.col(id_col).cast("string")).alias("__h"),
+        )
+        .orderBy("__h")
+        .limit(n_centroids)
+        .drop("__h")
+    )
+    cvecs = rvecs.join(
+        F.broadcast(cent), rvecs[id_col] == cent["centroid_id"]
+    ).select("centroid_id", F.col("__v").alias("cv"), F.col("__n").alias("cn"))
+    ccos = dot(F.col("__v"), F.col("cv")) / (F.col("__n") * F.col("cn"))
+    w = Window.partitionBy(id_col).orderBy(F.desc("ccos"), F.asc("centroid_id"))
+    ranked = (
+        rvecs.crossJoin(F.broadcast(cvecs))
+        .select(id_col, "centroid_id", ccos.alias("ccos"))
+        .withColumn("crk", F.row_number().over(w))
+    )
+    lists = ranked.where(F.col("crk") == 1).select(
+        F.col(id_col).alias("neighbor_id"), "centroid_id"
+    )
+    probes = ranked.where(
+        F.col(id_col).isin(query_ids) & (F.col("crk") <= nprobe)
+    ).select(F.col(id_col).alias("query_id"), "centroid_id")
+    cand = (
+        lists.join(F.broadcast(probes), on="centroid_id")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+
+    # --- quantized scoring: query side EXACT (asymmetric), corpus side
+    # reconstructed from codes ---
+    q = rvecs.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        F.col("__v").alias("qv"),
+        F.col("__n").alias("qn"),
+    )
+    qsim = (
+        cand.join(F.broadcast(q), "query_id")
+        .join(
+            rvecs.select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col("__rv").alias("rv"),
+                F.col("__rn").alias("rn"),
+            ),
+            "neighbor_id",
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.try_divide(
+                dot(F.col("qv"), F.col("rv")), F.col("qn") * F.col("rn")
+            ).alias("qcos"),
+        )
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc_nulls_last("qcos"), F.asc("neighbor_id")
+    )
+    survivors = (
+        qsim.withColumn("qrk", F.row_number().over(wq))
+        .where(F.col("qrk") <= rerank)
+        .select("query_id", "neighbor_id")
+    )
+
+    # --- exact refine on doubles, only O(queries x rerank) rows ---
+    sim = (
+        survivors.join(F.broadcast(q), "query_id")
+        .join(
+            rvecs.select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col("__v").alias("nv"),
+                F.col("__n").alias("nn"),
+            ),
+            "neighbor_id",
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn"))).alias(
+                "cosine"
+            ),
+        )
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        sim.withColumn("rank", F.row_number().over(wk))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            (F.round("cosine", 6) + 0.0).alias("cosine"),
+            "rank",
+        )
+    )
+
+
 def _plane_sign(plane: int, dim: Column) -> Column:
     """Deterministic pseudo-random ±1 from md5(plane|dim) first-nibble parity
     (integer-valued twin of ``_plane_component`` for exact-DECIMAL math)."""
