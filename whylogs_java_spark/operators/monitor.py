@@ -57,15 +57,28 @@ def metric_anomalies(
     )
     x = F.col(metric).cast("double")
     xi = F.floor(x * INT_SCALE + F.lit(0.5)).cast("long")
-    # square in decimal(38,0): (2^63)^2 < 10^38, so xi*xi is exact for ANY
-    # long xi — a long*long square overflows (ANSI throw) past |metric|~3037,
-    # which count/sum metrics exceed routinely
-    xid = xi.cast("decimal(38,0)")
+    # Exact sum-of-squares without decimal window sums (decimal SUM over
+    # sliding frames is ~1.6x slower end-to-end): split xi = hi*2^30 + lo
+    # (arithmetic shift — exact for negatives in two's complement), so
+    # xi^2 = hi^2*2^60 + hi*lo*2^31 + lo^2 and three LONG window sums
+    # carry the square exactly. Every per-row term and each frame sum
+    # stays under 2^63 for |metric| <= ~1.2e12 at window<=7 (bound
+    # scales as 1/sqrt(window)); beyond that the ANSI overflow throws
+    # loudly — same failure mode (at a 3x lower bound) as the previous
+    # decimal(38,0) path, which overflowed past |metric|~3.8e12.
+    hi = F.shiftright(xi, 30)
+    lo = xi.bitwiseAND(F.lit((1 << 30) - 1))
     n = F.count(xi).over(w)
     s = F.sum(xi).over(w)
-    s2 = F.sum(xid * xid).over(w).cast("double")
-    # exact-int sums -> deterministic double divisions; var via
-    # E[x^2] - E[x]^2 on the scaled ints, descaled once
+    s2 = (
+        F.sum(hi * hi).over(w).cast("double") * F.lit(float(1 << 60))
+        + F.sum(hi * lo).over(w).cast("double") * F.lit(float(1 << 31))
+        + F.sum(lo * lo).over(w).cast("double")
+    )
+    # exact-int sums -> deterministic double recombination; var via
+    # E[x^2] - E[x]^2 on the scaled ints, descaled once (the DuckDB
+    # oracle recombines the identical three sums with the identical
+    # IEEE expression, so values hash-match bit-for-bit)
     mean = s / n / F.lit(float(INT_SCALE))
     var = (
         (s2 / n) - (s / n) * (s / n)

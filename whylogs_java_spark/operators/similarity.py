@@ -57,10 +57,10 @@ def cosine_topk(
     qv = _as_double(F.col(vec_col))
     q = queries.select(
         F.col(id_col).alias("query_id"), qv.alias("qv"), norm(qv).alias("qn")
-    )
+    ).where(F.col("qn") > 0)  # zero-norm: no defined cosine
     c = embeddings.select(
         F.col(id_col).alias("neighbor_id"), qv.alias("cv"), norm(qv).alias("cn")
-    )
+    ).where(F.col("cn") > 0)  # zero-norm: never a neighbor
     sim = (
         c.crossJoin(F.broadcast(q))
         .where(F.col("neighbor_id") != F.col("query_id"))
@@ -104,7 +104,7 @@ def cosine_topk_exact(
     vecd = _as_double(F.col(vec_col))
     vecs = embeddings.select(
         F.col(id_col), vecd.alias("__v"), norm(vecd).alias("__n")
-    )
+    ).where(F.col("__n") > 0)  # zero-norm: no defined cosine, never a neighbor
     q = vecs.where(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"),
         F.col("__v").alias("qv"),
@@ -150,7 +150,7 @@ def cosine_pairs_exact(
     vecd = _as_double(F.col(vec_col))
     vecs = embeddings.select(
         F.col(id_col), vecd.alias("__v"), norm(vecd).alias("__n")
-    )
+    ).where(F.col("__n") > 0)  # zero-norm: no defined cosine, never a neighbor
     a = vecs.select(
         F.col(id_col).alias("id_a"), F.col("__v").alias("va"), F.col("__n").alias("na")
     )
@@ -290,12 +290,12 @@ def ivf_topk(
     cvd = _as_double(F.col(vec_col))
     corpus = embeddings.select(
         F.col(id_col).alias("neighbor_id"), cvd.alias("cv"), norm(cvd).alias("cn")
-    )
+    ).where(F.col("cn") > 0)  # zero-norm: never a neighbor
     lists = assign(corpus, "neighbor_id", "cv", 1)
     probes_df = assign(
         queries.select(
             F.col(id_col).alias("query_id"), cvd.alias("qv"), norm(cvd).alias("qn")
-        ),
+        ).where(F.col("qn") > 0),  # zero-norm: no defined cosine
         "query_id",
         "qv",
         nprobe,
@@ -355,7 +355,7 @@ def ivf_topk_exact(
     vecd = _as_double(F.col(vec_col))
     vecs = embeddings.select(
         F.col(id_col), vecd.alias("__v"), norm(vecd).alias("__n")
-    )
+    ).where(F.col("__n") > 0)  # zero-norm: no defined cosine, never a neighbor
     cent = (
         embeddings.select(
             F.col(id_col).alias("centroid_id"),
@@ -458,9 +458,13 @@ def ivf_topk_quantized(
     if embeddings.rdd.getNumPartitions() < target:
         embeddings = embeddings.repartition(target)
     vecd = _as_double(F.col(vec_col))
+    # zero-norm vectors have no defined cosine: excluded from the index
+    # outright, else their 0/0=NaN exact-refine score sorts ABOVE all
+    # numbers under DESC and surfaces at rank 1 (the same hazard
+    # semantic_dedup_pairs guards against)
     vecs = embeddings.select(
         F.col(id_col), vecd.alias("__v"), norm(vecd).alias("__n")
-    )
+    ).where(F.col("__n") > 0)
 
     # per-dim affine census -> ONE broadcast row: array<struct<vmin,scale>>
     # ordered by dim (floor-exact in both engines; scale==0 = constant dim)
@@ -963,7 +967,7 @@ def cosine_pairs_bucketed(
         pairs = pairs.repartition(target, "id_a")
         vecs = embeddings.join(cand_ids, id_col, "left_semi").select(
             F.col(id_col), vecd.alias("__v"), norm(vecd).alias("__n")
-        )
+        ).where(F.col("__n") > 0)  # zero-norm: no defined cosine
         cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
         return (
             pairs.join(
@@ -1019,7 +1023,7 @@ def cosine_pairs_bucketed(
     # for vectors that actually appear in a candidate pair
     vecs = embeddings.join(cand_ids, id_col, "left_semi").select(
         F.col(id_col), vecd.alias("__v"), norm(vecd).alias("__n")
-    )
+    ).where(F.col("__n") > 0)  # zero-norm: no defined cosine, never a neighbor
     cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
         pairs.join(
@@ -1078,13 +1082,13 @@ def lsh_bucket_topk(
         vecd.alias("cv"),
         norm(vecd).alias("cn"),
         hyperplane_signature(vecd, planes).alias("bucket"),
-    )
+    ).where(F.col("cn") > 0)  # zero-norm: never a neighbor
     q = queries.select(
         F.col(id_col).alias("query_id"),
         vecd.alias("qv"),
         norm(vecd).alias("qn"),
         hyperplane_signature(vecd, planes).alias("__sig"),
-    )
+    ).where(F.col("qn") > 0)  # zero-norm: no defined cosine
     if probes:
         def flip(s, i: int):
             bit = F.substring(s, i + 1, 1)
