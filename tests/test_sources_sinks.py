@@ -719,3 +719,155 @@ def test_canonical_text_dedup(spark):
     }
     # min-id survivor among the canonical triple; NULL text keeps its row
     assert kept == {1, 4, 5}
+
+
+def test_asof_join_stream_matches_batch_any_boundaries(spark, tmp_path):
+    """Stream-stream as-of join == batch asof_join (backward) over the
+    same rows, regardless of micro-batch boundaries: the left row is held
+    until the watermark passes it, at which point every admissible right
+    row at-or-before it has arrived — so each match equals the batch
+    operator's (operators/joins.py asof_join)."""
+    import datetime as dt
+
+    from whylogs_java_spark.operators.joins import asof_join
+    from whylogs_java_spark.streaming.asof_stream import asof_join_stream
+
+    base = dt.datetime(2024, 3, 1, 0, 0, 0)
+
+    def t(minutes):
+        return base + dt.timedelta(minutes=minutes)
+
+    # two keys; rights interleave lefts; a left before any right; exact-ts
+    # match; a key with no rights at all; closer rows push the watermark
+    # past everything that must flush. Rows arrive in time-ordered WAVES
+    # (one file per wave per side, mtime-ordered so the file source reads
+    # them in sequence) — the streaming contract: data no later than the
+    # watermark delay. A shuffled arrival order would make Spark DROP
+    # below-watermark rows (correct streaming semantics, but then batch
+    # equivalence is vacuous).
+    lwaves = [
+        [(1, t(5), "l-a"), (2, t(2), "l-d"), (3, t(10), "l-f")],
+        [(1, t(30), "l-b"), (1, t(31), "l-c")],
+        [(2, t(50), "l-e")],
+        [(1, t(500), "l-close")],
+    ]
+    rwaves = [
+        [(1, t(10), 100.0), (2, t(1), 400.0)],
+        [(1, t(30), 200.0), (2, t(40), 500.0)],
+        [(1, t(45), 300.0)],
+        # the union's watermark is the MIN over both inputs: the right
+        # stream needs its own closer to let the left flushes happen
+        [(99, t(500), 0.0)],
+    ]
+    lrows = [r for w in lwaves for r in w]
+    rrows = [r for w in rwaves for r in w]
+    lschema = "k long, ts timestamp, tag string"
+    rschema = "k long, rts timestamp, px double"
+    left = spark.createDataFrame(lrows, lschema)
+    right = spark.createDataFrame(rrows, rschema)
+
+    lsrc, rsrc = str(tmp_path / "l"), str(tmp_path / "r")
+
+    def write_waves(waves, schema, src):
+        os.makedirs(src, exist_ok=True)
+        for wave in waves:
+            spark.createDataFrame(wave, schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+        # re-stamp mtimes in creation order with whole-second spacing so
+        # the file source replays waves in sequence
+        for j, f in enumerate(
+            sorted(
+                (f for f in os.listdir(src) if f.endswith(".parquet")),
+                key=lambda f: os.path.getmtime(os.path.join(src, f)),
+            )
+        ):
+            os.utime(os.path.join(src, f), (1_700_000_000 + j, 1_700_000_000 + j))
+
+    write_waves(lwaves, lschema, lsrc)
+    write_waves(rwaves, rschema, rsrc)
+    ls = spark.readStream.schema(left.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(lsrc)
+    rs = spark.readStream.schema(right.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(rsrc)
+
+    out = asof_join_stream(
+        ls, rs, on="k", left_ts="ts", right_ts="rts", watermark="0 seconds"
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("asof_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["k"], r["ts"], r["tag"]): (r["rts_r"], r["px_r"])
+            for r in spark.sql("SELECT * FROM asof_out").collect()
+        }
+    finally:
+        q.stop()
+
+    expect_df = asof_join(
+        left, right, on="k", left_ts="ts", right_ts="rts",
+        direction="backward",
+    )
+    expect = {
+        (r["k"], r["ts"], r["tag"]): (r["rts_r"], r["px_r"])
+        for r in expect_df.collect()
+    }
+    # the watermark closers themselves cannot flush (nothing advances the
+    # watermark past them) — compare every row the batch join produces
+    # except the closers, and require the stream to have emitted them all
+    flushable = {k: v for k, v in expect.items() if k[2] != "l-close"}
+    got_flushable = {k: v for k, v in got.items() if k[2] != "l-close"}
+    assert got_flushable == flushable
+    # sanity: planted semantics actually exercised
+    assert flushable[(1, t(5), "l-a")] == (None, None)        # before any right
+    assert flushable[(1, t(30), "l-b")][1] == 200.0           # exact-ts match
+    assert flushable[(1, t(31), "l-c")][1] == 200.0           # between rights
+    assert flushable[(3, t(10), "l-f")] == (None, None)       # key w/o rights
+
+
+def test_asof_join_stream_tolerance_and_null_keys(spark, tmp_path):
+    import datetime as dt
+
+    from whylogs_java_spark.streaming.asof_stream import asof_join_stream
+
+    base = dt.datetime(2024, 3, 1, 0, 0, 0)
+
+    def t(minutes):
+        return base + dt.timedelta(minutes=minutes)
+
+    lrows = [(1, t(60), "x"), (None, t(61), "nullkey"), (1, t(500), "close")]
+    rrows = [(1, t(1), 10.0), (1, t(58), 20.0), (99, t(500), 0.0)]
+    left = spark.createDataFrame(lrows, "k long, ts timestamp, tag string")
+    right = spark.createDataFrame(rrows, "k long, rts timestamp, px double")
+    lsrc, rsrc = str(tmp_path / "l2"), str(tmp_path / "r2")
+    left.write.parquet(lsrc)
+    right.write.parquet(rsrc)
+    ls = spark.readStream.schema(left.schema).parquet(lsrc)
+    rs = spark.readStream.schema(right.schema).parquet(rsrc)
+    out = asof_join_stream(
+        ls, rs, on="k", left_ts="ts", right_ts="rts",
+        tolerance=5 * 60, watermark="0 seconds",
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("asof_tol")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM asof_tol").collect()
+    finally:
+        q.stop()
+    by_tag = {r["tag"]: r for r in rows}
+    # t(58) is within 5 min of t(60); t(1) would be the match without it
+    assert by_tag["x"]["px_r"] == 20.0
+    # NULL-key rows are dropped (documented deviation from batch)
+    assert "nullkey" not in by_tag
