@@ -229,3 +229,92 @@ def test_asof_join_matches_pandas_all_directions(
             assert pd.isna(exp), (direction, buckets, dict(row))
         else:
             assert got == exp, (direction, buckets, dict(row))
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    a=st.lists(
+        st.floats(-100, 100, allow_nan=False, allow_infinity=False),
+        min_size=1,
+        max_size=50,
+    ),
+    b=st.lists(
+        st.floats(-100, 100, allow_nan=False, allow_infinity=False),
+        min_size=1,
+        max_size=50,
+    ),
+)
+def test_numeric_drift_psi_cdf_match_numpy(spark, a, b):
+    """numeric_drift's PSI and CDF L-inf against an independent numpy
+    reference implementing the same definition (fixed split bins,
+    eps=1e-6 clamped proportions, running-sum binned CDFs evaluated at
+    the bins present in either slice)."""
+    from whylogs_java_spark.operators.drift import numeric_drift
+
+    splits = [-50.0, 0.0, 50.0]
+    dfa = spark.createDataFrame([(float(x),) for x in a], "value double")
+    dfb = spark.createDataFrame([(float(x),) for x in b], "value double")
+    row = numeric_drift(dfa, dfb, "value", splits).collect()[0]
+
+    def binv(x):
+        return sum(1 for s in splits if x >= s)
+
+    nb_bins = len(splits) + 1
+    na = np.bincount([binv(x) for x in a], minlength=nb_bins).astype(float)
+    nb = np.bincount([binv(x) for x in b], minlength=nb_bins).astype(float)
+    pa, pb = na / na.sum(), nb / nb.sum()
+    eps = 1e-6
+    pac, pbc = np.maximum(pa, eps), np.maximum(pb, eps)
+    present = (na + nb) > 0  # the engine's bin table holds only present bins
+    psi = float(np.sum((pac - pbc) * (np.log(pac) - np.log(pbc)) * present))
+    cum_a, cum_b = np.cumsum(na) / na.sum(), np.cumsum(nb) / nb.sum()
+    linf = float(np.max(np.abs(cum_a - cum_b)[present]))
+
+    assert row["count_a"] == len(a) and row["count_b"] == len(b)
+    assert row["psi"] == pytest.approx(psi, abs=1e-9)
+    assert row["cdf_linf"] == pytest.approx(linf, abs=1e-9)
+    assert row["psi"] >= 0.0  # PSI is a nonnegative divergence
+
+
+_vocab = st.sampled_from(["alpha", "beta", "gamma", "delta", "eps"])
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    docs=st.lists(
+        st.lists(_vocab, min_size=3, max_size=12),
+        min_size=2,
+        max_size=6,
+    )
+)
+def test_jaccard_verify_matches_python_sets(spark, docs):
+    """jaccard_verify_pairs (the MinHash pipeline's exact verifier)
+    against brute-force Python set Jaccard over the same 3-word
+    shingles: every emitted pair matches exactly, and every omitted
+    pair truly has an empty intersection."""
+    from whylogs_java_spark.operators.dedup import jaccard_verify_pairs
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    all_pairs = [
+        (i, j) for i in range(len(docs)) for j in range(len(docs)) if i < j
+    ]
+    pairs = spark.createDataFrame(all_pairs, "id_a long, id_b long")
+    got = {
+        (r["id_a"], r["id_b"]): (r["inter"], r["size_a"], r["size_b"], r["jaccard"])
+        for r in jaccard_verify_pairs(df, pairs, "text", "doc_id").collect()
+    }
+
+    def shingles(ws):
+        return {" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)}
+
+    sets = {i: shingles(ws) for i, ws in enumerate(docs)}
+    for i, j in all_pairs:
+        inter = len(sets[i] & sets[j])
+        if inter == 0:
+            assert (i, j) not in got  # zero-overlap pairs are never emitted
+            continue
+        union = len(sets[i] | sets[j])
+        gi, ga, gb, gj = got[(i, j)]
+        assert (gi, ga, gb) == (inter, len(sets[i]), len(sets[j]))
+        assert gj == pytest.approx(round(inter / union, 6), abs=5e-7)

@@ -495,3 +495,15 @@ def test_r8_query_plan_guards(spark):
     p = plan_of("cluster_embeddings_k64")
     assert "BroadcastNestedLoopJoin" in p
     assert "partial_min" in p or "partial min" in p.lower() or "HashAggregate" in p
+    # sketch-store diff: the diff plan reads ONLY the checkpointed
+    # sketch rows — no raw-data scan at diff time (PLANS.md
+    # profile_diff_sketch): diffing two stored 100 TB days costs two
+    # profile-row reads
+    p = plan_of("profile_diff_sketch")
+    assert "ExistingRDD" in p
+    assert "Scan parquet" not in p
+    # SemDeDup at production k: k=256 rides the join-based assignment
+    # (broadcast centroid TABLE) — never a data x data cartesian; the
+    # within-cluster pair join stays an equi-join on the cluster key
+    p = plan_of("dedup_semantic_k256")
+    assert "CartesianProduct" not in p

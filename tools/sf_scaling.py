@@ -31,6 +31,12 @@ DEFAULT_QUERIES = [
     "drift_events_rolling",
     "profile_diff_lineitem",
     "profile_diff_sketch",
+    # r7/r8 dedup/SemDeDup/ANN family (round-9 extension, SCALE.md)
+    "dedup_simhash_pairs",
+    "dedup_semantic",
+    "dedup_semantic_survivors",
+    "cluster_embeddings_k64",
+    "similarity_ivf_int8",
 ]
 
 SF_SMALL = "/root/testdata/sf0.01"
