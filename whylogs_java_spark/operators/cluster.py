@@ -127,6 +127,13 @@ def kmeans_assign(
     target = embeddings.sparkSession.sparkContext.defaultParallelism
     if emb.rdd.getNumPartitions() < target:
         emb = emb.repartition(target)
+    # materialize the prepared (id, double-vector) table ONCE: seeding,
+    # each Lloyd round (assignment + centroid-update explode), and the
+    # final assignment are separate jobs that would otherwise re-run
+    # the scan + cast + spread per pass (n_iter + 2 passes total) —
+    # the same one-materialization pattern semantic_dedup_pairs and the
+    # IVF index already use for their multi-consumer vector tables
+    emb = emb.localCheckpoint(eager=True)
 
     seeds = (
         emb.orderBy(F.md5(F.col("__id").cast("string")), F.col("__id"))
