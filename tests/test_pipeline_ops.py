@@ -1300,3 +1300,67 @@ def test_dedup_embedding_stream_matches_batch_buckets(spark, tmp_path):
             if i != owner:
                 want.add((i, owner, band))
     assert got == want and len(want) > 0
+
+
+def test_mixture_sample_rebalances_and_t1_is_bernoulli(spark):
+    """T=1 keeps the natural mix (p_s = target for every stratum ==
+    plain hash_sample); T=2 boosts underrepresented strata: the small
+    stratum's keep RATE must exceed the large stratum's, and the row
+    set is deterministic."""
+    from whylogs_java_spark.operators.sampling import (
+        hash_sample,
+        mixture_sample,
+    )
+
+    rows = [(i, "big" if i < 900 else "small") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, src string")
+
+    # T=1: p_s = f for every stratum -> identical row set to the global
+    # Bernoulli sampler at the same fraction
+    t1 = {r["doc_id"] for r in mixture_sample(
+        df, "doc_id", "src", temperature=1.0, target_fraction=0.4
+    ).collect()}
+    bern = {r["doc_id"] for r in hash_sample(df, "doc_id", fraction=0.4).collect()}
+    assert t1 == bern
+
+    got = mixture_sample(
+        df, "doc_id", "src", temperature=2.0, target_fraction=0.4
+    ).collect()
+    again = mixture_sample(
+        df, "doc_id", "src", temperature=2.0, target_fraction=0.4
+    ).collect()
+    assert {r["doc_id"] for r in got} == {r["doc_id"] for r in again}
+    kept = {"big": 0, "small": 0}
+    for r in got:
+        kept[r["src"]] += 1
+    rate_big, rate_small = kept["big"] / 900, kept["small"] / 100
+    assert rate_small > rate_big  # sqrt re-weighting lifts the small stratum
+    # realized total is near (at or under) the target
+    assert 0.25 <= len(got) / 1000 <= 0.45
+
+    with pytest.raises(ValueError):
+        mixture_sample(df, "doc_id", "src", temperature=0.0)
+    with pytest.raises(ValueError):
+        mixture_sample(df, "doc_id", "src", target_fraction=0.0)
+
+
+def test_cluster_prototype_prune_ranks_and_counts(spark):
+    """Single-cluster geometry: ranks follow distance-to-centroid and
+    exactly floor(n * prune_frac) closest members are flagged."""
+    from whylogs_java_spark.operators.cluster import cluster_prototype_prune
+
+    # 8 points on a line; k=1 -> one cluster, centroid = mean
+    rows = [(i, [float(i), 0.0]) for i in range(8)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = cluster_prototype_prune(emb, k=1, n_iter=1, prune_frac=0.25)
+    got = {r["vec_id"]: r for r in out.collect()}
+    assert len(got) == 8
+    assert all(r["cluster_size"] == 8 for r in got.values())
+    assert sum(1 for r in got.values() if r["is_pruned"]) == 2  # floor(8*.25)
+    # the flagged members are the rank-1 and rank-2 closest
+    flagged = {r["rank_close"] for r in got.values() if r["is_pruned"]}
+    assert flagged == {1, 2}
+    # ranks are distance-ordered: centroid is the mean (3.5, 0), so 3 and
+    # 4 are the closest pair
+    closest = sorted(got.values(), key=lambda r: r["rank_close"])[:2]
+    assert {r["vec_id"] for r in closest} == {3, 4}

@@ -347,3 +347,57 @@ def cluster_sizes(assignments: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         (F.round(F.avg("dist"), 6) + F.lit(0.0)).alias("mean_dist"),
     )
+
+
+def cluster_prototype_prune(
+    embeddings: DataFrame,
+    k: int = 8,
+    n_iter: int = 1,
+    prune_frac: float = 0.25,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assign: str = "auto",
+) -> DataFrame:
+    """SSL-prototypes-style data pruning (Sorscher et al. 2022, "Beyond
+    neural scaling laws"): rank every vector by its distance to its
+    k-means cluster centroid; the ``prune_frac`` CLOSEST members of each
+    cluster (the most prototypical, most redundant examples) are flagged
+    for removal — when data is abundant, dropping easy/prototypical
+    examples beats random pruning.
+
+    Output, one row per vector: (id, cluster, dist, cluster_size,
+    rank_close, is_pruned) where ``rank_close`` is the 1-based
+    closest-first rank within the cluster (ties on distance break on
+    id — deterministic) and ``is_pruned`` flags the first
+    ``floor(cluster_size · prune_frac)`` ranks.
+
+    Deterministic end to end (seeded k-means + rounded distances), so
+    the full table is DuckDB-oracle-checkable. Scale: the assignment is
+    kmeans_assign's (literal or broadcast-join path); ranking is one
+    window over the assignment table partitioned by cluster —
+    O(vectors) state, no pairwise term at all (the cheap companion to
+    SemDeDup's within-cluster pair scan).
+    """
+    from pyspark.sql import Window
+
+    if not 0 <= prune_frac < 1:
+        raise ValueError(f"prune_frac must be in [0, 1), got {prune_frac}")
+    assigned = kmeans_assign(
+        embeddings, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col,
+        assign=assign,
+    )
+    w = Window.partitionBy("cluster").orderBy(
+        F.col("dist").asc(), F.col(id_col).asc()
+    )
+    sz = Window.partitionBy("cluster")
+    return assigned.select(
+        F.col(id_col),
+        "cluster",
+        "dist",
+        F.count(F.lit(1)).over(sz).alias("cluster_size"),
+        F.row_number().over(w).alias("rank_close"),
+    ).withColumn(
+        "is_pruned",
+        F.col("rank_close")
+        <= F.floor(F.col("cluster_size") * F.lit(float(prune_frac))).cast("long"),
+    )

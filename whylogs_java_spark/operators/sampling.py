@@ -184,3 +184,81 @@ def stratified_sample_exact(
         .where(F.col("__rk") <= k)
         .drop("__rk")
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    temperature: float = 2.0,
+    target_fraction: float = 0.5,
+    salt: str = "",
+) -> DataFrame:
+    """Temperature-scaled mixture resampling — the data-mixing rule that
+    rebalances a web-scale corpus across sources: stratum mass ``n_s``
+    is re-weighted to ``n_s^(1/T)`` (T=1 keeps the natural mix, T→∞
+    approaches uniform over strata), then rows are kept by the same
+    deterministic md5-threshold rule as :func:`hash_sample`.
+
+    Per-stratum keep probability::
+
+        p_s = min(1, target_fraction · N · w_s / (n_s · W))
+        w_s = n_s^(1/T),  W = Σ w_s,  N = Σ n_s
+
+    so the expected kept mass is ``target_fraction · N`` distributed
+    ∝ ``n_s^(1/T)`` (strata hitting the p=1 cap contribute everything
+    they have and the realized total lands slightly under target — a
+    single normalization, no cap-redistribution iteration, documented
+    and deterministic).
+
+    Engine-determinism: ``w_s`` is integerized (``floor(·1e6 + .5)``)
+    before the stratum sum, so ``W`` is an exact BIGINT sum
+    (order-independent); the probability expression is evaluated with
+    one fixed parenthesization over those exact ints and rounded to 6
+    decimals before thresholding — the same cross-engine convention as
+    the rest of the sampling family.
+
+    Scale: one map-side-combined aggregate for the stratum census
+    (O(strata) rows), a broadcast join of the tiny probability table,
+    and a pure scan-side threshold filter — no shuffle of the corpus.
+    """
+    if temperature <= 0:
+        raise ValueError(f"temperature must be > 0, got {temperature}")
+    if not 0 < target_fraction <= 1:
+        raise ValueError(
+            f"target_fraction must be in (0, 1], got {target_fraction}"
+        )
+    counts = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("__n"))
+    wint = F.floor(
+        F.pow(F.col("__n").cast("double"), 1.0 / temperature)
+        * _SAMPLE_MOD
+        + F.lit(0.5)
+    ).cast("long")
+    counts = counts.select(stratum_col, "__n", wint.alias("__w"))
+    totals = counts.agg(
+        F.sum("__n").alias("__tot_n"), F.sum("__w").alias("__tot_w")
+    )
+    # products in double (overflow-proof at any corpus size); ONE fixed
+    # parenthesization, mirrored verbatim in the DuckDB oracle
+    p = F.round(
+        F.least(
+            F.lit(1.0),
+            (
+                F.lit(float(target_fraction))
+                * F.col("__tot_n").cast("double")
+                * F.col("__w").cast("double")
+            )
+            / (F.col("__n").cast("double") * F.col("__tot_w").cast("double")),
+        ),
+        6,
+    )
+    probs = counts.crossJoin(F.broadcast(totals)).select(
+        stratum_col,
+        F.floor(p * _SAMPLE_MOD + F.lit(0.5)).cast("long").alias("__thr"),
+    )
+    key = sample_key(F.col(id_col), salt)
+    return (
+        df.join(F.broadcast(probs), stratum_col)
+        .where(key < F.col("__thr"))
+        .drop("__thr")
+    )
