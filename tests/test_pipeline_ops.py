@@ -1364,3 +1364,63 @@ def test_cluster_prototype_prune_ranks_and_counts(spark):
     # 4 are the closest pair
     closest = sorted(got.values(), key=lambda r: r["rank_close"])[:2]
     assert {r["vec_id"] for r in closest} == {3, 4}
+
+
+def test_chunk_documents_windows_and_tail(spark):
+    """Known-values chunking: stride = chunk - overlap, shorter tail,
+    zero-token docs produce no chunks, validation errors raised."""
+    from whylogs_java_spark.operators.text import chunk_documents
+
+    rows = [
+        (1, "a b c d e f g"),   # 7 words
+        (2, "x y"),             # shorter than one chunk
+        (3, "   "),             # zero tokens -> no chunks
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_documents(df, "text", "doc_id", chunk_tokens=4, overlap=1)
+    got = {
+        (r["doc_id"], r["chunk_id"]): (r["n_tokens"], r["chunk_text"])
+        for r in out.collect()
+    }
+    # doc 1: stride 3 -> starts 0,3,6 -> chunks of 4,4,1 tokens
+    assert got[(1, 0)] == (4, "a b c d")
+    assert got[(1, 1)] == (4, "d e f g")
+    assert got[(1, 2)] == (1, "g")
+    assert got[(2, 0)] == (2, "x y")
+    assert not any(k[0] == 3 for k in got)
+    assert len(got) == 4
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        chunk_documents(df, "text", "doc_id", chunk_tokens=0)
+    with _pytest.raises(ValueError):
+        chunk_documents(df, "text", "doc_id", chunk_tokens=4, overlap=4)
+
+
+def test_cluster_balanced_sample_exact_counts(spark):
+    """Exactly min(per_cluster, |cluster|) picks per cluster, stable
+    across calls, pick_rank contiguous from 1."""
+    from whylogs_java_spark.operators.cluster import (
+        cluster_balanced_sample,
+        kmeans_assign,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    sizes = {
+        r["cluster"]: r["n"]
+        for r in kmeans_assign(emb, k=4, n_iter=1)
+        .groupBy("cluster").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    out = cluster_balanced_sample(emb, k=4, per_cluster=5, n_iter=1).collect()
+    by_cluster: dict = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster"], []).append(r["pick_rank"])
+    for c, n in sizes.items():
+        assert sorted(by_cluster[c]) == list(range(1, min(5, n) + 1))
+    again = cluster_balanced_sample(emb, k=4, per_cluster=5, n_iter=1).collect()
+    assert {(r["vec_id"], r["pick_rank"]) for r in again} == {
+        (r["vec_id"], r["pick_rank"]) for r in out
+    }

@@ -401,3 +401,44 @@ def cluster_prototype_prune(
         F.col("rank_close")
         <= F.floor(F.col("cluster_size") * F.lit(float(prune_frac))).cast("long"),
     )
+
+
+def cluster_balanced_sample(
+    embeddings: DataFrame,
+    k: int = 8,
+    per_cluster: int = 10,
+    n_iter: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assign: str = "auto",
+    salt: str = "",
+) -> DataFrame:
+    """Cluster-balanced sampling: exactly ``min(per_cluster, |cluster|)``
+    rows per k-means cluster, chosen by the deterministic md5 hash rank
+    (the diversity-preserving sample a curation pipeline draws before
+    expensive human/LLM review — uniform over SEMANTIC regions instead
+    of over rows, so small clusters are not drowned out).
+
+    Output: (id, cluster, dist, pick_rank). Deterministic end to end
+    (seeded k-means + md5 rank, ties on id) — oracle-checkable. Scale:
+    the assignment is kmeans_assign's; the pick is one window per
+    cluster that Spark plans as WindowGroupLimit (top-k retained
+    map-side, O(per_cluster) state per task).
+    """
+    from pyspark.sql import Window
+
+    from .sampling import sample_key
+
+    if per_cluster <= 0:
+        raise ValueError(f"per_cluster must be > 0, got {per_cluster}")
+    assigned = kmeans_assign(
+        embeddings, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col,
+        assign=assign,
+    )
+    key = sample_key(F.col(id_col), salt)
+    w = Window.partitionBy("cluster").orderBy(key.asc(), F.col(id_col).asc())
+    return (
+        assigned.withColumn("pick_rank", F.row_number().over(w))
+        .where(F.col("pick_rank") <= per_cluster)
+        .withColumn("pick_rank", F.col("pick_rank").cast("long"))
+    )

@@ -637,3 +637,69 @@ def canonical_text(
     if collapse_whitespace:
         out = F.trim(F.regexp_replace(out, r"\s+", " "))
     return out
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    chunk_tokens: int = 512,
+    overlap: int = 0,
+) -> DataFrame:
+    """Token-window chunking — the context-length preprocessing step for
+    training and retrieval pipelines: each document becomes overlapping
+    windows of ``chunk_tokens`` whitespace tokens, stride
+    ``chunk_tokens - overlap``.
+
+    Output: (id, chunk_id, n_tokens, chunk_text), chunk_id 0-based in
+    document order; the final chunk is the (possibly shorter) tail.
+    Documents with zero tokens produce NO chunks. Deterministic and
+    DuckDB-oracle-checkable (the same slice/sequence vocabulary as
+    ``dedup._segment_rows``, plus an overlap stride).
+
+    Scale: a pure per-document explode inside the scan stage — no
+    shuffle, no state; composes with any downstream dedup/packing over
+    the chunk rows (chunk-level dedup is the standard pre-packing pass).
+    """
+    if chunk_tokens <= 0:
+        raise ValueError(f"chunk_tokens must be > 0, got {chunk_tokens}")
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(
+            f"overlap must be in [0, chunk_tokens), got {overlap}"
+        )
+    stride = chunk_tokens - overlap
+    words = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    n = F.size(words)
+    n_chunks = F.ceil(n / F.lit(stride)).cast("int")
+    # a bare sequence(0, -1) DESCENDS when n_chunks == 0 — guard to an
+    # empty array (the _dims_seq hazard)
+    idx = F.when(
+        n_chunks > 0, F.sequence(F.lit(0), n_chunks - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    return (
+        df.select(
+            F.col(id_col),
+            n.alias("__n"),
+            F.explode(
+                F.transform(
+                    idx,
+                    lambda i: F.struct(
+                        i.alias("chunk_id"),
+                        F.concat_ws(
+                            " ",
+                            F.slice(words, i * stride + 1, chunk_tokens),
+                        ).alias("chunk_text"),
+                    ),
+                )
+            ).alias("__c"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("__c.chunk_id").alias("chunk_id"),
+            F.least(
+                F.lit(chunk_tokens),
+                F.col("__n") - F.col("__c.chunk_id") * F.lit(stride),
+            ).cast("long").alias("n_tokens"),
+            F.col("__c.chunk_text").alias("chunk_text"),
+        )
+    )
