@@ -104,6 +104,13 @@ BENCH_QUERIES = [
     "drift_documents_lang",
     "profile_diff_lineitem",
     "profile_diff_sketch",
+    "dedup_semantic_k256",
+    "mixture_documents",
+    "prune_embeddings",
+    "chunk_documents",
+    "cluster_balanced_sample",
+    "bm25_documents",
+    "corpus_overlap",
 ]
 
 

@@ -1,0 +1,202 @@
+"""Tests for BM25 keyword retrieval (`operators/retrieval.py`)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from whylogs_java_spark.operators.retrieval import bm25_topk, term_stats
+
+
+def _qdf(spark, rows):
+    return spark.createDataFrame(rows, "query_id long, query_text string")
+
+
+def test_term_stats_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "b  c"), (3, "")], ["doc_id", "text"]
+    )
+    got = {
+        (r["doc_id"], r["term"]): (r["tf"], r["dl"])
+        for r in term_stats(df, "text", "doc_id").collect()
+    }
+    assert got == {
+        (1, "a"): (2, 3),
+        (1, "b"): (1, 3),
+        (2, "b"): (1, 2),
+        (2, "c"): (1, 2),
+    }
+
+
+def test_bm25_ranks_tf_and_misses(spark):
+    # same-length docs: more query-term occurrences must rank higher;
+    # a term absent from the corpus contributes nothing; a query with
+    # no matching term yields no rows at all
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple apple pear"),
+            (2, "apple pear plum quince"),
+            (3, "plum quince fig date"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = bm25_topk(
+        docs,
+        _qdf(spark, [(1, "apple zzz"), (2, "nothere")]),
+        "text",
+        "doc_id",
+        k=5,
+    ).collect()
+    q1 = sorted(
+        [r for r in out if r["query_id"] == 1], key=lambda r: r["rank"]
+    )
+    assert [r["doc_id"] for r in q1] == [1, 2]
+    assert q1[0]["score"] > q1[1]["score"]
+    assert not [r for r in out if r["query_id"] == 2]
+
+
+def test_bm25_known_value_single_term(spark):
+    # two one-term docs of equal length -> tf=2 vs tf=1, dl=2, avgdl=2:
+    # hand-compute the Robertson idf + tf saturation
+    docs = spark.createDataFrame([(1, "t t"), (2, "t u")], ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r["score"]
+        for r in bm25_topk(
+            docs, _qdf(spark, [(1, "t")]), "text", "doc_id", k=5
+        ).collect()
+    }
+    idf = math.log(1.0 + (2 - 2 + 0.5) / (2 + 0.5))
+    # dl == avgdl -> norm = k1
+    exp1 = idf * 2 * 2.2 / (2 + 1.2)
+    exp2 = idf * 1 * 2.2 / (1 + 1.2)
+    assert out[1] == pytest.approx(round(exp1, 6), abs=1e-9)
+    assert out[2] == pytest.approx(round(exp2, 6), abs=1e-9)
+
+
+def test_bm25_k_limit_and_rank_contiguity(spark):
+    docs = spark.createDataFrame(
+        [(i, "w x") for i in range(10)], ["doc_id", "text"]
+    )
+    out = bm25_topk(
+        docs, _qdf(spark, [(1, "w")]), "text", "doc_id", k=3
+    ).collect()
+    assert sorted(r["rank"] for r in out) == [1, 2, 3]
+    # identical scores -> ties broken by ascending doc id
+    assert [r["doc_id"] for r in sorted(out, key=lambda r: r["rank"])] == [0, 1, 2]
+
+
+def test_corpus_overlap_exact_and_estimate(spark):
+    from whylogs_java_spark.operators.report import corpus_overlap
+
+    # A and B share half their 3-shingles; C is disjoint from both
+    docs = spark.createDataFrame(
+        [
+            (1, "A", "a b c d e f"),     # shingles: abc bcd cde def
+            (2, "B", "c d e f g h"),     # shingles: cde def efg fgh
+            (3, "C", "x y z w"),         # shingles: xyz yzw
+        ],
+        ["doc_id", "source", "text"],
+    )
+    out = {
+        (r["source_a"], r["source_b"]): r
+        for r in corpus_overlap(
+            docs, "text", "source", num_hashes=64
+        ).collect()
+    }
+    assert set(out) == {("A", "B"), ("A", "C"), ("B", "C")}
+    ab = out[("A", "B")]
+    assert (ab["n_a"], ab["n_b"], ab["n_common"]) == (4, 4, 2)
+    assert ab["jaccard"] == pytest.approx(2 / 6, abs=1e-6)
+    # MinHash(64) unbiased estimator of J=1/3: allow +-3 sigma
+    sigma = math.sqrt((1 / 3) * (2 / 3) / 64)
+    assert abs(ab["minhash_est"] - 1 / 3) <= 3 * sigma
+    for key in [("A", "C"), ("B", "C")]:
+        assert out[key]["n_common"] == 0
+        assert out[key]["jaccard"] == 0.0
+        assert out[key]["minhash_est"] == 0.0
+
+
+def test_corpus_overlap_identical_sources(spark):
+    docs = spark.createDataFrame(
+        [(1, "A", "p q r s t"), (2, "B", "p q r s t")],
+        ["doc_id", "source", "text"],
+    )
+    from whylogs_java_spark.operators.report import corpus_overlap
+
+    row = corpus_overlap(docs, "text", "source", num_hashes=16).collect()[0]
+    assert row["jaccard"] == 1.0
+    assert row["minhash_est"] == 1.0
+
+    with pytest.raises(ValueError):
+        corpus_overlap(docs, "text", "source", num_hashes=225)
+
+
+def test_monitor_stream_matches_batch(spark, tmp_path):
+    """Streamed store rows + foreachBatch re-score == batch
+    metric_anomalies over the batch-aggregated store, row for row."""
+    from pyspark.sql import functions as F
+
+    from whylogs_java_spark.operators.monitor import metric_anomalies
+    from whylogs_java_spark.streaming.monitor_stream import (
+        monitor_foreach_batch,
+        windowed_metric_stream,
+    )
+
+    rows = []
+    for d in range(10):
+        for m, v in [(5, 10.0), (25, 12.0), (45, 11.0)]:
+            # day 7 spikes for key "a"
+            va = 500.0 if d == 7 else v
+            rows.append((f"2024-01-{d+1:02d} 00:{m:02d}:00", "a", va))
+            rows.append((f"2024-01-{d+1:02d} 00:{m:02d}:00", "b", v + d))
+    rows.append(("2024-02-01 00:00:00", "flush", 0.0))
+    df = spark.createDataFrame(rows, "ts string, col string, v double").select(
+        F.col("ts").cast("timestamp").alias("ts"), "col", "v"
+    )
+    src = str(tmp_path / "src")
+    df.coalesce(1).write.parquet(src)
+
+    store_dir = str(tmp_path / "store")
+    anom_dir = str(tmp_path / "anom")
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    metrics = windowed_metric_stream(
+        stream, "v", "ts", group_by=("col",), window_duration="1 day"
+    )
+    q = (
+        metrics.writeStream.outputMode("append")
+        .foreachBatch(
+            monitor_foreach_batch(
+                store_dir, anom_dir, keys=("col",), window=3, min_obs=2
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = sorted(
+        spark.read.parquet(anom_dir).collect(),
+        key=lambda r: (str(r["bucket"]), r["col"]),
+    )
+    batch_store = windowed_metric_stream(
+        df.where(F.col("col") != "flush"),
+        "v",
+        "ts",
+        group_by=("col",),
+        window_duration="1 day",
+    )
+    want = sorted(
+        metric_anomalies(
+            batch_store, metric="value", time_col="bucket",
+            keys=("col",), window=3, min_obs=2,
+        ).collect(),
+        key=lambda r: (str(r["bucket"]), r["col"]),
+    )
+    assert [r.asDict() for r in got] == [r.asDict() for r in want]
+    flagged = [(str(r["bucket"])[:10], r["col"]) for r in got if r["is_anomaly"]]
+    assert ("2024-01-08", "a") in flagged
+    assert not any(c == "b" for _, c in flagged)

@@ -80,3 +80,123 @@ def corpus_report(
         _exact_mean("quality").alias("mean_quality"),
         _exact_mean("boilerplate_fraction").alias("mean_boilerplate_frac"),
     )
+
+
+def corpus_overlap(
+    df: DataFrame,
+    text_col: str,
+    source_col: str,
+    num_hashes: int = 32,
+    shingle_size: int = 3,
+) -> DataFrame:
+    """Source-by-source corpus overlap matrix: exact shingle-set Jaccard
+    plus the MinHash estimate of the same quantity, one row per unordered
+    source pair.
+
+    The cross-corpus contamination audit a pipeline owner runs before
+    mixing sources: how much of source A's n-gram mass already lives in
+    source B. Reporting BOTH the exact Jaccard and its MinHash estimate
+    also makes this the accuracy dashboard for MinHash at the chosen
+    shingle size before trusting the dedup family's sketch decisions.
+
+    Scale shape: sources are few by construction (a corpus has tens of
+    provenances, not millions), so every per-source aggregate is
+    broadcast-sized. The expensive parts touch data exactly twice:
+    (1) one shingle explode -> distinct (source, shingle) -> min-per-hash
+    aggregate with map-side partial min (the MinHash signatures), and
+    (2) a shingle-keyed self equi-join for exact intersection counts —
+    never all-pairs on rows; a shingle shared by all S sources fans out
+    to at most S(S-1)/2 pair rows, so the join output is bounded by
+    |distinct shingles| x S^2 with S small. Zero-intersection pairs are
+    restored by a broadcast cross of the per-source size table.
+    """
+    from .dedup import _MAX_NUM_HASHES, _shingler
+
+    if num_hashes > _MAX_NUM_HASHES:
+        raise ValueError(
+            f"num_hashes={num_hashes} exceeds {_MAX_NUM_HASHES} — keep the "
+            "per-hash md5 column fan-out bounded"
+        )
+    sh = (
+        df.select(
+            F.col(source_col).alias("source"),
+            F.explode(_shingler(shingle_size, False)(F.col(text_col))).alias(
+                "shingle"
+            ),
+        )
+        .distinct()
+    )
+    # per-i INDEPENDENT permutations (md5 re-keyed per hash index), not
+    # the affine h1 + i*h2 family the doc-level LSH uses: affine argmins
+    # are correlated across i (the globally-smallest h2 shingle wins
+    # every large i), which collapses the estimator's variance story on
+    # small sets; here the estimate IS the deliverable, so pay the k md5s
+    sig = sh.groupBy("source").agg(
+        *[
+            F.min(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(f"mh{i}|"), F.col("shingle"))),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+            ).alias(f"mh{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    sizes = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+
+    a, b = sizes.alias("a"), sizes.alias("b")
+    pairs = a.join(
+        F.broadcast(b), F.col("a.source") < F.col("b.source")
+    ).select(
+        F.col("a.source").alias("source_a"),
+        F.col("b.source").alias("source_b"),
+        F.col("a.n").alias("n_a"),
+        F.col("b.n").alias("n_b"),
+    )
+    x, y = sh.alias("x"), sh.alias("y")
+    inter = (
+        x.join(
+            y,
+            (F.col("x.shingle") == F.col("y.shingle"))
+            & (F.col("x.source") < F.col("y.source")),
+        )
+        .groupBy(
+            F.col("x.source").alias("source_a"),
+            F.col("y.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa, sb = sig.alias("sa"), sig.alias("sb")
+    est = sa.join(
+        F.broadcast(sb), F.col("sa.source") < F.col("sb.source")
+    ).select(
+        F.col("sa.source").alias("source_a"),
+        F.col("sb.source").alias("source_b"),
+        sum(
+            (F.col(f"sa.mh{i}") == F.col(f"sb.mh{i}")).cast("long")
+            for i in range(num_hashes)
+        ).alias("__matched"),
+    )
+    out = (
+        pairs.join(F.broadcast(inter), ["source_a", "source_b"], "left")
+        .join(F.broadcast(est), ["source_a", "source_b"])
+        .withColumn("n_common", F.coalesce("n_common", F.lit(0)))
+    )
+    denom = (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double")
+    return out.select(
+        "source_a",
+        "source_b",
+        "n_a",
+        "n_b",
+        "n_common",
+        (F.round(F.col("n_common") / denom, 6) + F.lit(0.0)).alias("jaccard"),
+        (
+            F.round(F.col("__matched") / F.lit(float(num_hashes)), 6)
+            + F.lit(0.0)
+        ).alias("minhash_est"),
+    )
