@@ -111,6 +111,7 @@ BENCH_QUERIES = [
     "cluster_balanced_sample",
     "bm25_documents",
     "corpus_overlap",
+    "drift_embeddings_space",
 ]
 
 

@@ -200,3 +200,32 @@ def test_monitor_stream_matches_batch(spark, tmp_path):
     flagged = [(str(r["bucket"])[:10], r["col"]) for r in got if r["is_anomaly"]]
     assert ("2024-01-08", "a") in flagged
     assert not any(c == "b" for _, c in flagged)
+
+
+def test_embedding_drift_identical_and_shifted(spark):
+    from whylogs_java_spark.operators.drift import embedding_drift
+
+    base = [(i, [1.0, 2.0, 3.0]) for i in range(4)]
+    a = spark.createDataFrame(base, "id long, v array<double>")
+    row = embedding_drift(a, a, "v").collect()[0]
+    assert row["n_ref"] == row["n_cur"] == 4
+    assert row["cosine_means"] == 1.0
+    assert row["l2_means"] == 0.0
+    assert row["max_dim_shift"] == 0.0
+
+    # shift dim 2 by +1 in the current slice: l2 = 1, max shift = 1,
+    # mean |shift| = 1/3
+    b = spark.createDataFrame(
+        [(i, [1.0, 2.0, 4.0]) for i in range(4)], "id long, v array<double>"
+    )
+    row = embedding_drift(a, b, "v").collect()[0]
+    assert row["l2_means"] == pytest.approx(1.0, abs=1e-6)
+    assert row["max_dim_shift"] == pytest.approx(1.0, abs=1e-6)
+    assert row["mean_abs_shift"] == pytest.approx(1 / 3, abs=1e-6)
+    import numpy as np
+
+    want_cos = float(
+        np.dot([1, 2, 3], [1, 2, 4])
+        / (np.linalg.norm([1, 2, 3]) * np.linalg.norm([1, 2, 4]))
+    )
+    assert row["cosine_means"] == pytest.approx(want_cos, abs=1e-6)

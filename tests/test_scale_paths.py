@@ -507,3 +507,36 @@ def test_r8_query_plan_guards(spark):
     # within-cluster pair join stays an equi-join on the cluster key
     p = plan_of("dedup_semantic_k256")
     assert "CartesianProduct" not in p
+
+
+def test_r9_query_plan_guards(spark):
+    """Plan pins for the round-9 queries (PLANS.md r9 sections): BM25
+    keeps its broadcast query-side + rank pushdown, corpus_overlap's
+    only wide join is the shingle equi-join."""
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    sf = "/root/testdata/sf0.001"
+
+    def plan_of(name):
+        return (
+            qs[name](spark, sf)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+
+    # BM25: query terms + doc-frequency ride broadcast hash joins; the
+    # top-k is a WindowGroupLimit (rank pushed into the shuffle), never
+    # a global sort; the only BNLJ is the one-row corpus-stats cross
+    p = plan_of("bm25_documents")
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p
+    assert "WindowGroupLimit" in p
+    assert "Sort " in p  # local sorts for the window are fine
+    # corpus overlap: the intersection is an EQUI-join on shingle (hash
+    # or sort-merge), never data x data; the source<source pair joins
+    # are broadcast-sized BNLJs by construction (S rows a side)
+    p = plan_of("corpus_overlap")
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p or "SortMergeJoin" in p

@@ -801,3 +801,101 @@ def auto_splits(
         return []
     width = (hi - lo) / bins
     return [lo + i * width for i in range(1, bins)]
+
+
+def embedding_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    vec_col: str,
+) -> DataFrame:
+    """Embedding-space drift between a reference slice and a current
+    slice of an `array<float>` column — the semantic sibling of
+    ``numeric_drift`` for representation monitoring (did the corpus /
+    feature distribution move in embedding space?).
+
+    One row out: (n_ref, n_cur, cosine_means, l2_means, max_dim_shift,
+    mean_abs_shift), where the mean vectors are compared by cosine and
+    L2, plus the largest and average per-dimension shift for
+    localization.
+
+    Engine-determinism: each slice reduces to per-dimension means via
+    EXACT integer sums (floor(x·1e6 + 0.5) as BIGINT — the atom
+    convention of functions/metrics.py), the rounded means re-scale to
+    integers, and every dot product / norm / shift is integer
+    arithmetic until the final divides — so the output replays
+    bit-for-bit in the DuckDB oracle despite double-typed embeddings.
+    Scale shape: two scans (one per slice) -> posexplode ->
+    dimension-keyed partial aggregation; everything after the two
+    (dims)-row aggregates is O(dims) — a 100 TB slice pair reduces to
+    2 x dims rows before any join. No data x data joins, no UDFs.
+    """
+    scale = 1_000_000
+
+    def dim_sums(df: DataFrame, tag: str) -> DataFrame:
+        e = df.select(
+            F.posexplode(F.col(vec_col)).alias("dim", "__v")
+        )
+        return e.groupBy("dim").agg(
+            F.count(F.lit(1)).alias(f"n_{tag}"),
+            F.sum(
+                F.floor(F.col("__v").cast("double") * scale + F.lit(0.5)).cast(
+                    "long"
+                )
+            ).alias(f"s_{tag}"),
+        )
+
+    m = dim_sums(ref, "ref").join(dim_sums(cur, "cur"), on="dim")
+    # rounded-6 per-dim means, re-scaled to exact ints (lossless: a
+    # rounded-6 double times 1e6 is integral)
+    mean_i = lambda s, n: F.floor(
+        F.round(F.col(s) / F.col(n) / F.lit(float(scale)), 6) * scale
+        + F.lit(0.5)
+    ).cast("long")
+    mm = m.select(
+        F.col("n_ref"),
+        F.col("n_cur"),
+        mean_i("s_ref", "n_ref").alias("mr"),
+        mean_i("s_cur", "n_cur").alias("mc"),
+    )
+    agg = mm.groupBy().agg(
+        F.max("n_ref").alias("n_ref"),
+        F.max("n_cur").alias("n_cur"),
+        F.sum(F.col("mr") * F.col("mc")).alias("dot_rc"),
+        F.sum(F.col("mr") * F.col("mr")).alias("dot_rr"),
+        F.sum(F.col("mc") * F.col("mc")).alias("dot_cc"),
+        F.max(F.abs(F.col("mr") - F.col("mc"))).alias("max_shift_i"),
+        F.sum(F.abs(F.col("mr") - F.col("mc"))).alias("sum_shift_i"),
+        F.count(F.lit(1)).alias("n_dims"),
+    )
+    # int64 -> double casts BEFORE the norm product (dot_rr * dot_cc
+    # overflows int64 at realistic magnitudes; the doubles are exact
+    # conversions of ints < 2^53, so the result is still deterministic)
+    cos = F.try_divide(
+        F.col("dot_rc").cast("double"),
+        F.sqrt(F.col("dot_rr").cast("double") * F.col("dot_cc").cast("double")),
+    )
+    l2 = (
+        F.sqrt(
+            (F.col("dot_rr") - 2 * F.col("dot_rc") + F.col("dot_cc")).cast(
+                "double"
+            )
+        )
+        / F.lit(float(scale))
+    )
+    return agg.select(
+        F.col("n_ref").cast("long").alias("n_ref"),
+        F.col("n_cur").cast("long").alias("n_cur"),
+        (F.round(cos, 6) + F.lit(0.0)).alias("cosine_means"),
+        (F.round(l2, 6) + F.lit(0.0)).alias("l2_means"),
+        (F.round(F.col("max_shift_i") / F.lit(float(scale)), 6) + F.lit(0.0)).alias(
+            "max_dim_shift"
+        ),
+        (
+            F.round(
+                F.col("sum_shift_i")
+                / (F.col("n_dims") * F.lit(float(scale))),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("mean_abs_shift"),
+    )
