@@ -1424,3 +1424,57 @@ def test_cluster_balanced_sample_exact_counts(spark):
     assert {(r["vec_id"], r["pick_rank"]) for r in again} == {
         (r["vec_id"], r["pick_rank"]) for r in out
     }
+
+
+def test_duplicate_spans_merges_overlapping_windows(spark):
+    """Overlapping duplicated 3-gram windows merge into one maximal span;
+    a document with no repeated gram reports zeros; a gram repeated
+    WITHIN one document counts both occurrences."""
+    from whylogs_java_spark.operators.dedup import duplicate_spans
+
+    shared = "s0 s1 s2 s3 s4"          # 5 words => 3-grams at pos 0,1,2
+    corpus = spark.createDataFrame(
+        [
+            (1, f"{shared} u1 u2 u3"),          # span [0,4] from shared
+            (2, f"v1 v2 {shared}"),             # span [2,6]
+            (3, "x0 x1 x2 x3 x4 x5 x6 x7"),     # unique: no dup span
+            (4, "r0 r1 r2 q0 q1 r0 r1 r2 q2"),  # intra-doc repeat r0 r1 r2
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in duplicate_spans(
+        corpus, "text", "doc_id", gram_words=3
+    ).collect()}
+    assert out[1]["n_dup_spans"] == 1 and out[1]["dup_tokens"] == 5
+    assert out[1]["longest_span"] == 5 and out[1]["total_tokens"] == 8
+    assert out[2]["n_dup_spans"] == 1 and out[2]["dup_tokens"] == 5
+    assert out[3]["n_dup_spans"] == 0 and out[3]["dup_tokens"] == 0
+    assert out[3]["longest_span"] == 0 and out[3]["dup_fraction"] == 0.0
+    # doc 4: "r0 r1 r2" occurs at pos 0 and pos 5 -> two 3-token spans
+    assert out[4]["n_dup_spans"] == 2 and out[4]["dup_tokens"] == 6
+    assert out[4]["longest_span"] == 3
+
+
+def test_duplicate_spans_adjacent_windows_merge(spark):
+    """Duplicated windows that touch end-to-end (next start == prev end
+    + 1) merge into a single span — the gaps-and-islands rule counts
+    token-contiguous coverage, not window overlap."""
+    from whylogs_java_spark.operators.dedup import duplicate_spans
+
+    a = "a0 a1 a2"
+    b = "b0 b1 b2"
+    corpus = spark.createDataFrame(
+        [
+            # doc 1: a at [0,2], b at [3,5] — adjacent dup windows
+            (1, f"{a} {b}"),
+            (2, f"{a} z0 z1 z2 {b}"),  # a at [0,2], b at [6,8]: gap
+            (3, f"{a} y0 {b}"),        # provides the second occurrences
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in duplicate_spans(
+        corpus, "text", "doc_id", gram_words=3
+    ).collect()}
+    assert out[1]["n_dup_spans"] == 1 and out[1]["dup_tokens"] == 6
+    assert out[2]["n_dup_spans"] == 2 and out[2]["dup_tokens"] == 6
+    assert out[2]["longest_span"] == 3

@@ -1274,6 +1274,119 @@ def boilerplate_stats(
 # Incremental (cross-corpus) dedup
 # ---------------------------------------------------------------------------
 
+def duplicate_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    gram_words: int = 8,
+) -> DataFrame:
+    """Exact-substring duplicate-span statistics — the rolling k-gram
+    formulation of suffix-array substring dedup ("Deduplicating Training
+    Data Makes Language Models Better", Lee et al. 2022), re-expressed as
+    Spark relational algebra (a true distributed suffix array is not a
+    DataFrame shape; overlapping k-gram matching finds every duplicated
+    substring of >= ``gram_words`` words, which is the unit that paper
+    removes).
+
+    A word position is *duplicated* when some ``gram_words``-word window
+    covering it occurs more than once corpus-wide (including twice within
+    one document). Overlapping/adjacent duplicated windows merge into
+    maximal spans per document (gaps-and-islands).
+
+    Output, one row per document:
+      (id, total_tokens, n_dup_spans, dup_tokens, longest_span,
+       dup_fraction)
+
+    Scale shape — O(total corpus tokens) gram rows, never pairs:
+      1. gram census: hash-agg on the gram digest with map-side combine
+         (the heavily repeated gram — the skew case — reduces to one row
+         per map partition before the exchange);
+      2. duplicated-positions join: grams ⋈ (census where n > 1) is an
+         equi-join on the digest, and the census side is FILTERED before
+         the join so only duplicated grams flow;
+      3. span merge: window functions partitioned by doc id — frame size
+         bounded by document length, not corpus size.
+    No cross product anywhere; no driver collects.
+
+    Determinism: digests are md5 of the space-joined window; span merge
+    is order-deterministic (positions are unique per doc) — the DuckDB
+    oracle replays the identical expressions.
+    """
+    from pyspark.sql import Window
+
+    words = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    n = F.size(words)
+    base = _spread(df.select(id_col, text_col)).select(
+        F.col(id_col), words.alias("__w"), n.alias("__n")
+    )
+    grams = base.where(F.col("__n") >= gram_words).select(
+        F.col(id_col),
+        F.col("__n"),
+        F.explode(F.sequence(F.lit(0), F.col("__n") - gram_words)).alias("pos"),
+        F.col("__w"),
+    ).select(
+        F.col(id_col),
+        F.col("pos"),
+        F.md5(
+            F.concat_ws(" ", F.slice(F.col("__w"), F.col("pos") + 1, gram_words))
+        ).alias("gram_key"),
+    )
+    dup_keys = (
+        grams.groupBy("gram_key")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .where(F.col("n_occ") >= 2)
+        .select("gram_key")
+    )
+    dup_pos = grams.join(dup_keys, "gram_key").select(
+        F.col(id_col),
+        F.col("pos").alias("start"),
+        (F.col("pos") + gram_words - 1).alias("end"),
+    )
+    w_prev = (
+        Window.partitionBy(id_col)
+        .orderBy("start")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy(id_col)
+        .orderBy("start")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    prev_end = F.max("end").over(w_prev)
+    new_island = F.when(
+        prev_end.isNull() | (F.col("start") > prev_end + 1), 1
+    ).otherwise(0)
+    islands = dup_pos.withColumn(
+        "island", F.sum(new_island).over(w_run)
+    )
+    spans = islands.groupBy(id_col, "island").agg(
+        F.min("start").alias("s"), F.max("end").alias("e")
+    )
+    per_doc = spans.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_dup_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).alias("dup_tokens"),
+        F.max(F.col("e") - F.col("s") + 1).alias("longest_span"),
+    )
+    totals = _spread(df.select(id_col, text_col)).select(
+        F.col(id_col), F.size(words).cast("long").alias("total_tokens")
+    )
+    return totals.join(per_doc, id_col, "left").select(
+        F.col(id_col),
+        F.col("total_tokens"),
+        F.coalesce(F.col("n_dup_spans"), F.lit(0)).cast("long").alias("n_dup_spans"),
+        F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("long").alias("dup_tokens"),
+        F.coalesce(F.col("longest_span"), F.lit(0)).cast("long").alias("longest_span"),
+        (
+            F.round(
+                F.coalesce(F.col("dup_tokens"), F.lit(0))
+                / F.greatest(F.col("total_tokens"), F.lit(1)),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("dup_fraction"),
+    )
+
+
 def cross_dedup_pairs(
     new_df: DataFrame,
     ref_df: DataFrame,
