@@ -1478,3 +1478,57 @@ def test_duplicate_spans_adjacent_windows_merge(spark):
     assert out[1]["n_dup_spans"] == 1 and out[1]["dup_tokens"] == 6
     assert out[2]["n_dup_spans"] == 2 and out[2]["dup_tokens"] == 6
     assert out[2]["longest_span"] == 3
+
+
+def test_tfidf_keywords_rare_term_outranks_common(spark):
+    """A corpus-wide stopword gets a lower TF-IDF score than a term
+    unique to the document; top-k and tie-breaks are deterministic."""
+    from whylogs_java_spark.operators.text import tfidf_keywords
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quark"),
+            (2, "the lepton"),
+            (3, "the boson"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = tfidf_keywords(corpus, "text", "doc_id", k=2).collect()
+    by_doc: dict = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for d, rows in by_doc.items():
+        assert [r["rank"] for r in sorted(rows, key=lambda r: r["rank"])] == [1, 2]
+    # equal tf (1/2 each): smooth idf (ln(4/2)+1 vs ln(4/4)+1) decides
+    top1 = {d: min(rows, key=lambda r: r["rank"])["term"] for d, rows in by_doc.items()}
+    assert top1 == {1: "quark", 2: "lepton", 3: "boson"}
+    # "the" appears in every doc -> doc_freq 3
+    the_rows = [r for r in out if r["term"] == "the"]
+    assert all(r["doc_freq"] == 3 for r in the_rows)
+
+
+def test_dsir_weights_target_vocab_scores_higher(spark):
+    """Documents made of target-slice vocabulary get a higher DSIR
+    log-ratio than documents made of raw-only vocabulary; weight =
+    exp(logratio)."""
+    import math
+
+    from whylogs_java_spark.operators.sampling import dsir_weights
+
+    rows = [(i, "alpha beta alpha beta", "en") for i in range(8)]
+    rows += [(100 + i, "zeta omega zeta omega", "xx") for i in range(8)]
+    rows += [(200, "alpha beta alpha beta", "xx"),  # target-like raw doc
+             (201, "zeta omega zeta omega", "xx")]
+    corpus = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    out = {
+        r["doc_id"]: r
+        for r in dsir_weights(
+            corpus, "text", "doc_id", F.col("lang") == "en", n_buckets=64
+        ).collect()
+    }
+    assert out[200]["dsir_logratio"] > out[201]["dsir_logratio"]
+    for r in out.values():
+        assert r["n_tokens"] == 4
+        assert abs(r["dsir_weight"] - round(math.exp(r["dsir_logratio"]), 6)) < 1e-9
+    # scores are a pure function of the doc's tokens: identical docs tie
+    assert out[0]["dsir_logratio"] == out[200]["dsir_logratio"]

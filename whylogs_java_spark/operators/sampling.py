@@ -262,3 +262,91 @@ def mixture_sample(
         .where(key < F.col("__thr"))
         .drop("__thr")
     )
+
+
+def dsir_weights(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    target_pred: Column,
+    n_buckets: int = 256,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al. 2023, DSIR):
+    score every document by how target-like its hashed-unigram
+    distribution is, using the log-likelihood ratio between the target
+    slice (rows where ``target_pred``) and the full raw corpus.
+
+    Features are hashed unigrams: bucket = md5-prefix(term) mod
+    ``n_buckets`` (the engine-portable hash family the sampler uses).
+    Per-bucket log-ratio with add-``alpha`` smoothing:
+
+        lr_b = ln((t_b + a) / (T + a·B)) − ln((r_b + a) / (R + a·B))
+
+    A document's score is the mean lr over its tokens. Output, one row
+    per document with ≥1 token:
+      (id, n_tokens, dsir_logratio, dsir_weight = exp(logratio))
+
+    Engine-determinism: each bucket's lr is rounded to 6 decimals and
+    scaled to an exact integer atom BEFORE the per-doc sum, so the
+    aggregation is order-free (the ``functions/metrics.py`` exact-sum
+    pattern) and DuckDB-oracle-checkable bit-for-bit.
+
+    Scale shape: one token explode (O(corpus tokens)); the bucket stats
+    table is B rows — aggregated with map-side combine, then broadcast
+    back to the token stream (a B-row broadcast hash join, no shuffle on
+    the token side beyond the final doc-keyed agg, which is skew-free by
+    id construction). Totals ride a ONE-ROW broadcast crossJoin, never a
+    collect. The raw 100 TB corpus is scanned twice (bucket census, doc
+    scoring); the census state is O(B), not O(vocab).
+    """
+    if n_buckets <= 0:
+        raise ValueError(f"n_buckets must be > 0, got {n_buckets}")
+    words = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda t: t != "")
+    toks = df.select(
+        F.col(id_col),
+        target_pred.alias("__is_t"),
+        F.explode(words).alias("__term"),
+    ).select(
+        F.col(id_col),
+        F.col("__is_t"),
+        (
+            F.conv(F.substring(F.md5(F.col("__term")), 1, 15), 16, 10)
+            .cast("long")
+            % n_buckets
+        ).alias("__bucket"),
+    )
+    stats = toks.groupBy("__bucket").agg(
+        F.sum(F.col("__is_t").cast("long")).alias("__t_b"),
+        F.count(F.lit(1)).alias("__r_b"),
+    )
+    tot = stats.agg(
+        F.sum("__t_b").alias("__T"), F.sum("__r_b").alias("__R")
+    )
+    a = float(alpha)
+    ab = a * n_buckets
+    lr = F.log(
+        (F.col("__t_b") + F.lit(a)) / (F.col("__T") + F.lit(ab))
+    ) - F.log((F.col("__r_b") + F.lit(a)) / (F.col("__R") + F.lit(ab)))
+    # exact integer atom: order-free per-doc summation
+    lr_i = F.floor(F.round(lr, 6) * 1_000_000 + F.lit(0.5)).cast("long")
+    lrs = stats.crossJoin(F.broadcast(tot)).select(
+        F.col("__bucket"), lr_i.alias("__lr_i")
+    )
+    agg = (
+        toks.join(F.broadcast(lrs), "__bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("__lr_i").alias("__s"),
+        )
+    )
+    logratio = F.round(
+        F.col("__s") / F.col("n_tokens") / F.lit(1_000_000.0), 6
+    ) + F.lit(0.0)
+    return agg.select(
+        F.col(id_col),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        logratio.alias("dsir_logratio"),
+        (F.round(F.exp(logratio), 6) + F.lit(0.0)).alias("dsir_weight"),
+    )

@@ -703,3 +703,70 @@ def chunk_documents(
             F.col("__c.chunk_text").alias("chunk_text"),
         )
     )
+
+
+def tfidf_keywords(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Per-document top-k keywords by smoothed TF-IDF — the corpus-level
+    term-salience signal a training pipeline uses for topic statistics,
+    near-dup triage, and dataset cards.
+
+    score = (term_count / doc_tokens) · (ln((N+1)/(doc_freq+1)) + 1),
+    rounded to 6 — sklearn's smooth-idf formulation. Top ``k`` terms per
+    document, ties broken by term (deterministic, oracle-checkable).
+
+    Output: (id, term, term_count, doc_tokens, doc_freq, score, rank).
+    Documents with zero tokens produce no rows.
+
+    Scale shape: the term explode is O(corpus tokens); tf and df are
+    hash-aggs with map-side combine; the doc-count scalar rides a
+    ONE-ROW broadcast crossJoin (never a collect); the vocabulary join
+    is an equi-join on the term (vocab is corpus-scale — broadcasting it
+    would be wrong); the per-doc top-k compiles to a rank window that
+    Spark's WindowGroupLimit prunes before the final filter.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("term")
+    )
+    tf = toks.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).alias("term_count")
+    )
+    doclen = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("doc_tokens"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
+    ndocs = doclen.agg(F.count(F.lit(1)).alias("__N"))
+    score = (
+        F.round(
+            (F.col("term_count") / F.col("doc_tokens"))
+            * (
+                F.log((F.col("__N") + 1) / (F.col("doc_freq") + 1))
+                + F.lit(1.0)
+            ),
+            6,
+        )
+        + F.lit(0.0)
+    )
+    scored = (
+        tf.join(doclen, id_col)
+        .join(dfreq, "term")
+        .crossJoin(F.broadcast(ndocs))
+        .select(
+            F.col(id_col),
+            F.col("term"),
+            F.col("term_count").cast("long").alias("term_count"),
+            F.col("doc_tokens").cast("long").alias("doc_tokens"),
+            F.col("doc_freq").cast("long").alias("doc_freq"),
+            score.alias("score"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("score"), F.asc("term")
+    )
+    return scored.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).where(F.col("rank") <= k)
