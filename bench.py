@@ -112,6 +112,9 @@ BENCH_QUERIES = [
     "bm25_documents",
     "corpus_overlap",
     "drift_embeddings_space",
+    "dedup_spans_documents",
+    "tfidf_documents",
+    "dsir_documents",
 ]
 
 

@@ -540,3 +540,20 @@ def test_r9_query_plan_guards(spark):
     p = plan_of("corpus_overlap")
     assert "CartesianProduct" not in p
     assert "BroadcastHashJoin" in p or "SortMergeJoin" in p
+    # duplicate spans: the gram census join is an EQUI-join on the gram
+    # digest; no nested loop anywhere (no one-row cross is needed)
+    p = plan_of("dedup_spans_documents")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    # tf-idf: vocabulary/doc-length equi-joins; top-k rides
+    # WindowGroupLimit; the only BNLJ is the one-row doc-count cross
+    p = plan_of("tfidf_documents")
+    assert "CartesianProduct" not in p
+    assert "WindowGroupLimit" in p
+    assert p.count("BroadcastNestedLoopJoin") <= 1
+    # DSIR: the B-row bucket table broadcasts back to the token stream;
+    # the only BNLJ is the one-row totals cross
+    p = plan_of("dsir_documents")
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p
+    assert p.count("BroadcastNestedLoopJoin") <= 1
