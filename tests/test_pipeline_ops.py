@@ -1532,3 +1532,40 @@ def test_dsir_weights_target_vocab_scores_higher(spark):
         assert abs(r["dsir_weight"] - round(math.exp(r["dsir_logratio"]), 6)) < 1e-9
     # scores are a pure function of the doc's tokens: identical docs tie
     assert out[0]["dsir_logratio"] == out[200]["dsir_logratio"]
+
+
+def test_knn_label_eval_majority_and_tiebreak(spark):
+    """Majority vote predicts the dominant neighbor label; a split vote
+    falls back to the best (lowest) neighbor rank."""
+    from whylogs_java_spark.operators.similarity import knn_label_eval
+
+    rows = [
+        (10, [1.0, 0.0], "a"),
+        (11, [0.99, 0.05], "a"),
+        (12, [0.98, 0.02], "a"),
+        (20, [0.0, 1.0], "b"),
+        (21, [0.05, 0.99], "b"),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string"
+    )
+    out = {
+        r["query_id"]: r
+        for r in knn_label_eval(
+            emb, query_pred=F.col("vec_id").isin([10, 20]), k=3
+        ).collect()
+    }
+    # query 10: neighbors 11,12 (a,a) + one b -> majority a, correct
+    assert out[10]["pred_label"] == "a" and out[10]["correct"]
+    assert out[10]["n_votes"] == 2
+    # query 20: neighbors 21 (b) + two a's -> majority a, WRONG
+    assert out[20]["pred_label"] == "a" and not out[20]["correct"]
+    # split-vote tie-break: k=2 for query 20 -> one b (rank 1), one a
+    # (rank 2): n_votes tie, best_rank picks b
+    out2 = {
+        r["query_id"]: r
+        for r in knn_label_eval(
+            emb, query_pred=F.col("vec_id") == 20, k=2
+        ).collect()
+    }
+    assert out2[20]["pred_label"] == "b" and out2[20]["correct"]

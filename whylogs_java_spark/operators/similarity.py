@@ -1123,3 +1123,84 @@ def lsh_bucket_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", (F.round("cosine", 6) + 0.0).alias("cosine"), "rank")
     )
+
+
+def knn_label_eval(
+    embeddings: DataFrame,
+    query_pred: Column,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Leave-one-out k-NN label evaluation — the similarity index used
+    for something: predict each query vector's label by majority vote of
+    its k cosine neighbors (self excluded) and compare to the true
+    label. The standard embedding-quality probe a training pipeline runs
+    after re-embedding a corpus.
+
+    ``query_pred`` selects the evaluation slice (must be broadcastable —
+    an eval set, not the corpus). Votes tie-break on (count desc, best
+    neighbor rank asc, label asc) — fully deterministic, so the whole
+    eval is DuckDB-oracle-checkable.
+
+    Output, one row per query vector: (query_id, true_label, pred_label,
+    n_votes, correct).
+
+    Scale shape: the eval side broadcasts against the corpus scan (the
+    same brute-force tier as ``cosine_topk_exact``; swap in the IVF/LSH
+    candidates for web-scale eval sets); neighbor labels attach via an
+    id equi-join; the vote and argmax are two bounded aggregations keyed
+    by query_id (≤ k rows each after WindowGroupLimit).
+    """
+    from pyspark.sql import Window
+
+    target = embeddings.sparkSession.sparkContext.defaultParallelism
+    if embeddings.rdd.getNumPartitions() < target:
+        embeddings = embeddings.repartition(target)
+    vecd = _as_double(F.col(vec_col))
+    vecs = embeddings.select(
+        F.col(id_col), F.col(label_col), vecd.alias("__v"), norm(vecd).alias("__n")
+    ).where(F.col("__n") > 0)
+    q = vecs.where(query_pred).select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("true_label"),
+        F.col("__v").alias("qv"),
+        F.col("__n").alias("qn"),
+    )
+    sim = (
+        vecs.join(F.broadcast(q), F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            "true_label",
+            F.col(id_col).alias("neighbor_id"),
+            F.col(label_col).alias("nbr_label"),
+            (dot(F.col("__v"), F.col("qv")) / (F.col("__n") * F.col("qn"))).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    topk = sim.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )
+    votes = topk.groupBy("query_id", "true_label", "nbr_label").agg(
+        F.count(F.lit(1)).alias("n_votes"),
+        F.min("rank").alias("__best_rank"),
+    )
+    wv = Window.partitionBy("query_id").orderBy(
+        F.desc("n_votes"), F.asc("__best_rank"), F.asc("nbr_label")
+    )
+    return (
+        votes.withColumn("__vr", F.row_number().over(wv))
+        .where(F.col("__vr") == 1)
+        .select(
+            F.col("query_id"),
+            F.col("true_label"),
+            F.col("nbr_label").alias("pred_label"),
+            F.col("n_votes").cast("long").alias("n_votes"),
+            (F.col("nbr_label") == F.col("true_label")).alias("correct"),
+        )
+    )
