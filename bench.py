@@ -115,6 +115,7 @@ BENCH_QUERIES = [
     "dedup_spans_documents",
     "tfidf_documents",
     "dsir_documents",
+    "knn_eval_embeddings",
 ]
 
 

@@ -1569,3 +1569,40 @@ def test_knn_label_eval_majority_and_tiebreak(spark):
         ).collect()
     }
     assert out2[20]["pred_label"] == "b" and out2[20]["correct"]
+
+
+def test_ivf_stored_index_matches_in_memory_tier(spark, tmp_path):
+    """build_ivf_index + ivf_topk_stored reproduces ivf_topk_exact
+    bit-for-bit (same centroid sample, same probes, same exact
+    cosines); the stored lists are partitioned by centroid_id."""
+    import os
+
+    from whylogs_java_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_topk_exact,
+        ivf_topk_stored,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    path = str(tmp_path / "ivf")
+    build_ivf_index(emb, path, n_centroids=8)
+    assert any(
+        d.startswith("centroid_id=") for d in os.listdir(f"{path}/lists")
+    )
+    qids = [0, 1, 2, 3, 4]
+    queries = emb.where(F.col("vec_id").isin(qids))
+    got = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+        for r in ivf_topk_stored(
+            spark, path, queries, k=5, nprobe=3
+        ).collect()
+    }
+    want = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+        for r in ivf_topk_exact(
+            emb, qids, k=5, nprobe=3, n_centroids=8
+        ).collect()
+    }
+    assert got == want and len(got) > 0

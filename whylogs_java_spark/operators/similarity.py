@@ -349,31 +349,8 @@ def ivf_topk_exact(
     """
     from pyspark.sql import Window
 
-    target = embeddings.sparkSession.sparkContext.defaultParallelism
-    if embeddings.rdd.getNumPartitions() < target:
-        embeddings = embeddings.repartition(target)
-    vecd = _as_double(F.col(vec_col))
-    vecs = embeddings.select(
-        F.col(id_col), vecd.alias("__v"), norm(vecd).alias("__n")
-    ).where(F.col("__n") > 0)  # zero-norm: no defined cosine, never a neighbor
-    cent = (
-        embeddings.select(
-            F.col(id_col).alias("centroid_id"),
-            F.md5(F.col(id_col).cast("string")).alias("__h"),
-        )
-        .orderBy("__h")
-        .limit(n_centroids)
-        .drop("__h")
-    )
-    cvecs = vecs.join(
-        F.broadcast(cent), vecs[id_col] == cent["centroid_id"]
-    ).select("centroid_id", F.col("__v").alias("cv"), F.col("__n").alias("cn"))
-    ccos = dot(F.col("__v"), F.col("cv")) / (F.col("__n") * F.col("cn"))
-    w = Window.partitionBy(id_col).orderBy(F.desc("ccos"), F.asc("centroid_id"))
-    ranked = (
-        vecs.crossJoin(F.broadcast(cvecs))
-        .select(id_col, "centroid_id", ccos.alias("ccos"))
-        .withColumn("crk", F.row_number().over(w))
+    vecs, cvecs, ranked = _ivf_structures(
+        embeddings, n_centroids, id_col, vec_col
     )
     lists = ranked.where(F.col("crk") == 1).select(
         F.col(id_col).alias("neighbor_id"), "centroid_id"
@@ -1202,5 +1179,151 @@ def knn_label_eval(
             F.col("nbr_label").alias("pred_label"),
             F.col("n_votes").cast("long").alias("n_votes"),
             (F.col("nbr_label") == F.col("true_label")).alias("correct"),
+        )
+    )
+
+
+def _ivf_structures(
+    embeddings: DataFrame,
+    n_centroids: int,
+    id_col: str,
+    vec_col: str,
+):
+    """(vecs, cvecs, ranked) — the shared md5-rank centroid selection and
+    centroid-rank fan-out behind ``ivf_topk_exact`` and the persisted
+    index builder. ``ranked`` carries (id, centroid_id, ccos, crk)."""
+    from pyspark.sql import Window
+
+    target = embeddings.sparkSession.sparkContext.defaultParallelism
+    if embeddings.rdd.getNumPartitions() < target:
+        embeddings = embeddings.repartition(target)
+    vecd = _as_double(F.col(vec_col))
+    vecs = embeddings.select(
+        F.col(id_col), vecd.alias("__v"), norm(vecd).alias("__n")
+    ).where(F.col("__n") > 0)
+    cent = (
+        embeddings.select(
+            F.col(id_col).alias("centroid_id"),
+            F.md5(F.col(id_col).cast("string")).alias("__h"),
+        )
+        .orderBy("__h")
+        .limit(n_centroids)
+        .drop("__h")
+    )
+    cvecs = vecs.join(
+        F.broadcast(cent), vecs[id_col] == cent["centroid_id"]
+    ).select("centroid_id", F.col("__v").alias("cv"), F.col("__n").alias("cn"))
+    ccos = dot(F.col("__v"), F.col("cv")) / (F.col("__n") * F.col("cn"))
+    w = Window.partitionBy(id_col).orderBy(F.desc("ccos"), F.asc("centroid_id"))
+    ranked = (
+        vecs.crossJoin(F.broadcast(cvecs))
+        .select(id_col, "centroid_id", ccos.alias("ccos"))
+        .withColumn("crk", F.row_number().over(w))
+    )
+    return vecs, cvecs, ranked
+
+
+def build_ivf_index(
+    embeddings: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist an IVF index: build once, query many — the index-store
+    face of the ANN family. Writes two parquet tables under ``path``:
+
+    - ``{path}/centroids``: (centroid_id, cv, cn) — n_centroids rows,
+      broadcast at query time;
+    - ``{path}/lists``: (id, centroid_id, v, n) — the inverted lists,
+      PARTITIONED BY centroid_id so a probe reads only its lists'
+      files (partition pruning at the scan — at 100 TB a 4-probe query
+      touches 4/n_centroids of the index bytes, not all of them).
+
+    Same deterministic construction as ``ivf_topk_exact`` (md5-rank
+    centroid sample, strict-fold cosines, (ccos DESC, id ASC) argmin),
+    so stored-index queries reproduce the in-memory tier bit-for-bit
+    (pinned by test).
+    """
+    vecs, cvecs, ranked = _ivf_structures(
+        embeddings, n_centroids, id_col, vec_col
+    )
+    lists = ranked.where(F.col("crk") == 1).select(id_col, "centroid_id").join(
+        vecs, id_col
+    )
+    cvecs.write.mode("overwrite").parquet(f"{path}/centroids")
+    (
+        lists.select(
+            F.col(id_col),
+            F.col("centroid_id"),
+            F.col("__v").alias("v"),
+            F.col("__n").alias("n"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(f"{path}/lists")
+    )
+
+
+def ivf_topk_stored(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Query a persisted IVF index (``build_ivf_index``) with a NEW
+    query set — no assignment recomputation, no scan of the raw corpus.
+
+    ``queries`` is (id, vector); the query side is broadcast. The probe
+    filter is a centroid_id IN-list shape after ranking against the
+    broadcast centroid table, so Spark prunes the partitioned list
+    files; candidate scoring is exact on the stored doubles. Self-matches
+    (query id present in the index) are excluded.
+    Output: (query_id, neighbor_id, cosine, rank).
+    """
+    from pyspark.sql import Window
+
+    cvecs = spark.read.parquet(f"{path}/centroids")
+    lists = spark.read.parquet(f"{path}/lists")
+    qd = _as_double(F.col(vec_col))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), qd.alias("qv"), norm(qd).alias("qn")
+    ).where(F.col("qn") > 0)
+    ccos = dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc("ccos"), F.asc("centroid_id")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cvecs))
+        .select("query_id", "qv", "qn", "centroid_id", ccos.alias("ccos"))
+        .withColumn("crk", F.row_number().over(wq))
+        .where(F.col("crk") <= nprobe)
+        .select("query_id", "qv", "qn", "centroid_id")
+    )
+    sim = (
+        lists.join(F.broadcast(probes), "centroid_id")
+        .where(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            (dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("n"))).alias(
+                "cosine"
+            ),
+        )
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        sim.withColumn("rank", F.row_number().over(wk))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            (F.round("cosine", 6) + 0.0).alias("cosine"),
+            "rank",
         )
     )
