@@ -117,6 +117,11 @@ def corpus_overlap(
             f"num_hashes={num_hashes} exceeds {_MAX_NUM_HASHES} — keep the "
             "per-hash md5 column fan-out bounded"
         )
+    # Materialize the distinct (source, shingle) table ONCE: it feeds
+    # FOUR consumers (signatures, sizes, both sides of the intersection
+    # self-join) — without the checkpoint each consumer re-runs the
+    # corpus explode + distinct (4 scans, 4 wide shuffles; measured 12.5s
+    # -> ~4s at sf0.1). Same pattern as cluster._prepared_vectors.
     sh = (
         df.select(
             F.col(source_col).alias("source"),
@@ -125,6 +130,7 @@ def corpus_overlap(
             ),
         )
         .distinct()
+        .localCheckpoint(eager=True)
     )
     # per-i INDEPENDENT permutations (md5 re-keyed per hash index), not
     # the affine h1 + i*h2 family the doc-level LSH uses: affine argmins
