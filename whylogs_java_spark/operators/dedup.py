@@ -817,9 +817,21 @@ def resolve_clusters(
     ).unionByName(
         pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
     )
-    labels = nodes.select(
-        F.col(id_col).alias("id"), F.col(id_col).alias("label")
+    # Iterate over PAIR-ENDPOINT nodes only, never the corpus: an
+    # isolated node's label cannot change, so carrying all N corpus rows
+    # through every propagation round is pure shuffle waste — at 100 TB
+    # the per-round tables must be bounded by 2·|pairs| (dup graphs are
+    # a small fraction of the corpus), not by N. The left_semi seed also
+    # keeps ghost endpoints (pairs whose id is absent from ``nodes``)
+    # out of the label table — never seeded, never relayed — preserving
+    # the documented label-engine ghost semantics. Isolated nodes rejoin
+    # as their own singleton survivors in the final projection.
+    touched = nodes.select(F.col(id_col).alias("id")).join(
+        edges.select(F.col("src").alias("id")).distinct(),
+        on="id",
+        how="left_semi",
     )
+    labels = touched.select("id", F.col("id").alias("label"))
     rounds = 0
     for _ in range(max_iters):
         rounds += 1
@@ -844,10 +856,14 @@ def resolve_clusters(
             break
     if stats is not None:
         stats["rounds"] = rounds
-    return labels.select(
-        F.col("id").alias(id_col),
-        F.col("label").alias("cluster_id"),
-        (F.col("label") == F.col("id")).alias("is_survivor"),
+    return (
+        nodes.select(F.col(id_col).alias("id"))
+        .join(labels, on="id", how="left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("label", "id").alias("cluster_id"),
+            (F.coalesce("label", "id") == F.col("id")).alias("is_survivor"),
+        )
     )
 
 
