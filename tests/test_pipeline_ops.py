@@ -1606,3 +1606,29 @@ def test_ivf_stored_index_matches_in_memory_tier(spark, tmp_path):
         ).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_pii_redact_order_and_counts(spark):
+    """Email redacts before phone so an address's digits never
+    double-match; counts audit the placeholders actually written."""
+    from whylogs_java_spark.operators.text import pii_redact
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@corp.example.org now"),
+            (2, "call +1 (555) 123-4567 or ping 10.1.2.3"),
+            (3, "clean text only"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in pii_redact(docs, "text", "doc_id").collect()}
+    assert out[1]["redacted_text"] == "mail <EMAIL> now"
+    assert out[1]["n_redactions"] == 1
+    assert out[2]["redacted_text"] == "call <PHONE> or ping <IPV4>"
+    assert out[2]["n_redactions"] == 2
+    assert out[3]["redacted_text"] == "clean text only"
+    assert out[3]["n_redactions"] == 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        pii_redact(docs, "text", "doc_id", kinds=("email", "bogus"))

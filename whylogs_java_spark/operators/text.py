@@ -770,3 +770,42 @@ def tfidf_keywords(
     return scored.withColumn(
         "rank", F.row_number().over(w).cast("long")
     ).where(F.col("rank") <= k)
+
+
+def pii_redact(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    kinds: tuple[str, ...] = ("email", "ipv4", "phone"),
+) -> DataFrame:
+    """Redact PII surfaces in place — the write-side twin of
+    :func:`pii_scan`: each matched span is replaced by a typed
+    placeholder (``<EMAIL>``, ``<IPV4>``, ``<PHONE>``), in the fixed
+    ``kinds`` order so overlapping patterns resolve deterministically
+    (an email's digits are consumed by ``<EMAIL>`` before the phone
+    pass can see them).
+
+    Output: (id, redacted_text, n_redactions) — ``n_redactions`` counts
+    the placeholders actually written. Pure projection: chained
+    ``regexp_replace`` inside the scan stage, no shuffle, no UDF; the
+    same RE2-compatible dialect as ``pii_scan`` keeps the DuckDB oracle
+    verbatim.
+    """
+    unknown = [k for k in kinds if k not in PII_PATTERNS]
+    if unknown:
+        raise ValueError(f"unknown PII kinds {unknown}; use {list(PII_PATTERNS)}")
+    out = F.col(text_col)
+    for k in kinds:
+        out = F.regexp_replace(out, PII_PATTERNS[k], f"<{k.upper()}>")
+    n = sum(
+        (
+            F.size(F.regexp_extract_all(out, F.lit(f"<{k.upper()}>"), 0))
+            for k in kinds
+        ),
+        start=F.lit(0),
+    )
+    return df.select(
+        F.col(id_col),
+        out.alias("redacted_text"),
+        n.cast("long").alias("n_redactions"),
+    )
