@@ -116,6 +116,7 @@ BENCH_QUERIES = [
     "tfidf_documents",
     "dsir_documents",
     "knn_eval_embeddings",
+    "pii_redact_documents",
 ]
 
 
