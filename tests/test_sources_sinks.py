@@ -871,3 +871,55 @@ def test_asof_join_stream_tolerance_and_null_keys(spark, tmp_path):
     assert by_tag["x"]["px_r"] == 20.0
     # NULL-key rows are dropped (documented deviation from batch)
     assert "nullkey" not in by_tag
+
+
+def test_export_training_shards_roundtrip_and_determinism(spark, tmp_path):
+    """Shard export writes one partition dir per shard, the manifest
+    matches the data read-back exactly, every doc lands exactly once,
+    and re-running reproduces identical assignments."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from whylogs_java_spark.sources.shards import (
+        assign_shards,
+        export_training_shards,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text", F.greatest(F.lit(1), F.col("n_chars") / 5).cast("long").alias("toks")
+    )
+    path = str(tmp_path / "shards")
+    man = {
+        r["shard"]: (r["n_docs"], r["n_tokens"])
+        for r in export_training_shards(
+            docs, path, "doc_id", "toks", target_tokens_per_shard=2000
+        ).collect()
+    }
+    assert len(man) >= 2
+    shard_dirs = [d for d in os.listdir(f"{path}/data") if d.startswith("shard=")]
+    assert len(shard_dirs) == len(man)
+    back = spark.read.parquet(f"{path}/data")
+    got = {
+        r["shard"]: (r["n_docs"], r["n_tokens"])
+        for r in back.groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("toks").alias("n_tokens"))
+        .collect()
+    }
+    assert got == man
+    assert back.count() == docs.count()
+    assert back.select("doc_id").distinct().count() == docs.count()
+    # determinism: same (id, salt) -> same shard on a re-run
+    a = {r["doc_id"]: r["shard"] for r in assign_shards(
+        docs, "doc_id", "toks", target_tokens_per_shard=2000
+    ).collect()}
+    b = {r["doc_id"]: r["shard"] for r in assign_shards(
+        docs, "doc_id", "toks", target_tokens_per_shard=2000
+    ).collect()}
+    assert a == b
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        assign_shards(docs, "doc_id", "toks")
+    with _pytest.raises(ValueError):
+        assign_shards(docs, "doc_id", "toks", n_shards=4, target_tokens_per_shard=10)
