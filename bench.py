@@ -117,6 +117,7 @@ BENCH_QUERIES = [
     "dsir_documents",
     "knn_eval_embeddings",
     "pii_redact_documents",
+    "profile_events_compacted",
 ]
 
 

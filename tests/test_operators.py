@@ -1251,3 +1251,33 @@ def test_simhash_pairs_pigeonhole_complete(spark):
         if d <= 4:
             want[(i, j)] = d
     assert got == want and len(want) > 0
+
+
+def test_compact_profile_atoms_equals_direct_daily(spark):
+    """Rollup algebra: hourly atoms re-bucketed to day and re-merged
+    must equal the directly computed daily profile bit-for-bit."""
+    from whylogs_java_spark.operators.profile import (
+        compact_profile_atoms,
+        finalize_profile,
+        profile,
+        profile_atoms,
+    )
+    from whylogs_java_spark.sources.parquet import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    hourly = profile_atoms(
+        ev, group_by=["event_type"], time_column="ts", time_granularity="hour"
+    )
+    keys = ["event_type", "dataset_timestamp"]
+    rolled = sorted(
+        map(tuple, finalize_profile(
+            compact_profile_atoms(hourly, keys, "day"), keys
+        ).collect())
+    )
+    direct = sorted(
+        map(tuple, profile(
+            ev, group_by=["event_type"], time_column="ts",
+            time_granularity="day",
+        ).collect())
+    )
+    assert rolled == direct and len(rolled) > 0

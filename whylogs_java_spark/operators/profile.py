@@ -208,3 +208,36 @@ def merge_profile_atoms(atoms: DataFrame, key_names: Sequence[str]) -> DataFrame
     # the canonical atom schema so merged output unions cleanly with fresh atoms
     casts = [F.col(f).cast(t).alias(f) for f, t in ATOM_METRICS]
     return merged.select(*key_names, "column_name", *casts)
+
+
+def compact_profile_atoms(
+    atoms: DataFrame,
+    key_names: Sequence[str],
+    to_granularity: str,
+    time_key: str = "dataset_timestamp",
+) -> DataFrame:
+    """Profile-store compaction: re-bucket stored atoms to a coarser
+    time grain and re-merge — the rollup a long-lived store runs so a
+    year of hourly profiles compacts to daily/weekly rows without ever
+    touching raw data.
+
+    Exactness is the merge algebra's (``merge_profile_atoms``: counts
+    add, extremes min/max, exact sums add), so
+    ``compact(hourly atoms → day) == profile(raw, granularity='day')``
+    bit-for-bit — pinned by the `profile_events_compacted` oracle, which
+    derives the daily answer independently from raw data. Cost is one
+    hash-aggregate over the STORE (O(buckets × keys × columns) rows),
+    never a raw-data scan.
+
+    ``key_names`` are the final keys INCLUDING ``time_key``; the grain
+    cast mirrors `plans.spark_sql.build_atoms_sql` (date grains become
+    DATE) so compacted output unions/compares cleanly with directly
+    profiled atoms.
+    """
+    from ..plans.spark_sql import _DATE_GRAINS
+
+    b = F.date_trunc(to_granularity, F.col(time_key))
+    if to_granularity in _DATE_GRAINS:
+        b = b.cast("date")
+    coarse = atoms.withColumn(time_key, b)
+    return merge_profile_atoms(coarse, list(key_names))
