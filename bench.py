@@ -118,6 +118,7 @@ BENCH_QUERIES = [
     "knn_eval_embeddings",
     "pii_redact_documents",
     "profile_events_compacted",
+    "similarity_pq",
 ]
 
 

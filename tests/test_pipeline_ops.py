@@ -1632,3 +1632,71 @@ def test_pii_redact_order_and_counts(spark):
 
     with _pytest.raises(ValueError):
         pii_redact(docs, "text", "doc_id", kinds=("email", "bogus"))
+
+
+def test_pq_topk_recall_vs_brute_force(spark):
+    """Flat PQ with exact refine: every refined cosine must equal the
+    true cosine, and recall@10 against brute force stays above the
+    sampled-codebook floor on the real embedding table."""
+    from whylogs_java_spark.operators.similarity import (
+        cosine_topk_exact,
+        pq_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    qids = [0, 1, 2, 3, 4]
+    got = pq_topk(emb, qids, k=10, m=4, codebook_k=16, rerank=30).collect()
+    true = cosine_topk_exact(emb, qids, k=10).collect()
+    true_cos = {(r["query_id"], r["neighbor_id"]): r["cosine"] for r in true}
+    exact_all = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in cosine_topk_exact(emb, qids, k=10**6).collect()
+    }
+    for r in got:
+        # refined scores are EXACT cosines (rerank only affects the cut)
+        assert exact_all[(r["query_id"], r["neighbor_id"])] == r["cosine"]
+    # the synthetic embedding table is pure noise (kNN label accuracy ==
+    # chance), so 16-bit codes can't fully order 500 near-tied cosines —
+    # the honest floor here is "well above the random baseline k/n"
+    hits = sum(1 for r in got if (r["query_id"], r["neighbor_id"]) in true_cos)
+    assert hits / len(true) >= 3 * 10 / 499, f"recall {hits}/{len(true)}"
+    # m must divide the dimensionality
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        pq_topk(emb, qids, m=7)
+
+
+def test_pq_topk_high_recall_on_clustered_data(spark):
+    """On data with real cluster structure (the regime PQ is built for)
+    the sampled codebooks separate clusters and recall@5 is high."""
+    import math
+
+    from whylogs_java_spark.operators.similarity import (
+        cosine_topk_exact,
+        pq_topk,
+    )
+
+    # 5 well-separated direction clusters in 8-d, 20 members each, with
+    # small deterministic within-cluster jitter
+    rows = []
+    for c in range(5):
+        base = [0.0] * 8
+        base[c] = 1.0
+        base[(c + 3) % 8] = 0.5
+        for i in range(20):
+            jit = [
+                b + 0.01 * math.sin(7 * c + 3 * i + d) for d, b in enumerate(base)
+            ]
+            rows.append((c * 100 + i, jit))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qids = [0, 100, 200, 300, 400]
+    got = pq_topk(emb, qids, k=5, m=4, codebook_k=8, rerank=15).collect()
+    true = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk_exact(emb, qids, k=5).collect()
+    }
+    hits = sum(1 for r in got if (r["query_id"], r["neighbor_id"]) in true)
+    assert hits / len(true) >= 0.8, f"recall {hits}/{len(true)}"

@@ -1327,3 +1327,170 @@ def ivf_topk_stored(
             "rank",
         )
     )
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    m: int = 4,
+    codebook_k: int = 16,
+    rerank: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. 2011) — the flat-PQ
+    memory tier: dims split into ``m`` subspaces, each sub-vector coded
+    as the nearest of ``codebook_k`` sampled sub-centroids, so a row
+    costs m small ints instead of D doubles; queries score the WHOLE
+    corpus by asymmetric distance (per-subspace dot-product lookup
+    tables, no per-row float math beyond m table lookups) and only the
+    ``rerank`` best survivors are re-scored exactly on doubles.
+
+    Codebooks are the md5-rank-smallest ``codebook_k`` vectors' slices —
+    the same deterministic sampled-centroid construction the IVF tier
+    uses (`ivf_topk_exact`; trained Lloyd codebooks drop in via
+    `cluster.kmeans_assign` when recall demands it, at the cost of the
+    oracle replay). Everything is engine-deterministic: strict-fold
+    distances, argmin ties to the lowest code, (rounded ADC DESC, id)
+    rerank cut, exact-refine final ranking — fully DuckDB-checkable.
+
+    Output: (query_id, neighbor_id, cosine, rank) — cosine is the EXACT
+    double cosine of survivors.
+
+    Scale shape: the code table is the only corpus-wide intermediate
+    (m bytes + a norm per row — the 100 TB index fits where doubles
+    never could); encoding is one scan with m·codebook_k literal folds;
+    ADC is a crossJoin against the BROADCAST query side whose per-row
+    work is m element_at lookups; exact refine touches O(queries ×
+    rerank) rows via an id equi-join.
+    """
+    from pyspark.sql import Window
+
+    from .cluster import _sq_l2
+
+    if rerank is None:
+        rerank = 3 * k
+    target = embeddings.sparkSession.sparkContext.defaultParallelism
+    if embeddings.rdd.getNumPartitions() < target:
+        embeddings = embeddings.repartition(target)
+    vecd = _as_double(F.col(vec_col))
+    vecs = embeddings.select(
+        F.col(id_col), vecd.alias("__v"), norm(vecd).alias("__n")
+    ).where(F.col("__n") > 0)
+    # three consumers (codebook sample, encode scan, exact refine):
+    # materialize the prepared vectors once
+    vecs = vecs.localCheckpoint(eager=True)
+    seeds = (
+        vecs.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(codebook_k)
+        .collect()
+    )
+    if not seeds:
+        return vecs.select(
+            F.col(id_col).alias("query_id"),
+            F.col(id_col).alias("neighbor_id"),
+            F.lit(0.0).alias("cosine"),
+            F.lit(0).alias("rank"),
+        ).where(F.lit(False))
+    dim = len(seeds[0]["__v"])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    codebooks = [
+        [[float(x) for x in s["__v"][j * sub : (j + 1) * sub]] for s in seeds]
+        for j in range(m)
+    ]
+    # python left-to-right sums mirror the engines' strict folds exactly
+    rn2 = [[sum((x * x for x in c), 0.0) for c in cb] for cb in codebooks]
+
+    def code_expr(j):
+        sl = F.slice(F.col("__v"), j * sub + 1, sub)
+        darr = F.array(*[_sq_l2(sl, c) for c in codebooks[j]])
+        pairs = F.zip_with(
+            darr,
+            F.sequence(F.lit(0), F.lit(codebook_k - 1)),
+            lambda d, i: F.struct(d.alias("d"), i.alias("i")),
+        )
+        best = F.aggregate(
+            pairs,
+            F.struct(F.lit(float("inf")).alias("d"), F.lit(-1).alias("i")),
+            lambda acc, x: F.when(x["d"] < acc["d"], x).otherwise(acc),
+        )
+        return best["i"]
+
+    coded = vecs.select(
+        F.col(id_col),
+        *[code_expr(j).alias(f"code_{j}") for j in range(m)],
+    )
+    q = vecs.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        F.col("__v").alias("qv"),
+        F.col("__n").alias("qn"),
+        *[
+            F.array(
+                *[
+                    dot(
+                        F.slice(F.col("__v"), j * sub + 1, sub),
+                        F.array(*[F.lit(x) for x in c]),
+                    )
+                    for c in codebooks[j]
+                ]
+            ).alias(f"dt_{j}")
+            for j in range(m)
+        ],
+    )
+    score = F.element_at(F.col("dt_0"), F.col("code_0") + 1)
+    rn2_e = F.element_at(
+        F.array(*[F.lit(x) for x in rn2[0]]), F.col("code_0") + 1
+    )
+    for j in range(1, m):
+        score = score + F.element_at(F.col(f"dt_{j}"), F.col(f"code_{j}") + 1)
+        rn2_e = rn2_e + F.element_at(
+            F.array(*[F.lit(x) for x in rn2[j]]), F.col(f"code_{j}") + 1
+        )
+    adc = F.try_divide(score, F.col("qn") * F.sqrt(rn2_e))
+    cand = (
+        coded.crossJoin(F.broadcast(q))
+        .where(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            (F.round(adc, 6) + F.lit(0.0)).alias("__adc"),
+            "qv",
+            "qn",
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.desc_nulls_last("__adc"), F.asc("neighbor_id")
+    )
+    survivors = cand.withColumn("__rr", F.row_number().over(wr)).where(
+        F.col("__rr") <= rerank
+    )
+    refined = survivors.join(
+        vecs.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col("__v").alias("nv"),
+            F.col("__n").alias("nn"),
+        ),
+        "neighbor_id",
+    ).select(
+        "query_id",
+        "neighbor_id",
+        (dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn"))).alias(
+            "cosine"
+        ),
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        refined.withColumn("rank", F.row_number().over(wk))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            (F.round("cosine", 6) + 0.0).alias("cosine"),
+            "rank",
+        )
+    )
