@@ -557,3 +557,23 @@ def test_r9_query_plan_guards(spark):
     assert "CartesianProduct" not in p
     assert "BroadcastHashJoin" in p
     assert p.count("BroadcastNestedLoopJoin") <= 1
+    # flat PQ: the checkpointed vector table (ExistingRDD) is the only
+    # corpus input — zero raw re-scans; the single BNLJ is the ADC scan
+    # against the BROADCAST bounded query side; rerank cut and final
+    # top-k both ride WindowGroupLimit
+    p = plan_of("similarity_pq")
+    assert "CartesianProduct" not in p
+    assert p.count("BroadcastNestedLoopJoin") == 1
+    assert "ExistingRDD" in p and p.count("Scan parquet") == 0
+    assert "WindowGroupLimit" in p
+    # k-NN eval: the only BNLJ is the broadcast bounded eval slice;
+    # neighbor labels attach by equi-join; top-k is WindowGroupLimit
+    p = plan_of("knn_eval_embeddings")
+    assert "CartesianProduct" not in p
+    assert p.count("BroadcastNestedLoopJoin") <= 1
+    assert "WindowGroupLimit" in p
+    # store compaction: ONE raw scan builds the hourly atoms; the
+    # rollup itself is a pure hash-agg (no join, no second scan)
+    p = plan_of("profile_events_compacted")
+    assert p.count("Scan parquet") == 1
+    assert "Join" not in p
