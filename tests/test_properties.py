@@ -318,3 +318,65 @@ def test_jaccard_verify_matches_python_sets(spark, docs):
         gi, ga, gb, gj = got[(i, j)]
         assert (gi, ga, gb) == (inter, len(sets[i]), len(sets[j]))
         assert gj == pytest.approx(round(inter / union, 6), abs=5e-7)
+
+
+_span_corpora = st.lists(
+    st.lists(
+        st.sampled_from(["a", "b", "c", "d", "e"]), min_size=0, max_size=14
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+def _spans_reference(docs: dict, gram: int):
+    """Pure-python reference for duplicate_spans: census of overlapping
+    gram tuples, duplicated positions, merged token-contiguous islands."""
+    from collections import Counter
+
+    census: Counter = Counter()
+    for words in docs.values():
+        for i in range(len(words) - gram + 1):
+            census[tuple(words[i : i + gram])] += 1
+    out = {}
+    for did, words in docs.items():
+        ivals = [
+            (i, i + gram - 1)
+            for i in range(len(words) - gram + 1)
+            if census[tuple(words[i : i + gram])] >= 2
+        ]
+        spans = []
+        for s, e in ivals:
+            if spans and s <= spans[-1][1] + 1:
+                spans[-1] = (spans[-1][0], max(spans[-1][1], e))
+            else:
+                spans.append((s, e))
+        dup = sum(e - s + 1 for s, e in spans)
+        out[did] = (
+            len(words),
+            len(spans),
+            dup,
+            max((e - s + 1 for s, e in spans), default=0),
+        )
+    return out
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_span_corpora)
+def test_duplicate_spans_matches_reference(spark, corpora):
+    from whylogs_java_spark.operators.dedup import duplicate_spans
+
+    docs = {i: words for i, words in enumerate(corpora)}
+    df = spark.createDataFrame(
+        [(i, " ".join(w)) for i, w in docs.items()], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (
+            r["total_tokens"],
+            r["n_dup_spans"],
+            r["dup_tokens"],
+            r["longest_span"],
+        )
+        for r in duplicate_spans(df, "text", "doc_id", gram_words=3).collect()
+    }
+    assert got == _spans_reference(docs, 3)
