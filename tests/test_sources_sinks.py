@@ -923,3 +923,50 @@ def test_export_training_shards_roundtrip_and_determinism(spark, tmp_path):
         assign_shards(docs, "doc_id", "toks")
     with _pytest.raises(ValueError):
         assign_shards(docs, "doc_id", "toks", n_shards=4, target_tokens_per_shard=10)
+
+
+def test_cli_redact_and_shards_subcommands(spark, tmp_path, monkeypatch, capsys):
+    import pytest as _pytest
+
+    import whylogs_java_spark.__main__ as cli
+    import whylogs_java_spark.session as sess
+
+    monkeypatch.setattr(sess, "get_spark", lambda *a, **k: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [
+            (1, "mail me at bob@example.com", 5),
+            (2, "nothing here", 2),
+            (3, "ip 10.0.0.1 seen", 3),
+        ],
+        "doc_id long, text string, toks long",
+    ).write.parquet(src)
+
+    out = str(tmp_path / "red_out")
+    rc = cli.main([
+        "redact", src, "-o", out, "--id-col", "doc_id", "--text-col", "text",
+    ])
+    assert rc == 0
+    red = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+    assert "<EMAIL>" in red[1]["redacted_text"]
+    assert "<IPV4>" in red[3]["redacted_text"]
+    assert red[2]["n_redactions"] == 0
+    with _pytest.raises(SystemExit):
+        cli.main(["redact", src, "-o", out, "--id-col", "doc_id",
+                  "--text-col", "text", "--kinds", "email,bogus"])
+
+    sh = str(tmp_path / "shards_out")
+    rc = cli.main([
+        "shards", src, "-o", sh, "--id-col", "doc_id",
+        "--token-col", "toks", "--n-shards", "2",
+    ])
+    assert rc == 0
+    printed = capsys.readouterr().out
+    assert "wrote 2 shard(s)" in printed or "wrote 1 shard(s)" in printed
+    back = spark.read.parquet(f"{sh}/data")
+    assert back.count() == 3
+    with _pytest.raises(SystemExit):
+        cli.main(["shards", src, "-o", sh, "--id-col", "doc_id",
+                  "--token-col", "toks"])

@@ -52,7 +52,9 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
-SUBCOMMANDS = ("dedup", "drift", "constraints", "monitor", "view")
+SUBCOMMANDS = (
+    "dedup", "drift", "constraints", "monitor", "view", "redact", "shards"
+)
 
 
 def _read_input(spark, path: str, limit: int | None = None):
@@ -305,6 +307,71 @@ def _run_view(argv: list[str]) -> int:
         spark.stop()
 
 
+def _run_redact(argv: list[str]) -> int:
+    p = argparse.ArgumentParser(prog="python -m whylogs_java_spark redact")
+    p.add_argument("input")
+    p.add_argument("-o", "--output", required=True)
+    p.add_argument("--id-col", required=True)
+    p.add_argument("--text-col", required=True)
+    p.add_argument(
+        "--kinds", default="email,ipv4,phone",
+        help="comma-separated PII kinds, applied in order",
+    )
+    a = p.parse_args(argv)
+    from .operators.text import PII_PATTERNS
+
+    kinds = tuple(k for k in a.kinds.split(",") if k)
+    bad = [k for k in kinds if k not in PII_PATTERNS]
+    if bad:
+        p.error(f"unknown PII kinds {bad}; choose from {sorted(PII_PATTERNS)}")
+    from .session import get_spark
+
+    spark = get_spark("whylogs-cli-redact")
+    try:
+        from .operators.text import pii_redact
+
+        df = _read_input(spark, a.input)
+        out = pii_redact(df, a.text_col, a.id_col, kinds=kinds)
+        out.write.mode("overwrite").parquet(a.output)
+        n = out.where(out.n_redactions > 0).count()
+        print(f"wrote redacted corpus to {a.output} ({n} docs touched)")
+        return 0
+    finally:
+        spark.stop()
+
+
+def _run_shards(argv: list[str]) -> int:
+    p = argparse.ArgumentParser(prog="python -m whylogs_java_spark shards")
+    p.add_argument("input")
+    p.add_argument("-o", "--output", required=True)
+    p.add_argument("--id-col", required=True)
+    p.add_argument("--token-col", required=True)
+    g = p.add_mutually_exclusive_group(required=True)
+    g.add_argument("--n-shards", type=int, default=None)
+    g.add_argument("--target-tokens", type=int, default=None)
+    p.add_argument("--salt", default="")
+    a = p.parse_args(argv)
+    from .session import get_spark
+
+    spark = get_spark("whylogs-cli-shards")
+    try:
+        from .sources.shards import export_training_shards
+
+        df = _read_input(spark, a.input)
+        manifest = export_training_shards(
+            df, a.output, a.id_col, a.token_col,
+            n_shards=a.n_shards, target_tokens_per_shard=a.target_tokens,
+            salt=a.salt,
+        )
+        rows = manifest.orderBy("shard").collect()
+        for r in rows:
+            print(f"shard={r['shard']} docs={r['n_docs']} tokens={r['n_tokens']}")
+        print(f"wrote {len(rows)} shard(s) to {a.output}")
+        return 0
+    finally:
+        spark.stop()
+
+
 def main(argv: list[str] | None = None) -> int:
     argv = sys.argv[1:] if argv is None else argv
     # subcommand dispatch; bare invocation keeps the reference Profiler
@@ -316,6 +383,8 @@ def main(argv: list[str] | None = None) -> int:
             "constraints": _run_constraints,
             "monitor": _run_monitor,
             "view": _run_view,
+            "redact": _run_redact,
+            "shards": _run_shards,
         }[argv[0]](argv[1:])
     args = build_parser().parse_args(argv)
     from .operators.profile import profile_atoms
