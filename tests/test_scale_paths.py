@@ -577,3 +577,31 @@ def test_r9_query_plan_guards(spark):
     p = plan_of("profile_events_compacted")
     assert p.count("Scan parquet") == 1
     assert "Join" not in p
+
+
+def test_ivf_stored_lists_scan_gets_dynamic_partition_pruning(spark, tmp_path):
+    """The 100 TB claim of the persisted index: probing a stored IVF
+    reads only the probed centroid partitions — Spark inserts a
+    dynamic-pruning subquery on the lists scan's partition column, so a
+    4-probe query touches 4/n_centroids of the index files."""
+    from pyspark.sql import functions as F
+
+    from whylogs_java_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_topk_stored,
+    )
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select("vec_id", "embedding")
+    path = str(tmp_path / "ivf")
+    build_ivf_index(emb, path, n_centroids=8)
+    q = emb.where(F.col("vec_id").isin([0, 1, 2]))
+    plan = (
+        ivf_topk_stored(spark, path, q, k=5, nprobe=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "dynamicpruning" in plan.lower()
+    assert "CartesianProduct" not in plan
