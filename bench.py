@@ -119,6 +119,7 @@ BENCH_QUERIES = [
     "pii_redact_documents",
     "profile_events_compacted",
     "similarity_pq",
+    "quality_classifier_documents",
 ]
 
 

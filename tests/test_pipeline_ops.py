@@ -1700,3 +1700,29 @@ def test_pq_topk_high_recall_on_clustered_data(spark):
     }
     hits = sum(1 for r in got if (r["query_id"], r["neighbor_id"]) in true)
     assert hits / len(true) >= 0.8, f"recall {hits}/{len(true)}"
+
+
+def test_quality_filter_learns_separable_classes(spark):
+    """On a separable corpus the trained logistic filter orders target
+    docs above junk, and training is deterministic across re-runs."""
+    from whylogs_java_spark.operators.classifier import (
+        logistic_quality_train,
+        quality_filter,
+    )
+
+    rows = [(i, "the cat sat on the mat and it is fine today", "en")
+            for i in range(20)]
+    rows += [(100 + i, "99999 88888 !!!! 77777 $$$$ 66666", "xx")
+             for i in range(20)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    out = {r["doc_id"]: r for r in quality_filter(
+        docs, "text", "doc_id", F.col("lang") == "en", n_iter=3
+    ).collect()}
+    t = [out[i]["score"] for i in range(20)]
+    j = [out[100 + i]["score"] for i in range(20)]
+    assert min(t) > max(j)
+    assert all(out[i]["is_target"] for i in range(20))
+    assert not any(out[100 + i]["is_target"] for i in range(20))
+    w1 = logistic_quality_train(docs, "text", "doc_id", F.col("lang") == "en")
+    w2 = logistic_quality_train(docs, "text", "doc_id", F.col("lang") == "en")
+    assert w1 == w2 and any(x != 0.0 for x in w1)

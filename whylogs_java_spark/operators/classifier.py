@@ -1,0 +1,151 @@
+"""Trained document-quality classifier — logistic regression over the
+Gopher quality features, expressed entirely as relational algebra.
+
+The CCNet/fastText-style "quality filter" step of a pre-training
+pipeline: instead of hand-set gate thresholds (`text.quality_metrics`'s
+composite), TRAIN a linear model against a supervision signal (a
+known-clean slice, a language flag, human labels) and score the corpus
+with it. Batch gradient descent, deterministic by construction:
+
+- features are the already-rounded quality signals plus ln(1+wc), so
+  every x_i is an exact 6-decimal double identical across engines;
+- each iteration's gradient is a single aggregate over the corpus whose
+  per-row contributions round to exact integer atoms BEFORE the sum
+  (order-free — the ``functions/metrics.py`` pattern), so the weight
+  trajectory is bit-reproducible;
+- weight updates happen driver-side on ONE collected row per iteration
+  (7 scalars — the same tiny-collect loop shape as k-means and the
+  reference's own ``estimate_segments``).
+
+The ENTIRE training run — fixed ``n_iter`` iterations, no convergence
+check — replays in DuckDB as unrolled CTEs, so the scored output is
+oracle-checkable end to end, not just the final scoring pass.
+
+Scale shape: the feature table is built once (one corpus scan),
+localCheckpoint-ed, and each iteration costs one aggregate over it
+(6 long sums + a count); scoring is a pure projection with literal
+weights. State is O(features), never O(corpus).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_GRAD_SCALE = 1_000_000
+
+#: feature names in model order; x0 is the intercept
+FEATURES = ("x0", "x1", "x2", "x3", "x4", "x5")
+
+
+def _feature_table(
+    df: DataFrame, text_col: str, id_col: str, label: Column
+) -> DataFrame:
+    """(id, __y, x0..x5) — intercept, ln(1+wc), mean word len, stopword/
+    punct/digit ratios; rows with zero tokens dropped (their ratio
+    features are undefined)."""
+    from .text import quality_metrics
+
+    d2 = df.withColumn("__y", label.cast("double"))
+    q = quality_metrics(d2, text_col, id_col, keep_cols=("__y",))
+    return q.where(F.col("word_count") > 0).select(
+        F.col(id_col),
+        F.col("__y"),
+        F.lit(1.0).alias("x0"),
+        (F.round(F.log(F.lit(1.0) + F.col("word_count")), 6) + F.lit(0.0)).alias(
+            "x1"
+        ),
+        F.col("mean_word_len").alias("x2"),
+        F.col("stopword_ratio").alias("x3"),
+        F.col("punct_ratio").alias("x4"),
+        F.col("digit_ratio").alias("x5"),
+    )
+
+
+def _z(weights: list[float]) -> Column:
+    z = F.lit(float(weights[0])) * F.col("x0")
+    for i in range(1, len(FEATURES)):
+        z = z + F.lit(float(weights[i])) * F.col(FEATURES[i])
+    return z
+
+
+def logistic_quality_train(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    label: Column,
+    n_iter: int = 3,
+    lr: float = 1.0,
+) -> list[float]:
+    """Train; return the weight vector [w0..w5] (w0 = intercept)."""
+    feats = _feature_table(df, text_col, id_col, label).localCheckpoint(
+        eager=True
+    )
+    w = [0.0] * len(FEATURES)
+    for _ in range(n_iter):
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-_z(w)))
+        aggs = [
+            F.sum(
+                F.floor(
+                    F.round((p - F.col("__y")) * F.col(x), 6)
+                    * _GRAD_SCALE
+                    + F.lit(0.5)
+                ).cast("long")
+            ).alias(f"s{i}")
+            for i, x in enumerate(FEATURES)
+        ]
+        row = feats.agg(F.count(F.lit(1)).alias("n"), *aggs).first()
+        n = row["n"]
+        if not n:
+            return w
+        w = [
+            w[i] - lr * ((row[f"s{i}"] / n) / _GRAD_SCALE)
+            for i in range(len(FEATURES))
+        ]
+    return w
+
+
+def logistic_quality_score(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    weights: list[float],
+    label: Column | None = None,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Score with a trained weight vector.
+
+    Output: (id, [is_target,] score, keep) — ``is_target`` included when
+    ``label`` is given (eval convenience); ``keep`` = score >= threshold.
+    """
+    lbl = label if label is not None else F.lit(0.0)
+    feats = _feature_table(df, text_col, id_col, lbl)
+    score = (
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-_z(weights))), 6)
+        + F.lit(0.0)
+    )
+    cols = [F.col(id_col)]
+    if label is not None:
+        cols.append((F.col("__y") > 0).alias("is_target"))
+    return feats.select(
+        *cols,
+        score.alias("score"),
+        (score >= F.lit(float(threshold))).alias("keep"),
+    )
+
+
+def quality_filter(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    label: Column,
+    n_iter: int = 3,
+    lr: float = 1.0,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Train + score in one call (the corpus supervises itself via
+    ``label``, e.g. a known-clean source flag)."""
+    w = logistic_quality_train(df, text_col, id_col, label, n_iter, lr)
+    return logistic_quality_score(
+        df, text_col, id_col, w, label=label, threshold=threshold
+    )
