@@ -1726,3 +1726,50 @@ def test_quality_filter_learns_separable_classes(spark):
     w1 = logistic_quality_train(docs, "text", "doc_id", F.col("lang") == "en")
     w2 = logistic_quality_train(docs, "text", "doc_id", F.col("lang") == "en")
     assert w1 == w2 and any(x != 0.0 for x in w1)
+
+
+def test_pq_trained_codebooks_beat_sampled_on_clustered_data(spark):
+    """Lloyd-trained per-subspace codebooks (pq_train_codebooks) recall
+    at least matches the sampled-codebook tier on clustered data, and
+    training is deterministic."""
+    import math
+
+    from whylogs_java_spark.operators.similarity import (
+        cosine_topk_exact,
+        pq_topk,
+        pq_train_codebooks,
+    )
+
+    rows = []
+    for c in range(5):
+        base = [0.0] * 8
+        base[c] = 1.0
+        base[(c + 3) % 8] = 0.5
+        for i in range(20):
+            jit = [
+                b + 0.02 * math.sin(11 * c + 5 * i + d)
+                for d, b in enumerate(base)
+            ]
+            rows.append((c * 100 + i, jit))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qids = [0, 100, 200, 300, 400]
+    true = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk_exact(emb, qids, k=5).collect()
+    }
+
+    def recall(got):
+        return sum(
+            1 for r in got if (r["query_id"], r["neighbor_id"]) in true
+        ) / len(true)
+
+    cbs = pq_train_codebooks(emb, m=4, codebook_k=8, n_iter=2)
+    assert cbs == pq_train_codebooks(emb, m=4, codebook_k=8, n_iter=2)
+    r_trained = recall(
+        pq_topk(emb, qids, k=5, rerank=15, codebooks=cbs).collect()
+    )
+    r_sampled = recall(
+        pq_topk(emb, qids, k=5, m=4, codebook_k=8, rerank=15).collect()
+    )
+    assert r_trained >= r_sampled
+    assert r_trained >= 0.8

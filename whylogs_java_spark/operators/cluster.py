@@ -92,102 +92,55 @@ def _assign_join(emb: DataFrame, centroids: list[list[float]]) -> DataFrame:
     )
 
 
-def kmeans_assign(
-    embeddings: DataFrame,
-    k: int = 8,
-    n_iter: int = 2,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    assign: str = "auto",
-) -> DataFrame:
-    """(id, cluster, dist) after ``n_iter`` deterministic Lloyd rounds.
-
-    ``dist`` is the squared L2 to the final assigned centroid, rounded
-    to 6 decimals. Rows with NULL/empty vectors are dropped (they have
-    no geometry). All vectors must share one dimensionality.
-
-    ``assign``: "literal" embeds the k centroids as plan literals (one
-    scan, no join — fastest for coarse k), "join" fans out against a
-    broadcast centroid table (plan size constant in k — required for
-    SemDeDup-scale k in the thousands), "auto" picks by
-    ``LITERAL_K_MAX``. Both paths produce bit-identical assignments.
-    """
-    if assign not in ("auto", "literal", "join"):
-        raise ValueError(f"unknown assign mode {assign!r}")
-    use_join = (k > LITERAL_K_MAX) if assign == "auto" else (assign == "join")
+def _prepare_emb(embeddings: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Checkpointed (__id, __v double[]) table — the shared prep for the
+    assignment and codebook-training entry points (one materialization,
+    multiple Lloyd passes read it)."""
     emb = embeddings.select(
         F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")
     ).where(F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) > 0))
     vecd = F.transform(F.col("__v"), lambda x: x.cast("double"))
     emb = emb.select("__id", vecd.alias("__v"))
-    # distance folds are interpreted: spread the corpus across cores
-    # when the scan arrives in fewer partitions than parallelism (the
-    # small-file regime; a no-op at cluster scale — the similarity
-    # family's guard)
     target = embeddings.sparkSession.sparkContext.defaultParallelism
     if emb.rdd.getNumPartitions() < target:
         emb = emb.repartition(target)
-    # materialize the prepared (id, double-vector) table ONCE: seeding,
-    # each Lloyd round (assignment + centroid-update explode), and the
-    # final assignment are separate jobs that would otherwise re-run
-    # the scan + cast + spread per pass (n_iter + 2 passes total) —
-    # the same one-materialization pattern semantic_dedup_pairs and the
-    # IVF index already use for their multi-consumer vector tables
-    emb = emb.localCheckpoint(eager=True)
+    return emb.localCheckpoint(eager=True)
 
-    seeds = (
-        emb.orderBy(F.md5(F.col("__id").cast("string")), F.col("__id"))
-        .limit(k)
-        .collect()
+
+def _assign_literal(centroids: list[list[float]]):
+    """(cid, d) literal-path argmin columns over ``__v`` — ONE fold over
+    a (dist, idx) struct array; strictly-less keeps the lowest centroid
+    id on ties (the DuckDB MIN([dist, cid]) rule)."""
+    darr = F.array(*[_sq_l2(F.col("__v"), c) for c in centroids])
+    pairs = F.zip_with(
+        darr,
+        F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
+        lambda d, i: F.struct(d.alias("d"), i.alias("i")),
     )
-    if not seeds:
-        # empty result must carry the input's actual id type (string ids
-        # are legal) or downstream unions/joins break on the empty case
-        import pyspark.sql.types as T
+    best = F.aggregate(
+        pairs,
+        F.struct(F.lit(float("inf")).alias("d"), F.lit(-1).alias("i")),
+        lambda acc, x: F.when(x["d"] < acc["d"], x).otherwise(acc),
+    )
+    return best["i"], best["d"]
 
-        id_type = embeddings.schema[id_col].dataType
-        return embeddings.sparkSession.createDataFrame(
-            [],
-            T.StructType(
-                [
-                    T.StructField(id_col, id_type),
-                    T.StructField("cluster", T.IntegerType()),
-                    T.StructField("dist", T.DoubleType()),
-                ]
-            ),
-        )
-    centroids: list[list[float]] = [[float(x) for x in r["__v"]] for r in seeds]
+
+def _lloyd_iterations(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    n_iter: int,
+    use_join: bool,
+) -> list[list[float]]:
+    """``n_iter`` Lloyd rounds over a prepared table; returns the final
+    centroids (exact-integer per-dim means, empty clusters keep their
+    previous centroid)."""
     dim = len(centroids[0])
-
-    def assign_expr():
-        # ONE fold over a (dist, idx) struct array — NOT a chained
-        # when(d_i < best, ...) ladder: each chain step references the
-        # running best twice (comparison + otherwise), doubling the
-        # expression tree per centroid, i.e. 2^k copies of the distance
-        # folds. Here every distance appears exactly once; strictly-less
-        # keeps the earlier (lowest) centroid id on ties, the same rule
-        # the DuckDB twin's MIN([dist, cid]) replays.
-        darr = F.array(*[_sq_l2(F.col("__v"), c) for c in centroids])
-        pairs = F.zip_with(
-            darr,
-            F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
-            lambda d, i: F.struct(d.alias("d"), i.alias("i")),
-        )
-        best = F.aggregate(
-            pairs,
-            F.struct(
-                F.lit(float("inf")).alias("d"), F.lit(-1).alias("i")
-            ),
-            lambda acc, x: F.when(x["d"] < acc["d"], x).otherwise(acc),
-        )
-        return best["i"], best["d"]
-
     for _ in range(n_iter):
         if use_join:
             best = _assign_join(emb, centroids)
             assigned = emb.join(best.select("__id", "__cid"), on="__id")
         else:
-            cid, _d = assign_expr()
+            cid, _d = _assign_literal(centroids)
             assigned = emb.select("__id", "__v", cid.alias("__cid"))
         # exact-integer per-dim sums: shuffle-order-independent means
         dims = assigned.select(
@@ -217,6 +170,87 @@ def kmeans_assign(
                 [(comp[p][0] / comp[p][1]) / INT_SCALE for p in range(dim)]
             )
         centroids = new_centroids
+    return centroids
+
+
+def kmeans_centroids(
+    embeddings: DataFrame,
+    k: int = 8,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assign: str = "auto",
+) -> list[list[float]]:
+    """Train and return the final centroids only — the codebook-training
+    entry point (PQ sub-quantizers, IVF coarse quantizers). Identical
+    seeding/iteration machinery to :func:`kmeans_assign`, minus the
+    final assignment pass."""
+    if assign not in ("auto", "literal", "join"):
+        raise ValueError(f"unknown assign mode {assign!r}")
+    use_join = (k > LITERAL_K_MAX) if assign == "auto" else (assign == "join")
+    emb = _prepare_emb(embeddings, id_col, vec_col)
+    seeds = (
+        emb.orderBy(F.md5(F.col("__id").cast("string")), F.col("__id"))
+        .limit(k)
+        .collect()
+    )
+    if not seeds:
+        return []
+    centroids = [[float(x) for x in r["__v"]] for r in seeds]
+    return _lloyd_iterations(emb, centroids, n_iter, use_join)
+
+
+def kmeans_assign(
+    embeddings: DataFrame,
+    k: int = 8,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assign: str = "auto",
+) -> DataFrame:
+    """(id, cluster, dist) after ``n_iter`` deterministic Lloyd rounds.
+
+    ``dist`` is the squared L2 to the final assigned centroid, rounded
+    to 6 decimals. Rows with NULL/empty vectors are dropped (they have
+    no geometry). All vectors must share one dimensionality.
+
+    ``assign``: "literal" embeds the k centroids as plan literals (one
+    scan, no join — fastest for coarse k), "join" fans out against a
+    broadcast centroid table (plan size constant in k — required for
+    SemDeDup-scale k in the thousands), "auto" picks by
+    ``LITERAL_K_MAX``. Both paths produce bit-identical assignments.
+    """
+    if assign not in ("auto", "literal", "join"):
+        raise ValueError(f"unknown assign mode {assign!r}")
+    use_join = (k > LITERAL_K_MAX) if assign == "auto" else (assign == "join")
+    # prepared table materialized ONCE (seeding, each Lloyd round, and
+    # the final assignment are separate jobs that would otherwise re-run
+    # the scan + cast + spread per pass)
+    emb = _prepare_emb(embeddings, id_col, vec_col)
+
+    seeds = (
+        emb.orderBy(F.md5(F.col("__id").cast("string")), F.col("__id"))
+        .limit(k)
+        .collect()
+    )
+    if not seeds:
+        # empty result must carry the input's actual id type (string ids
+        # are legal) or downstream unions/joins break on the empty case
+        import pyspark.sql.types as T
+
+        id_type = embeddings.schema[id_col].dataType
+        return embeddings.sparkSession.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    T.StructField(id_col, id_type),
+                    T.StructField("cluster", T.IntegerType()),
+                    T.StructField("dist", T.DoubleType()),
+                ]
+            ),
+        )
+    centroids: list[list[float]] = [[float(x) for x in r["__v"]] for r in seeds]
+    centroids = _lloyd_iterations(emb, centroids, n_iter, use_join)
 
     if use_join:
         return _assign_join(emb, centroids).select(
@@ -224,7 +258,7 @@ def kmeans_assign(
             F.col("__cid").alias("cluster"),
             (F.round("__d", 6) + F.lit(0.0)).alias("dist"),
         )
-    cid, d = assign_expr()
+    cid, d = _assign_literal(centroids)
     return emb.select(
         F.col("__id").alias(id_col),
         cid.alias("cluster"),

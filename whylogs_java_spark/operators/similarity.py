@@ -1329,6 +1329,52 @@ def ivf_topk_stored(
     )
 
 
+def pq_train_codebooks(
+    embeddings: DataFrame,
+    m: int = 4,
+    codebook_k: int = 16,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Lloyd-trained PQ codebooks: per-subspace deterministic k-means
+    (`cluster.kmeans_centroids`) over the sliced sub-vectors — the
+    recall upgrade over `pq_topk`'s sampled codebooks when the corpus
+    has real cluster structure. Returns [m][codebook_k][dim/m] floats,
+    drop-in for ``pq_topk(codebooks=...)``.
+
+    Cost: m independent k-means runs, each over its own checkpointed
+    slice projection of one corpus scan."""
+    from .cluster import kmeans_centroids
+
+    first = embeddings.select(vec_col).where(
+        F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) > 0)
+    ).first()
+    if first is None:
+        return []
+    dim = len(first[0])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    out = []
+    for j in range(m):
+        sliced = embeddings.select(
+            F.col(id_col),
+            F.slice(
+                F.transform(F.col(vec_col), lambda x: x.cast("double")),
+                j * sub + 1,
+                sub,
+            ).alias("__sv"),
+        )
+        out.append(
+            kmeans_centroids(
+                sliced, k=codebook_k, n_iter=n_iter,
+                id_col=id_col, vec_col="__sv",
+            )
+        )
+    return out
+
+
 def pq_topk(
     embeddings: DataFrame,
     query_ids: list[int],
@@ -1338,6 +1384,7 @@ def pq_topk(
     rerank: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    codebooks: list[list[list[float]]] | None = None,
 ) -> DataFrame:
     """Product-quantization ANN (Jégou et al. 2011) — the flat-PQ
     memory tier: dims split into ``m`` subspaces, each sub-vector coded
@@ -1394,13 +1441,24 @@ def pq_topk(
             F.lit(0).alias("rank"),
         ).where(F.lit(False))
     dim = len(seeds[0]["__v"])
-    if dim % m != 0:
-        raise ValueError(f"dim {dim} not divisible by m={m}")
-    sub = dim // m
-    codebooks = [
-        [[float(x) for x in s["__v"][j * sub : (j + 1) * sub]] for s in seeds]
-        for j in range(m)
-    ]
+    if codebooks is not None:
+        # externally trained codebooks (pq_train_codebooks) drop in;
+        # geometry is taken from them
+        m = len(codebooks)
+        codebook_k = len(codebooks[0])
+        if m * len(codebooks[0][0]) != dim:
+            raise ValueError(
+                f"codebooks cover {m * len(codebooks[0][0])} dims, data has {dim}"
+            )
+        sub = dim // m
+    else:
+        if dim % m != 0:
+            raise ValueError(f"dim {dim} not divisible by m={m}")
+        sub = dim // m
+        codebooks = [
+            [[float(x) for x in s["__v"][j * sub : (j + 1) * sub]] for s in seeds]
+            for j in range(m)
+        ]
     # python left-to-right sums mirror the engines' strict folds exactly
     rn2 = [[sum((x * x for x in c), 0.0) for c in cb] for cb in codebooks]
 
