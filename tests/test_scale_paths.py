@@ -577,6 +577,12 @@ def test_r9_query_plan_guards(spark):
     p = plan_of("profile_events_compacted")
     assert p.count("Scan parquet") == 1
     assert "Join" not in p
+    # trained quality filter: SCORING is a pure projection — one scan,
+    # zero joins (training ran driver-side on per-iteration aggregates
+    # before this plan was built; its weights are plan literals)
+    p = plan_of("quality_classifier_documents")
+    assert p.count("Scan parquet") == 1
+    assert "Join" not in p and "Exchange" not in p
 
 
 def test_ivf_stored_lists_scan_gets_dynamic_partition_pruning(spark, tmp_path):
