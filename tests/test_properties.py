@@ -380,3 +380,108 @@ def test_duplicate_spans_matches_reference(spark, corpora):
         for r in duplicate_spans(df, "text", "doc_id", gram_words=3).collect()
     }
     assert got == _spans_reference(docs, 3)
+
+
+def _r6(x: float) -> float:
+    """Spark/DuckDB ROUND(x, 6): decimal HALF_UP on the shortest-repr
+    decimal of the double (BigDecimal.valueOf semantics) — python's
+    built-in round() is banker's and diverges on half-way cases."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(
+        Decimal(repr(float(x))).quantize(
+            Decimal("0.000001"), rounding=ROUND_HALF_UP
+        )
+    )
+
+
+_tfidf_corpora = st.lists(
+    st.lists(st.sampled_from(["u", "v", "w", "x", "y"]), min_size=1, max_size=10),
+    min_size=1,
+    max_size=6,
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_tfidf_corpora)
+def test_tfidf_matches_reference(spark, corpora):
+    from collections import Counter
+
+    from whylogs_java_spark.operators.text import tfidf_keywords
+
+    docs = {i: w for i, w in enumerate(corpora)}
+    df = spark.createDataFrame(
+        [(i, " ".join(w)) for i, w in docs.items()], "doc_id long, text string"
+    )
+    got = {
+        (r["doc_id"], r["term"]): (
+            r["term_count"], r["doc_tokens"], r["doc_freq"], r["score"]
+        )
+        for r in tfidf_keywords(df, "text", "doc_id", k=100).collect()
+    }
+    n = len(docs)
+    dfreq = Counter(t for w in docs.values() for t in set(w))
+    want = {}
+    for i, w in docs.items():
+        tf = Counter(w)
+        for t, c in tf.items():
+            score = _r6(
+                (c / len(w)) * (math.log((n + 1) / (dfreq[t] + 1)) + 1.0)
+            ) + 0.0
+            want[(i, t)] = (c, len(w), dfreq[t], score)
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_tfidf_corpora)
+def test_dsir_matches_reference(spark, corpora):
+    """dsir_weights vs a pure-python replay (same md5 bucketing, same
+    exact-integer atoms); the target slice is every even doc."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from whylogs_java_spark.operators.sampling import dsir_weights
+
+    B, a = 16, 1.0
+    docs = {i: w for i, w in enumerate(corpora)}
+    df = spark.createDataFrame(
+        [(i, " ".join(w), i % 2) for i, w in docs.items()],
+        "doc_id long, text string, par long",
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["dsir_logratio"])
+        for r in dsir_weights(
+            df, "text", "doc_id", F.col("par") == 0, n_buckets=B
+        ).collect()
+    }
+
+    def bucket(t):
+        return int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % B
+
+    t_b: dict = {}
+    r_b: dict = {}
+    for i, w in docs.items():
+        for t in w:
+            b = bucket(t)
+            r_b[b] = r_b.get(b, 0) + 1
+            if i % 2 == 0:
+                t_b[b] = t_b.get(b, 0) + 1
+    T = sum(t_b.values())
+    R = sum(r_b.values())
+    lr_i = {
+        b: math.floor(
+            _r6(
+                math.log((t_b.get(b, 0) + a) / (T + a * B))
+                - math.log((r_b[b] + a) / (R + a * B))
+            )
+            * 1_000_000
+            + 0.5
+        )
+        for b in r_b
+    }
+    want = {}
+    for i, w in docs.items():
+        s = sum(lr_i[bucket(t)] for t in w)
+        want[i] = (len(w), _r6(s / len(w) / 1_000_000.0) + 0.0)
+    assert got == want
