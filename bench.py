@@ -120,6 +120,7 @@ BENCH_QUERIES = [
     "profile_events_compacted",
     "similarity_pq",
     "quality_classifier_documents",
+    "pipeline_manifest_v2",
 ]
 
 

@@ -483,5 +483,9 @@ def test_dsir_matches_reference(spark, corpora):
     want = {}
     for i, w in docs.items():
         s = sum(lr_i[bucket(t)] for t in w)
-        want[i] = (len(w), _r6(s / len(w) / 1_000_000.0) + 0.0)
+        mm = s / len(w)
+        want[i] = (
+            len(w),
+            math.copysign(math.floor(abs(mm) + 0.5), mm) / 1_000_000.0 + 0.0,
+        )
     assert got == want

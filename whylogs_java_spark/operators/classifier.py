@@ -52,10 +52,15 @@ def _feature_table(
         F.col(id_col),
         F.col("__y"),
         F.lit(1.0).alias("x0"),
-        (F.round(F.log(F.lit(1.0) + F.col("word_count")), 6) + F.lit(0.0)).alias(
-            "x1"
+        # features normalized to ~[0, 1] so unit-lr batch GD is stable
+        # (unnormalized ln(wc)/word-length scales made the loss diverge)
+        (
+            F.round(F.log(F.lit(1.0) + F.col("word_count")) / F.lit(10.0), 6)
+            + F.lit(0.0)
+        ).alias("x1"),
+        (F.round(F.col("mean_word_len") / F.lit(12.0), 6) + F.lit(0.0)).alias(
+            "x2"
         ),
-        F.col("mean_word_len").alias("x2"),
         F.col("stopword_ratio").alias("x3"),
         F.col("punct_ratio").alias("x4"),
         F.col("digit_ratio").alias("x5"),
@@ -76,11 +81,22 @@ def logistic_quality_train(
     label: Column,
     n_iter: int = 3,
     lr: float = 1.0,
+    stats: dict | None = None,
 ) -> list[float]:
-    """Train; return the weight vector [w0..w5] (w0 = intercept)."""
+    """Train; return the weight vector [w0..w5] (w0 = intercept).
+
+    If ``stats`` is given, records ``stats["prior"]`` = mean(y) — the
+    base rate, exact (0/1 double sums are integer-exact), used by the
+    ``threshold="prior"`` gating mode."""
     feats = _feature_table(df, text_col, id_col, label).localCheckpoint(
         eager=True
     )
+    if stats is not None:
+        r = feats.agg(
+            F.sum("__y").alias("sy"), F.count(F.lit(1)).alias("n")
+        ).first()
+        stats["prior"] = (r["sy"] / r["n"]) if r["n"] else 0.0
+        stats["n"] = r["n"]
     w = [0.0] * len(FEATURES)
     for _ in range(n_iter):
         p = F.lit(1.0) / (F.lit(1.0) + F.exp(-_z(w)))
@@ -141,11 +157,20 @@ def quality_filter(
     label: Column,
     n_iter: int = 3,
     lr: float = 1.0,
-    threshold: float = 0.5,
+    threshold: float | str = 0.5,
 ) -> DataFrame:
     """Train + score in one call (the corpus supervises itself via
-    ``label``, e.g. a known-clean source flag)."""
-    w = logistic_quality_train(df, text_col, id_col, label, n_iter, lr)
+    ``label``, e.g. a known-clean source flag).
+
+    ``threshold="prior"`` gates at the target base rate mean(y) instead
+    of a fixed probability — the right cut when the score scale is not
+    calibrated (few GD iterations, unnormalized features): it keeps the
+    docs the model ranks above the corpus's own target-ness."""
+    stats: dict = {}
+    w = logistic_quality_train(
+        df, text_col, id_col, label, n_iter, lr, stats=stats
+    )
+    thr = stats["prior"] if threshold == "prior" else float(threshold)
     return logistic_quality_score(
-        df, text_col, id_col, w, label=label, threshold=threshold
+        df, text_col, id_col, w, label=label, threshold=thr
     )

@@ -115,3 +115,75 @@ def training_manifest(
         & cpt.between(min_chars_per_token, max_chars_per_token)
     )
     return assign_splits(s4, id_col, splits).select(id_col, "split")
+
+
+def training_manifest_v2(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    label,
+    span_gram: int = 8,
+    max_dup_fraction: float = 0.9,
+    clf_threshold: float | str = "prior",
+    clf_iter: int = 3,
+    dsir_buckets: int = 64,
+    splits: Sequence[tuple[str, float]] = (
+        ("train", 0.8),
+        ("val", 0.1),
+        ("test", 0.1),
+    ),
+    materialize: bool = True,
+) -> DataFrame:
+    """The round-9 pipeline composition — every stage a trained or
+    corpus-statistical operator rather than a fixed heuristic:
+
+        raw corpus
+          → exact dedup              (canonical-text md5, min-id survivor)
+          → duplicate-span gate      (rolling-8-gram dup_fraction ≤ τ —
+                                      drops template/boilerplate pages)
+          → TRAINED quality gate     (logistic filter supervised by
+                                      ``label``, batch-GD; the default
+                                      "prior" threshold keeps the docs
+                                      the model ranks above the corpus's
+                                      own target base rate)
+          → DSIR importance weight   (hashed-unigram log-ratio vs the
+                                      ``label`` slice)
+          → split assignment         (deterministic hash thresholds)
+
+    Output, one row per surviving doc: (id, split, score, dsir_logratio).
+    Deterministic end to end — the DuckDB oracle replays every stage
+    INCLUDING the classifier's training trajectory, so the composition
+    (not just the pieces) is hash-checked.
+
+    Scale: stage boundaries materialize like :func:`training_manifest`;
+    each stage's own scale story is its operator's (see PLANS.md /
+    SCALE.md entries for the components).
+    """
+    from .classifier import quality_filter
+    from .dedup import duplicate_spans
+    from .sampling import dsir_weights
+
+    base = docs.select(
+        F.col(id_col), F.col(text_col), label.alias("__lbl")
+    )
+    s1 = exact_dedup(base, text_col, id_col)
+    if materialize:
+        s1 = s1.localCheckpoint(eager=True)
+    keep_span = duplicate_spans(
+        s1, text_col, id_col, gram_words=span_gram
+    ).where(F.col("dup_fraction") <= max_dup_fraction).select(id_col)
+    s2 = s1.join(keep_span, id_col, "left_semi")
+    if materialize:
+        s2 = s2.localCheckpoint(eager=True)
+    scored = quality_filter(
+        s2, text_col, id_col, F.col("__lbl"),
+        n_iter=clf_iter, threshold=clf_threshold,
+    )
+    keep_q = scored.where(F.col("keep")).select(id_col, "score")
+    s3 = s2.join(keep_q, id_col)
+    w = dsir_weights(
+        s3, text_col, id_col, F.col("__lbl"), n_buckets=dsir_buckets
+    ).select(id_col, "dsir_logratio")
+    return assign_splits(s3.join(w, id_col), id_col, splits).select(
+        F.col(id_col), F.col("split"), F.col("score"), F.col("dsir_logratio")
+    )

@@ -341,8 +341,16 @@ def dsir_weights(
             F.sum("__lr_i").alias("__s"),
         )
     )
-    logratio = F.round(
-        F.col("__s") / F.col("n_tokens") / F.lit(1_000_000.0), 6
+    # sign-aware floor, NOT F.round: Spark rounds the shortest-decimal
+    # repr (BigDecimal HALF_UP) while DuckDB rounds the binary double,
+    # and they disagree when the decimal repr sits exactly on a half
+    # (observed: -0.0078605 -> -0.007861 vs -0.00786). floor(|x|+0.5)
+    # on the SAME double is engine-identical.
+    mean_micro = F.col("__s") / F.col("n_tokens")
+    logratio = (
+        F.signum(mean_micro)
+        * F.floor(F.abs(mean_micro) + F.lit(0.5))
+        / F.lit(1_000_000.0)
     ) + F.lit(0.0)
     return agg.select(
         F.col(id_col),
