@@ -97,6 +97,10 @@ def logistic_quality_train(
         ).first()
         stats["prior"] = (r["sy"] / r["n"]) if r["n"] else 0.0
         stats["n"] = r["n"]
+    return _train_on_feats(feats, n_iter, lr)
+
+
+def _train_on_feats(feats: DataFrame, n_iter: int, lr: float) -> list[float]:
     w = [0.0] * len(FEATURES)
     for _ in range(n_iter):
         p = F.lit(1.0) / (F.lit(1.0) + F.exp(-_z(w)))
@@ -166,11 +170,24 @@ def quality_filter(
     of a fixed probability — the right cut when the score scale is not
     calibrated (few GD iterations, unnormalized features): it keeps the
     docs the model ranks above the corpus's own target-ness."""
-    stats: dict = {}
-    w = logistic_quality_train(
-        df, text_col, id_col, label, n_iter, lr, stats=stats
+    # ONE feature table serves the prior, every training iteration, AND
+    # the final scoring (scoring through logistic_quality_score would
+    # rebuild the features from raw text — a whole extra corpus pass)
+    feats = _feature_table(df, text_col, id_col, label).localCheckpoint(
+        eager=True
     )
-    thr = stats["prior"] if threshold == "prior" else float(threshold)
-    return logistic_quality_score(
-        df, text_col, id_col, w, label=label, threshold=thr
+    r = feats.agg(
+        F.sum("__y").alias("sy"), F.count(F.lit(1)).alias("n")
+    ).first()
+    prior = (r["sy"] / r["n"]) if r["n"] else 0.0
+    w = _train_on_feats(feats, n_iter, lr)
+    thr = prior if threshold == "prior" else float(threshold)
+    score = (
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-_z(w))), 6) + F.lit(0.0)
+    )
+    return feats.select(
+        feats.columns[0],
+        (F.col("__y") > 0).alias("is_target"),
+        score.alias("score"),
+        (score >= F.lit(float(thr))).alias("keep"),
     )
