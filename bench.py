@@ -121,6 +121,7 @@ BENCH_QUERIES = [
     "similarity_pq",
     "quality_classifier_documents",
     "pipeline_manifest_v2",
+    "winnow_pairs",
 ]
 
 

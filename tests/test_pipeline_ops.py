@@ -1773,3 +1773,36 @@ def test_pq_trained_codebooks_beat_sampled_on_clustered_data(spark):
     )
     assert r_trained >= r_sampled
     assert r_trained >= 0.8
+
+
+def test_winnow_fingerprints_guarantee_and_short_docs(spark):
+    """The winnowing guarantee: any shared substring of length >=
+    k + window - 1 surfaces as a shared selected print; docs shorter
+    than k yield no prints; short docs (< window grams) still select
+    their minimum."""
+    from whylogs_java_spark.operators.dedup import (
+        winnow_fingerprints,
+        winnow_pairs,
+    )
+
+    shared = "zqxjkvwpbf"  # 10 chars >= k + window - 1 = 8
+    docs = spark.createDataFrame(
+        [
+            (1, f"aaa {shared} bbb"),
+            (2, f"ccc {shared} ddd"),
+            (3, "ab"),            # shorter than k: no grams, no prints
+            (4, "abcdef"),        # 2 grams < window: partial window
+        ],
+        ["doc_id", "text"],
+    )
+    fps = winnow_fingerprints(docs, "text", "doc_id", k=5, window=4)
+    by_doc: dict = {}
+    for r in fps.collect():
+        by_doc.setdefault(r["doc_id"], set()).add(r["print_hash"])
+    assert by_doc[1] & by_doc[2], "guaranteed shared print missing"
+    assert 3 not in by_doc
+    assert len(by_doc[4]) == 1
+    pairs = winnow_pairs(
+        docs, "text", "doc_id", k=5, window=4, min_shared=1, df_cap=10
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}

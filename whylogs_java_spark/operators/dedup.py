@@ -1476,3 +1476,157 @@ def cross_dedup_pairs(
         union, cand, text_col, id_col, shingle_size, char_ngrams
     )
     return v.where(F.col("jaccard") >= threshold)
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 5,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken
+    2003 — the MOSS algorithm): hash every overlapping char ``k``-gram
+    of the lowercased text, slide a ``window`` of consecutive hashes,
+    and select each window's MINIMUM hash (ties to the RIGHTMOST
+    position, the paper's rule). The selected set is the document's
+    fingerprint: any shared substring of length ≥ k + window - 1 is
+    GUARANTEED to surface as a shared print — the local-algorithm
+    guarantee MinHash does not give.
+
+    Output: (id, pos, print_hash) — pos is the 0-based char position of
+    the selected k-gram.
+
+    Scale shape: per-document window functions only (frame bounded by
+    ``window``, partition by doc) — no corpus-wide state; selection
+    happens inside the scan stage's explode. Deterministic (md5-prefix
+    hashes, struct-min tie rule) and DuckDB-replayable.
+    """
+    from pyspark.sql import Window
+
+    t = F.lower(F.col(text_col))
+    n_grams = F.greatest(F.length(t) - k + 1, F.lit(0))
+    # a bare sequence(1, 0) DESCENDS to [1, 0] — texts shorter than k
+    # must produce NO grams (the _dims_seq hazard)
+    idx = F.when(
+        n_grams > 0, F.sequence(F.lit(1), n_grams)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = _spread(df.select(id_col, text_col)).select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    (i - 1).alias("pos"),
+                    F.conv(
+                        F.substring(F.md5(F.substring(t, i, k)), 1, 15),
+                        16,
+                        10,
+                    )
+                    .cast("long")
+                    .alias("h"),
+                ),
+            )
+        ).alias("g"),
+    ).select(
+        F.col(id_col), F.col("g.pos").alias("pos"), F.col("g.h").alias("h")
+    )
+    w_sel = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(-(window - 1), 0)
+    )
+    w_rn = Window.partitionBy(id_col).orderBy("pos")
+    sel = grams.select(
+        F.col(id_col),
+        F.row_number().over(w_rn).alias("__rn"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy(id_col).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("__n"),
+        # rightmost tie: min over (h, -pos) recovers the largest pos
+        # among equal minima
+        F.min(F.struct(F.col("h"), (-F.col("pos")).alias("np"))).over(
+            w_sel
+        ).alias("__m"),
+    ).where(
+        # full windows only — except short documents (< window grams),
+        # where the final (partial) window selects from all grams
+        (F.col("__rn") >= window) | (F.col("__rn") == F.col("__n"))
+    )
+    return sel.select(
+        F.col(id_col),
+        (-F.col("__m.np")).cast("int").alias("pos"),
+        F.col("__m.h").alias("print_hash"),
+    ).distinct()
+
+
+def winnow_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 5,
+    window: int = 4,
+    min_shared: int = 2,
+    df_cap: int = 64,
+    min_overlap: float = 0.0,
+) -> DataFrame:
+    """Fingerprint-overlap candidate pairs from winnowed prints: docs
+    sharing ≥ ``min_shared`` selected prints (and overlap ≥
+    ``min_overlap``), with the containment-style overlap fraction
+    shared / min(|A|, |B|) — short texts over a shared vocabulary share
+    many incidental prints, so a fraction threshold is the useful knob.
+
+    ``df_cap`` drops prints selected by more than that many documents
+    (ubiquitous boilerplate k-grams) BEFORE the pair join — the same
+    quadratic bound as the shingle candidate mode: per-print pair
+    fan-out ≤ df_cap². Output: (id_a, id_b, n_a, n_b, shared, overlap).
+    """
+    fps = winnow_fingerprints(df, text_col, id_col, k, window).select(
+        F.col(id_col), F.col("print_hash")
+    ).distinct()
+    rare = fps.join(
+        fps.groupBy("print_hash")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .where(F.col("__df") <= df_cap)
+        .select("print_hash"),
+        "print_hash",
+    )
+    # sizes over the SAME df-capped print space the intersection uses —
+    # mixing a rare-print numerator with an all-print denominator would
+    # deflate every overlap on a shared-vocabulary corpus
+    sizes = rare.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_prints"))
+    a = rare.select(F.col(id_col).alias("id_a"), "print_hash")
+    b = rare.select(F.col(id_col).alias("id_b"), "print_hash")
+    shared = (
+        a.join(b, "print_hash")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .where(F.col("shared") >= min_shared)
+    )
+    return (
+        shared.join(
+            sizes.select(F.col(id_col).alias("id_a"), F.col("n_prints").alias("n_a")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col(id_col).alias("id_b"), F.col("n_prints").alias("n_b")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.col("shared").cast("long").alias("shared"),
+            (
+                F.round(
+                    F.col("shared") / F.least(F.col("n_a"), F.col("n_b")), 6
+                )
+                + F.lit(0.0)
+            ).alias("overlap"),
+        )
+        .where(F.col("overlap") >= F.lit(float(min_overlap)))
+    )
