@@ -577,12 +577,26 @@ def test_r9_query_plan_guards(spark):
     p = plan_of("profile_events_compacted")
     assert p.count("Scan parquet") == 1
     assert "Join" not in p
-    # trained quality filter: SCORING is a pure projection — one scan,
-    # zero joins (training ran driver-side on per-iteration aggregates
-    # before this plan was built; its weights are plan literals)
+    # trained quality filter: SCORING is a pure projection over the
+    # checkpointed feature table — zero raw scans, zero joins (training
+    # ran driver-side before this plan existed; weights are literals)
     p = plan_of("quality_classifier_documents")
-    assert p.count("Scan parquet") == 1
     assert "Join" not in p and "Exchange" not in p
+    assert p.count("Scan parquet") == 0 and "ExistingRDD" in p
+    # v2 pipeline manifest: every stage boundary is a checkpointed
+    # table — zero raw re-scans in the final plan; the only BNLJ is the
+    # DSIR one-row totals cross
+    p = plan_of("pipeline_manifest_v2")
+    assert "CartesianProduct" not in p
+    assert p.count("BroadcastNestedLoopJoin") <= 1
+    assert p.count("Scan parquet") == 0 and "ExistingRDD" in p
+    # winnowing pairs: the print tables are checkpointed (the gram
+    # explode runs once, not per consumer); pair join is an equi-join
+    # on the print hash
+    p = plan_of("winnow_pairs")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert p.count("Scan parquet") == 0 and "ExistingRDD" in p
 
 
 def test_ivf_stored_lists_scan_gets_dynamic_partition_pruning(spark, tmp_path):

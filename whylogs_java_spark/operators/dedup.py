@@ -1583,16 +1583,24 @@ def winnow_pairs(
     quadratic bound as the shingle candidate mode: per-print pair
     fan-out ≤ df_cap². Output: (id_a, id_b, n_a, n_b, shared, overlap).
     """
-    fps = winnow_fingerprints(df, text_col, id_col, k, window).select(
-        F.col(id_col), F.col("print_hash")
-    ).distinct()
+    # the print table is tiny (one row per selected k-gram) but its
+    # lineage is the full gram explode + selection windows: materialize
+    # it ONCE for its two consumers (census, join side), and the capped
+    # table once for its three (sizes, both pair-join sides) — without
+    # this the raw corpus re-scans per consumer (measured: 16 scans)
+    fps = (
+        winnow_fingerprints(df, text_col, id_col, k, window)
+        .select(F.col(id_col), F.col("print_hash"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     rare = fps.join(
         fps.groupBy("print_hash")
         .agg(F.count(F.lit(1)).alias("__df"))
         .where(F.col("__df") <= df_cap)
         .select("print_hash"),
         "print_hash",
-    )
+    ).localCheckpoint(eager=True)
     # sizes over the SAME df-capped print space the intersection uses —
     # mixing a rare-print numerator with an all-print denominator would
     # deflate every overlap on a shared-vocabulary corpus
