@@ -1330,6 +1330,8 @@ def duplicate_spans(
     """
     from pyspark.sql import Window
 
+    if gram_words < 1:
+        raise ValueError(f"gram_words must be >= 1, got {gram_words}")
     words = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
     n = F.size(words)
     base = _spread(df.select(id_col, text_col)).select(
@@ -1504,6 +1506,8 @@ def winnow_fingerprints(
     """
     from pyspark.sql import Window
 
+    if k < 1 or window < 1:
+        raise ValueError(f"k and window must be >= 1, got k={k} window={window}")
     t = F.lower(F.col(text_col))
     n_grams = F.greatest(F.length(t) - k + 1, F.lit(0))
     # a bare sequence(1, 0) DESCENDS to [1, 0] — texts shorter than k

@@ -731,6 +731,8 @@ def tfidf_keywords(
     """
     from pyspark.sql import Window
 
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
     toks = df.select(
         F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("term")
     )
