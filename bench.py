@@ -122,6 +122,7 @@ BENCH_QUERIES = [
     "quality_classifier_documents",
     "pipeline_manifest_v2",
     "winnow_pairs",
+    "knn_eval_ivf_embeddings",
 ]
 
 

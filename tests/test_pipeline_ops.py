@@ -1806,3 +1806,23 @@ def test_winnow_fingerprints_guarantee_and_short_docs(spark):
         docs, "text", "doc_id", k=5, window=4, min_shared=1, df_cap=10
     ).collect()
     assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
+
+
+def test_knn_eval_ivf_matches_exact_on_probed_candidates(spark):
+    """With nprobe == n_centroids (every list probed) the IVF eval's
+    candidate set is the whole corpus, so it must reproduce the
+    brute-force eval exactly."""
+    from whylogs_java_spark.operators.similarity import (
+        knn_label_eval,
+        knn_label_eval_ivf,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding", "label"
+    )
+    pred = F.col("vec_id") % 25 == 0
+    exact = sorted(map(tuple, knn_label_eval(emb, pred, k=3).collect()))
+    ivf_full = sorted(map(tuple, knn_label_eval_ivf(
+        emb, pred, k=3, n_centroids=4, nprobe=4
+    ).collect()))
+    assert ivf_full == exact and len(exact) > 0

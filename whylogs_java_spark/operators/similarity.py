@@ -1552,3 +1552,105 @@ def pq_topk(
             "rank",
         )
     )
+
+
+def knn_label_eval_ivf(
+    embeddings: DataFrame,
+    query_pred: Column,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """The web-scale tier of :func:`knn_label_eval`: candidates come
+    from the IVF probe (nprobe lists per query) instead of the full
+    corpus, so the eval cost is O(queries × probed-list sizes) — the
+    brute-force tier stays the accuracy oracle. Same deterministic vote
+    and output schema: (query_id, true_label, pred_label, n_votes,
+    correct).
+    """
+    from pyspark.sql import Window
+
+    vecs, cvecs, ranked = _ivf_structures(
+        embeddings, n_centroids, id_col, vec_col
+    )
+    labels = embeddings.select(F.col(id_col), F.col(label_col))
+    qids = embeddings.where(query_pred).select(id_col)
+    lists = ranked.where(F.col("crk") == 1).select(
+        F.col(id_col).alias("neighbor_id"), "centroid_id"
+    )
+    probes = (
+        ranked.join(F.broadcast(qids), id_col)
+        .where(F.col("crk") <= nprobe)
+        .select(F.col(id_col).alias("query_id"), "centroid_id")
+    )
+    cand = (
+        lists.join(F.broadcast(probes), "centroid_id")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    q = vecs.join(F.broadcast(qids), id_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col("__v").alias("qv"),
+        F.col("__n").alias("qn"),
+    )
+    sim = (
+        cand.join(F.broadcast(q), "query_id")
+        .join(
+            vecs.select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col("__v").alias("nv"),
+                F.col("__n").alias("nn"),
+            ),
+            "neighbor_id",
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn"))).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    topk = (
+        sim.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .join(
+            labels.select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col(label_col).alias("nbr_label"),
+            ),
+            "neighbor_id",
+        )
+        .join(
+            labels.select(
+                F.col(id_col).alias("query_id"),
+                F.col(label_col).alias("true_label"),
+            ),
+            "query_id",
+        )
+    )
+    votes = topk.groupBy("query_id", "true_label", "nbr_label").agg(
+        F.count(F.lit(1)).alias("n_votes"),
+        F.min("rank").alias("__best_rank"),
+    )
+    wv = Window.partitionBy("query_id").orderBy(
+        F.desc("n_votes"), F.asc("__best_rank"), F.asc("nbr_label")
+    )
+    return (
+        votes.withColumn("__vr", F.row_number().over(wv))
+        .where(F.col("__vr") == 1)
+        .select(
+            F.col("query_id"),
+            F.col("true_label"),
+            F.col("nbr_label").alias("pred_label"),
+            F.col("n_votes").cast("long").alias("n_votes"),
+            (F.col("nbr_label") == F.col("true_label")).alias("correct"),
+        )
+    )
