@@ -489,3 +489,47 @@ def test_dsir_matches_reference(spark, corpora):
             math.copysign(math.floor(abs(mm) + 0.5), mm) / 1_000_000.0 + 0.0,
         )
     assert got == want
+
+
+_winnow_texts = st.lists(
+    st.text(alphabet="abcd ", min_size=0, max_size=30), min_size=1, max_size=5
+)
+
+
+def _winnow_reference(text: str, k: int, w: int):
+    import hashlib
+
+    t = text.lower()
+    n = len(t) - k + 1
+    if n <= 0:
+        return set()
+    hs = [
+        int(hashlib.md5(t[i : i + k].encode()).hexdigest()[:15], 16)
+        for i in range(n)
+    ]
+    ends = range(w - 1, n) if n >= w else [n - 1]
+    out = set()
+    for j in ends:
+        lo = max(0, j - w + 1)
+        sel = min(range(lo, j + 1), key=lambda i: (hs[i], -i))
+        out.add((sel, hs[sel]))
+    return out
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_winnow_texts)
+def test_winnow_fingerprints_match_reference(spark, texts):
+    from whylogs_java_spark.operators.dedup import winnow_fingerprints
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got: dict = {}
+    for r in winnow_fingerprints(df, "text", "doc_id", k=5, window=4).collect():
+        got.setdefault(r["doc_id"], set()).add((r["pos"], r["print_hash"]))
+    want = {
+        i: _winnow_reference(t, 5, 4)
+        for i, t in enumerate(texts)
+        if _winnow_reference(t, 5, 4)
+    }
+    assert got == want
