@@ -1642,3 +1642,76 @@ def winnow_pairs(
         )
         .where(F.col("overlap") >= F.lit(float(min_overlap)))
     )
+
+
+def winnow_screen(
+    df: DataFrame,
+    ref_prints: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 5,
+    window: int = 4,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Screen a batch of documents against a STATIC winnowed print store
+    (``winnow_fingerprints`` output of a reference corpus, columns
+    (ref_id, print_hash)) — the incremental-ingest face of
+    ``winnow_pairs``: each new document is checked against everything
+    already accepted without re-fingerprinting the store.
+
+    Per-document verdict only (no cross-document state), so the
+    streaming twin (`streaming.winnow_stream`) is batch-equivalent under
+    any micro-batch boundaries.
+
+    Output: (id, n_prints, best_ref, best_shared, flagged) — best_ref is
+    the store document sharing the most prints (ties to the lowest
+    ref_id; NULL when nothing is shared), flagged when best_shared ≥
+    ``min_shared``.
+    """
+    from pyspark.sql import Window
+
+    fps = (
+        winnow_fingerprints(df, text_col, id_col, k, window)
+        .select(F.col(id_col), F.col("print_hash"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sizes = fps.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_prints")
+    )
+    shared = (
+        fps.join(
+            ref_prints.select(
+                F.col("ref_id"), F.col("print_hash")
+            ),
+            "print_hash",
+        )
+        .groupBy(id_col, "ref_id")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    wb = Window.partitionBy(id_col).orderBy(
+        F.desc("shared"), F.asc("ref_id")
+    )
+    best = (
+        shared.withColumn("__r", F.row_number().over(wb))
+        .where(F.col("__r") == 1)
+        .select(
+            F.col(id_col),
+            F.col("ref_id").alias("best_ref"),
+            F.col("shared").alias("best_shared"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(sizes, id_col, "left")
+        .join(best, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_prints", F.lit(0)).cast("long").alias("n_prints"),
+            F.col("best_ref"),
+            F.coalesce("best_shared", F.lit(0)).cast("long").alias("best_shared"),
+            (
+                F.coalesce("best_shared", F.lit(0)) >= F.lit(int(min_shared))
+            ).alias("flagged"),
+        )
+    )
