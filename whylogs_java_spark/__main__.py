@@ -75,18 +75,19 @@ def _run_dedup(argv: list[str]) -> int:
     p.add_argument("--vec-col", default=None, help="for semantic")
     p.add_argument(
         "--method",
-        choices=["exact", "minhash", "simhash", "semantic"],
+        choices=["exact", "minhash", "simhash", "semantic", "winnow"],
         default="minhash",
     )
     p.add_argument("--threshold", type=float, default=0.5,
-                   help="jaccard (minhash) / cosine (semantic)")
+                   help="jaccard (minhash) / cosine (semantic) / "
+                        "print-overlap (winnow)")
     p.add_argument("--max-hamming", type=int, default=3, help="simhash")
     p.add_argument("--pairs", action="store_true",
                    help="emit the pair list instead of survivor rows")
     a = p.parse_args(argv)
     # fail at the argparse layer, not deep inside the operator with an
     # opaque py4j error: text methods need --text-col, semantic --vec-col
-    if a.method in ("exact", "minhash", "simhash") and not a.text_col:
+    if a.method in ("exact", "minhash", "simhash", "winnow") and not a.text_col:
         p.error(f"--text-col is required for --method {a.method}")
     if a.method == "semantic" and not a.vec_col:
         p.error("--vec-col is required for --method semantic")
@@ -114,6 +115,12 @@ def _run_dedup(argv: list[str]) -> int:
 
             out = simhash_pairs(
                 df, a.text_col, a.id_col, max_hamming=a.max_hamming
+            )
+        elif a.method == "winnow":
+            from .operators.dedup import winnow_pairs
+
+            out = winnow_pairs(
+                df, a.text_col, a.id_col, min_overlap=a.threshold
             )
         else:
             from .operators.cluster import semantic_dedup, semantic_dedup_pairs
