@@ -123,6 +123,7 @@ BENCH_QUERIES = [
     "pipeline_manifest_v2",
     "winnow_pairs",
     "knn_eval_ivf_embeddings",
+    "contamination_report",
 ]
 
 

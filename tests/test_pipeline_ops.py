@@ -1883,3 +1883,34 @@ def test_winnow_stream_matches_batch_any_boundaries(spark, tmp_path):
         rid = r["doc_id"]
         assert batch[rid + 200000][4] is True
         assert batch[rid + 200000][2] == rid
+
+
+def test_contamination_report_attribution(spark):
+    """Each eval item reports the distinct docs sharing its grams and
+    the hit fraction; short eval items report zero grams."""
+    from whylogs_java_spark.operators.decontam import contamination_report
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon eta"),
+            (3, "totally different words here now ok"),
+        ],
+        ["doc_id", "text"],
+    )
+    ev = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta epsilon"),  # 1 gram, in docs 1+2
+            (11, "nothing matches this eval item x"),
+            (12, "tiny"),                            # < n words: 0 grams
+        ],
+        ["eval_id", "text"],
+    )
+    out = {r["eval_id"]: r for r in contamination_report(
+        corpus, "text", "doc_id", ev, "eval_id", n=5
+    ).collect()}
+    assert out[10]["n_grams"] == 1 and out[10]["n_grams_hit"] == 1
+    assert out[10]["n_docs"] == 2 and out[10]["hit_fraction"] == 1.0
+    assert out[11]["n_grams"] == 2 and out[11]["n_grams_hit"] == 0
+    assert out[11]["n_docs"] == 0 and out[11]["hit_fraction"] == 0.0
+    assert out[12]["n_grams"] == 0 and out[12]["hit_fraction"] == 0.0

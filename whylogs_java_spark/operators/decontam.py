@@ -117,3 +117,73 @@ def decontaminate(
             (F.coalesce(F.col("n_hits"), F.lit(0)) > 0).alias("contaminated"),
         )
     )
+
+
+def contamination_report(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    eval_df: DataFrame,
+    eval_id_col: str,
+    eval_text_col: str | None = None,
+    n: int = 5,
+) -> DataFrame:
+    """Per-eval-item contamination attribution — the inverse view of
+    :func:`decontaminate`: for each evaluation row, how much of it leaks
+    into the training corpus (which benchmark items are compromised and
+    how badly), the report an eval owner reads before trusting a score.
+
+    Output, one row per eval item:
+      (eval_id, n_grams, n_grams_hit, n_docs, hit_fraction)
+    — n_docs = distinct corpus documents sharing ≥1 of the item's
+    n-grams; hit_fraction = n_grams_hit / n_grams (rounded 6). Items
+    with fewer than ``n`` words report n_grams = 0 and zero hits.
+
+    Scale shape: the eval side is bounded (grams broadcast); corpus
+    grams are SEMI-JOINED to the eval gram set inside the scan before
+    the attribution join, so only matched grams (≈ nothing on a clean
+    corpus) reach the (gram → eval item) fan-out; aggregates key on the
+    eval id. The corpus is scanned once.
+    """
+    etc = eval_text_col or text_col
+    ev = eval_df.select(
+        F.col(eval_id_col).alias("eval_id"),
+        F.explode_outer(ngram_digests(F.col(etc), n)).alias("gram"),
+    ).distinct()
+    totals = ev.groupBy("eval_id").agg(
+        F.count(F.col("gram")).alias("n_grams")
+    )
+    cg = df.select(
+        F.col(id_col).alias("__doc"),
+        F.explode(ngram_digests(F.col(text_col), n)).alias("gram"),
+    ).distinct()
+    matched = cg.join(
+        F.broadcast(ev.where(F.col("gram").isNotNull()).select("gram").distinct()),
+        "gram",
+        "left_semi",
+    )
+    hits = (
+        matched.join(F.broadcast(ev), "gram")
+        .groupBy("eval_id")
+        .agg(
+            F.countDistinct("gram").alias("n_grams_hit"),
+            F.countDistinct("__doc").alias("n_docs"),
+        )
+    )
+    return (
+        totals.join(hits, "eval_id", "left")
+        .select(
+            F.col("eval_id"),
+            F.col("n_grams").cast("long").alias("n_grams"),
+            F.coalesce("n_grams_hit", F.lit(0)).cast("long").alias("n_grams_hit"),
+            F.coalesce("n_docs", F.lit(0)).cast("long").alias("n_docs"),
+            (
+                F.round(
+                    F.coalesce("n_grams_hit", F.lit(0))
+                    / F.greatest(F.col("n_grams"), F.lit(1)),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("hit_fraction"),
+        )
+    )
