@@ -597,6 +597,12 @@ def test_r9_query_plan_guards(spark):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert p.count("Scan parquet") == 0 and "ExistingRDD" in p
+    # contamination attribution: corpus grams SEMI-join the broadcast
+    # eval set before the attribution fan-out; no nested loop anywhere
+    p = plan_of("contamination_report")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "LeftSemi" in p and "BroadcastHashJoin" in p
 
 
 def test_ivf_stored_lists_scan_gets_dynamic_partition_pruning(spark, tmp_path):
