@@ -82,6 +82,12 @@ def _run_dedup(argv: list[str]) -> int:
                    help="jaccard (minhash) / cosine (semantic) / "
                         "print-overlap (winnow)")
     p.add_argument("--max-hamming", type=int, default=3, help="simhash")
+    p.add_argument("--winnow-k", type=int, default=5,
+                   help="winnow: k-gram size")
+    p.add_argument("--winnow-window", type=int, default=4,
+                   help="winnow: selection window")
+    p.add_argument("--min-shared", type=int, default=2,
+                   help="winnow: min shared prints per pair")
     p.add_argument("--pairs", action="store_true",
                    help="emit the pair list instead of survivor rows")
     a = p.parse_args(argv)
@@ -111,17 +117,27 @@ def _run_dedup(argv: list[str]) -> int:
                 )
             )
         elif a.method == "simhash":
-            from .operators.dedup import simhash_pairs
+            from .operators.dedup import resolve_clusters, simhash_pairs
 
             out = simhash_pairs(
                 df, a.text_col, a.id_col, max_hamming=a.max_hamming
             )
+            if not a.pairs:
+                out = resolve_clusters(
+                    out.select("id_a", "id_b"), df.select(a.id_col), a.id_col
+                )
         elif a.method == "winnow":
-            from .operators.dedup import winnow_pairs
+            from .operators.dedup import resolve_clusters, winnow_pairs
 
             out = winnow_pairs(
-                df, a.text_col, a.id_col, min_overlap=a.threshold
+                df, a.text_col, a.id_col, k=a.winnow_k,
+                window=a.winnow_window, min_shared=a.min_shared,
+                min_overlap=a.threshold,
             )
+            if not a.pairs:
+                out = resolve_clusters(
+                    out.select("id_a", "id_b"), df.select(a.id_col), a.id_col
+                )
         else:
             from .operators.cluster import semantic_dedup, semantic_dedup_pairs
 

@@ -788,24 +788,25 @@ def pii_redact(
     pass can see them).
 
     Output: (id, redacted_text, n_redactions) — ``n_redactions`` counts
-    the placeholders actually written. Pure projection: chained
-    ``regexp_replace`` inside the scan stage, no shuffle, no UDF; the
-    same RE2-compatible dialect as ``pii_scan`` keeps the DuckDB oracle
-    verbatim.
+    the spans actually replaced: each pass counts matches of ITS pattern
+    on the text as it stood *before* that pass's replace (so a source
+    document that already contains a literal ``<EMAIL>`` string is not
+    miscounted, and a later pattern never counts a placeholder an
+    earlier pass wrote). Pure projection: chained ``regexp_replace``
+    inside the scan stage, no shuffle, no UDF; the same RE2-compatible
+    dialect as ``pii_scan`` keeps the DuckDB oracle verbatim.
     """
     unknown = [k for k in kinds if k not in PII_PATTERNS]
     if unknown:
         raise ValueError(f"unknown PII kinds {unknown}; use {list(PII_PATTERNS)}")
     out = F.col(text_col)
+    pass_counts = []
     for k in kinds:
+        pass_counts.append(
+            F.size(F.regexp_extract_all(out, F.lit(PII_PATTERNS[k]), 0))
+        )
         out = F.regexp_replace(out, PII_PATTERNS[k], f"<{k.upper()}>")
-    n = sum(
-        (
-            F.size(F.regexp_extract_all(out, F.lit(f"<{k.upper()}>"), 0))
-            for k in kinds
-        ),
-        start=F.lit(0),
-    )
+    n = sum(pass_counts, start=F.lit(0))
     return df.select(
         F.col(id_col),
         out.alias("redacted_text"),

@@ -8,10 +8,11 @@ job's data loader consumes. Everything here is a pure function of
 - shard count comes from ONE corpus aggregate (total tokens /
   ``target_tokens_per_shard``) — a single driver scalar, never a
   driver-side loop;
-- shard assignment is the same engine-portable md5-threshold family the
-  samplers use (`operators/sampling.sample_key`): a pure projection, no
-  shuffle beyond the final ``repartition("shard")`` that gives each
-  shard exactly one output task/file;
+- shard assignment is the same engine-portable md5-prefix family the
+  samplers use, taken over the full 60-bit prefix (see ``_shard_key``):
+  a pure projection, no shuffle beyond the final
+  ``repartition("shard")`` that gives each shard exactly one output
+  task/file;
 - the manifest (shard, n_docs, n_tokens) is a bounded aggregate written
   next to the data.
 
@@ -33,7 +34,15 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..operators.sampling import sample_key
+def _shard_key(id_col, salt: str):
+    """Deterministic 60-bit uniform integer from a row id (full md5
+    15-hex-char prefix, NOT the mod-1e6 ``sample_key``): taking
+    ``% n_shards`` of the already-reduced 1e6 key-space would carry a
+    visible modulo bias whenever n_shards ∤ 1e6 and degenerate to empty
+    shards for n_shards > 1e6; mod-2^60 bias is < 2^-40 for any
+    realistic shard count."""
+    h = F.md5(F.concat(F.lit(salt), id_col.cast("string")))
+    return F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
 
 
 def assign_shards(
@@ -59,7 +68,7 @@ def assign_shards(
     if n_shards <= 0:
         raise ValueError(f"n_shards must be > 0, got {n_shards}")
     return df.withColumn(
-        "shard", (sample_key(F.col(id_col), salt) % n_shards).cast("int")
+        "shard", (_shard_key(F.col(id_col), salt) % n_shards).cast("int")
     )
 
 
@@ -86,7 +95,7 @@ def export_training_shards(
     )
     (
         assigned.repartition(F.col("shard"))
-        .sortWithinPartitions(sample_key(F.col(id_col), salt), F.col(id_col))
+        .sortWithinPartitions(_shard_key(F.col(id_col), salt), F.col(id_col))
         .write.mode("overwrite")
         .partitionBy("shard")
         .parquet(f"{path}/data")
