@@ -826,6 +826,61 @@ def test_cross_dedup_pairs_only_cross_and_exact_is_one(spark):
     assert 0.5 <= got[(2, 102)] < 1.0
 
 
+def test_minhash_store_probe_matches_unstored(spark, tmp_path):
+    """A persisted signature store probe reproduces cross_dedup_pairs
+    bit-for-bit, including when the store was built with non-default
+    params (banded32 / char n-grams) the probe is never told — the
+    probe reads construction params from {path}/meta, not arguments."""
+    from whylogs_java_spark.operators.dedup import (
+        build_minhash_store,
+        cross_dedup_pairs,
+        cross_dedup_stored,
+    )
+
+    ref = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "one two three four five six seven eight nine ten"),
+            (3, "lorem ipsum dolor sit amet consectetur adipiscing elit"),
+        ],
+        ["doc_id", "text"],
+    )
+    new = spark.createDataFrame(
+        [
+            (101, "alpha beta gamma delta epsilon zeta eta theta"),
+            (102, "one two three four five six seven eight nine ten extra"),
+            (103, "totally different words here nothing shared at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    for kw in (
+        {},
+        {"char_ngrams": True, "hash_family": "banded32", "n_buckets": 4},
+    ):
+        path = str(tmp_path / f"store_{len(kw)}")
+        build_minhash_store(ref, path, "text", "doc_id", **kw)
+        pair_kw = {
+            k: v for k, v in kw.items() if k in ("char_ngrams", "hash_family")
+        }
+        base = sorted(
+            map(
+                tuple,
+                cross_dedup_pairs(
+                    new, ref, "text", "doc_id", threshold=0.3, **pair_kw
+                ).collect(),
+            )
+        )
+        got = sorted(
+            map(
+                tuple,
+                cross_dedup_stored(
+                    spark, path, new, "text", "doc_id", threshold=0.3
+                ).collect(),
+            )
+        )
+        assert got == base and len(got) >= 2
+
+
 def test_quantize_stats_known_values(spark):
     """Hand-computed int8 table on a 2-dim corpus, including a constant
     dimension (scale 0, zero error) and an exactly-representable ramp."""

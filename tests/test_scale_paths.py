@@ -631,3 +631,66 @@ def test_ivf_stored_lists_scan_gets_dynamic_partition_pruning(spark, tmp_path):
     )
     assert "dynamicpruning" in plan.lower()
     assert "CartesianProduct" not in plan
+
+
+def test_minhash_store_probe_plans(spark, tmp_path):
+    """The 100 TB claims of the persisted signature store: (a) the
+    candidate band join against the stored bands table gets a
+    dynamic-pruning subquery on its partition columns (mirror of the
+    IVF stored-lists guard); (b) the verify stage's stored-shingles
+    scan carries a literal (non-empty) partition filter on sbucket —
+    static pruning from the candidate bucket census; (c) no cartesian
+    anywhere."""
+    from pyspark.sql import functions as F
+
+    from whylogs_java_spark.operators.dedup import (
+        build_minhash_store,
+        cross_dedup_stored,
+        lsh_band_signatures,
+        minhash_signatures,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    path = str(tmp_path / "mstore")
+    build_minhash_store(docs, path, "text", "doc_id")
+    new = docs.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+
+    # (a) the bands candidate join, as the probe builds it
+    sig = minhash_signatures(new, "text", "doc_id", 16, 3, False)
+    bands_new = lsh_band_signatures(sig, "doc_id", 16, 4).select(
+        F.col("doc_id").alias("id_b"),
+        "band",
+        F.pmod(F.xxhash64("band_sig"), F.lit(16)).alias("bucket"),
+        "band_sig",
+    )
+    stored = spark.read.parquet(f"{path}/bands").select(
+        F.col("id").alias("id_a"), "band", "bucket", "band_sig"
+    )
+    cand_plan = (
+        stored.join(F.broadcast(bands_new), on=["band", "bucket", "band_sig"])
+        .select("id_a", "id_b")
+        .distinct()
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "dynamicpruning" in cand_plan.lower()
+    assert "CartesianProduct" not in cand_plan
+
+    # (b) + (c) on the full probe plan (post-checkpoint lineage: the
+    # verify joins + the pruned shingles scan)
+    out = cross_dedup_stored(spark, path, new, "text", "doc_id", 0.5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    shingle_scan_lines = [
+        ln
+        for ln in plan.splitlines()
+        if "PartitionFilters" in ln and "sbucket" in ln
+    ]
+    assert shingle_scan_lines, "shingles scan lost its partition filter"
+    assert all("PartitionFilters: []" not in ln for ln in shingle_scan_lines)
+    assert "CartesianProduct" not in plan
+    assert out.count() > 0

@@ -36,8 +36,17 @@ def _exact_bracket(df, col: str, q: float, eps: float) -> tuple[float, float]:
 
 def test_quantiles_sketch_within_rank_error(spark):
     # sketch tier = percentile_approx(accuracy=10000): each returned value
-    # must lie between the exact group quantiles at q +/- 1/accuracy
-    sketch_rows = entry.queries()["quantiles_lineitem_sketch"](spark, SF_DIR).collect()
+    # must lie between the exact group quantiles at q +/- 1/accuracy.
+    # (Drives the OPERATOR directly: the entry query now emits the same
+    # bracket as hash-checked booleans — see q_quantiles_lineitem_sketch.)
+    from whylogs_java_spark.operators.summary import quantile_summary
+
+    sketch_rows = quantile_summary(
+        spark.read.parquet(f"{SF_DIR}/lineitem.parquet"),
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        group_by=["l_returnflag"],
+        quantiles=entry.QUANTILES,
+    ).collect()
     li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
     groups = {r["l_returnflag"] for r in sketch_rows}
     subsets = {g: li.where(F.col("l_returnflag") == g) for g in groups}
@@ -54,13 +63,19 @@ def test_quantiles_sketch_within_rank_error(spark):
 
 def test_uniques_sketch_within_3rsd(spark):
     # HLL++ rsd 0.016 (lgK=12 parity): estimate within 3*rsd of exact
+    # (Drives the OPERATOR directly: the entry query now emits this
+    # bracket as a hash-checked boolean — see q_uniques_lineitem_sketch.)
+    from whylogs_java_spark.operators.summary import unique_counts
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    cols = ["l_orderkey", "l_partkey", "l_suppkey", "l_returnflag"]
     exact = {
         r["column_name"]: r["unique_count"]
-        for r in entry.queries()["uniques_lineitem"](spark, SF_DIR).collect()
+        for r in unique_counts(li, cols, tier="exact").collect()
     }
     sketch = {
         r["column_name"]: r["unique_count"]
-        for r in entry.queries()["uniques_lineitem_sketch"](spark, SF_DIR).collect()
+        for r in unique_counts(li, cols).collect()
     }
     assert set(exact) == set(sketch)
     for col, n in exact.items():
@@ -71,8 +86,30 @@ def test_uniques_sketch_within_3rsd(spark):
 def test_sketch_summary_within_bounds(spark):
     # per group: theta estimate inside its own 1-std-err bounds AND within
     # 3x rse of exact distinct; HLL within 3*rsd; KLL(256) quantiles within
-    # 2x the sketch's ~0.0083 normalized rank error
-    rows = entry.queries()["sketch_summary_lineitem"](spark, SF_DIR).collect()
+    # 2x the sketch's ~0.0083 normalized rank error.
+    # (Drives the OPERATORS directly: the entry query now emits these
+    # brackets as hash-checked booleans — see q_sketch_summary_lineitem.)
+    from whylogs_java_spark.operators.approx import sketch_profile, sketch_summary
+
+    li0 = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    sk = sketch_profile(
+        li0,
+        columns=["l_quantity", "l_extendedprice", "l_returnflag"],
+        group_by=["l_returnflag"],
+    )
+    rows = (
+        sketch_summary(sk, group_by=["l_returnflag"])
+        .select(
+            "l_returnflag",
+            "column_name",
+            "unique_theta",
+            "unique_theta_lower",
+            "unique_theta_upper",
+            "unique_hll",
+            F.col("quantiles").getItem(4).alias("median_est"),
+        )
+        .collect()
+    )
     li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
     for r in rows:
         sub = li.where(F.col("l_returnflag") == r["l_returnflag"])
@@ -133,9 +170,20 @@ def test_similarity_ivf_quality_floor(spark):
     # structure), so identity recall of the true top-1 is the wrong metric
     # for nprobe=4/16; pin QUALITY instead: per query, (a) the IVF top-1
     # cosine reaches >= 75% of the exact top-1 cosine and never exceeds it,
-    # and (b) at least one of the exact top-5 appears in the IVF top-10
+    # and (b) at least one of the exact top-5 appears in the IVF top-10.
+    # (Drives the OPERATOR directly: the entry query now emits the quality
+    # floor as hash-checked booleans — see q_similarity_ivf.)
+    from whylogs_java_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     exact_rows = entry.queries()["similarity_topk"](spark, SF_DIR).collect()
-    ivf_rows = entry.queries()["similarity_ivf"](spark, SF_DIR).collect()
+    ivf_rows = ivf_topk(
+        emb,
+        emb.where(F.col("vec_id").isin(entry.SIM_QUERY_IDS)),
+        k=10,
+        n_centroids=16,
+        nprobe=4,
+    ).collect()
     exact_top1 = {r["query_id"]: r["cosine"] for r in exact_rows if r["rank"] == 1}
     exact_top5 = {}
     for r in exact_rows:

@@ -1480,6 +1480,202 @@ def cross_dedup_pairs(
     return v.where(F.col("jaccard") >= threshold)
 
 
+def build_minhash_store(
+    df: DataFrame,
+    path: str,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_size: int = 3,
+    char_ngrams: bool = False,
+    hash_family: str = "affine",
+    n_buckets: int = 16,
+) -> None:
+    """Persist a MinHash SIGNATURE STORE: build once, screen many — the
+    text-dedup twin of ``build_ivf_index`` (same build-once /
+    partition-pruned-probe pattern). ``cross_dedup_pairs`` recomputes
+    the reference corpus's signatures on every incremental batch; this
+    store computes them exactly once. Three parquet tables under
+    ``path``:
+
+    - ``{path}/bands``: (id, band_sig) PARTITIONED BY (band, bucket)
+      where ``bucket = pmod(xxhash64(band_sig), n_buckets)`` — the
+      probe joins on (band, bucket, band_sig), so Spark's dynamic
+      partition pruning reads only the band files a batch's signatures
+      can collide with (pinned by plan-guard test);
+    - ``{path}/shingles``: (id, shset, size) PARTITIONED BY
+      ``sbucket = pmod(xxhash64(id), n_buckets)`` — the exact-Jaccard
+      verify side; candidate ids carry the same bucket, so verify
+      reads only partitions that hold a matched ref doc;
+    - ``{path}/meta``: one row pinning the construction params — a
+      store is only probe-compatible with its own (hash family,
+      shingling, banding); the probe reads these instead of trusting
+      caller arguments.
+
+    The bucket columns are internal partition keys (Spark ``xxhash64``,
+    never in output), so oracle portability is untouched: a stored
+    probe reproduces ``cross_dedup_pairs`` bit-for-bit (pinned by
+    test + the shared ``dedup_incremental`` oracle).
+
+    At 100 TB: store state is O(corpus) but tiny per doc — bands rows
+    are (long, 32-hex) × bands, shingle arrays are the only text-scale
+    table and verify touches just the candidate buckets of it. The
+    per-batch cost is O(batch + matched candidates), with the ref side
+    read partition-pruned, never recomputed.
+    """
+    df = _spread(df.select(id_col, text_col))
+    sig = minhash_signatures(
+        df, text_col, id_col, num_hashes, shingle_size, char_ngrams,
+        hash_family=hash_family, bands=bands,
+    )
+    bands_df = lsh_band_signatures(sig, id_col, num_hashes, bands)
+    (
+        bands_df.select(
+            F.col(id_col).alias("id"),
+            F.col("band"),
+            F.pmod(F.xxhash64("band_sig"), F.lit(n_buckets)).alias("bucket"),
+            F.col("band_sig"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("band", "bucket")
+        .parquet(f"{path}/bands")
+    )
+    sh = _shingler(shingle_size, char_ngrams)
+    shset = F.array_distinct(sh(F.col(text_col)))
+    (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_buckets)).alias("sbucket"),
+            shset.alias("shset"),
+            F.size(shset).cast("long").alias("size"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("sbucket")
+        .parquet(f"{path}/shingles")
+    )
+    meta = df.sparkSession.createDataFrame(
+        [
+            (
+                num_hashes,
+                bands,
+                shingle_size,
+                bool(char_ngrams),
+                hash_family,
+                n_buckets,
+            )
+        ],
+        "num_hashes int, bands int, shingle_size int, char_ngrams boolean, "
+        "hash_family string, n_buckets int",
+    )
+    meta.coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def cross_dedup_stored(
+    spark,
+    path: str,
+    new_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Screen a NEW batch against a persisted ``build_minhash_store`` —
+    incremental ingest without recomputing reference signatures
+    (``cross_dedup_pairs`` re-derives them per batch; here the ref side
+    is a partition-pruned store scan).
+
+    Construction params come from ``{path}/meta``; only the batch's own
+    signatures are computed. Candidates are the stored-bands ⋈
+    batch-bands equi-join on (band, bucket, band_sig) — bucket is a pure
+    function of band_sig, so the match set is identical to the
+    unstored screen and Spark prunes the stored partitions dynamically.
+    Verify joins candidate ids against the stored shingle arrays (ref
+    side, bucket-pruned) and the batch's own arrays (computed in-flight).
+
+    Output: (id_a = stored id, id_b = new id, inter, size_a, size_b,
+    jaccard), identical to ``cross_dedup_pairs`` (pinned by test). Id
+    spaces must be disjoint.
+    """
+    m = spark.read.parquet(f"{path}/meta").first()
+    new_df = _spread(new_df.select(id_col, text_col))
+    sig_new = minhash_signatures(
+        new_df, text_col, id_col, m["num_hashes"], m["shingle_size"],
+        m["char_ngrams"], hash_family=m["hash_family"], bands=m["bands"],
+    )
+    bands_new = lsh_band_signatures(
+        sig_new, id_col, m["num_hashes"], m["bands"]
+    ).select(
+        F.col(id_col).alias("id_b"),
+        F.col("band"),
+        F.pmod(F.xxhash64("band_sig"), F.lit(m["n_buckets"])).alias("bucket"),
+        F.col("band_sig"),
+    )
+    stored_bands = spark.read.parquet(f"{path}/bands").select(
+        F.col("id").alias("id_a"), "band", "bucket", "band_sig"
+    )
+    cand = (
+        stored_bands.join(
+            F.broadcast(bands_new), on=["band", "bucket", "band_sig"]
+        )
+        .select("id_a", "id_b")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # ref arrays: partition-pruned store scan keyed by the candidate
+    # ids' bucket — never a full-store read for a small batch. cand is
+    # already materialized, so the bucket census is a <= n_buckets-value
+    # collect (aggregate-sized) that becomes a LITERAL partition filter
+    # on the scan: static pruning, no DPP heuristics to satisfy.
+    keyed = cand.select(
+        "id_a",
+        "id_b",
+        F.pmod(F.xxhash64("id_a"), F.lit(m["n_buckets"])).alias("sbucket"),
+    ).localCheckpoint(eager=True)
+    hit_buckets = [
+        r["sbucket"] for r in keyed.select("sbucket").distinct().collect()
+    ]
+    ref_sh = spark.read.parquet(f"{path}/shingles").where(
+        F.col("sbucket").isin(hit_buckets)
+    )
+    a = keyed.join(
+        ref_sh.select(
+            F.col("id").alias("id_a"),
+            "sbucket",
+            F.col("shset").alias("__sa"),
+            F.col("size").alias("size_a"),
+        ),
+        on=["sbucket", "id_a"],
+    )
+    sh = _shingler(m["shingle_size"], m["char_ngrams"])
+    shset = F.array_distinct(sh(F.col(text_col)))
+    b = new_df.select(
+        F.col(id_col).alias("id_b"),
+        shset.alias("__sb"),
+        F.size(shset).cast("long").alias("size_b"),
+    )
+    inter = F.size(F.array_intersect(F.col("__sa"), F.col("__sb"))).cast("long")
+    v = (
+        a.join(b, on="id_b")
+        .withColumn("inter", inter)
+        .select(
+            "id_a",
+            "id_b",
+            "inter",
+            "size_a",
+            "size_b",
+            (
+                F.round(
+                    F.col("inter")
+                    / (F.col("size_a") + F.col("size_b") - F.col("inter")),
+                    6,
+                )
+                + 0.0
+            ).alias("jaccard"),
+        )
+    )
+    return v.where(F.col("jaccard") >= threshold)
+
+
 def winnow_fingerprints(
     df: DataFrame,
     text_col: str,
