@@ -361,3 +361,65 @@ def test_sketch_profile_diff_grouped(spark):
     assert out["g2"]["psi"] is None
     assert out["g3"]["count_a"] is None and out["g3"]["count_b"] == 50
     assert out["g3"]["psi"] is None
+
+
+def test_ann_recall_report_shape_and_consistency(spark):
+    # the dashboard's recall must equal a hand-computed recall from the
+    # same tier outputs, and every metric must be internally consistent
+    from whylogs_java_spark.operators.similarity import (
+        ann_recall_report,
+        cosine_topk,
+        ivf_topk_exact,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    ids = list(range(20))
+    rep = {r["tier"]: r for r in ann_recall_report(emb, ids, k=10).collect()}
+    assert set(rep) == {"lsh", "ivf_md5", "ivf_int8", "pq"}
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(
+            emb, emb.where(F.col("vec_id").isin(ids)), k=10
+        ).collect()
+    }
+    ivf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk_exact(emb, ids, k=10).collect()
+    }
+    hand = len(ivf & exact) / len(exact)
+    r = rep["ivf_md5"]
+    assert r["hits"] == len(ivf & exact)
+    assert r["recall"] == pytest.approx(hand, abs=1e-6)
+    for t, row in rep.items():
+        assert 0.0 <= row["recall"] <= 1.0, t
+        assert row["hits"] <= row["n_tier"] <= row["n_exact"], t
+        assert row["n_queries"] == 20, t
+
+
+def test_ann_recall_monotone_in_nprobe(spark):
+    # more probes -> candidate superset -> the IVF top-k can only gain
+    # true top-k members; nprobe == n_centroids degenerates to exact
+    from whylogs_java_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk_exact,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    ids = list(range(10))
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(
+            emb, emb.where(F.col("vec_id").isin(ids)), k=10
+        ).collect()
+    }
+    recalls = []
+    for nprobe in (1, 2, 4, 8, 16):
+        tier = {
+            (r["query_id"], r["neighbor_id"])
+            for r in ivf_topk_exact(
+                emb, ids, k=10, n_centroids=16, nprobe=nprobe
+            ).collect()
+        }
+        recalls.append(len(tier & exact) / len(exact))
+    assert recalls == sorted(recalls), recalls
+    assert recalls[-1] == 1.0, recalls

@@ -1654,3 +1654,104 @@ def knn_label_eval_ivf(
             (F.col("nbr_label") == F.col("true_label")).alias("correct"),
         )
     )
+
+
+def ann_recall_report(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = 8,
+    probes: int = 4,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    rerank: int = 30,
+    pq_m: int = 4,
+    pq_codebook_k: int = 16,
+) -> DataFrame:
+    """ANN recall dashboard: one row per approximate tier with its
+    recall@k and mean rank displacement against the brute-force exact
+    top-k on a fixed query set — the table a pipeline reads to tune
+    nprobe / planes / m before committing to an index layout.
+
+    Tiers are the ORACLE-DETERMINISTIC family (md5 sampling + strict
+    left-to-right double folds): lsh (`lsh_bucket_topk`), ivf_md5
+    (`ivf_topk_exact`), ivf_int8 (`ivf_topk_quantized`), pq (`pq_topk`)
+    — so the whole report, recall numbers included, replays in SQL and
+    is hash-checkable end to end (the production xxhash64 tiers have
+    their own quality-floor query, `similarity_ivf`).
+
+    recall = |tier top-k ∩ exact top-k| / |exact top-k rows|;
+    mean_rank_disp = mean |tier rank - exact rank| over the
+    intersection (NULL when empty). Output: (tier, k, n_queries,
+    n_exact, n_tier, hits, recall, mean_rank_disp).
+
+    Scale: every tier is the already-bounded operator (broadcast query
+    side, probed/bucketed candidates); the exact side is one
+    brute-force pass over the corpus for |query_ids| queries — the
+    dashboard is meant for a sampled query set, not the full corpus.
+    The metric joins and aggregates are all candidate-sized.
+    """
+    ids = list(query_ids)
+    qdf = embeddings.where(F.col(id_col).isin(ids))
+    # the exact table feeds one join per tier: materialize its
+    # O(|queries| * k) rows once
+    exact = cosine_topk(embeddings, qdf, id_col, vec_col, k).localCheckpoint(
+        eager=True
+    )
+    ex = exact.select(
+        "query_id", "neighbor_id", F.col("rank").alias("rank_e")
+    )
+    ex_stats = exact.agg(
+        F.count_distinct("query_id").cast("long").alias("n_queries"),
+        F.count(F.lit(1)).cast("long").alias("n_exact"),
+    )
+    tiers = {
+        "ivf_int8": ivf_topk_quantized(
+            embeddings, ids, k=k, n_centroids=n_centroids, nprobe=nprobe,
+            rerank=rerank, id_col=id_col, vec_col=vec_col,
+        ),
+        "ivf_md5": ivf_topk_exact(
+            embeddings, ids, k=k, n_centroids=n_centroids, nprobe=nprobe,
+            id_col=id_col, vec_col=vec_col,
+        ),
+        "lsh": lsh_bucket_topk(
+            embeddings, qdf, id_col=id_col, vec_col=vec_col, k=k,
+            planes=planes, probes=probes,
+        ),
+        "pq": pq_topk(
+            embeddings, ids, k=k, m=pq_m, codebook_k=pq_codebook_k,
+            rerank=rerank, id_col=id_col, vec_col=vec_col,
+        ),
+    }
+    rows = None
+    for name in sorted(tiers):
+        t = tiers[name].select(
+            "query_id", "neighbor_id", F.col("rank").alias("rank_t")
+        )
+        m = (
+            t.join(ex, on=["query_id", "neighbor_id"], how="left")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_tier"),
+                F.count("rank_e").cast("long").alias("hits"),
+                F.sum(F.abs(F.col("rank_t") - F.col("rank_e")))
+                .cast("long")
+                .alias("__sum_disp"),
+            )
+            .select(F.lit(name).alias("tier"), "n_tier", "hits", "__sum_disp")
+        )
+        rows = m if rows is None else rows.unionByName(m)
+    return rows.crossJoin(F.broadcast(ex_stats)).select(
+        "tier",
+        F.lit(k).cast("long").alias("k"),
+        "n_queries",
+        "n_exact",
+        "n_tier",
+        "hits",
+        (F.round(F.col("hits") / F.col("n_exact"), 6) + 0.0).alias("recall"),
+        F.when(
+            F.col("hits") > 0,
+            F.round(F.col("__sum_disp") / F.col("hits"), 6) + 0.0,
+        ).alias("mean_rank_disp"),
+    )
