@@ -694,3 +694,64 @@ def test_minhash_store_probe_plans(spark, tmp_path):
     assert all("PartitionFilters: []" not in ln for ln in shingle_scan_lines)
     assert "CartesianProduct" not in plan
     assert out.count() > 0
+
+
+@pytest.mark.parametrize("reliable", [False, True])
+def test_checkpoint_seam_reliable_mode(spark, tmp_path, reliable):
+    """Chaos seam: the scale story leans on lineage materialization
+    (print tables, PQ code tables, CC edges). On a real cluster those
+    must be RELIABLE checkpoints to survive executor loss — this proves
+    the one seam (`ckpt.materialize`) actually flips every operator and
+    produces identical results: winnow_pairs + pq_topk re-run to the
+    same rows in both modes, and reliable mode demonstrably writes to
+    the checkpoint dir."""
+    from pyspark.sql import functions as F
+
+    from whylogs_java_spark import ckpt
+    from whylogs_java_spark.operators.dedup import winnow_pairs
+    from whylogs_java_spark.operators.similarity import pq_topk
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select("vec_id", "embedding")
+    frag = docs.where(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 500000).alias("doc_id"), "text"
+    )
+    corpus = docs.unionByName(frag)
+
+    def run():
+        w = sorted(
+            map(tuple, winnow_pairs(corpus, "text", "doc_id").collect())
+        )
+        p = sorted(
+            map(tuple, pq_topk(emb, [0, 1, 2], k=5, m=4, codebook_k=8).collect())
+        )
+        return w, p
+
+    if not reliable:
+        test_checkpoint_seam_reliable_mode.baseline = run()
+        assert len(test_checkpoint_seam_reliable_mode.baseline[0]) > 0
+        return
+    ckptdir = str(tmp_path / "reliable_ckpt")
+    sc = spark.sparkContext
+    ckpt.set_reliable_checkpoints(True)
+    try:
+        # without a checkpoint dir the seam must fail loudly, not deep
+        # in py4j (skip if an earlier test already set a dir on this
+        # shared session)
+        if sc.getCheckpointDir() is None:
+            with pytest.raises(RuntimeError, match="checkpoint dir"):
+                ckpt.materialize(docs.limit(1))
+        sc.setCheckpointDir(ckptdir)
+        got = run()
+    finally:
+        ckpt.set_reliable_checkpoints(False)
+    import os
+
+    assert got == test_checkpoint_seam_reliable_mode.baseline
+    # proof the reliable path engaged: checkpoint files exist on disk
+    walked = [f for _, _, fs in os.walk(ckptdir) for f in fs]
+    assert walked, "reliable mode never wrote a checkpoint"

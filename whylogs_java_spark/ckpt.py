@@ -1,0 +1,61 @@
+"""Lineage materialization seam — local vs reliable checkpoints.
+
+Operators sever lineage at reuse boundaries (CC iteration edges, print
+tables, feature tables, multi-consumer intermediates) with
+``df.transform(materialize)``. The default is ``localCheckpoint(eager)``:
+executor-block storage, no configuration, the right call on local[*] and
+the fast path on a cluster — but local checkpoints do NOT survive
+executor loss (SCALE.md "what changes on a real cluster", item 1).
+
+For long jobs on preemptible fleets, flip to RELIABLE checkpoints —
+written to ``sparkContext.setCheckpointDir`` (HDFS/object store), which
+survive executor loss:
+
+    spark.sparkContext.setCheckpointDir("hdfs://.../ckpt")
+    set_reliable_checkpoints(True)          # or WHYLOGS_SPARK_RELIABLE_CKPT=1
+
+Every operator that materializes goes through this one seam, so the flag
+flips the whole engine at once; the chaos test in
+tests/test_scale_paths.py proves both modes produce identical results.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+
+_RELIABLE = False
+
+
+def set_reliable_checkpoints(enabled: bool) -> None:
+    """Process-wide switch: reliable (checkpoint-dir) materialization
+    instead of local checkpoints. Requires ``setCheckpointDir`` first."""
+    global _RELIABLE
+    _RELIABLE = bool(enabled)
+
+
+def reliable_checkpoints_enabled() -> bool:
+    return _RELIABLE or os.environ.get(
+        "WHYLOGS_SPARK_RELIABLE_CKPT", ""
+    ) not in ("", "0", "false", "False")
+
+
+def materialize(df: DataFrame) -> DataFrame:
+    """Eagerly materialize ``df`` and sever its lineage.
+
+    Local mode (default): ``localCheckpoint(eager=True)``. Reliable
+    mode: ``checkpoint(eager=True)`` against the session's checkpoint
+    dir — raises a clear error if no dir is configured rather than the
+    opaque Py4J failure Spark would throw mid-job.
+    """
+    if reliable_checkpoints_enabled():
+        sc = df.sparkSession.sparkContext
+        if sc.getCheckpointDir() is None:
+            raise RuntimeError(
+                "reliable checkpoints enabled but no checkpoint dir is set; "
+                "call spark.sparkContext.setCheckpointDir(<fault-tolerant "
+                "path>) first"
+            )
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)

@@ -36,6 +36,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..ckpt import materialize
+
 INT_SCALE = 1_000_000
 
 
@@ -104,7 +106,7 @@ def _prepare_emb(embeddings: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     target = embeddings.sparkSession.sparkContext.defaultParallelism
     if emb.rdd.getNumPartitions() < target:
         emb = emb.repartition(target)
-    return emb.localCheckpoint(eager=True)
+    return emb.transform(materialize)
 
 
 def _assign_literal(centroids: list[list[float]]):
@@ -320,7 +322,7 @@ def semantic_dedup_pairs(
     # otherwise re-execute the k assignment folds + the norm fold over
     # the whole corpus (AQE exchange reuse does not cover a join whose
     # sides differ only in aliases)
-    vecs = vecs.localCheckpoint(eager=True)
+    vecs = vecs.transform(materialize)
     a = vecs.select(
         F.col(id_col).alias("id_a"),
         "cluster",

@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..ckpt import materialize
+
 
 def content_key(col: Column) -> Column:
     """Canonical content hash: md5 of whitespace-normalized lowercase text."""
@@ -510,7 +512,7 @@ def near_dup_pairs(
         char_ngrams, hash_family=hash_family, verify=verify,
     )
     try:
-        return verified.localCheckpoint(eager=True)
+        return verified.transform(materialize)
     finally:
         sh_cand.unpersist()
         pairs.unpersist()
@@ -603,7 +605,7 @@ def simhash_pairs(
     sig = simhash(
         df, text_col, id_col, bits=bits, hash_family=hash_family
     ).select(F.col(id_col).alias("__id"), "simhash_bits")
-    sig = sig.localCheckpoint(eager=True)  # feeds blocks AND both verify sides
+    sig = sig.transform(materialize)  # feeds blocks AND both verify sides
 
     # block b covers bit positions [b*len .. start of b+1), last block
     # takes the remainder — slice() is 1-based
@@ -809,7 +811,7 @@ def resolve_clusters(
     # upstream pipeline (for near-dup input, the full MinHash-LSH +
     # verification pass) would re-execute per round. The pair list is the
     # small output of that pass — one short row per edge.
-    pairs = pairs.localCheckpoint(eager=True)
+    pairs = pairs.transform(materialize)
     if algorithm == "star":
         return _resolve_clusters_star(pairs, nodes, id_col, max_iters, stats)
     edges = pairs.select(
@@ -849,7 +851,7 @@ def resolve_clusters(
                 F.least(F.col("old"), F.coalesce("nb_label", "old")).alias("label"),
                 "old",
             )
-        ).localCheckpoint(eager=True)
+        ).transform(materialize)
         changed = new.where(F.col("label") != F.col("old")).count()
         labels = new.drop("old")
         if changed == 0:
@@ -902,7 +904,7 @@ def _resolve_clusters_star(
         )
         .where(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     rounds = 0
     for _ in range(max_iters):
@@ -939,7 +941,7 @@ def _resolve_clusters_star(
             .select(F.col("p.a").alias("u"), F.col("p.b").alias("v"))
             .where(F.col("u") != F.col("v"))
             .distinct()
-            .localCheckpoint(eager=True)
+            .transform(materialize)
         )
         changed = small.exceptAll(e).count() + e.exceptAll(small).count()
         e = small
@@ -1462,7 +1464,7 @@ def cross_dedup_pairs(
         )
         .select("id_a", "id_b")
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     # Left-semi prune BEFORE shingling for verify: per-batch verify cost
     # must be O(batch + matched candidates), never O(corpus) — without
@@ -1619,7 +1621,7 @@ def cross_dedup_stored(
         )
         .select("id_a", "id_b")
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     # ref arrays: partition-pruned store scan keyed by the candidate
     # ids' bucket — never a full-store read for a small batch. cand is
@@ -1630,7 +1632,7 @@ def cross_dedup_stored(
         "id_a",
         "id_b",
         F.pmod(F.xxhash64("id_a"), F.lit(m["n_buckets"])).alias("sbucket"),
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     hit_buckets = [
         r["sbucket"] for r in keyed.select("sbucket").distinct().collect()
     ]
@@ -1792,7 +1794,7 @@ def winnow_pairs(
         winnow_fingerprints(df, text_col, id_col, k, window)
         .select(F.col(id_col), F.col("print_hash"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     rare = fps.join(
         fps.groupBy("print_hash")
@@ -1800,7 +1802,7 @@ def winnow_pairs(
         .where(F.col("__df") <= df_cap)
         .select("print_hash"),
         "print_hash",
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     # sizes over the SAME df-capped print space the intersection uses —
     # mixing a rare-print numerator with an all-print denominator would
     # deflate every overlap on a shared-vocabulary corpus
@@ -1870,7 +1872,7 @@ def winnow_screen(
         winnow_fingerprints(df, text_col, id_col, k, window)
         .select(F.col(id_col), F.col("print_hash"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     sizes = fps.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_prints")

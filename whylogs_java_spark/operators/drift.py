@@ -34,6 +34,8 @@ from typing import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..ckpt import materialize
+
 PSI_EPS = 1e-6
 
 # sentinel category NULLs map to (SQL NULL join keys never equal each
@@ -604,7 +606,7 @@ def sketch_profile_diff(
         # joined table is aggregate-sized (O(groups) rows of binaries),
         # so checkpointing it costs its size, and both the probe and the
         # final select read the materialized rows.
-        j = j.localCheckpoint(eager=True)
+        j = j.transform(materialize)
 
     fields = {f.name for f in j.schema.fields}
     cols = sorted(

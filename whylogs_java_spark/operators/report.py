@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..ckpt import materialize
+
 from .dedup import boilerplate_stats
 from .text import encoding_scan, quality_metrics, token_counts
 
@@ -130,7 +132,7 @@ def corpus_overlap(
             ),
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     # per-i INDEPENDENT permutations (md5 re-keyed per hash index), not
     # the affine h1 + i*h2 family the doc-level LSH uses: affine argmins

@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..ckpt import materialize
+
 
 def _as_double(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double"))
@@ -495,7 +497,7 @@ def ivf_topk_quantized(
 
     # the census row feeds every corpus partition and rvecs feeds list
     # assignment + candidate scoring + the exact refine: materialize once
-    rvecs = rvecs.localCheckpoint(eager=True)
+    rvecs = rvecs.transform(materialize)
 
     # --- identical probe mechanics to ivf_topk_exact (md5 ranks) ---
     cent = (
@@ -783,7 +785,7 @@ def banded_buckets(
     # 20 folds/row instead of 8 for refinements that never fired).
     sig = e.select(
         F.col(id_col), F.posexplode(band_buckets).alias("band", "bucket")
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     if bucket_cap is not None:
         extra_names = [f"__extra{r}" for r in range(split_rounds)]
         extras = None
@@ -828,7 +830,7 @@ def banded_buckets(
                             for rr in range(split_rounds)
                         ],
                     )
-                    .localCheckpoint(eager=True)
+                    .transform(materialize)
                 )
             sig = (
                 sig.join(F.broadcast(oversized), on=["band", "bucket"], how="left")
@@ -843,7 +845,7 @@ def banded_buckets(
                 .drop("__over", *extra_names)
                 # keep each round's census scanning a materialized table,
                 # not a growing join chain
-                .localCheckpoint(eager=True)
+                .transform(materialize)
             )
     return sig
 
@@ -1427,7 +1429,7 @@ def pq_topk(
     ).where(F.col("__n") > 0)
     # three consumers (codebook sample, encode scan, exact refine):
     # materialize the prepared vectors once
-    vecs = vecs.localCheckpoint(eager=True)
+    vecs = vecs.transform(materialize)
     seeds = (
         vecs.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
         .limit(codebook_k)

@@ -13,6 +13,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..ckpt import materialize
+
 # Minimal stopword lexicons for the n-gram/stopword language heuristic.
 LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
     "en": ("the", "and", "of", "to", "a", "in", "is", "that", "for", "it"),
@@ -456,13 +458,13 @@ def build_bigram_lm(
         .orderBy(F.desc("__c"), F.asc("tok"))
         .limit(vocab_size)
         .select("tok")
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     bc_full = (
         _bigram_rows(_spread(src), text_col, vocab, id_col=None)
         .groupBy("prev", "w")
         .agg(F.count(F.lit(1)).alias("__cb"))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     prefix_counts = bc_full.groupBy("prev").agg(F.sum("__cb").alias("__cp"))
     bigram_counts = bc_full.orderBy(
