@@ -1969,3 +1969,69 @@ def test_contamination_report_attribution(spark):
     assert out[11]["n_grams"] == 2 and out[11]["n_grams_hit"] == 0
     assert out[11]["n_docs"] == 0 and out[11]["hit_fraction"] == 0.0
     assert out[12]["n_grams"] == 0 and out[12]["hit_fraction"] == 0.0
+
+
+def test_contamination_report_stream_matches_batch(spark, tmp_path):
+    """Streaming per-eval-item attribution converges to the batch
+    contamination_report over the same rows: counters are monotone, so
+    the last (= max) emitted row per eval item equals the batch row;
+    zero-hit items emit nothing by design."""
+    from whylogs_java_spark.operators.decontam import contamination_report
+    from whylogs_java_spark.streaming.decontam_stream import (
+        contamination_report_stream,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    ev = docs.where(F.col("doc_id") % 20 == 0).select(
+        F.col("doc_id").alias("eval_id"),
+        F.concat_ws(
+            " ",
+            F.slice(F.filter(F.split("text", " "), lambda t: t != ""), 3, 10),
+        ).alias("text"),
+    )
+    src = str(tmp_path / "attr_src")
+    docs.repartition(8).write.parquet(src)
+    stream = spark.readStream.schema(docs.schema).option(
+        "maxFilesPerTrigger", 3
+    ).parquet(src)
+    out = contamination_report_stream(
+        stream, "text", "doc_id", ev, "eval_id"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("attr_stream")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "attr_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        out.contamination_eval_grams.unpersist()
+    got: dict = {}
+    n_updates = 0
+    for r in spark.sql("SELECT * FROM attr_stream").collect():
+        n_updates += 1
+        cur = got.get(r["eval_id"])
+        key = (r["n_grams_hit"], r["n_docs"])
+        if cur is None or key >= (cur["n_grams_hit"], cur["n_docs"]):
+            got[r["eval_id"]] = r
+    batch = {
+        r["eval_id"]: r
+        for r in contamination_report(
+            docs, "text", "doc_id", ev, "eval_id", eval_text_col="text"
+        ).collect()
+        if r["n_grams_hit"] > 0
+    }
+    assert set(got) == set(batch)
+    assert len(batch) > 0
+    for eid, b in batch.items():
+        s = got[eid]
+        assert (
+            s["n_grams"], s["n_grams_hit"], s["n_docs"], s["hit_fraction"]
+        ) == (
+            b["n_grams"], b["n_grams_hit"], b["n_docs"], b["hit_fraction"]
+        ), eid

@@ -24,6 +24,7 @@ from __future__ import annotations
 from typing import Callable
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from ..operators.decontam import decontaminate, eval_ngram_set
 
@@ -78,3 +79,135 @@ def decontam_stream(
     query = writer.start()
     query.decontam_grams = grams
     return query
+
+
+# ---------------------------------------------------------------------------
+# per-eval-item attribution (streaming twin of contamination_report)
+# ---------------------------------------------------------------------------
+
+_ATTR_OUT_SCHEMA = (
+    "eval_id long, n_grams long, n_grams_hit long, n_docs long, "
+    "hit_fraction double"
+)
+_ATTR_STATE_SCHEMA = "grams array<string>, docs array<long>"
+
+
+def _attr_state_factory():
+    import pandas as pd
+
+    def fn(key, pdfs, state):
+        grams: set[str]
+        docs: set[int]
+        if state.exists:
+            g, d = state.get
+            grams, docs = set(g), set(int(x) for x in d)
+        else:
+            grams, docs = set(), set()
+        before = (len(grams), len(docs))
+        n_grams = 0
+        for pdf in pdfs:
+            if len(pdf):
+                n_grams = int(pdf["n_grams"].iloc[0])
+            grams.update(pdf["gram"])
+            docs.update(int(x) for x in pdf["doc_id"])
+        if (len(grams), len(docs)) == before:
+            yield pd.DataFrame(
+                columns=[
+                    "eval_id", "n_grams", "n_grams_hit", "n_docs",
+                    "hit_fraction",
+                ]
+            )
+            return
+        state.update((sorted(grams), sorted(docs)))
+        frac = round(len(grams) / max(n_grams, 1), 6) + 0.0
+        yield pd.DataFrame(
+            [
+                (
+                    int(key[0]),
+                    n_grams,
+                    len(grams),
+                    len(docs),
+                    frac,
+                )
+            ],
+            columns=[
+                "eval_id", "n_grams", "n_grams_hit", "n_docs", "hit_fraction"
+            ],
+        )
+
+    return fn
+
+
+def contamination_report_stream(
+    stream_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    eval_df: DataFrame,
+    eval_id_col: str,
+    eval_text_col: str | None = None,
+    n: int = 5,
+) -> DataFrame:
+    """Streaming per-eval-item contamination attribution — the stateful
+    twin of ``operators.decontam.contamination_report``: as the corpus
+    streams in, each eval item's cumulative leak counters grow; every
+    micro-batch that changes an item's state emits its updated row
+    (``eval_id``, ``n_grams``, ``n_grams_hit``, ``n_docs``,
+    ``hit_fraction``) — the same schema and formulas as the batch
+    report.
+
+    Mechanics: the eval side is STATIC and bounded — its (gram →
+    eval_id, n_grams) table is broadcast into the stream projection, so
+    the per-batch work is the corpus gram explode + a broadcast join
+    that keeps MATCHED grams only (≈ nothing on a clean corpus).
+    ``applyInPandasWithState`` keyed on ``eval_id`` holds the distinct
+    matched gram digests and doc ids; counters are monotone
+    non-decreasing, so the latest row per eval item is always the
+    running report. Eval items with ZERO hits never emit (their row is
+    the static default — batch equivalence over the hit set is pinned
+    by pytest).
+
+    State bound: per eval item, grams ⊆ the item's own n-grams
+    (bounded by the benchmark, not the corpus); the doc-id set grows
+    with matched corpus docs — unbounded only if the corpus keeps
+    leaking that item, which is exactly the signal the report exists to
+    surface.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..operators.decontam import ngram_digests
+
+    if eval_df.isStreaming:
+        raise ValueError("eval_df must be static — benchmarks are not a stream")
+    etc = eval_text_col or text_col
+    ev = (
+        eval_df.select(
+            F.col(eval_id_col).cast("long").alias("eval_id"),
+            F.explode(ngram_digests(F.col(etc), n)).alias("gram"),
+        )
+        .distinct()
+        .persist()
+    )
+    totals = ev.groupBy("eval_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams")
+    )
+    ev_keyed = ev.join(totals, "eval_id").select("gram", "eval_id", "n_grams")
+    # per-doc distinct via array_distinct in the projection (a streaming
+    # dropDuplicates would be a second stateful operator in the chain);
+    # cross-batch dedup is the state sets' union semantics
+    matched = stream_df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.explode(
+            F.array_distinct(ngram_digests(F.col(text_col), n))
+        ).alias("gram"),
+    ).join(F.broadcast(ev_keyed), "gram")
+    out = matched.groupBy("eval_id").applyInPandasWithState(
+        _attr_state_factory(),
+        outputStructType=_ATTR_OUT_SCHEMA,
+        stateStructType=_ATTR_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    # same lifecycle contract as decontam_stream: the eval-gram cache is
+    # exposed for the caller to unpersist after the query stops
+    out.contamination_eval_grams = ev
+    return out
