@@ -124,6 +124,8 @@ BENCH_QUERIES = [
     "winnow_pairs",
     "knn_eval_ivf_embeddings",
     "contamination_report",
+    "dedup_incremental_stored",
+    "ann_recall_embeddings",
 ]
 
 

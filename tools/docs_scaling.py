@@ -1,0 +1,118 @@
+"""Next-decade scaling probe for the token-explode-bound query family.
+
+The steepest sf0.01→sf0.1 exponents in SCALE.md belong to the queries
+whose cost is O(corpus tokens) — tfidf / DSIR / corpus-overlap / span
+dedup / winnowing. There is no sf1 documents fixture, so this probe
+SYNTHESIZES one: the sf0.1 corpus unioned with 9 deterministic mutated
+copies (every word of copy k suffixed ``~s{k}``), i.e. a corpus with
+
+- 10× the rows and tokens,
+- ~10× the vocabulary (each copy's token space is disjoint by
+  construction — the "different shard of the web" model, so broadcast
+  vocabulary tables genuinely grow instead of deduping away),
+- NO cross-copy near-duplicate structure (every shingle/print differs),
+  so pair outputs scale with the corpus, not quadratically with the
+  copy count — the probe measures operator scaling, not planted-dup
+  explosion; each copy preserves the original intra-corpus structure,
+  so the queries' own planted mutants/fragments replicate ×10.
+
+Build is deterministic (pure column expressions, fixed offsets) and
+cached under /tmp; per-query timings use bench.py conventions (noop
+sink, best-of-2 after warmup). A ratio near 10 is linear; the SCALE.md
+bar for this family is ratio ≤ ~12 (1.2× linear).
+
+  python tools/docs_scaling.py [query ...]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entry_mod
+from whylogs_java_spark import get_spark
+
+DEFAULT_QUERIES = [
+    "tfidf_documents",
+    "dsir_documents",
+    "corpus_overlap",
+    "dedup_spans_documents",
+    "winnow_pairs",
+]
+
+SF_BASE = "/root/testdata/sf0.1"
+FIXTURE_DIR = "/tmp/sf1docs_fixture"
+N_COPIES = 10  # 1 identity + 9 mutated
+# clear of every planted-query offset (they add up to +500000 to ids)
+COPY_OFFSET = 10_000_000
+
+
+def build_fixture(spark, base_dir: str = SF_BASE, out_dir: str = FIXTURE_DIR):
+    """documents.parquet = base ∪ 9 fully-word-mutated copies (cached)."""
+    from pyspark.sql import functions as F
+
+    out = f"{out_dir}/documents.parquet"
+    if os.path.exists(out):
+        return out_dir
+    d = spark.read.parquet(f"{base_dir}/documents.parquet")
+    other = [c for c in d.columns if c not in ("doc_id", "text")]
+    parts = [d]
+    for k in range(1, N_COPIES):
+        parts.append(
+            d.select(
+                (F.col("doc_id") + k * COPY_OFFSET).alias("doc_id"),
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.filter(F.split("text", " "), lambda t: t != ""),
+                        lambda w: F.concat(w, F.lit(f"~s{k}")),
+                    ),
+                ).alias("text"),
+                *[F.col(c) for c in other],
+            )
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    u.repartition(32).write.mode("overwrite").parquet(out)
+    return out_dir
+
+
+def _timed(qs, name: str, spark, sf_dir: str) -> float:
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
+
+
+def main() -> None:
+    names = sys.argv[1:] or DEFAULT_QUERIES
+    spark = get_spark("docs-scaling")
+    fixture = build_fixture(spark)
+    qs = entry_mod.queries()
+    for n in names:  # warm plan shapes at the smallest sf
+        qs[n](spark, "/root/testdata/sf0.001").write.format("noop").mode(
+            "overwrite"
+        ).save()
+    out = {}
+    for n in names:
+        small = _timed(qs, n, spark, SF_BASE)
+        big = _timed(qs, n, spark, fixture)
+        out[n] = {
+            "sf0.1_sec": small,
+            "sf1docs_sec": big,
+            "ratio": round(big / small, 2) if small > 0 else None,
+        }
+        print(f"# {n}: {small}s -> {big}s (x{out[n]['ratio']})", file=sys.stderr)
+    print(json.dumps({"probe": "docs_scaling_10x", "runs": out}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
