@@ -970,3 +970,57 @@ def test_cli_redact_and_shards_subcommands(spark, tmp_path, monkeypatch, capsys)
     with _pytest.raises(SystemExit):
         cli.main(["shards", src, "-o", sh, "--id-col", "doc_id",
                   "--token-col", "toks"])
+
+
+def test_cli_dedup_store_build_and_probe(spark, tmp_path, monkeypatch, capsys):
+    """CLI face of the persisted signature store: --build-store writes
+    bands/shingles/meta; --probe-store screens a batch and matches the
+    in-process cross_dedup_stored output."""
+    from pyspark.sql import functions as F
+
+    import whylogs_java_spark.__main__ as cli
+    import whylogs_java_spark.session as sess
+    from whylogs_java_spark.operators.dedup import cross_dedup_pairs
+
+    monkeypatch.setattr(sess, "get_spark", lambda *a, **k: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    ref_src = str(tmp_path / "ref_src")
+    docs.write.parquet(ref_src)
+    batch = docs.where(F.col("doc_id") % 9 == 0).select(
+        (F.col("doc_id") + 700000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail token")).alias("text"),
+    )
+    batch_src = str(tmp_path / "batch_src")
+    batch.write.parquet(batch_src)
+    store = str(tmp_path / "sig_store")
+    out = str(tmp_path / "probe_out")
+
+    rc = cli.main([
+        "dedup", ref_src, "-o", str(tmp_path / "unused"), "--id-col",
+        "doc_id", "--text-col", "text", "--method", "minhash",
+        "--build-store", store,
+    ])
+    assert rc == 0
+    import os
+
+    assert os.path.exists(f"{store}/meta") and os.path.exists(f"{store}/bands")
+    rc = cli.main([
+        "dedup", batch_src, "-o", out, "--id-col", "doc_id",
+        "--text-col", "text", "--method", "minhash",
+        "--probe-store", store, "--threshold", "0.5",
+    ])
+    assert rc == 0
+    got = sorted(map(tuple, spark.read.parquet(out).collect()))
+    want = sorted(
+        map(
+            tuple,
+            cross_dedup_pairs(
+                batch, docs, "text", "doc_id", threshold=0.5
+            ).collect(),
+        )
+    )
+    assert got == want and len(got) > 0

@@ -90,6 +90,15 @@ def _run_dedup(argv: list[str]) -> int:
                    help="winnow: min shared prints per pair")
     p.add_argument("--pairs", action="store_true",
                    help="emit the pair list instead of survivor rows")
+    p.add_argument("--build-store", metavar="PATH", default=None,
+                   help="minhash only: persist a signature store at PATH "
+                        "(bands + shingle arrays + meta) instead of "
+                        "deduplicating; probe later with --probe-store")
+    p.add_argument("--probe-store", metavar="PATH", default=None,
+                   help="minhash only: screen the input batch against a "
+                        "persisted signature store (incremental ingest; "
+                        "emits cross pairs, never recomputes ref "
+                        "signatures)")
     a = p.parse_args(argv)
     # fail at the argparse layer, not deep inside the operator with an
     # opaque py4j error: text methods need --text-col, semantic --vec-col
@@ -97,11 +106,31 @@ def _run_dedup(argv: list[str]) -> int:
         p.error(f"--text-col is required for --method {a.method}")
     if a.method == "semantic" and not a.vec_col:
         p.error("--vec-col is required for --method semantic")
+    if (a.build_store or a.probe_store) and a.method != "minhash":
+        p.error("--build-store/--probe-store require --method minhash")
+    if a.build_store and a.probe_store:
+        p.error("pass only one of --build-store / --probe-store")
     from .session import get_spark
 
     spark = get_spark("whylogs-cli-dedup")
     try:
         df = _read_input(spark, a.input)
+        if a.method == "minhash" and a.build_store:
+            from .operators.dedup import build_minhash_store
+
+            build_minhash_store(df, a.build_store, a.text_col, a.id_col)
+            print(f"wrote minhash signature store to {a.build_store}")
+            return 0
+        if a.method == "minhash" and a.probe_store:
+            from .operators.dedup import cross_dedup_stored
+
+            out = cross_dedup_stored(
+                spark, a.probe_store, df, a.text_col, a.id_col,
+                threshold=a.threshold,
+            )
+            out.write.mode("overwrite").parquet(a.output)
+            print(f"wrote stored-probe cross pairs to {a.output}")
+            return 0
         if a.method == "exact":
             from .operators.dedup import exact_dedup
 
