@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..ckpt import materialize
+from ..ckpt import materialize as _materialize
 
 
 def content_key(col: Column) -> Column:
@@ -512,7 +512,7 @@ def near_dup_pairs(
         char_ngrams, hash_family=hash_family, verify=verify,
     )
     try:
-        return verified.transform(materialize)
+        return verified.transform(_materialize)
     finally:
         sh_cand.unpersist()
         pairs.unpersist()
@@ -605,7 +605,7 @@ def simhash_pairs(
     sig = simhash(
         df, text_col, id_col, bits=bits, hash_family=hash_family
     ).select(F.col(id_col).alias("__id"), "simhash_bits")
-    sig = sig.transform(materialize)  # feeds blocks AND both verify sides
+    sig = sig.transform(_materialize)  # feeds blocks AND both verify sides
 
     # block b covers bit positions [b*len .. start of b+1), last block
     # takes the remainder — slice() is 1-based
@@ -811,7 +811,7 @@ def resolve_clusters(
     # upstream pipeline (for near-dup input, the full MinHash-LSH +
     # verification pass) would re-execute per round. The pair list is the
     # small output of that pass — one short row per edge.
-    pairs = pairs.transform(materialize)
+    pairs = pairs.transform(_materialize)
     if algorithm == "star":
         return _resolve_clusters_star(pairs, nodes, id_col, max_iters, stats)
     edges = pairs.select(
@@ -851,7 +851,7 @@ def resolve_clusters(
                 F.least(F.col("old"), F.coalesce("nb_label", "old")).alias("label"),
                 "old",
             )
-        ).transform(materialize)
+        ).transform(_materialize)
         changed = new.where(F.col("label") != F.col("old")).count()
         labels = new.drop("old")
         if changed == 0:
@@ -904,7 +904,7 @@ def _resolve_clusters_star(
         )
         .where(F.col("u") != F.col("v"))
         .distinct()
-        .transform(materialize)
+        .transform(_materialize)
     )
     rounds = 0
     for _ in range(max_iters):
@@ -941,7 +941,7 @@ def _resolve_clusters_star(
             .select(F.col("p.a").alias("u"), F.col("p.b").alias("v"))
             .where(F.col("u") != F.col("v"))
             .distinct()
-            .transform(materialize)
+            .transform(_materialize)
         )
         changed = small.exceptAll(e).count() + e.exceptAll(small).count()
         e = small
@@ -1464,7 +1464,7 @@ def cross_dedup_pairs(
         )
         .select("id_a", "id_b")
         .distinct()
-        .transform(materialize)
+        .transform(_materialize)
     )
     # Left-semi prune BEFORE shingling for verify: per-batch verify cost
     # must be O(batch + matched candidates), never O(corpus) — without
@@ -1621,7 +1621,7 @@ def cross_dedup_stored(
         )
         .select("id_a", "id_b")
         .distinct()
-        .transform(materialize)
+        .transform(_materialize)
     )
     # ref arrays: partition-pruned store scan keyed by the candidate
     # ids' bucket — never a full-store read for a small batch. cand is
@@ -1632,7 +1632,7 @@ def cross_dedup_stored(
         "id_a",
         "id_b",
         F.pmod(F.xxhash64("id_a"), F.lit(m["n_buckets"])).alias("sbucket"),
-    ).transform(materialize)
+    ).transform(_materialize)
     hit_buckets = [
         r["sbucket"] for r in keyed.select("sbucket").distinct().collect()
     ]
@@ -1794,7 +1794,7 @@ def winnow_pairs(
         winnow_fingerprints(df, text_col, id_col, k, window)
         .select(F.col(id_col), F.col("print_hash"))
         .distinct()
-        .transform(materialize)
+        .transform(_materialize)
     )
     rare = fps.join(
         fps.groupBy("print_hash")
@@ -1802,7 +1802,7 @@ def winnow_pairs(
         .where(F.col("__df") <= df_cap)
         .select("print_hash"),
         "print_hash",
-    ).transform(materialize)
+    ).transform(_materialize)
     # sizes over the SAME df-capped print space the intersection uses —
     # mixing a rare-print numerator with an all-print denominator would
     # deflate every overlap on a shared-vocabulary corpus
@@ -1872,7 +1872,7 @@ def winnow_screen(
         winnow_fingerprints(df, text_col, id_col, k, window)
         .select(F.col(id_col), F.col("print_hash"))
         .distinct()
-        .transform(materialize)
+        .transform(_materialize)
     )
     sizes = fps.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_prints")
