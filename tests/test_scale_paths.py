@@ -755,3 +755,62 @@ def test_checkpoint_seam_reliable_mode(spark, tmp_path, reliable):
     # proof the reliable path engaged: checkpoint files exist on disk
     walked = [f for _, _, fs in os.walk(ckptdir) for f in fs]
     assert walked, "reliable mode never wrote a checkpoint"
+
+
+def test_ivfpq_store_probe_plans_and_exactness(spark, tmp_path):
+    """Persisted IVF×PQ index (the FAISS-production shape): (a) probing
+    is partition-pruned (dynamic pruning on the lists scan); (b) the
+    ADC candidate scan projects ONLY id+code columns — parquet column
+    pruning keeps the hot scan at the PQ memory footprint even though
+    the raw doubles live in the same table; (c) nprobe == n_centroids
+    with corpus-sized rerank degenerates to exact brute force; (d) two
+    builds of the same corpus probe identically (md5-deterministic
+    construction)."""
+    from pyspark.sql import functions as F
+
+    from whylogs_java_spark.operators.similarity import (
+        build_ivfpq_index,
+        cosine_topk,
+        ivfpq_topk_stored,
+    )
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select("vec_id", "embedding")
+    qd = emb.where(F.col("vec_id") < 10)
+    p1, p2 = str(tmp_path / "ivfpq_a"), str(tmp_path / "ivfpq_b")
+    build_ivfpq_index(emb, p1, n_centroids=8, m=4, codebook_k=16)
+    build_ivfpq_index(emb, p2, n_centroids=8, m=4, codebook_k=16)
+
+    out = ivfpq_topk_stored(spark, p1, qd, k=5, nprobe=2, rerank=20)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
+    assert "CartesianProduct" not in plan
+    adc_scans = [
+        ln for ln in plan.splitlines() if "FileScan" in ln and "code_0" in ln
+    ]
+    assert adc_scans
+    for ln in adc_scans:
+        schema = ln.split("ReadSchema:")[-1]
+        assert "v:" not in schema, schema  # codes-only hot scan
+
+    a = sorted(map(tuple, out.collect()))
+    b = sorted(
+        map(
+            tuple,
+            ivfpq_topk_stored(spark, p2, qd, k=5, nprobe=2, rerank=20).collect(),
+        )
+    )
+    assert a == b and len(a) == 50
+
+    n = emb.count()
+    exact = sorted(map(tuple, cosine_topk(emb, qd, k=5).collect()))
+    full = sorted(
+        map(
+            tuple,
+            ivfpq_topk_stored(
+                spark, p1, qd, k=5, nprobe=8, rerank=n
+            ).collect(),
+        )
+    )
+    assert full == exact

@@ -1757,3 +1757,238 @@ def ann_recall_report(
             F.round(F.col("__sum_disp") / F.col("hits"), 6) + 0.0,
         ).alias("mean_rank_disp"),
     )
+
+
+def build_ivfpq_index(
+    embeddings: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    m: int = 4,
+    codebook_k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebooks: list[list[list[float]]] | None = None,
+) -> None:
+    """Persist an IVF×PQ index — the FAISS-production shape of the ANN
+    ladder: coarse IVF routing (probe a few lists, partition pruning at
+    the scan) × product-quantized codes inside the lists (m small ints
+    + a norm per row is all the ADC scan reads).
+
+    Tables under ``path``:
+
+    - ``{path}/centroids``: (centroid_id, cv, cn) — broadcast at query
+      time (same md5-rank deterministic sample as ``build_ivf_index``);
+    - ``{path}/codebooks``: (subspace, code, cvec) — m × codebook_k
+      rows, collected driver-side at query time (KBs);
+    - ``{path}/lists``: (id, n, code_0..code_{m-1}, v) PARTITIONED BY
+      centroid_id. ``v`` (the raw doubles) lives in the SAME table but
+      parquet is columnar: the ADC scan projects only id/n/codes —
+      column pruning keeps it at the PQ memory footprint — and the
+      exact-refine stage reads ``v`` for the id-joined survivors only;
+    - ``{path}/meta``: (n_centroids, m, codebook_k, dim).
+
+    Deterministic end to end (md5 centroid + codebook samples,
+    floor-exact argmin codes, strict folds), so two builds of the same
+    corpus probe identically (pinned by test). Pass ``codebooks`` (e.g.
+    ``pq_train_codebooks`` output) to trade oracle replay for recall.
+    """
+    vecs, cvecs, ranked = _ivf_structures(
+        embeddings, n_centroids, id_col, vec_col
+    )
+    vecs = vecs.transform(materialize)
+    seeds = (
+        vecs.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(codebook_k)
+        .collect()
+    )
+    if not seeds:
+        raise ValueError("empty corpus: nothing to index")
+    dim = len(seeds[0]["__v"])
+    if codebooks is not None:
+        m = len(codebooks)
+        codebook_k = len(codebooks[0])
+        if m * len(codebooks[0][0]) != dim:
+            raise ValueError(
+                f"codebooks cover {m * len(codebooks[0][0])} dims, data has {dim}"
+            )
+        sub = dim // m
+    else:
+        if dim % m != 0:
+            raise ValueError(f"dim {dim} not divisible by m={m}")
+        sub = dim // m
+        codebooks = [
+            [[float(x) for x in s["__v"][j * sub : (j + 1) * sub]] for s in seeds]
+            for j in range(m)
+        ]
+    from .cluster import _sq_l2
+
+    def code_expr(j):
+        sl = F.slice(F.col("__v"), j * sub + 1, sub)
+        darr = F.array(*[_sq_l2(sl, c) for c in codebooks[j]])
+        pairs = F.zip_with(
+            darr,
+            F.sequence(F.lit(0), F.lit(codebook_k - 1)),
+            lambda d, i: F.struct(d.alias("d"), i.alias("i")),
+        )
+        best = F.aggregate(
+            pairs,
+            F.struct(F.lit(float("inf")).alias("d"), F.lit(-1).alias("i")),
+            lambda acc, x: F.when(x["d"] < acc["d"], x).otherwise(acc),
+        )
+        return best["i"]
+
+    spark = embeddings.sparkSession
+    cvecs.write.mode("overwrite").parquet(f"{path}/centroids")
+    cb_rows = [
+        (j, c, [float(x) for x in codebooks[j][c]])
+        for j in range(m)
+        for c in range(codebook_k)
+    ]
+    spark.createDataFrame(
+        cb_rows, "subspace int, code int, cvec array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+    assigned = ranked.where(F.col("crk") == 1).select(id_col, "centroid_id")
+    (
+        vecs.join(assigned, id_col)
+        .select(
+            F.col(id_col).alias("id"),
+            F.col("centroid_id"),
+            F.col("__n").alias("n"),
+            *[code_expr(j).alias(f"code_{j}") for j in range(m)],
+            F.col("__v").alias("v"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(f"{path}/lists")
+    )
+    spark.createDataFrame(
+        [(n_centroids, m, codebook_k, dim)],
+        "n_centroids int, m int, codebook_k int, dim int",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def ivfpq_topk_stored(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    rerank: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Query a persisted IVF×PQ index (``build_ivfpq_index``): probe the
+    ``nprobe`` nearest lists (partition-pruned scan), rank candidates by
+    ASYMMETRIC PQ distance — per-query dot-product lookup tables over
+    the stored codes; the scan projects only id/n/code columns — then
+    exact-refine the ``rerank`` best per query on the stored doubles
+    (read via an id equi-join against the same pruned partitions).
+
+    ``nprobe == n_centroids`` with a corpus-sized ``rerank`` degenerates
+    to exact brute force (pinned by test). Output: (query_id,
+    neighbor_id, cosine, rank) — cosine is the exact double cosine of
+    survivors, same contract as every other tier.
+    """
+    from pyspark.sql import Window
+
+    meta = spark.read.parquet(f"{path}/meta").first()
+    m, codebook_k = meta["m"], meta["codebook_k"]
+    sub = meta["dim"] // m
+    if rerank is None:
+        rerank = 3 * k
+    cvecs = spark.read.parquet(f"{path}/centroids")
+    cb = spark.read.parquet(f"{path}/codebooks").collect()
+    codebooks = [[None] * codebook_k for _ in range(m)]
+    for r in cb:
+        codebooks[r["subspace"]][r["code"]] = [float(x) for x in r["cvec"]]
+    rn2 = [[sum((x * x for x in c), 0.0) for c in cb_j] for cb_j in codebooks]
+    qd = _as_double(F.col(vec_col))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), qd.alias("qv"), norm(qd).alias("qn")
+    ).where(F.col("qn") > 0)
+    ccos = dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc("ccos"), F.asc("centroid_id")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cvecs))
+        .select("query_id", "qv", "qn", "centroid_id", ccos.alias("ccos"))
+        .withColumn("crk", F.row_number().over(wq))
+        .where(F.col("crk") <= nprobe)
+        .select(
+            "query_id",
+            "qv",
+            "qn",
+            "centroid_id",
+            *[
+                F.array(
+                    *[
+                        dot(
+                            F.slice(F.col("qv"), j * sub + 1, sub),
+                            F.array(*[F.lit(x) for x in c]),
+                        )
+                        for c in codebooks[j]
+                    ]
+                ).alias(f"dt_{j}")
+                for j in range(m)
+            ],
+        )
+    )
+    lists = spark.read.parquet(f"{path}/lists")
+    codes = lists.select(
+        "id", "centroid_id", "n", *[f"code_{j}" for j in range(m)]
+    )
+    score = F.element_at(F.col("dt_0"), F.col("code_0") + 1)
+    rn2_e = F.element_at(
+        F.array(*[F.lit(x) for x in rn2[0]]), F.col("code_0") + 1
+    )
+    for j in range(1, m):
+        score = score + F.element_at(F.col(f"dt_{j}"), F.col(f"code_{j}") + 1)
+        rn2_e = rn2_e + F.element_at(
+            F.array(*[F.lit(x) for x in rn2[j]]), F.col(f"code_{j}") + 1
+        )
+    adc = F.try_divide(score, F.col("qn") * F.sqrt(rn2_e))
+    cand = (
+        codes.join(F.broadcast(probes), "centroid_id")
+        .where(F.col("id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("id").alias("neighbor_id"),
+            (F.round(adc, 6) + F.lit(0.0)).alias("__adc"),
+            "qv",
+            "qn",
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.desc_nulls_last("__adc"), F.asc("neighbor_id")
+    )
+    survivors = cand.withColumn("__rr", F.row_number().over(wr)).where(
+        F.col("__rr") <= rerank
+    )
+    refined = survivors.join(
+        lists.select(
+            F.col("id").alias("neighbor_id"),
+            F.col("v").alias("nv"),
+            F.col("n").alias("nn"),
+        ),
+        "neighbor_id",
+    ).select(
+        "query_id",
+        "neighbor_id",
+        (dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn"))).alias(
+            "cosine"
+        ),
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        refined.withColumn("rank", F.row_number().over(wk))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            (F.round("cosine", 6) + 0.0).alias("cosine"),
+            "rank",
+        )
+    )
