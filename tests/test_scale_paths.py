@@ -438,11 +438,17 @@ def test_r7_query_plan_guards(spark):
         "cluster_embeddings",
         "dedup_semantic",
         "asof_nearest_events",
-        "profile_diff_sketch",
     ):
         p = plan_of(name)
         assert "CartesianProduct" not in p, name
         assert "BroadcastNestedLoopJoin" not in p, name
+    # profile_diff_sketch became a BRACKET query in r10 (sketch diff +
+    # exact twin + 1-row tolerance joins): no data x data cartesian,
+    # but the single-row exact-stat joins legitimately plan as BNLJ.
+    # The "diff reads only sketch rows" property is pinned at the
+    # OPERATOR level in test_r8_query_plan_guards.
+    p = plan_of("profile_diff_sketch")
+    assert "CartesianProduct" not in p
 
     p = plan_of("monitor_events_mean")
     assert "Join" not in p  # store monitor: one agg + windows, no join
@@ -498,8 +504,28 @@ def test_r8_query_plan_guards(spark):
     # sketch-store diff: the diff plan reads ONLY the checkpointed
     # sketch rows — no raw-data scan at diff time (PLANS.md
     # profile_diff_sketch): diffing two stored 100 TB days costs two
-    # profile-row reads
-    p = plan_of("profile_diff_sketch")
+    # profile-row reads. Pinned at the OPERATOR level (the entry query
+    # became a bracket harness in r10 and adds exact-twin raw scans by
+    # design).
+    from whylogs_java_spark.operators.approx import sketch_profile
+    from whylogs_java_spark.operators.drift import sketch_profile_diff
+
+    li = spark.read.parquet(f"{sf}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    cols = ["l_quantity", "l_extendedprice"]
+    sa = sketch_profile(
+        li.where(F.col("l_orderkey") % 2 == 0), columns=cols
+    ).localCheckpoint(eager=True)
+    sb = sketch_profile(
+        li.where(F.col("l_orderkey") % 2 == 1), columns=cols
+    ).localCheckpoint(eager=True)
+    p = (
+        sketch_profile_diff(sa, sb, bins=10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
     assert "ExistingRDD" in p
     assert "Scan parquet" not in p
     # SemDeDup at production k: k=256 rides the join-based assignment

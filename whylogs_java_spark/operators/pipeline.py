@@ -37,7 +37,7 @@ from typing import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..ckpt import materialize
+from ..ckpt import materialize as _materialize
 
 from .decontam import decontaminate
 from .dedup import boilerplate_stats, exact_dedup, near_dup_clusters
@@ -90,13 +90,13 @@ def training_manifest(
         # parquet staging a cluster pipeline would do between phases —
         # set materialize=False to keep pure lineage (e.g. for plan
         # audits or when the input is already a materialized table).
-        s1 = s1.transform(materialize)
+        s1 = s1.transform(_materialize)
     survivors = near_dup_clusters(
         s1, text_col, id_col, threshold=near_threshold
     ).where(F.col("is_survivor")).select(id_col)
     s2 = s1.join(survivors, id_col, "left_semi")
     if materialize:
-        s2 = s2.transform(materialize)
+        s2 = s2.transform(_materialize)
     clean = decontaminate(s2, text_col, id_col, eval_df, n=ngram_n).where(
         ~F.col("contaminated")
     ).select(id_col)
@@ -170,13 +170,13 @@ def training_manifest_v2(
     )
     s1 = exact_dedup(base, text_col, id_col)
     if materialize:
-        s1 = s1.transform(materialize)
+        s1 = s1.transform(_materialize)
     keep_span = duplicate_spans(
         s1, text_col, id_col, gram_words=span_gram
     ).where(F.col("dup_fraction") <= max_dup_fraction).select(id_col)
     s2 = s1.join(keep_span, id_col, "left_semi")
     if materialize:
-        s2 = s2.transform(materialize)
+        s2 = s2.transform(_materialize)
     scored = quality_filter(
         s2, text_col, id_col, F.col("__lbl"),
         n_iter=clf_iter, threshold=clf_threshold,
