@@ -2035,3 +2035,40 @@ def test_contamination_report_stream_matches_batch(spark, tmp_path):
         ) == (
             b["n_grams"], b["n_grams_hit"], b["n_docs"], b["hit_fraction"]
         ), eid
+
+
+def test_minhash_store_append_equals_full_build(spark, tmp_path):
+    """build(half A) + append(half B) probes bit-identically to
+    build(A ∪ B) — the incremental-ingest loop never needs a rebuild."""
+    from whylogs_java_spark.operators.dedup import (
+        append_minhash_store,
+        build_minhash_store,
+        cross_dedup_stored,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    half_a = docs.where(F.col("doc_id") % 2 == 0)
+    half_b = docs.where(F.col("doc_id") % 2 == 1)
+    batch = docs.where(F.col("doc_id") % 15 == 0).select(
+        (F.col("doc_id") + 800000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" probe tail")).alias("text"),
+    )
+    inc, full = str(tmp_path / "inc"), str(tmp_path / "full")
+    build_minhash_store(half_a, inc, "text", "doc_id")
+    append_minhash_store(half_b, inc, "text", "doc_id")
+    build_minhash_store(docs, full, "text", "doc_id")
+    got = sorted(
+        map(
+            tuple,
+            cross_dedup_stored(spark, inc, batch, "text", "doc_id", 0.5).collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            cross_dedup_stored(spark, full, batch, "text", "doc_id", 0.5).collect(),
+        )
+    )
+    assert got == want and len(got) > 0

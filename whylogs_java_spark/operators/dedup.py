@@ -1573,6 +1573,63 @@ def build_minhash_store(
     meta.coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
 
 
+def append_minhash_store(
+    df: DataFrame,
+    path: str,
+    text_col: str,
+    id_col: str,
+) -> None:
+    """Append a batch's signatures to an existing store — the third leg
+    of the incremental-ingest loop (build → probe each batch → append
+    the ACCEPTED rows), so tomorrow's batch screens against everything
+    accepted today without ever rebuilding.
+
+    Construction params come from ``{path}/meta`` (the same pinning the
+    probe uses), partition layouts match the builder's, and parquet
+    ``append`` adds files inside the existing (band, bucket) /
+    (sbucket) partitions — probes over build+append are bit-identical
+    to a store built on the union (pinned by test). Caller contract:
+    ids must be new to the store (screen first; the probe's id spaces
+    are disjoint by construction).
+    """
+    spark = df.sparkSession
+    m = spark.read.parquet(f"{path}/meta").first()
+    df = _spread(df.select(id_col, text_col))
+    sig = minhash_signatures(
+        df, text_col, id_col, m["num_hashes"], m["shingle_size"],
+        m["char_ngrams"], hash_family=m["hash_family"], bands=m["bands"],
+    )
+    bands_df = lsh_band_signatures(sig, id_col, m["num_hashes"], m["bands"])
+    (
+        bands_df.select(
+            F.col(id_col).alias("id"),
+            F.col("band"),
+            F.pmod(F.xxhash64("band_sig"), F.lit(m["n_buckets"])).alias(
+                "bucket"
+            ),
+            F.col("band_sig"),
+        )
+        .write.mode("append")
+        .partitionBy("band", "bucket")
+        .parquet(f"{path}/bands")
+    )
+    sh = _shingler(m["shingle_size"], m["char_ngrams"])
+    shset = F.array_distinct(sh(F.col(text_col)))
+    (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(m["n_buckets"])).alias(
+                "sbucket"
+            ),
+            shset.alias("shset"),
+            F.size(shset).cast("long").alias("size"),
+        )
+        .write.mode("append")
+        .partitionBy("sbucket")
+        .parquet(f"{path}/shingles")
+    )
+
+
 def cross_dedup_stored(
     spark,
     path: str,
