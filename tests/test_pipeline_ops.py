@@ -2072,3 +2072,219 @@ def test_minhash_store_append_equals_full_build(spark, tmp_path):
         )
     )
     assert got == want and len(got) > 0
+
+
+# ---------------------------------------------------------------------------
+# blocklist filter
+# ---------------------------------------------------------------------------
+
+def test_blocklist_filter_semantics(spark):
+    """Whole-word boundaries, phrase terms, case-insensitivity, metachar
+    escaping, counts, and the sorted hit list."""
+    from whylogs_java_spark.operators.text import blocklist_filter
+
+    df = spark.createDataFrame(
+        [
+            (1, "Spark and spark but not sparkle or SPARKLE"),
+            (2, "a slow stream here and a slow stream there"),
+            (3, "nothing objectionable"),
+            (4, "x a.b y but not aXb"),
+            (5, "spark meets a slow stream"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in blocklist_filter(
+            df, "text", "doc_id", ("spark", "slow stream", "a.b")
+        ).collect()
+    }
+    assert (out[1]["n_blocked"], out[1]["matched_terms"]) == (2, "spark")
+    assert not out[1]["matched_terms"].count("sparkle")
+    assert (out[2]["n_blocked"], out[2]["n_blocked_terms"]) == (2, 1)
+    assert out[2]["matched_terms"] == "slow stream"
+    assert (out[3]["n_blocked"], out[3]["blocked"], out[3]["matched_terms"]) == (
+        0, False, ""
+    )
+    # escaped dot: literal "a.b" matches, "aXb" must not
+    assert (out[4]["n_blocked"], out[4]["matched_terms"]) == (1, "a.b")
+    assert out[5]["n_blocked_terms"] == 2
+    assert out[5]["matched_terms"] == "slow stream,spark"  # sorted
+
+
+def test_blocklist_filter_empty_terms_raises(spark):
+    from whylogs_java_spark.operators.text import blocklist_filter
+
+    df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+    try:
+        blocklist_filter(df, "text", "doc_id", ())
+        assert False, "expected ValueError"
+    except ValueError:
+        pass
+
+
+# ---------------------------------------------------------------------------
+# n-gram novelty
+# ---------------------------------------------------------------------------
+
+def test_ngram_novelty_semantics(spark):
+    """Verbatim copy -> 0.0, disjoint doc -> 1.0, partial overlap in
+    between, short doc -> NULL novelty; broadcast_ref tier identical."""
+    from whylogs_java_spark.operators.decontam import ngram_novelty
+
+    ref = spark.createDataFrame(
+        [(100, "a b c d e f g h")], ["doc_id", "text"]
+    )
+    cur = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),          # verbatim: all 6 3-grams seen
+            (2, "p q r s t u"),              # disjoint: all novel
+            (3, "a b c d z z z"),            # grams abc,bcd seen; 3 novel
+            (4, "x y"),                      # < n words: no grams
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in ngram_novelty(cur, "text", "doc_id", ref, n=3).collect()
+    }
+    assert (out[1]["n_grams"], out[1]["n_novel"], out[1]["novelty"]) == (6, 0, 0.0)
+    assert (out[2]["n_grams"], out[2]["n_seen"], out[2]["novelty"]) == (4, 0, 1.0)
+    assert (out[3]["n_grams"], out[3]["n_seen"], out[3]["n_novel"]) == (5, 2, 3)
+    assert out[3]["novelty"] == 0.6
+    assert (out[4]["n_grams"], out[4]["novelty"]) == (0, None)
+    fast = {
+        r["doc_id"]: tuple(r)
+        for r in ngram_novelty(
+            cur, "text", "doc_id", ref, n=3, broadcast_ref=True
+        ).collect()
+    }
+    assert fast == {k: tuple(v) for k, v in out.items()}
+
+
+# ---------------------------------------------------------------------------
+# leakage-safe splits
+# ---------------------------------------------------------------------------
+
+def test_leakage_safe_splits_cluster_atomicity(spark):
+    """Every near-dup cluster lands in exactly ONE split; singletons
+    degenerate to the plain per-id hash split."""
+    from whylogs_java_spark.operators.pipeline import leakage_safe_splits
+    from whylogs_java_spark.operators.sampling import assign_splits
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    corpus = docs.select("doc_id", "text").unionByName(
+        docs.where(F.col("doc_id") % 5 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" extra token")).alias("text"),
+        )
+    )
+    rows = leakage_safe_splits(
+        corpus, "text", "doc_id", threshold=0.5, num_hashes=16, bands=4,
+        shingle_size=3,
+    ).collect()
+    assert len(rows) == corpus.count()
+    by_cluster: dict = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], set()).add(r["split"])
+    # atomicity: one split label per cluster
+    assert all(len(s) == 1 for s in by_cluster.values())
+    # planted mutants actually clustered with their source
+    multi = [c for c, _ in by_cluster.items()
+             if sum(1 for r in rows if r["cluster_id"] == c) > 1]
+    assert len(multi) > 0
+    # singletons == plain per-id split (cluster_id is the doc's own id)
+    singleton_ids = [
+        r["doc_id"] for r in rows
+        if r["cluster_id"] == r["doc_id"] and r["is_survivor"]
+        and sum(1 for x in rows if x["cluster_id"] == r["doc_id"]) == 1
+    ]
+    plain = {
+        r["doc_id"]: r["split"]
+        for r in assign_splits(
+            corpus.select("doc_id"), "doc_id"
+        ).collect()
+    }
+    got = {r["doc_id"]: r["split"] for r in rows}
+    for did in singleton_ids[:50]:
+        assert got[did] == plain[did]
+
+
+# ---------------------------------------------------------------------------
+# streaming trained-quality scoring
+# ---------------------------------------------------------------------------
+
+def test_quality_score_stream_matches_batch(spark, tmp_path):
+    """Streaming scoring with frozen weights == batch scoring over the
+    same rows under any micro-batch boundaries (stateless projection)."""
+    from whylogs_java_spark.operators.classifier import (
+        logistic_quality_score,
+        logistic_quality_train,
+    )
+    from whylogs_java_spark.streaming.classifier_stream import (
+        quality_score_stream,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text", "lang"
+    )
+    w = logistic_quality_train(
+        docs, "text", "doc_id", (F.col("lang") == "en").cast("double"),
+        n_iter=2,
+    )
+    src = str(tmp_path / "clf_stream_src")
+    docs.repartition(8).write.parquet(src)
+    stream = spark.readStream.schema(docs.schema).option(
+        "maxFilesPerTrigger", 3
+    ).parquet(src)
+    collected: list = []
+    batches: list = []
+
+    def on_batch(report, batch_id):
+        rows = report.collect()
+        if rows:
+            batches.append(batch_id)
+            collected.extend(rows)
+
+    q = quality_score_stream(
+        stream, "text", "doc_id", on_batch, weights=w,
+        checkpoint_dir=str(tmp_path / "clf_ckpt"),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    batch = {
+        r["doc_id"]: (r["score"], r["keep"])
+        for r in logistic_quality_score(docs, "text", "doc_id", w).collect()
+    }
+    got = {r["doc_id"]: (r["score"], r["keep"]) for r in collected}
+    assert len(collected) == len(got)
+    assert got == batch
+    assert len(batches) > 1
+
+
+def test_quality_score_stream_validations(spark, tmp_path):
+    from whylogs_java_spark.streaming.classifier_stream import (
+        quality_score_stream,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    src = str(tmp_path / "clf_val_src")
+    docs.write.parquet(src)
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    try:
+        quality_score_stream(stream, "text", "doc_id", lambda d, b: None)
+        assert False, "expected ValueError"
+    except ValueError:
+        pass
+    try:
+        quality_score_stream(
+            stream, "text", "doc_id", lambda d, b: None, train_df=stream,
+            train_label=F.lit(1.0),
+        )
+        assert False, "expected ValueError"
+    except ValueError:
+        pass

@@ -22,7 +22,7 @@ check — replays in DuckDB as unrolled CTEs, so the scored output is
 oracle-checkable end to end, not just the final scoring pass.
 
 Scale shape: the feature table is built once (one corpus scan),
-localCheckpoint-ed, and each iteration costs one aggregate over it
+materialize()-ed (ckpt seam), and each iteration costs one aggregate over it
 (6 long sums + a count); scoring is a pure projection with literal
 weights. State is O(features), never O(corpus).
 """
@@ -31,6 +31,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from ..ckpt import materialize
 
 _GRAD_SCALE = 1_000_000
 
@@ -88,9 +90,7 @@ def logistic_quality_train(
     If ``stats`` is given, records ``stats["prior"]`` = mean(y) — the
     base rate, exact (0/1 double sums are integer-exact), used by the
     ``threshold="prior"`` gating mode."""
-    feats = _feature_table(df, text_col, id_col, label).localCheckpoint(
-        eager=True
-    )
+    feats = materialize(_feature_table(df, text_col, id_col, label))
     if stats is not None:
         r = feats.agg(
             F.sum("__y").alias("sy"), F.count(F.lit(1)).alias("n")
@@ -173,9 +173,7 @@ def quality_filter(
     # ONE feature table serves the prior, every training iteration, AND
     # the final scoring (scoring through logistic_quality_score would
     # rebuild the features from raw text — a whole extra corpus pass)
-    feats = _feature_table(df, text_col, id_col, label).localCheckpoint(
-        eager=True
-    )
+    feats = materialize(_feature_table(df, text_col, id_col, label))
     r = feats.agg(
         F.sum("__y").alias("sy"), F.count(F.lit(1)).alias("n")
     ).first()

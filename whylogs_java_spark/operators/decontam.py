@@ -187,3 +187,86 @@ def contamination_report(
             ).alias("hit_fraction"),
         )
     )
+
+
+def ngram_novelty(
+    corpus: DataFrame,
+    text_col: str,
+    id_col: str,
+    ref_df: DataFrame,
+    ref_text_col: str | None = None,
+    n: int = 5,
+    broadcast_ref: bool = False,
+) -> DataFrame:
+    """Per-document novelty vs a reference corpus: the fraction of the
+    doc's DISTINCT word n-grams that do NOT appear anywhere in the
+    reference — the "new information" signal data-curation pipelines
+    use to rank an incoming batch against what the training set already
+    contains (dedup's soft sibling: exact-duplicate docs score 0.0,
+    genuinely new text scores ~1.0).
+
+    Output: (id, n_grams, n_seen, n_novel, novelty) with ``n_grams``
+    the doc's distinct-gram count and ``novelty = n_novel / n_grams``
+    (NULL for docs shorter than ``n`` words — no grams, no signal).
+
+    Scale shape: unlike ``decontaminate`` (whose eval side is
+    benchmark-sized and broadcast), the reference here is typically
+    ANOTHER CORPUS — so both sides reduce to distinct gram digests and
+    meet in a shuffle semi-join on the digest key (high-cardinality,
+    skew-free; md5 keys hash uniformly). Corpus bytes are never
+    shuffled — only (id, digest) pairs. Pass ``broadcast_ref=True``
+    when the reference is known to be small (an eval suite, a seed
+    set) to collapse the join into the scan stage.
+    """
+    from whylogs_java_spark.operators.dedup import _spread
+
+    ref_grams = (
+        ref_df.select(
+            F.explode(
+                ngram_digests(F.col(ref_text_col or text_col), n)
+            ).alias("gram")
+        ).distinct()
+    )
+    if broadcast_ref:
+        ref_grams = F.broadcast(ref_grams)
+    doc_grams = (
+        _spread(corpus.select(id_col, text_col))
+        .select(
+            F.col(id_col),
+            F.explode(ngram_digests(F.col(text_col), n)).alias("gram"),
+        )
+        .distinct()
+    )
+    totals = doc_grams.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_grams")
+    )
+    seen = (
+        doc_grams.join(ref_grams, "gram", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_seen"))
+    )
+    short = corpus.select(F.col(id_col)).join(totals, id_col, "left_anti")
+    out = (
+        totals.join(seen, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("n_grams"),
+            F.coalesce(F.col("n_seen"), F.lit(0)).alias("n_seen"),
+            (F.col("n_grams") - F.coalesce(F.col("n_seen"), F.lit(0))).alias(
+                "n_novel"
+            ),
+        )
+        .withColumn(
+            "novelty",
+            F.round(F.col("n_novel") / F.col("n_grams"), 6) + F.lit(0.0),
+        )
+    )
+    return out.unionByName(
+        short.select(
+            F.col(id_col),
+            F.lit(0).cast("long").alias("n_grams"),
+            F.lit(0).cast("long").alias("n_seen"),
+            F.lit(0).cast("long").alias("n_novel"),
+            F.lit(None).cast("double").alias("novelty"),
+        )
+    )

@@ -189,3 +189,53 @@ def training_manifest_v2(
     return assign_splits(s3.join(w, id_col), id_col, splits).select(
         F.col(id_col), F.col("split"), F.col("score"), F.col("dsir_logratio")
     )
+
+
+def leakage_safe_splits(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    splits: Sequence[tuple[str, float]] = (
+        ("train", 0.8),
+        ("val", 0.1),
+        ("test", 0.1),
+    ),
+    *,
+    threshold: float = 0.5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_size: int = 3,
+    char_ngrams: bool = False,
+    salt: str = "",
+    algorithm: str = "label",
+) -> DataFrame:
+    """Train/val/test assignment with near-duplicates held together.
+
+    A plain per-document hash split leaks: two near-copies of the same
+    page can land one in train and one in test, and the model is then
+    evaluated on (a mutation of) its own training data. This operator
+    closes that hole by splitting at DEDUP-CLUSTER granularity — the
+    md5 hash-threshold key is the cluster id (the connected component's
+    min member id), so every member of a near-dup cluster inherits ONE
+    split label, and singleton docs degenerate to the usual per-id
+    split (their cluster id is their own id).
+
+    Output: one row per doc — (id, cluster_id, is_survivor, split).
+    ``is_survivor`` marks the cluster's min-id member, so downstream
+    can both dedup (keep survivors) and split leakage-free from the
+    same table.
+
+    Scale shape: exactly ``near_dup_clusters`` (band equi-joins, CC
+    over pair endpoints only) plus one shuffle-free projection — the
+    split assignment adds NO exchange on top of the dedup pass a
+    pipeline already runs. Stability: membership is a pure function of
+    (cluster id, salt); growing the corpus only reassigns docs whose
+    cluster MERGES with another (the unavoidable case — the merged
+    cluster must land on one side).
+    """
+    clusters = near_dup_clusters(
+        df, text_col, id_col, threshold=threshold, num_hashes=num_hashes,
+        bands=bands, shingle_size=shingle_size, char_ngrams=char_ngrams,
+        algorithm=algorithm,
+    )
+    return assign_splits(clusters, "cluster_id", splits, salt=salt)

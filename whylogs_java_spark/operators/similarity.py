@@ -1699,9 +1699,7 @@ def ann_recall_report(
     qdf = embeddings.where(F.col(id_col).isin(ids))
     # the exact table feeds one join per tier: materialize its
     # O(|queries| * k) rows once
-    exact = cosine_topk(embeddings, qdf, id_col, vec_col, k).localCheckpoint(
-        eager=True
-    )
+    exact = materialize(cosine_topk(embeddings, qdf, id_col, vec_col, k))
     ex = exact.select(
         "query_id", "neighbor_id", F.col("rank").alias("rank_e")
     )

@@ -814,3 +814,63 @@ def pii_redact(
         out.alias("redacted_text"),
         n.cast("long").alias("n_redactions"),
     )
+
+
+_BLOCK_META_RE = r"([.^$*+?()\[\]{}|\\])"
+
+
+def blocklist_filter(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    terms: "tuple[str, ...] | list[str]",
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """C4-style blocklist screen: per-doc match counts against a term
+    list (single words or multi-word phrases), case-insensitive, whole-
+    word (``\\b`` boundaries so "spark" does not fire inside
+    "sparkle").
+
+    Output: (id, *keep_cols, n_blocked, n_blocked_terms, matched_terms,
+    blocked) — total match count, number of distinct terms that hit, the
+    hit terms sorted+comma-joined (engine-portable stand-in for an
+    array column), and the drop verdict. The DROP policy itself stays
+    with the caller (`.where(~blocked)` for C4's hard drop, or a
+    threshold on n_blocked for softer policies).
+
+    Scale shape: a pure scan-side projection — every term compiles to a
+    Catalyst ``regexp_extract_all`` over the lowered text (term list is
+    config-sized, so columns-per-term is fine), no shuffle, no UDF, no
+    broadcast. At 100 TB this pushes whole into the parquet scan stage.
+    """
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    import re as _re
+
+    t = F.lower(F.col(text_col))
+    cnt_cols = []
+    for term in terms:
+        pat = r"\b" + _re.sub(_BLOCK_META_RE, r"\\\1", term.lower()) + r"\b"
+        cnt_cols.append(F.size(F.regexp_extract_all(t, F.lit(pat), 0)))
+    n_blocked = cnt_cols[0]
+    for c in cnt_cols[1:]:
+        n_blocked = n_blocked + c
+    hit_terms = F.array_sort(
+        F.filter(
+            F.array(
+                *[
+                    F.when(c > 0, F.lit(term.lower()))
+                    for term, c in zip(terms, cnt_cols)
+                ]
+            ),
+            lambda x: x.isNotNull(),
+        )
+    )
+    return df.select(
+        F.col(id_col),
+        *[F.col(c) for c in keep_cols],
+        n_blocked.cast("long").alias("n_blocked"),
+        F.size(hit_terms).cast("long").alias("n_blocked_terms"),
+        F.concat_ws(",", hit_terms).alias("matched_terms"),
+        (n_blocked > 0).alias("blocked"),
+    )
