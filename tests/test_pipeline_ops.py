@@ -2288,3 +2288,59 @@ def test_quality_score_stream_validations(spark, tmp_path):
         assert False, "expected ValueError"
     except ValueError:
         pass
+
+
+# ---------------------------------------------------------------------------
+# packing assignment
+# ---------------------------------------------------------------------------
+
+def test_pack_assign_known_values(spark):
+    """ctx=4, sep=1: offsets, window spans, empty docs, stratum resets."""
+    from whylogs_java_spark.operators.text import pack_assign
+
+    df = spark.createDataFrame(
+        [
+            ("a", 1, "t1 t2 t3"),        # off 0, ctx 0..0
+            ("a", 2, "t4 t5"),           # off 3+1=4, ctx 1..1
+            ("a", 3, ""),                # off 4+2+1=7, empty: 0 contexts
+            ("a", 4, "t6 t7 t8 t9 t10"), # off 7+0+1=8, ctx 2..3 (spans)
+            ("b", 9, "u1"),              # new stratum: off 0
+        ],
+        ["lang", "doc_id", "text"],
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in pack_assign(
+            df, "text", "doc_id", context_len=4, strata=["lang"],
+            sep_tokens=1,
+        ).collect()
+    }
+    assert (rows[1]["token_offset"], rows[1]["first_context"],
+            rows[1]["last_context"], rows[1]["n_contexts"]) == (0, 0, 0, 1)
+    assert (rows[2]["token_offset"], rows[2]["first_context"]) == (4, 1)
+    assert (rows[3]["n_tokens"], rows[3]["n_contexts"]) == (0, 0)
+    assert (rows[4]["token_offset"], rows[4]["first_context"],
+            rows[4]["last_context"], rows[4]["n_contexts"]) == (8, 2, 3, 2)
+    assert (rows[9]["token_offset"], rows[9]["first_context"]) == (0, 0)
+
+
+def test_pack_assign_total_consistency(spark):
+    """Sum of per-doc tokens + separators == the final doc's end offset;
+    max context id == ceil(stream length / ctx) - 1 (packing_stats'
+    perfect-packing bound is met by construction per stratum)."""
+    from whylogs_java_spark.operators.text import pack_assign
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = pack_assign(
+        docs, "text", "doc_id", context_len=128, strata=["lang"],
+        sep_tokens=0,
+    )
+    import math
+
+    for lang_row in out.groupBy("lang").agg(
+        F.sum("n_tokens").alias("tot"),
+        F.max(F.col("token_offset") + F.col("n_tokens")).alias("end"),
+        F.max("last_context").alias("maxctx"),
+    ).collect():
+        assert lang_row["tot"] == lang_row["end"]
+        assert lang_row["maxctx"] == math.ceil(lang_row["tot"] / 128) - 1

@@ -874,3 +874,76 @@ def blocklist_filter(
         F.concat_ws(",", hit_terms).alias("matched_terms"),
         (n_blocked > 0).alias("blocked"),
     )
+
+
+def pack_assign(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    context_len: int = 512,
+    strata: list[str] | None = None,
+    sep_tokens: int = 0,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing ASSIGNMENT (the GPT-style
+    packing step itself, where ``packing_stats`` only computes the
+    bounds): documents are concatenated in deterministic id order
+    within each stratum — ``sep_tokens`` separator tokens between
+    consecutive docs — and the token stream is sliced into fixed
+    ``context_len`` windows. Each doc learns which contexts it lands
+    in.
+
+    Output per doc: (*strata, id, n_tokens, token_offset,
+    first_context, last_context, n_contexts) — ``token_offset`` is the
+    doc's global start position in its stratum's stream, contexts are
+    0-based, and ``n_contexts`` is how many windows the doc touches
+    (0 for empty docs, which occupy no space). Deterministic by
+    construction (order = id), so the full assignment is
+    oracle-checkable — unlike greedy bin packing, whose output depends
+    on visit order.
+
+    Scale shape: ONE exchange (the window partition on the strata) and
+    a per-stratum running sum. The running sum is inherently sequential
+    WITHIN a stratum — that is the packing contract, not an
+    implementation choice — so corpus-scale jobs should compose
+    shard-then-pack: assign token-budgeted shards first
+    (``sources.shards.assign_shards``) and pack within (shard, stratum),
+    which bounds every window partition to a shard's token budget and
+    parallelizes across shards.
+    """
+    from pyspark.sql import Window
+
+    keys = list(strata or [])
+    toks = F.size(tokens(F.col(text_col)))
+    base = df.select(*keys, F.col(id_col), toks.cast("long").alias("__t"))
+    w = (
+        Window.partitionBy(*keys).orderBy(id_col)
+        if keys
+        else Window.partitionBy(F.lit(0)).orderBy(id_col)
+    )
+    prev = F.coalesce(
+        F.sum("__t").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    rn = F.row_number().over(w)
+    off = (prev + (rn - F.lit(1)).cast("long") * F.lit(sep_tokens)).alias(
+        "token_offset"
+    )
+    ctx = F.lit(float(context_len))
+    out = base.select(*keys, F.col(id_col), F.col("__t"), off)
+    first = F.floor(F.col("token_offset") / ctx).cast("long")
+    last = F.when(
+        F.col("__t") > 0,
+        F.floor((F.col("token_offset") + F.col("__t") - 1) / ctx).cast("long"),
+    ).otherwise(first)
+    return out.select(
+        *keys,
+        F.col(id_col),
+        F.col("__t").alias("n_tokens"),
+        F.col("token_offset"),
+        first.alias("first_context"),
+        last.alias("last_context"),
+        F.when(F.col("__t") > 0, last - first + 1)
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("n_contexts"),
+    )
