@@ -1024,3 +1024,66 @@ def test_cli_dedup_store_build_and_probe(spark, tmp_path, monkeypatch, capsys):
         )
     )
     assert got == want and len(got) > 0
+
+
+def test_cli_blocklist_and_split_subcommands(spark, tmp_path, monkeypatch, capsys):
+    import whylogs_java_spark.__main__ as cli
+    import whylogs_java_spark.session as sess
+
+    monkeypatch.setattr(sess, "get_spark", lambda *a, **k: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+
+    src = str(tmp_path / "bl_docs.parquet")
+    spark.createDataFrame(
+        [
+            (1, "clean words only here today friend"),
+            (2, "the bad thing appears and bad again"),
+            (3, "a slow stream runs through it"),
+            (4, "the bad thing appears and bad again twice"),
+        ],
+        "doc_id long, text string",
+    ).write.parquet(src)
+
+    rep = str(tmp_path / "bl_report")
+    rc = cli.main([
+        "blocklist", src, "-o", rep, "--terms", "bad,slow stream",
+    ])
+    assert rc == 0
+    assert "flagged 3 doc(s)" in capsys.readouterr().out
+    got = {r["doc_id"]: r for r in spark.read.parquet(rep).collect()}
+    assert got[2]["n_blocked"] == 2 and got[2]["matched_terms"] == "bad"
+    assert got[3]["matched_terms"] == "slow stream"
+    assert not got[1]["blocked"]
+
+    surv = str(tmp_path / "bl_survivors")
+    rc = cli.main(["blocklist", src, "-o", surv, "--terms", "bad", "--drop"])
+    assert rc == 0
+    kept = sorted(r["doc_id"] for r in spark.read.parquet(surv).collect())
+    assert kept == [1, 3]
+
+    # terms-file variant
+    tf = tmp_path / "terms.txt"
+    tf.write_text("bad\nslow stream\n")
+    rc = cli.main(["blocklist", src, "-o", rep, "--terms-file", str(tf)])
+    assert rc == 0
+
+    # plain split
+    sp = str(tmp_path / "split_out")
+    rc = cli.main([
+        "split", src, "-o", sp, "--fractions", "train=0.5,test=0.5",
+    ])
+    assert rc == 0
+    back = spark.read.parquet(sp)
+    assert back.count() == 4
+    assert set(back.columns) == {"doc_id", "split"}
+
+    # leakage-safe split: near-identical docs 2 and 4 must share a split
+    sp2 = str(tmp_path / "split_ls_out")
+    rc = cli.main([
+        "split", src, "-o", sp2, "--leakage-safe",
+        "--fractions", "train=0.5,test=0.5", "--threshold", "0.5",
+    ])
+    assert rc == 0
+    rows = {r["doc_id"]: r for r in spark.read.parquet(sp2).collect()}
+    assert rows[2]["cluster_id"] == rows[4]["cluster_id"]
+    assert rows[2]["split"] == rows[4]["split"]

@@ -53,7 +53,8 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 SUBCOMMANDS = (
-    "dedup", "drift", "constraints", "monitor", "view", "redact", "shards"
+    "dedup", "drift", "constraints", "monitor", "view", "redact", "shards",
+    "blocklist", "split",
 )
 
 
@@ -424,6 +425,114 @@ def _run_shards(argv: list[str]) -> int:
         spark.stop()
 
 
+def _run_blocklist(argv: list[str]) -> int:
+    p = argparse.ArgumentParser(prog="python -m whylogs_java_spark blocklist")
+    p.add_argument("input")
+    p.add_argument("-o", "--output", required=True)
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--id-col", default="doc_id")
+    g = p.add_mutually_exclusive_group(required=True)
+    g.add_argument("--terms", help="comma-separated blocked terms/phrases")
+    g.add_argument("--terms-file", help="one term per line")
+    p.add_argument(
+        "--drop", action="store_true",
+        help="write surviving source rows instead of the per-doc report",
+    )
+    a = p.parse_args(argv)
+    if a.terms is not None:
+        terms = tuple(t.strip() for t in a.terms.split(",") if t.strip())
+    else:
+        with open(a.terms_file) as fh:
+            terms = tuple(ln.strip() for ln in fh if ln.strip())
+    from .session import get_spark
+
+    spark = get_spark("whylogs-cli-blocklist")
+    try:
+        from pyspark.sql import functions as F
+
+        from .operators.text import blocklist_filter
+
+        df = _read_input(spark, a.input)
+        report = blocklist_filter(df, a.text_col, a.id_col, terms)
+        if a.drop:
+            keep = report.where(~F.col("blocked")).select(a.id_col)
+            out = df.join(keep, a.id_col, "left_semi")
+            out.write.mode("overwrite").parquet(a.output)
+            n_in, n_out = df.count(), out.count()
+            print(f"kept {n_out}/{n_in} docs -> {a.output}")
+        else:
+            report.write.mode("overwrite").parquet(a.output)
+            n = report.where(F.col("blocked")).count()
+            print(f"flagged {n} doc(s); report -> {a.output}")
+        return 0
+    finally:
+        spark.stop()
+
+
+def _parse_fractions(spec: str):
+    out = []
+    for part in spec.split(","):
+        label, _, frac = part.partition("=")
+        out.append((label.strip(), float(frac)))
+    return tuple(out)
+
+
+def _run_split(argv: list[str]) -> int:
+    p = argparse.ArgumentParser(prog="python -m whylogs_java_spark split")
+    p.add_argument("input")
+    p.add_argument("-o", "--output", required=True)
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--text-col", default="text")
+    p.add_argument(
+        "--fractions", default="train=0.8,val=0.1,test=0.1",
+        help="label=frac[,label=frac...] summing to 1",
+    )
+    p.add_argument("--salt", default="")
+    p.add_argument(
+        "--leakage-safe", action="store_true",
+        help="split at near-dup-cluster granularity (MinHash-LSH + CC) "
+        "so near-copies never straddle splits; plain per-id hash split "
+        "otherwise",
+    )
+    p.add_argument("--threshold", type=float, default=0.5)
+    p.add_argument("--shingle-size", type=int, default=3)
+    a = p.parse_args(argv)
+    splits = _parse_fractions(a.fractions)
+    from .session import get_spark
+
+    spark = get_spark("whylogs-cli-split")
+    try:
+        from pyspark.sql import functions as F
+
+        df = _read_input(spark, a.input)
+        if a.leakage_safe:
+            from .operators.pipeline import leakage_safe_splits
+
+            out = leakage_safe_splits(
+                df, a.text_col, a.id_col, splits, threshold=a.threshold,
+                shingle_size=a.shingle_size, salt=a.salt,
+            )
+        else:
+            from .operators.sampling import assign_splits
+
+            out = assign_splits(df.select(a.id_col), a.id_col, splits, salt=a.salt)
+        out.write.mode("overwrite").parquet(a.output)
+        counts = {
+            r["split"]: r["n"]
+            for r in out.groupBy("split").agg(
+                F.count(F.lit(1)).alias("n")
+            ).collect()
+        }
+        print(
+            "split sizes: "
+            + ", ".join(f"{k}={v}" for k, v in sorted(counts.items()))
+            + f" -> {a.output}"
+        )
+        return 0
+    finally:
+        spark.stop()
+
+
 def main(argv: list[str] | None = None) -> int:
     argv = sys.argv[1:] if argv is None else argv
     # subcommand dispatch; bare invocation keeps the reference Profiler
@@ -437,6 +546,8 @@ def main(argv: list[str] | None = None) -> int:
             "view": _run_view,
             "redact": _run_redact,
             "shards": _run_shards,
+            "blocklist": _run_blocklist,
+            "split": _run_split,
         }[argv[0]](argv[1:])
     args = build_parser().parse_args(argv)
     from .operators.profile import profile_atoms
