@@ -533,3 +533,76 @@ def test_winnow_fingerprints_match_reference(spark, texts):
         if _winnow_reference(t, 5, 4)
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# pack_assign vs a pure-python packer
+# ---------------------------------------------------------------------------
+
+texts_strategy = st.lists(
+    st.lists(
+        st.sampled_from(["tok", "alpha", "beta", "gamma", "x"]),
+        min_size=0, max_size=12,
+    ).map(" ".join),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(texts_strategy, st.integers(min_value=1, max_value=16),
+       st.integers(min_value=0, max_value=3))
+def test_pack_assign_matches_python_packer(spark, texts, ctx, sep):
+    from whylogs_java_spark.operators.text import pack_assign
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"], r["token_offset"], r["first_context"],
+            r["last_context"], r["n_contexts"],
+        )
+        for r in pack_assign(
+            df, "text", "doc_id", context_len=ctx, sep_tokens=sep
+        ).collect()
+    }
+    # pure-python reference: concat in id order with sep tokens between
+    off = 0
+    for i, t in sorted(rows):
+        n = len([w for w in t.split(" ") if w])
+        first = off // ctx
+        last = (off + n - 1) // ctx if n > 0 else first
+        spans = (last - first + 1) if n > 0 else 0
+        assert got[i] == (n, off, first, last, spans), (i, t, ctx, sep)
+        off += n + sep
+
+
+# ---------------------------------------------------------------------------
+# ngram_novelty vs pure-python set arithmetic
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(texts_strategy, texts_strategy, st.integers(min_value=1, max_value=4))
+def test_ngram_novelty_matches_python_sets(spark, ref_texts, cur_texts, n):
+    from whylogs_java_spark.operators.decontam import ngram_novelty
+
+    ref = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(ref_texts)], "doc_id long, text string"
+    )
+    cur = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(cur_texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_seen"], r["n_novel"])
+        for r in ngram_novelty(cur, "text", "doc_id", ref, n=n).collect()
+    }
+
+    def grams(t):
+        w = [x for x in t.split(" ") if x]
+        return {" ".join(w[i:i + n]) for i in range(len(w) - n + 1)}
+
+    ref_set = set().union(*(grams(t) for t in ref_texts)) if ref_texts else set()
+    assert set(got) == set(range(len(cur_texts)))
+    for i, t in enumerate(cur_texts):
+        g = grams(t)
+        assert got[i] == (len(g), len(g & ref_set), len(g - ref_set)), (i, t)
