@@ -126,6 +126,11 @@ BENCH_QUERIES = [
     "contamination_report",
     "dedup_incremental_stored",
     "ann_recall_embeddings",
+    # round-10 late additions
+    "split_leakage_safe",
+    "blocklist_documents",
+    "novelty_documents",
+    "pack_documents",
 ]
 
 
