@@ -840,3 +840,43 @@ def test_ivfpq_store_probe_plans_and_exactness(spark, tmp_path):
         )
     )
     assert full == exact
+
+
+def test_r10_late_query_plan_guards(spark):
+    """Plan pins for the round-10 late queries (PLANS.md sections):
+    blocklist must be a pure scan projection (ZERO exchanges), the
+    packing window must be the only exchange in pack_documents, the
+    novelty digest join must never cartesian, and the leakage-safe
+    split must add no exchange on top of the dedup_clusters pass."""
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    sf = "/root/testdata/sf0.001"
+
+    def plan_of(name):
+        df = qs[name](spark, sf)
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    # blocklist: scan-side projection, whole plan in one codegen span
+    p = plan_of("blocklist_documents")
+    assert "Exchange" not in p
+    assert "CartesianProduct" not in p and "Join" not in p
+
+    # packing: exactly one exchange (the window partition on the strata)
+    p = plan_of("pack_documents")
+    assert p.count("Exchange") == 1
+    assert "Window" in p
+
+    # novelty: digest equi-join only — no cartesian, no corpus-side
+    # broadcast (the REF side may broadcast; the (id, gram) side must
+    # stay on the shuffle/stream side of the join)
+    p = plan_of("novelty_documents")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+    # leakage-safe split: same exchange count as the dedup_clusters
+    # pass it wraps — the split CASE is a free projection
+    p_split = plan_of("split_leakage_safe")
+    p_clusters = plan_of("dedup_clusters")
+    assert p_split.count("Exchange") == p_clusters.count("Exchange")
+    assert "CartesianProduct" not in p_split
