@@ -132,6 +132,7 @@ BENCH_QUERIES = [
     "novelty_documents",
     "pack_documents",
     "rp_embeddings",
+    "similarity_rp",
 ]
 
 

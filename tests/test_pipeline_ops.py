@@ -2398,3 +2398,42 @@ def test_rp_project_preserves_cosine_geometry(spark):
     }
     assert got[1] == [0.0, 0.0, 0.0, 0.0]
     assert got[3] == [-v for v in got[2]]
+
+
+def test_rp_topk_degenerate_exactness_and_recall(spark):
+    """rerank >= corpus reduces rp_topk to brute force exactly (the
+    refine then re-ranks every candidate by exact cosine); at the
+    production cut (rerank=32) recall@10 stays above a floor."""
+    from whylogs_java_spark.operators.similarity import (
+        cosine_topk_exact,
+        rp_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    n = emb.count()
+    qids = [0, 1, 2, 3, 4]
+    exact = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+        for r in cosine_topk_exact(emb, qids, k=10).collect()
+    }
+    full = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+        for r in rp_topk(emb, qids, k=10, out_dim=16, rerank=n, dim=64).collect()
+    }
+    assert full == exact
+
+    got = rp_topk(emb, qids, k=10, out_dim=16, rerank=32, dim=64).collect()
+    exact_sets: dict = {}
+    for (q, _), (nb, _) in exact.items():
+        exact_sets.setdefault(q, set()).add(nb)
+    hit = tot = 0
+    for r in got:
+        tot += 1
+        hit += r["neighbor_id"] in exact_sets[r["query_id"]]
+    assert tot == 50
+    # 16-of-64 dims is a lossy sketch: measured 0.48 at rerank=32
+    assert hit / tot >= 0.4, hit / tot
+    # widening the rerank cut must not lose recall
+    got64 = rp_topk(emb, qids, k=10, out_dim=16, rerank=64, dim=64).collect()
+    hit64 = sum(r["neighbor_id"] in exact_sets[r["query_id"]] for r in got64)
+    assert hit64 >= hit

@@ -2006,12 +2006,22 @@ def _rp_sign(j: int, dim: Column) -> Column:
     return F.when(nibble % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
 
 
+def _rp_sign_value(j: int, i: int) -> float:
+    """Python twin of _rp_sign (true md5 both sides) for literal
+    constant-folding when the input dimension is known."""
+    import hashlib
+
+    h = hashlib.md5(f"rp{j}|{i}".encode()).hexdigest()
+    return 1.0 if int(h[0], 16) % 2 == 0 else -1.0
+
+
 def rp_project(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     out_dim: int = 16,
     keep_cols: tuple[str, ...] = (),
+    dim: int | None = None,
 ) -> DataFrame:
     """Johnson-Lindenstrauss sign random projection: compress an
     embedding column to ``out_dim`` dimensions with y_j = <x, s_j> /
@@ -2040,10 +2050,19 @@ def rp_project(
     vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     cols = []
     for j in range(out_dim):
-        # single-arg lambda: a 2-arg transform lambda would receive
-        # (element, index) and silently shadow the captured j; capture
-        # is safe because PySpark builds the expression eagerly here
-        signs = F.transform(_dims_seq(vec), lambda i: _rp_sign(j, i))
+        if dim is not None:
+            # constant-folded literal sign vector (the
+            # dedup_embedding_stream trick): zero per-row md5 work —
+            # pass ``dim`` whenever the embedding width is known
+            signs = F.array(
+                *[F.lit(_rp_sign_value(j, i)) for i in range(dim)]
+            )
+        else:
+            # single-arg lambda: a 2-arg transform lambda would receive
+            # (element, index) and silently shadow the captured j;
+            # capture is safe because PySpark builds the expression
+            # eagerly here
+            signs = F.transform(_dims_seq(vec), lambda i: _rp_sign(j, i))
         proj = F.aggregate(
             F.zip_with(vec, signs, lambda x, s: x * s),
             F.lit(0.0),
@@ -2053,3 +2072,102 @@ def rp_project(
             (F.round(proj * F.lit(inv), 6) + F.lit(0.0)).alias(f"rp_{j}")
         )
     return df.select(F.col(id_col), *[F.col(c) for c in keep_cols], *cols)
+
+
+def rp_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    out_dim: int = 16,
+    rerank: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """ANN over JL-compressed vectors: candidate ranking by cosine in
+    ``rp_project``-ed space (``out_dim`` dims — 4x fewer multiplies per
+    candidate at 64->16), top-``rerank`` survivors refined with the
+    EXACT full-dimension cosine, final top-``k``. The compression tier
+    of the ANN ladder: cheaper than brute force by the dim ratio,
+    model-free (md5 sign planes), and fully oracle-deterministic —
+    projected values round to 6 dp BEFORE ranking so the candidate cut
+    replays bit-for-bit in DuckDB.
+
+    Scale shape: the projected table is the only corpus-wide
+    intermediate (out_dim doubles + a norm per row); the candidate join
+    broadcasts the query side; the refine joins full vectors for
+    O(queries x rerank) rows only.
+
+    Output: (query_id, neighbor_id, cosine, rank) — exact cosines.
+    """
+    from pyspark.sql import Window
+
+    ids = list(query_ids)
+    # materialize the NARROW projected table first (out_dim doubles per
+    # row — the PQ-codes pattern). Building array/norm over the raw
+    # rp_project expressions instead would re-nest all out_dim fold
+    # trees into one giant projection (array + norm + filter each
+    # duplicate the trees) — measured 19.7 s of codegen at sf0.001 vs
+    # 0.3 s this way — and the candidate join would then recompute the
+    # folds per candidate pair on both sides.
+    proj = materialize(rp_project(embeddings, id_col, vec_col, out_dim, dim=dim))
+    pv = F.array(*[F.col(f"rp_{j}") for j in range(out_dim)])
+    pvec = proj.select(
+        F.col(id_col), pv.alias("__pv"), norm(pv).alias("__pn")
+    ).where(F.col("__pn") > 0)
+    q = pvec.where(F.col(id_col).isin(ids)).select(
+        F.col(id_col).alias("query_id"),
+        F.col("__pv").alias("qpv"),
+        F.col("__pn").alias("qpn"),
+    )
+    cand = pvec.join(F.broadcast(q), F.col(id_col) != F.col("query_id")).select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        (
+            F.round(
+                dot(F.col("__pv"), F.col("qpv"))
+                / (F.col("__pn") * F.col("qpn")),
+                6,
+            )
+            + 0.0
+        ).alias("rp_cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("rp_cosine"), F.asc("neighbor_id")
+    )
+    cut = cand.withColumn("rp_rank", F.row_number().over(w)).where(
+        F.col("rp_rank") <= rerank
+    )
+    vecd = _as_double(F.col(vec_col))
+    full = embeddings.select(
+        F.col(id_col), vecd.alias("__v"), norm(vecd).alias("__n")
+    ).where(F.col("__n") > 0)
+    qf = full.where(F.col(id_col).isin(ids)).select(
+        F.col(id_col).alias("query_id"),
+        F.col("__v").alias("qv"),
+        F.col("__n").alias("qn"),
+    )
+    ref = (
+        cut.join(full.withColumnRenamed(id_col, "neighbor_id"), "neighbor_id")
+        .join(F.broadcast(qf), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                F.round(
+                    dot(F.col("__v"), F.col("qv"))
+                    / (F.col("__n") * F.col("qn")),
+                    6,
+                )
+                + 0.0
+            ).alias("cosine"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        ref.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
