@@ -375,7 +375,7 @@ def test_ann_recall_report_shape_and_consistency(spark):
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     ids = list(range(20))
     rep = {r["tier"]: r for r in ann_recall_report(emb, ids, k=10).collect()}
-    assert set(rep) == {"lsh", "ivf_md5", "ivf_int8", "pq"}
+    assert set(rep) == {"lsh", "ivf_md5", "ivf_int8", "pq", "rp"}
     exact = {
         (r["query_id"], r["neighbor_id"])
         for r in cosine_topk(

@@ -1671,6 +1671,8 @@ def ann_recall_report(
     rerank: int = 30,
     pq_m: int = 4,
     pq_codebook_k: int = 16,
+    rp_out_dim: int = 16,
+    rp_dim: int | None = None,
 ) -> DataFrame:
     """ANN recall dashboard: one row per approximate tier with its
     recall@k and mean rank displacement against the brute-force exact
@@ -1679,7 +1681,8 @@ def ann_recall_report(
 
     Tiers are the ORACLE-DETERMINISTIC family (md5 sampling + strict
     left-to-right double folds): lsh (`lsh_bucket_topk`), ivf_md5
-    (`ivf_topk_exact`), ivf_int8 (`ivf_topk_quantized`), pq (`pq_topk`)
+    (`ivf_topk_exact`), ivf_int8 (`ivf_topk_quantized`), pq (`pq_topk`),
+    rp (`rp_topk`, JL compression)
     — so the whole report, recall numbers included, replays in SQL and
     is hash-checkable end to end (the production xxhash64 tiers have
     their own quality-floor query, `similarity_ivf`).
@@ -1723,6 +1726,10 @@ def ann_recall_report(
         "pq": pq_topk(
             embeddings, ids, k=k, m=pq_m, codebook_k=pq_codebook_k,
             rerank=rerank, id_col=id_col, vec_col=vec_col,
+        ),
+        "rp": rp_topk(
+            embeddings, ids, k=k, out_dim=rp_out_dim, rerank=rerank,
+            id_col=id_col, vec_col=vec_col, dim=rp_dim,
         ),
     }
     rows = None
