@@ -133,6 +133,7 @@ BENCH_QUERIES = [
     "pack_documents",
     "rp_embeddings",
     "similarity_rp",
+    "dedup_threshold_report",
 ]
 
 

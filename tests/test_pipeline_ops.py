@@ -2437,3 +2437,32 @@ def test_rp_topk_degenerate_exactness_and_recall(spark):
     got64 = rp_topk(emb, qids, k=10, out_dim=16, rerank=64, dim=64).collect()
     hit64 = sum(r["neighbor_id"] in exact_sets[r["query_id"]] for r in got64)
     assert hit64 >= hit
+
+
+def test_dedup_threshold_report_monotone_and_counts(spark):
+    """Counts are non-increasing in the threshold, exact duplicates
+    survive every cut, and affected_frac uses the corpus size."""
+    from whylogs_java_spark.operators.dedup import dedup_threshold_report
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    corpus = docs.select("doc_id", "text").unionByName(
+        docs.where(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), F.col("text")
+        )  # verbatim copies: jaccard exactly 1.0
+    )
+    n = corpus.count()
+    rep = sorted(
+        dedup_threshold_report(
+            corpus, "text", "doc_id", thresholds=(0.5, 0.8, 1.0)
+        ).collect(),
+        key=lambda r: r["threshold"],
+    )
+    assert [r["threshold"] for r in rep] == [0.5, 0.8, 1.0]
+    for a, b in zip(rep, rep[1:]):
+        assert a["n_pairs"] >= b["n_pairs"]
+        assert a["n_docs"] >= b["n_docs"]
+    exact_copies = docs.where(F.col("doc_id") % 7 == 0).count()
+    top = rep[-1]
+    assert top["n_pairs"] >= exact_copies  # verbatim pairs at 1.0
+    assert top["n_corpus"] == n
+    assert top["affected_frac"] == round(top["n_docs"] / n, 6)

@@ -1970,3 +1970,76 @@ def winnow_screen(
             ).alias("flagged"),
         )
     )
+
+
+def dedup_threshold_report(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    thresholds: "tuple[float, ...]" = (0.5, 0.6, 0.7, 0.8, 0.9),
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_size: int = 3,
+    char_ngrams: bool = False,
+    hash_family: str = "affine",
+) -> DataFrame:
+    """Dedup threshold tuning table — the near-dup analog of the ANN
+    recall dashboard: ONE verified-pair pass at the LOWEST candidate
+    threshold, then per-threshold aggregates over the (small) pair
+    table, so an operator can read off how aggressive each cut is
+    before committing a corpus-wide dedup.
+
+    Output: one row per threshold — (threshold, n_pairs, n_docs,
+    n_corpus, affected_frac): pairs at jaccard >= t, distinct docs
+    touched by those pairs, corpus size, and the affected fraction.
+
+    Candidate recall caveat (documented, inherent): candidates come
+    from the band config evaluated at min(thresholds) — LSH recall
+    decays below the band family's S-curve, so rows at the LOW end
+    undercount pairs the bands never surfaced. The HIGH-end rows (the
+    ones that pick the production cut) are band-complete.
+
+    Scale: the expensive term is the single near_dup_pairs pass
+    (banded, never all-pairs); the report itself is len(thresholds)
+    aggregates over the materialized pair table (O(pairs), tiny).
+    """
+    if not thresholds:
+        raise ValueError("thresholds must be non-empty")
+    ts = sorted(set(float(t) for t in thresholds))
+    pairs = _materialize(
+        near_dup_pairs(
+            df, text_col, id_col, threshold=ts[0], num_hashes=num_hashes,
+            bands=bands, shingle_size=shingle_size, char_ngrams=char_ngrams,
+            hash_family=hash_family,
+        ).select("id_a", "id_b", "jaccard")
+    )
+    n_corpus = df.agg(F.count(F.lit(1)).cast("long").alias("n_corpus"))
+    ends = pairs.select(
+        "jaccard", F.explode(F.array("id_a", "id_b")).alias("__d")
+    )
+    rows = None
+    for t in ts:
+        np_ = pairs.where(F.col("jaccard") >= t).agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs")
+        )
+        nd = ends.where(F.col("jaccard") >= t).agg(
+            F.count_distinct("__d").cast("long").alias("n_docs")
+        )
+        r = (
+            np_.crossJoin(nd)
+            .select(
+                F.lit(t).cast("double").alias("threshold"),
+                "n_pairs",
+                "n_docs",
+            )
+        )
+        rows = r if rows is None else rows.unionByName(r)
+    return rows.crossJoin(F.broadcast(n_corpus)).select(
+        "threshold",
+        "n_pairs",
+        "n_docs",
+        "n_corpus",
+        (F.round(F.col("n_docs") / F.col("n_corpus"), 6) + 0.0).alias(
+            "affected_frac"
+        ),
+    )
