@@ -2466,3 +2466,74 @@ def test_dedup_threshold_report_monotone_and_counts(spark):
     assert top["n_pairs"] >= exact_copies  # verbatim pairs at 1.0
     assert top["n_corpus"] == n
     assert top["affected_frac"] == round(top["n_docs"] / n, 6)
+
+
+# ---------------------------------------------------------------------------
+# streaming packing
+# ---------------------------------------------------------------------------
+
+def test_pack_stream_matches_batch_under_ordered_ingest(spark, tmp_path):
+    """Streaming pack == batch pack_assign when ids arrive in
+    non-decreasing order across micro-batches (the ordered-ingest
+    contract): two id-ordered files, one per trigger, state carries the
+    running offsets across the batch boundary."""
+    import os
+    import time as _time
+
+    from whylogs_java_spark.operators.text import pack_assign
+    from whylogs_java_spark.streaming.pack_stream import pack_assign_stream
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "lang", "doc_id", "text"
+    )
+    cut = 250
+    src = tmp_path / "pack_src"
+    lo = str(src / "f0.parquet")
+    hi = str(src / "f1.parquet")
+    docs.where(F.col("doc_id") < cut).coalesce(1).write.parquet(lo)
+    docs.where(F.col("doc_id") >= cut).coalesce(1).write.parquet(hi)
+    # FileStreamSource orders by modification time: pin lo before hi
+    now = _time.time()
+    for root, offset in ((lo, -120), (hi, -60)):
+        for dirpath, _, files in os.walk(root):
+            for f in files:
+                p = os.path.join(dirpath, f)
+                os.utime(p, (now + offset, now + offset))
+
+    stream = spark.readStream.schema(docs.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(src / "*"))
+    out = pack_assign_stream(
+        stream, "text", "doc_id", "lang", context_len=128, sep_tokens=1
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("pack_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "pack_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        n_batches = len(q.recentProgress)
+    finally:
+        q.stop()
+    got = {
+        r["doc_id"]: (
+            r["stratum"], r["n_tokens"], r["token_offset"],
+            r["first_context"], r["last_context"], r["n_contexts"],
+        )
+        for r in spark.sql("SELECT * FROM pack_stream").collect()
+    }
+    batch = {
+        r["doc_id"]: (
+            r["lang"], r["n_tokens"], r["token_offset"],
+            r["first_context"], r["last_context"], r["n_contexts"],
+        )
+        for r in pack_assign(
+            docs, "text", "doc_id", context_len=128, strata=["lang"],
+            sep_tokens=1,
+        ).collect()
+    }
+    assert n_batches >= 2  # the state actually crossed a boundary
+    assert got == batch
