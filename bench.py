@@ -134,6 +134,7 @@ BENCH_QUERIES = [
     "rp_embeddings",
     "similarity_rp",
     "dedup_threshold_report",
+    "dedup_exact_best",
 ]
 
 

@@ -2537,3 +2537,40 @@ def test_pack_stream_matches_batch_under_ordered_ingest(spark, tmp_path):
     }
     assert n_batches >= 2  # the state actually crossed a boundary
     assert got == batch
+
+
+def test_exact_dedup_prefer_survivor(spark):
+    """prefer keeps the highest-scored duplicate (ties -> min id);
+    default stays min-id; non-duplicates always survive."""
+    from whylogs_java_spark.operators.dedup import (
+        exact_dedup,
+        exact_duplicate_groups,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "same text", 5.0),
+            (2, "same text", 9.0),   # best copy
+            (3, "same text", 9.0),   # tie with 2 -> 2 wins (min id)
+            (4, "unique here", 1.0),
+            (5, "Same  Text", 7.0),  # content_key canonicalizes: same group
+        ],
+        "doc_id long, text string, score double",
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in exact_dedup(df, "text", "doc_id", prefer=F.col("score")).collect()
+    )
+    assert kept == [2, 4]
+    # default unchanged
+    kept_min = sorted(
+        r["doc_id"] for r in exact_dedup(df, "text", "doc_id").collect()
+    )
+    assert kept_min == [1, 4]
+    g = {
+        r["keep_id"]: r["n_docs"]
+        for r in exact_duplicate_groups(
+            df, "text", "doc_id", prefer=F.col("score")
+        ).collect()
+    }
+    assert g[2] == 4

@@ -1087,3 +1087,35 @@ def test_cli_blocklist_and_split_subcommands(spark, tmp_path, monkeypatch, capsy
     rows = {r["doc_id"]: r for r in spark.read.parquet(sp2).collect()}
     assert rows[2]["cluster_id"] == rows[4]["cluster_id"]
     assert rows[2]["split"] == rows[4]["split"]
+
+
+def test_cli_pack_and_novelty_subcommands(spark, tmp_path, monkeypatch, capsys):
+    import whylogs_java_spark.__main__ as cli
+    import whylogs_java_spark.session as sess
+
+    monkeypatch.setattr(sess, "get_spark", lambda *a, **k: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+
+    src = str(tmp_path / "pk_docs.parquet")
+    spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "g h i"), (3, "a b c d e f")],
+        "doc_id long, text string",
+    ).write.parquet(src)
+
+    out = str(tmp_path / "pk_out")
+    rc = cli.main(["pack", src, "-o", out, "--context-len", "4"])
+    assert rc == 0
+    assert "packed 15 tokens" in capsys.readouterr().out
+    back = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+    assert back[1]["token_offset"] == 0 and back[2]["token_offset"] == 6
+
+    nov = str(tmp_path / "nv_out")
+    ref = str(tmp_path / "nv_ref.parquet")
+    spark.createDataFrame(
+        [(9, "a b c d e f")], "doc_id long, text string"
+    ).write.parquet(ref)
+    rc = cli.main(["novelty", src, "--ref", ref, "-o", nov, "-n", "3"])
+    assert rc == 0
+    got = {r["doc_id"]: r for r in spark.read.parquet(nov).collect()}
+    assert got[1]["novelty"] == 0.0 and got[3]["novelty"] == 0.0
+    assert got[2]["novelty"] == 1.0

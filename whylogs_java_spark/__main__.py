@@ -54,7 +54,7 @@ def build_parser() -> argparse.ArgumentParser:
 
 SUBCOMMANDS = (
     "dedup", "drift", "constraints", "monitor", "view", "redact", "shards",
-    "blocklist", "split",
+    "blocklist", "split", "pack", "novelty",
 )
 
 
@@ -533,6 +533,76 @@ def _run_split(argv: list[str]) -> int:
         spark.stop()
 
 
+def _run_pack(argv: list[str]) -> int:
+    p = argparse.ArgumentParser(prog="python -m whylogs_java_spark pack")
+    p.add_argument("input")
+    p.add_argument("-o", "--output", required=True)
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--context-len", type=int, default=512)
+    p.add_argument("--sep-tokens", type=int, default=0)
+    p.add_argument("--strata", default="", help="comma-separated stratum cols")
+    a = p.parse_args(argv)
+    from .session import get_spark
+
+    spark = get_spark("whylogs-cli-pack")
+    try:
+        from pyspark.sql import functions as F
+
+        from .operators.text import pack_assign
+
+        df = _read_input(spark, a.input)
+        strata = [c for c in a.strata.split(",") if c]
+        out = pack_assign(
+            df, a.text_col, a.id_col, context_len=a.context_len,
+            strata=strata or None, sep_tokens=a.sep_tokens,
+        )
+        out.write.mode("overwrite").parquet(a.output)
+        stats = out.agg(
+            F.sum("n_tokens").alias("tokens"),
+            (F.max("last_context") + 1).alias("contexts"),
+        ).first()
+        print(
+            f"packed {stats['tokens']} tokens into <= {stats['contexts']} "
+            f"contexts of {a.context_len} -> {a.output}"
+        )
+        return 0
+    finally:
+        spark.stop()
+
+
+def _run_novelty(argv: list[str]) -> int:
+    p = argparse.ArgumentParser(prog="python -m whylogs_java_spark novelty")
+    p.add_argument("input", help="incoming batch")
+    p.add_argument("--ref", required=True, help="existing-corpus path")
+    p.add_argument("-o", "--output", required=True)
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("-n", "--ngram", type=int, default=5)
+    p.add_argument("--broadcast-ref", action="store_true")
+    a = p.parse_args(argv)
+    from .session import get_spark
+
+    spark = get_spark("whylogs-cli-novelty")
+    try:
+        from pyspark.sql import functions as F
+
+        from .operators.decontam import ngram_novelty
+
+        cur = _read_input(spark, a.input)
+        ref = _read_input(spark, a.ref)
+        out = ngram_novelty(
+            cur, a.text_col, a.id_col, ref, n=a.ngram,
+            broadcast_ref=a.broadcast_ref,
+        )
+        out.write.mode("overwrite").parquet(a.output)
+        m = out.agg(F.round(F.avg("novelty"), 4).alias("m")).first()["m"]
+        print(f"mean novelty {m} -> {a.output}")
+        return 0
+    finally:
+        spark.stop()
+
+
 def main(argv: list[str] | None = None) -> int:
     argv = sys.argv[1:] if argv is None else argv
     # subcommand dispatch; bare invocation keeps the reference Profiler
@@ -548,6 +618,8 @@ def main(argv: list[str] | None = None) -> int:
             "shards": _run_shards,
             "blocklist": _run_blocklist,
             "split": _run_split,
+            "pack": _run_pack,
+            "novelty": _run_novelty,
         }[argv[0]](argv[1:])
     args = build_parser().parse_args(argv)
     from .operators.profile import profile_atoms

@@ -33,28 +33,51 @@ def content_key(col: Column) -> Column:
 
 
 def exact_duplicate_groups(
-    df: DataFrame, text_col: str, id_col: str, key: Column | None = None
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    key: Column | None = None,
+    prefer: Column | None = None,
 ) -> DataFrame:
     """Exact-duplicate groups: (text_key, n_docs, keep_id).
 
-    ``keep_id`` is the minimum id — the deterministic survivor. One
-    hash-aggregate; at scale this is a single shuffle on the md5 key with
-    map-side combine.
+    ``keep_id`` is the minimum id — the deterministic survivor — unless
+    ``prefer`` is given: then the survivor is the group member with the
+    HIGHEST ``prefer`` score (ties -> min id), the policy real pipelines
+    use to keep the best-metadata copy of duplicated content (longest
+    version, highest quality score, most trusted source). Still one
+    hash-aggregate either way: the preferred survivor is
+    min(struct(-score, id)) with map-side combine, so at scale this
+    stays a single shuffle on the md5 key.
     """
     k = key if key is not None else content_key(F.col(text_col))
-    return (
-        df.select(k.alias("text_key"), F.col(id_col))
-        .groupBy("text_key")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.min(id_col).alias("keep_id"),
+    if prefer is None:
+        keep = F.min(id_col).alias("keep_id")
+        sel = df.select(k.alias("text_key"), F.col(id_col))
+    else:
+        keep = F.min(
+            F.struct(
+                (-F.col("__pref").cast("double")).alias("np"),
+                F.col(id_col).alias("i"),
+            )
+        )["i"].alias("keep_id")
+        sel = df.select(
+            k.alias("text_key"), F.col(id_col), prefer.alias("__pref")
         )
+    return sel.groupBy("text_key").agg(
+        F.count(F.lit(1)).alias("n_docs"), keep
     )
 
 
-def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """Keep one row (min id) per distinct content key, preserving schema."""
-    keys = exact_duplicate_groups(df, text_col, id_col)
+def exact_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    prefer: Column | None = None,
+) -> DataFrame:
+    """Keep one row per distinct content key, preserving schema: the
+    min-id member, or the max-``prefer`` member (ties -> min id)."""
+    keys = exact_duplicate_groups(df, text_col, id_col, prefer=prefer)
     return df.join(
         keys.select(F.col("keep_id").alias(id_col)), on=id_col, how="left_semi"
     )
