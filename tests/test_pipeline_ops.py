@@ -2574,3 +2574,52 @@ def test_exact_dedup_prefer_survivor(spark):
         ).collect()
     }
     assert g[2] == 4
+
+
+def test_novelty_stream_matches_batch(spark, tmp_path):
+    """Streaming novelty == batch novelty over the same rows under any
+    micro-batch boundaries (per-doc vs a fixed reference set)."""
+    from whylogs_java_spark.operators.decontam import ngram_novelty
+    from whylogs_java_spark.streaming.novelty_stream import novelty_stream
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    ref = docs.where(F.col("doc_id") % 3 == 0)
+    cur = docs.where(F.col("doc_id") % 3 != 0)
+    src = str(tmp_path / "nov_stream_src")
+    cur.repartition(8).write.parquet(src)
+    stream = spark.readStream.schema(cur.schema).option(
+        "maxFilesPerTrigger", 3
+    ).parquet(src)
+    collected: list = []
+    batches: list = []
+
+    def on_batch(report, batch_id):
+        rows = report.collect()
+        if rows:
+            batches.append(batch_id)
+            collected.extend(rows)
+
+    q = novelty_stream(
+        stream, "text", "doc_id", ref, on_batch, n=5,
+        checkpoint_dir=str(tmp_path / "nov_ckpt"),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    batch = {
+        r["doc_id"]: tuple(r)[1:]
+        for r in ngram_novelty(cur, "text", "doc_id", ref, n=5).collect()
+    }
+    got = {r["doc_id"]: tuple(r)[1:] for r in collected}
+    assert len(collected) == len(got)
+    assert got == batch
+    assert len(batches) > 1
+
+    # streaming reference refused
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        novelty_stream(stream, "text", "doc_id", stream, on_batch)

@@ -1119,3 +1119,51 @@ def test_cli_pack_and_novelty_subcommands(spark, tmp_path, monkeypatch, capsys):
     got = {r["doc_id"]: r for r in spark.read.parquet(nov).collect()}
     assert got[1]["novelty"] == 0.0 and got[3]["novelty"] == 0.0
     assert got[2]["novelty"] == 1.0
+
+
+def test_align_union_and_schema_report(spark):
+    """Missing columns NULL-fill with the reconciled type, numeric types
+    widen along the ladder, mixed scalar families fall back to string,
+    irreconcilable families refuse, and the report audits every cell."""
+    import pytest as _pytest
+
+    from whylogs_java_spark.sources.align import align_union, schema_report
+
+    a = spark.createDataFrame(
+        [(1, "x", 10)], "doc_id long, text string, clicks int"
+    )
+    b = spark.createDataFrame(
+        [(2, "y", 3.5, "fr")],
+        "doc_id long, text string, clicks double, lang string",
+    )
+    rep = {
+        (r["source"], r["column"]): (r["dtype"], r["target_dtype"], r["status"])
+        for r in schema_report([a, b], ["alpha", "beta"]).collect()
+    }
+    assert rep[("alpha", "clicks")] == ("int", "double", "cast")
+    assert rep[("beta", "clicks")] == ("double", "double", "ok")
+    assert rep[("alpha", "lang")] == (None, "string", "missing")
+    assert rep[("beta", "doc_id")] == ("bigint", "bigint", "ok")
+
+    u = align_union([a, b], ["alpha", "beta"])
+    assert dict(u.dtypes)["clicks"] == "double"
+    rows = {r["doc_id"]: r for r in u.collect()}
+    assert rows[1]["lang"] is None and rows[1]["clicks"] == 10.0
+    assert rows[1]["source"] == "alpha" and rows[2]["source"] == "beta"
+
+    # mixed scalar families -> string
+    c = spark.createDataFrame([(3, "z", "many")],
+                              "doc_id long, text string, clicks string")
+    u2 = align_union([a, c])
+    assert dict(u2.dtypes)["clicks"] == "string"
+    assert {r["clicks"] for r in u2.collect()} == {"10", "many"}
+
+    # irreconcilable: array vs scalar refuses loudly
+    d = spark.createDataFrame([(4, "w", [1, 2])],
+                              "doc_id long, text string, clicks array<int>")
+    with _pytest.raises(ValueError):
+        align_union([a, d])
+    # source column collision refuses
+    e = spark.createDataFrame([(5, "v")], "doc_id long, source string")
+    with _pytest.raises(ValueError):
+        align_union([e, e])

@@ -197,6 +197,7 @@ def ngram_novelty(
     ref_text_col: str | None = None,
     n: int = 5,
     broadcast_ref: bool = False,
+    ref_grams: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document novelty vs a reference corpus: the fraction of the
     doc's DISTINCT word n-grams that do NOT appear anywhere in the
@@ -216,17 +217,22 @@ def ngram_novelty(
     skew-free; md5 keys hash uniformly). Corpus bytes are never
     shuffled — only (id, digest) pairs. Pass ``broadcast_ref=True``
     when the reference is known to be small (an eval suite, a seed
-    set) to collapse the join into the scan stage.
+    set) to collapse the join into the scan stage. ``ref_grams``
+    supplies a precomputed distinct digest set (one ``gram`` column)
+    instead of deriving it from ``ref_df`` — pass a persisted set when
+    calling repeatedly (the streaming wrapper does) so the reference is
+    never re-scanned per call.
     """
     from whylogs_java_spark.operators.dedup import _spread
 
-    ref_grams = (
-        ref_df.select(
-            F.explode(
-                ngram_digests(F.col(ref_text_col or text_col), n)
-            ).alias("gram")
-        ).distinct()
-    )
+    if ref_grams is None:
+        ref_grams = (
+            ref_df.select(
+                F.explode(
+                    ngram_digests(F.col(ref_text_col or text_col), n)
+                ).alias("gram")
+            ).distinct()
+        )
     if broadcast_ref:
         ref_grams = F.broadcast(ref_grams)
     doc_grams = (
