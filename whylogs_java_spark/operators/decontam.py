@@ -193,7 +193,7 @@ def ngram_novelty(
     corpus: DataFrame,
     text_col: str,
     id_col: str,
-    ref_df: DataFrame,
+    ref_df: DataFrame | None = None,
     ref_text_col: str | None = None,
     n: int = 5,
     broadcast_ref: bool = False,
@@ -226,6 +226,8 @@ def ngram_novelty(
     from whylogs_java_spark.operators.dedup import _spread
 
     if ref_grams is None:
+        if ref_df is None:
+            raise ValueError("provide ref_df or a precomputed ref_grams")
         ref_grams = (
             ref_df.select(
                 F.explode(

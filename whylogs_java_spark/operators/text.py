@@ -829,7 +829,10 @@ def blocklist_filter(
     """C4-style blocklist screen: per-doc match counts against a term
     list (single words or multi-word phrases), case-insensitive, whole-
     word (``\\b`` boundaries so "spark" does not fire inside
-    "sparkle").
+    "sparkle"). Boundary caveat: ``\\b`` needs a word character at the
+    term's edges, so terms that START or END with punctuation (e.g.
+    "c++") will not match — strip the punctuation or use a custom
+    pattern for those.
 
     Output: (id, *keep_cols, n_blocked, n_blocked_terms, matched_terms,
     blocked) — total match count, number of distinct terms that hit, the

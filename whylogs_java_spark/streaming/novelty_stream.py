@@ -66,7 +66,7 @@ def novelty_stream(
     def _handle(batch_df: DataFrame, batch_id: int) -> None:
         on_batch(
             ngram_novelty(
-                batch_df, text_col, id_col, ref_grams.sparkSession.range(0),
+                batch_df, text_col, id_col,
                 n=n, broadcast_ref=broadcast_ref, ref_grams=ref_grams,
             ),
             batch_id,
