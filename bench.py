@@ -135,6 +135,7 @@ BENCH_QUERIES = [
     "similarity_rp",
     "dedup_threshold_report",
     "dedup_exact_best",
+    "pipeline_manifest_v3",
 ]
 
 

