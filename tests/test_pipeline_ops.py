@@ -2670,3 +2670,78 @@ def test_training_manifest_v3_invariants(spark):
         for i, r in enumerate(rs):
             assert r["token_offset"] == off, (split, r["doc_id"])
             off += r["n_tokens"] + 1
+
+
+def test_embedding_drift_stream_matches_batch(spark, tmp_path):
+    """Each closed window's streamed drift row is bit-identical to
+    batch embedding_drift(ref, that window's rows)."""
+    from whylogs_java_spark.operators.drift import embedding_drift
+    from whylogs_java_spark.streaming.embedding_drift_stream import (
+        embedding_drift_stream,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    ref = emb.where(F.col("vec_id") % 3 == 0).select("embedding")
+    cur = emb.where(F.col("vec_id") % 3 != 0).select(
+        "vec_id", "embedding",
+        (
+            F.expr("timestamp '2024-01-01 00:00:00'")
+            + F.make_interval(mins=(F.col("vec_id") / 80).cast("int") * 10)
+        ).alias("ts"),
+    )
+    src = str(tmp_path / "edrift_src")
+    # one id-window per file, files time-ordered (mod times pinned), so
+    # the watermark never drops in-window rows as late
+    import os
+    import time as _time
+
+    n_win = cur.agg(
+        F.max((F.col("vec_id") / 80).cast("int"))
+    ).first()[0] + 1
+    now = _time.time()
+    for wi in range(n_win):
+        part = str(src and f"{src}/w{wi}.parquet")
+        cur.where(
+            ((F.col("vec_id") / 80).cast("int")) == wi
+        ).coalesce(1).write.parquet(part)
+        for dirpath, _, files in os.walk(part):
+            for f in files:
+                ts = now - 600 + wi * 10
+                os.utime(os.path.join(dirpath, f), (ts, ts))
+    stream = spark.readStream.schema(cur.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(f"{src}/*")
+    collected: list = []
+
+    def on_batch(report, batch_id):
+        collected.extend(report.collect())
+
+    q = embedding_drift_stream(
+        stream, "ts", "embedding", ref, on_batch,
+        window="10 minutes", watermark="0 seconds",
+        checkpoint_dir=str(tmp_path / "edrift_ckpt"),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r["window_start"]: r for r in collected}
+    assert len(got) >= 2  # closed windows emitted (the last stays open)
+    for ws, r in got.items():
+        lo = int((ws.minute // 10) * 10)  # window index via the ts rule
+        # reconstruct the window's vec_id slice from the synthesis rule
+        win_idx = (ws - type(ws)(2024, 1, 1)).total_seconds() // 600
+        slice_df = cur.where(
+            ((F.col("vec_id") / 80).cast("int")) == int(win_idx)
+        ).select("embedding")
+        b = embedding_drift(ref, slice_df, "embedding").collect()[0]
+        assert (
+            r["n_ref"], r["n_cur"], r["cosine_means"], r["l2_means"],
+            r["max_dim_shift"], r["mean_abs_shift"],
+        ) == tuple(b), ws
+
+    # streaming reference refused
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        embedding_drift_stream(stream, "ts", "embedding", stream, on_batch)

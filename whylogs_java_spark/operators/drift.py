@@ -805,61 +805,46 @@ def auto_splits(
     return [lo + i * width for i in range(1, bins)]
 
 
-def embedding_drift(
-    ref: DataFrame,
-    cur: DataFrame,
-    vec_col: str,
+def embedding_dim_sums(df: DataFrame, vec_col: str, tag: str) -> DataFrame:
+    """Per-dimension exact-integer atom sums of an embedding column:
+    (dim, n_<tag>, s_<tag>) — the reduction both the batch diff and the
+    streaming windowed twin share (floor(x*1e6 + 0.5) BIGINT atoms, the
+    functions/metrics.py convention)."""
+    e = df.select(F.posexplode(F.col(vec_col)).alias("dim", "__v"))
+    return e.groupBy("dim").agg(
+        F.count(F.lit(1)).alias(f"n_{tag}"),
+        F.sum(
+            F.floor(
+                F.col("__v").cast("double") * _EMB_SCALE + F.lit(0.5)
+            ).cast("long")
+        ).alias(f"s_{tag}"),
+    )
+
+
+_EMB_SCALE = 1_000_000
+
+
+def embedding_drift_scores(
+    joined: DataFrame, group_cols: "list[str] | None" = None
 ) -> DataFrame:
-    """Embedding-space drift between a reference slice and a current
-    slice of an `array<float>` column — the semantic sibling of
-    ``numeric_drift`` for representation monitoring (did the corpus /
-    feature distribution move in embedding space?).
-
-    One row out: (n_ref, n_cur, cosine_means, l2_means, max_dim_shift,
-    mean_abs_shift), where the mean vectors are compared by cosine and
-    L2, plus the largest and average per-dimension shift for
-    localization.
-
-    Engine-determinism: each slice reduces to per-dimension means via
-    EXACT integer sums (floor(x·1e6 + 0.5) as BIGINT — the atom
-    convention of functions/metrics.py), the rounded means re-scale to
-    integers, and every dot product / norm / shift is integer
-    arithmetic until the final divides — so the output replays
-    bit-for-bit in the DuckDB oracle despite double-typed embeddings.
-    Scale shape: two scans (one per slice) -> posexplode ->
-    dimension-keyed partial aggregation; everything after the two
-    (dims)-row aggregates is O(dims) — a 100 TB slice pair reduces to
-    2 x dims rows before any join. No data x data joins, no UDFs.
-    """
-    scale = 1_000_000
-
-    def dim_sums(df: DataFrame, tag: str) -> DataFrame:
-        e = df.select(
-            F.posexplode(F.col(vec_col)).alias("dim", "__v")
-        )
-        return e.groupBy("dim").agg(
-            F.count(F.lit(1)).alias(f"n_{tag}"),
-            F.sum(
-                F.floor(F.col("__v").cast("double") * scale + F.lit(0.5)).cast(
-                    "long"
-                )
-            ).alias(f"s_{tag}"),
-        )
-
-    m = dim_sums(ref, "ref").join(dim_sums(cur, "cur"), on="dim")
-    # rounded-6 per-dim means, re-scaled to exact ints (lossless: a
-    # rounded-6 double times 1e6 is integral)
+    """Score rows of (group_cols..., dim, n_ref, s_ref, n_cur, s_cur)
+    into one drift row per group — the shared integer-exact math of
+    ``embedding_drift`` (see its docstring); the streaming twin feeds
+    windowed sums through the same scorer."""
+    scale = _EMB_SCALE
+    keys = list(group_cols or [])
     mean_i = lambda s, n: F.floor(
         F.round(F.col(s) / F.col(n) / F.lit(float(scale)), 6) * scale
         + F.lit(0.5)
     ).cast("long")
-    mm = m.select(
+    mm = joined.select(
+        *keys,
         F.col("n_ref"),
         F.col("n_cur"),
         mean_i("s_ref", "n_ref").alias("mr"),
         mean_i("s_cur", "n_cur").alias("mc"),
     )
-    agg = mm.groupBy().agg(
+    agg = mm.groupBy(*keys).agg(
         F.max("n_ref").alias("n_ref"),
         F.max("n_cur").alias("n_cur"),
         F.sum(F.col("mr") * F.col("mc")).alias("dot_rc"),
@@ -885,6 +870,7 @@ def embedding_drift(
         / F.lit(float(scale))
     )
     return agg.select(
+        *keys,
         F.col("n_ref").cast("long").alias("n_ref"),
         F.col("n_cur").cast("long").alias("n_cur"),
         (F.round(cos, 6) + F.lit(0.0)).alias("cosine_means"),
@@ -901,3 +887,37 @@ def embedding_drift(
             + F.lit(0.0)
         ).alias("mean_abs_shift"),
     )
+
+
+def embedding_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    vec_col: str,
+) -> DataFrame:
+    """Embedding-space drift between a reference slice and a current
+    slice of an `array<float>` column — the semantic sibling of
+    ``numeric_drift`` for representation monitoring (did the corpus /
+    feature distribution move in embedding space?).
+
+    One row out: (n_ref, n_cur, cosine_means, l2_means, max_dim_shift,
+    mean_abs_shift), where the mean vectors are compared by cosine and
+    L2, plus the largest and average per-dimension shift for
+    localization.
+
+    Engine-determinism: each slice reduces to per-dimension means via
+    EXACT integer sums (floor(x·1e6 + 0.5) as BIGINT — the atom
+    convention of functions/metrics.py), the rounded means re-scale to
+    integers, and every dot product / norm / shift is integer
+    arithmetic until the final divides — so the output replays
+    bit-for-bit in the DuckDB oracle despite double-typed embeddings.
+    Scale shape: two scans (one per slice) -> posexplode ->
+    dimension-keyed partial aggregation; everything after the two
+    (dims)-row aggregates is O(dims) — a 100 TB slice pair reduces to
+    2 x dims rows before any join. No data x data joins, no UDFs.
+    The reduction and the scorer are shared with the streaming twin
+    (``embedding_dim_sums`` / ``embedding_drift_scores``).
+    """
+    m = embedding_dim_sums(ref, vec_col, "ref").join(
+        embedding_dim_sums(cur, vec_col, "cur"), on="dim"
+    )
+    return embedding_drift_scores(m)
