@@ -2745,3 +2745,54 @@ def test_embedding_drift_stream_matches_batch(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         embedding_drift_stream(stream, "ts", "embedding", stream, on_batch)
+
+
+def test_gram_store_roundtrip_and_reuse(spark, tmp_path):
+    """Store-backed decontam/novelty == from-scratch; n mismatch
+    refused; digests distinct."""
+    from whylogs_java_spark.operators.decontam import (
+        build_gram_store,
+        decontaminate,
+        ngram_novelty,
+        read_gram_store,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    ref = docs.where(F.col("doc_id") % 4 == 0)
+    cur = docs.where(F.col("doc_id") % 4 != 0)
+    store = str(tmp_path / "gram_store")
+    build_gram_store(ref, store, "text", n=5)
+
+    grams = read_gram_store(spark, store, n=5)
+    assert grams.count() == grams.distinct().count()
+
+    from_df = {
+        r["doc_id"]: tuple(r)[1:]
+        for r in ngram_novelty(cur, "text", "doc_id", ref, n=5).collect()
+    }
+    from_store = {
+        r["doc_id"]: tuple(r)[1:]
+        for r in ngram_novelty(
+            cur, "text", "doc_id", n=5, ref_grams=grams
+        ).collect()
+    }
+    assert from_store == from_df
+
+    d_df = {
+        r["doc_id"]: tuple(r)[1:]
+        for r in decontaminate(cur, "text", "doc_id", ref, n=5).collect()
+    }
+    d_store = {
+        r["doc_id"]: tuple(r)[1:]
+        for r in decontaminate(
+            cur, "text", "doc_id", None, n=5, eval_grams=grams
+        ).collect()
+    }
+    assert d_store == d_df
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        read_gram_store(spark, store, n=13)

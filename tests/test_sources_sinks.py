@@ -1120,6 +1120,16 @@ def test_cli_pack_and_novelty_subcommands(spark, tmp_path, monkeypatch, capsys):
     assert got[1]["novelty"] == 0.0 and got[3]["novelty"] == 0.0
     assert got[2]["novelty"] == 1.0
 
+    # store path: build once, screen from the store, same answer
+    store = str(tmp_path / "nv_store")
+    rc = cli.main(["novelty", ref, "--build-store", store, "-n", "3"])
+    assert rc == 0
+    nov2 = str(tmp_path / "nv_out2")
+    rc = cli.main(["novelty", src, "--ref-store", store, "-o", nov2, "-n", "3"])
+    assert rc == 0
+    got2 = {r["doc_id"]: tuple(r)[1:] for r in spark.read.parquet(nov2).collect()}
+    assert got2 == {k: tuple(v)[1:] for k, v in got.items()}
+
 
 def test_align_union_and_schema_report(spark):
     """Missing columns NULL-fill with the reconciled type, numeric types

@@ -573,28 +573,54 @@ def _run_pack(argv: list[str]) -> int:
 
 def _run_novelty(argv: list[str]) -> int:
     p = argparse.ArgumentParser(prog="python -m whylogs_java_spark novelty")
-    p.add_argument("input", help="incoming batch")
-    p.add_argument("--ref", required=True, help="existing-corpus path")
-    p.add_argument("-o", "--output", required=True)
+    p.add_argument("input", help="incoming batch (or the reference "
+                                 "corpus with --build-store)")
+    g = p.add_mutually_exclusive_group(required=True)
+    g.add_argument("--ref", help="existing-corpus path (grams derived "
+                                 "per run)")
+    g.add_argument("--ref-store", help="persisted gram store path "
+                                       "(build once with --build-store)")
+    g.add_argument("--build-store", metavar="PATH",
+                   help="reduce INPUT to a persisted gram store at PATH "
+                        "and exit (screen later with --ref-store)")
+    p.add_argument("-o", "--output", default=None)
     p.add_argument("--text-col", default="text")
     p.add_argument("--id-col", default="doc_id")
     p.add_argument("-n", "--ngram", type=int, default=5)
     p.add_argument("--broadcast-ref", action="store_true")
     a = p.parse_args(argv)
+    if a.build_store is None and a.output is None:
+        p.error("-o/--output is required unless --build-store")
     from .session import get_spark
 
     spark = get_spark("whylogs-cli-novelty")
     try:
         from pyspark.sql import functions as F
 
-        from .operators.decontam import ngram_novelty
-
-        cur = _read_input(spark, a.input)
-        ref = _read_input(spark, a.ref)
-        out = ngram_novelty(
-            cur, a.text_col, a.id_col, ref, n=a.ngram,
-            broadcast_ref=a.broadcast_ref,
+        from .operators.decontam import (
+            build_gram_store,
+            ngram_novelty,
+            read_gram_store,
         )
+
+        if a.build_store:
+            ref = _read_input(spark, a.input)
+            build_gram_store(ref, a.build_store, a.text_col, n=a.ngram)
+            print(f"wrote gram store (n={a.ngram}) to {a.build_store}")
+            return 0
+        cur = _read_input(spark, a.input)
+        if a.ref_store:
+            out = ngram_novelty(
+                cur, a.text_col, a.id_col, n=a.ngram,
+                broadcast_ref=a.broadcast_ref,
+                ref_grams=read_gram_store(spark, a.ref_store, n=a.ngram),
+            )
+        else:
+            ref = _read_input(spark, a.ref)
+            out = ngram_novelty(
+                cur, a.text_col, a.id_col, ref, n=a.ngram,
+                broadcast_ref=a.broadcast_ref,
+            )
         out.write.mode("overwrite").parquet(a.output)
         m = out.agg(F.round(F.avg("novelty"), 4).alias("m")).first()["m"]
         print(f"mean novelty {m} -> {a.output}")

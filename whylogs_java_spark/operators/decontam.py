@@ -278,3 +278,58 @@ def ngram_novelty(
             F.lit(None).cast("double").alias("novelty"),
         )
     )
+
+
+def build_gram_store(
+    df: DataFrame,
+    path: str,
+    text_col: str,
+    n: int = 5,
+    n_buckets: int = 16,
+) -> None:
+    """Persist an N-GRAM DIGEST STORE: build once, screen many — the
+    decontam/novelty twin of ``dedup.build_minhash_store``. Both
+    ``decontaminate`` and ``ngram_novelty`` re-derive the reference
+    side's distinct gram digests on every call; a pipeline that screens
+    every incoming batch against the same benchmark suite (or the same
+    frozen corpus) should pay that reduction exactly once.
+
+    Two parquet tables under ``path``:
+
+    - ``{path}/grams``: distinct digests, one ``gram`` column,
+      PARTITIONED BY ``bucket = pmod(xxhash64(gram), n_buckets)`` —
+      bucketing keeps files balanced and lets a future pruned probe
+      read subsets; today's consumers read the whole (small) set.
+    - ``{path}/meta``: one row pinning ``n`` — a store built for
+      5-grams must not silently screen 13-gram queries; readers
+      validate instead of trusting caller arguments.
+
+    Store size is O(distinct reference grams) — megabytes for eval
+    suites, and even a frozen 100 TB reference corpus reduces to its
+    distinct-digest set once, instead of once per arriving batch.
+    """
+    grams = eval_ngram_set(df, text_col, n).withColumn(
+        "bucket", F.pmod(F.xxhash64("gram"), F.lit(n_buckets))
+    )
+    grams.write.mode("overwrite").partitionBy("bucket").parquet(
+        f"{path}/grams"
+    )
+    meta = df.sparkSession.createDataFrame(
+        [(int(n), int(n_buckets))], "n int, n_buckets int"
+    )
+    meta.write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def read_gram_store(spark, path: str, n: int | None = None) -> DataFrame:
+    """Load a persisted gram store's digest set (one ``gram`` column).
+
+    Validates the requested ``n`` against the store's meta — screening
+    with a mismatched gram length would silently find nothing.
+    """
+    meta = spark.read.parquet(f"{path}/meta").first()
+    if n is not None and int(meta["n"]) != int(n):
+        raise ValueError(
+            f"gram store at {path} was built with n={meta['n']}, "
+            f"requested n={n}"
+        )
+    return spark.read.parquet(f"{path}/grams").select("gram")
