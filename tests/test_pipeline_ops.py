@@ -2796,3 +2796,51 @@ def test_gram_store_roundtrip_and_reuse(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         read_gram_store(spark, store, n=13)
+
+
+def test_blocklist_stream_matches_batch(spark, tmp_path):
+    """The streaming screen is literally the batch projection over a
+    streaming source: row-identical reports, composable downstream."""
+    from whylogs_java_spark.operators.text import blocklist_filter
+    from whylogs_java_spark.streaming.blocklist_stream import (
+        blocklist_screen_stream,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    src = str(tmp_path / "bl_stream_src")
+    docs.repartition(5).write.parquet(src)
+    stream = spark.readStream.schema(docs.schema).option(
+        "maxFilesPerTrigger", 2
+    ).parquet(src)
+    out = blocklist_screen_stream(
+        stream, "text", "doc_id", ("spark", "slow stream")
+    ).where(F.col("blocked"))  # composes downstream as a plain filter
+    q = (
+        out.writeStream.format("memory")
+        .queryName("bl_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "bl_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r["doc_id"]: tuple(r)[1:]
+        for r in spark.sql("SELECT * FROM bl_stream").collect()
+    }
+    batch = {
+        r["doc_id"]: tuple(r)[1:]
+        for r in blocklist_filter(
+            docs, "text", "doc_id", ("spark", "slow stream")
+        ).where(F.col("blocked")).collect()
+    }
+    assert got == batch and len(batch) > 0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        blocklist_screen_stream(docs, "text", "doc_id", ("x",))

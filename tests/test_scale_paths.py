@@ -748,6 +748,9 @@ def test_checkpoint_seam_reliable_mode(spark, tmp_path, reliable):
     )
     corpus = docs.unionByName(frag)
 
+    from whylogs_java_spark.operators.dedup import dedup_threshold_report
+    from whylogs_java_spark.operators.similarity import rp_topk
+
     def run():
         w = sorted(
             map(tuple, winnow_pairs(corpus, "text", "doc_id").collect())
@@ -755,11 +758,28 @@ def test_checkpoint_seam_reliable_mode(spark, tmp_path, reliable):
         p = sorted(
             map(tuple, pq_topk(emb, [0, 1, 2], k=5, m=4, codebook_k=8).collect())
         )
-        return w, p
+        # round-10 materialize call sites: the rp projection table and
+        # the threshold report's pair table flip through the same seam
+        r = sorted(
+            map(
+                tuple,
+                rp_topk(emb, [0, 1], k=5, out_dim=8, rerank=16, dim=64).collect(),
+            )
+        )
+        t = sorted(
+            map(
+                tuple,
+                dedup_threshold_report(
+                    corpus, "text", "doc_id", thresholds=(0.5, 0.9)
+                ).collect(),
+            )
+        )
+        return w, p, r, t
 
     if not reliable:
         test_checkpoint_seam_reliable_mode.baseline = run()
         assert len(test_checkpoint_seam_reliable_mode.baseline[0]) > 0
+        assert len(test_checkpoint_seam_reliable_mode.baseline[2]) > 0
         return
     ckptdir = str(tmp_path / "reliable_ckpt")
     sc = spark.sparkContext
