@@ -136,6 +136,7 @@ BENCH_QUERIES = [
     "dedup_threshold_report",
     "dedup_exact_best",
     "pipeline_manifest_v3",
+    "similarity_ivfpq_stored",
 ]
 
 
