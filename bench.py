@@ -137,6 +137,7 @@ BENCH_QUERIES = [
     "dedup_exact_best",
     "pipeline_manifest_v3",
     "similarity_ivfpq_stored",
+    "dedup_incremental_appended",
 ]
 
 
