@@ -138,6 +138,7 @@ BENCH_QUERIES = [
     "pipeline_manifest_v3",
     "similarity_ivfpq_stored",
     "dedup_incremental_appended",
+    "similarity_ivf_stored",
 ]
 
 
