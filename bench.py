@@ -136,8 +136,11 @@ BENCH_QUERIES = [
     "dedup_threshold_report",
     "dedup_exact_best",
     "pipeline_manifest_v3",
-    "similarity_ivfpq_stored",
-    "dedup_incremental_appended",
+    # store-build queries: dedup_incremental_stored (above) and
+    # similarity_ivf_stored represent the family in the sweep; the
+    # ivfpq/append variants each pay a full one-time index build
+    # (~13-15 s of parquet writes) for the same probe signal, so they
+    # stay correctness-gate-only (oracle-checked every round)
     "similarity_ivf_stored",
 ]
 
