@@ -1177,3 +1177,37 @@ def test_align_union_and_schema_report(spark):
     e = spark.createDataFrame([(5, "v")], "doc_id long, source string")
     with _pytest.raises(ValueError):
         align_union([e, e])
+
+
+def test_cli_drift_embedding_method(spark, tmp_path, monkeypatch, capsys):
+    import whylogs_java_spark.__main__ as cli
+    import whylogs_java_spark.session as sess
+
+    monkeypatch.setattr(sess, "get_spark", lambda *a, **k: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a_p = str(tmp_path / "emb_a.parquet")
+    b_p = str(tmp_path / "emb_b.parquet")
+    emb.where(F.col("vec_id") % 2 == 0).write.parquet(a_p)
+    emb.where(F.col("vec_id") % 2 == 1).write.parquet(b_p)
+
+    out = str(tmp_path / "edrift_out")
+    rc = cli.main([
+        "drift", a_p, b_p, "-o", out, "--column", "embedding", "--embedding",
+    ])
+    assert rc == 0
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert set(rows[0].asDict()) == {
+        "n_ref", "n_cur", "cosine_means", "l2_means",
+        "max_dim_shift", "mean_abs_shift",
+    }
+    assert r["n_ref"] > 0 and -1.0 <= r["cosine_means"] <= 1.0
+
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        cli.main(["drift", a_p, b_p, "-o", out, "--column", "embedding",
+                  "--embedding", "--categorical"])

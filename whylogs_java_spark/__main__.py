@@ -189,14 +189,25 @@ def _run_drift(argv: list[str]) -> int:
     p.add_argument("--group-by", default="")
     p.add_argument("--bins", type=int, default=10)
     p.add_argument("--categorical", action="store_true")
+    p.add_argument("--embedding", action="store_true",
+                   help="COLUMN is an array vector column: embedding-"
+                        "space drift (cosine/L2 of means, per-dim shift)")
     a = p.parse_args(argv)
+    if a.categorical and a.embedding:
+        p.error("pass only one of --categorical / --embedding")
     from .session import get_spark
 
     spark = get_spark("whylogs-cli-drift")
     try:
         da, db = _read_input(spark, a.input_a), _read_input(spark, a.input_b)
         keys = [c for c in a.group_by.split(",") if c]
-        if a.categorical:
+        if a.embedding:
+            from .operators.drift import embedding_drift
+
+            if keys:
+                p.error("--group-by is not supported with --embedding")
+            out = embedding_drift(da, db, a.column)
+        elif a.categorical:
             from .operators.drift import categorical_drift
 
             out = categorical_drift(da, db, a.column, group_by=keys)
