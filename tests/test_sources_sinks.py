@@ -1211,3 +1211,21 @@ def test_cli_drift_embedding_method(spark, tmp_path, monkeypatch, capsys):
     with _pytest.raises(SystemExit):
         cli.main(["drift", a_p, b_p, "-o", out, "--column", "embedding",
                   "--embedding", "--categorical"])
+
+
+def test_cli_project_subcommand(spark, tmp_path, monkeypatch, capsys):
+    import whylogs_java_spark.__main__ as cli
+    import whylogs_java_spark.session as sess
+
+    monkeypatch.setattr(sess, "get_spark", lambda *a, **k: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+
+    src = "/root/testdata/sf0.001/embeddings.parquet"
+    out = str(tmp_path / "rp_out")
+    rc = cli.main([
+        "project", src, "-o", out, "--out-dim", "8", "--dim", "64",
+    ])
+    assert rc == 0
+    back = spark.read.parquet(out)
+    assert set(back.columns) == {"vec_id"} | {f"rp_{j}" for j in range(8)}
+    assert back.count() == spark.read.parquet(src).count()

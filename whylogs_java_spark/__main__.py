@@ -54,7 +54,7 @@ def build_parser() -> argparse.ArgumentParser:
 
 SUBCOMMANDS = (
     "dedup", "drift", "constraints", "monitor", "view", "redact", "shards",
-    "blocklist", "split", "pack", "novelty",
+    "blocklist", "split", "pack", "novelty", "project",
 )
 
 
@@ -640,6 +640,37 @@ def _run_novelty(argv: list[str]) -> int:
         spark.stop()
 
 
+def _run_project(argv: list[str]) -> int:
+    p = argparse.ArgumentParser(prog="python -m whylogs_java_spark project")
+    p.add_argument("input")
+    p.add_argument("-o", "--output", required=True)
+    p.add_argument("--id-col", default="vec_id")
+    p.add_argument("--vec-col", default="embedding")
+    p.add_argument("--out-dim", type=int, default=16)
+    p.add_argument("--dim", type=int, default=None,
+                   help="input dimension, if known: constant-folds the "
+                        "sign vectors (zero per-row hash work)")
+    a = p.parse_args(argv)
+    from .session import get_spark
+
+    spark = get_spark("whylogs-cli-project")
+    try:
+        from .operators.similarity import rp_project
+
+        df = _read_input(spark, a.input)
+        out = rp_project(
+            df, a.id_col, a.vec_col, out_dim=a.out_dim, dim=a.dim
+        )
+        out.write.mode("overwrite").parquet(a.output)
+        n = out.count()
+        print(
+            f"projected {n} vectors to {a.out_dim} dims -> {a.output}"
+        )
+        return 0
+    finally:
+        spark.stop()
+
+
 def main(argv: list[str] | None = None) -> int:
     argv = sys.argv[1:] if argv is None else argv
     # subcommand dispatch; bare invocation keeps the reference Profiler
@@ -657,6 +688,7 @@ def main(argv: list[str] | None = None) -> int:
             "split": _run_split,
             "pack": _run_pack,
             "novelty": _run_novelty,
+            "project": _run_project,
         }[argv[0]](argv[1:])
     args = build_parser().parse_args(argv)
     from .operators.profile import profile_atoms
