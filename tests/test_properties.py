@@ -606,3 +606,46 @@ def test_ngram_novelty_matches_python_sets(spark, ref_texts, cur_texts, n):
     for i, t in enumerate(cur_texts):
         g = grams(t)
         assert got[i] == (len(g), len(g & ref_set), len(g - ref_set)), (i, t)
+
+
+# ---------------------------------------------------------------------------
+# blocklist_filter vs a pure-python regex twin
+# ---------------------------------------------------------------------------
+
+_BL_WORDS = ["alpha", "beta", "spark", "slow", "stream", "x1"]
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.lists(st.sampled_from(_BL_WORDS + ["SPARK", "Beta"]),
+                 min_size=0, max_size=10).map(" ".join),
+        min_size=1, max_size=15,
+    ),
+    st.lists(st.sampled_from(["spark", "beta", "slow stream"]),
+             min_size=1, max_size=3, unique=True),
+)
+def test_blocklist_filter_matches_python_re(spark, texts, terms):
+    import re
+
+    from whylogs_java_spark.operators.text import blocklist_filter
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_blocked"], r["n_blocked_terms"],
+                      r["matched_terms"], r["blocked"])
+        for r in blocklist_filter(df, "text", "doc_id", tuple(terms)).collect()
+    }
+    for i, t in enumerate(texts):
+        low = t.lower()
+        counts = {
+            term: len(re.findall(r"\b" + re.escape(term) + r"\b", low))
+            for term in (x.lower() for x in terms)
+        }
+        hits = sorted(k for k, v in counts.items() if v > 0)
+        total = sum(counts.values())
+        assert got[i] == (total, len(hits), ",".join(hits), total > 0), (
+            i, t, terms,
+        )
