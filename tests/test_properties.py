@@ -649,3 +649,48 @@ def test_blocklist_filter_matches_python_re(spark, texts, terms):
         assert got[i] == (total, len(hits), ",".join(hits), total > 0), (
             i, t, terms,
         )
+
+
+# ---------------------------------------------------------------------------
+# leakage_safe_splits: cluster atomicity under random corpora
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["tok", "alpha", "beta", "gamma", "delta"]),
+                 min_size=4, max_size=12).map(" ".join),
+        min_size=3, max_size=12, unique=True,
+    ),
+    st.integers(min_value=0, max_value=5),
+)
+def test_leakage_safe_splits_atomic_property(spark, texts, n_dups):
+    """For ANY corpus and ANY planted duplicate set: every cluster maps
+    to exactly one split, all rows are labeled, and verbatim duplicates
+    always share their source's split."""
+    from whylogs_java_spark.operators.pipeline import leakage_safe_splits
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    dup_of = {}
+    for j in range(min(n_dups, len(texts))):
+        did = 1000 + j
+        rows.append((did, texts[j]))
+        dup_of[did] = j
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["cluster_id"], r["split"])
+        for r in leakage_safe_splits(
+            df, "text", "doc_id", threshold=0.5, num_hashes=16, bands=4,
+            shingle_size=2,
+        ).collect()
+    }
+    assert set(out) == {r[0] for r in rows}  # every row labeled
+    by_cluster: dict = {}
+    for cid, split in out.values():
+        by_cluster.setdefault(cid, set()).add(split)
+    assert all(len(s) == 1 for s in by_cluster.values())
+    for did, src in dup_of.items():
+        # verbatim duplicate: identical shingle set -> jaccard 1 -> same
+        # cluster -> same split, no exceptions
+        assert out[did][0] == out[src][0], (did, src)
+        assert out[did][1] == out[src][1], (did, src)
