@@ -2844,3 +2844,128 @@ def test_blocklist_stream_matches_batch(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         blocklist_screen_stream(docs, "text", "doc_id", ("x",))
+
+
+# ---------------------------------------------------------------------------
+# r11 ADVICE fixes: NULL-safety in prefer/blocklist/pack + single-stream guard
+# ---------------------------------------------------------------------------
+
+def test_exact_dedup_prefer_null_score_loses(spark):
+    """A NULL prefer score must never beat a scored copy (ADVICE r10):
+    NULL coalesces to -inf, so the highest NON-NULL score survives;
+    all-NULL groups fall back to min id."""
+    from whylogs_java_spark.operators.dedup import (
+        exact_dedup,
+        exact_duplicate_groups,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "dup text", 5.0),
+            (2, "dup text", None),   # NULL must lose to 5.0
+            (3, "dup text", 2.0),
+            (7, "all null grp", None),
+            (8, "all null grp", None),  # all-NULL -> min id 7
+        ],
+        "doc_id long, text string, score double",
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in exact_dedup(
+            df, "text", "doc_id", prefer=F.col("score")
+        ).collect()
+    )
+    assert kept == [1, 7]
+    g = {
+        r["keep_id"]: r["n_docs"]
+        for r in exact_duplicate_groups(
+            df, "text", "doc_id", prefer=F.col("score")
+        ).collect()
+    }
+    assert g == {1: 3, 7: 2}
+
+
+def test_blocklist_filter_null_text(spark):
+    """NULL text rows get n_blocked=0 / blocked=false (not NULL), so
+    .where(~blocked) keeps them instead of silently dropping."""
+    from whylogs_java_spark.operators.text import blocklist_filter
+
+    df = spark.createDataFrame(
+        [(1, "a spam doc"), (2, None), (3, "clean")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_blocked"], r["blocked"], r["matched_terms"])
+        for r in blocklist_filter(df, "text", "doc_id", ("spam",)).collect()
+    }
+    assert out[2] == (0, False, "")
+    assert out[1][0] == 1 and out[1][1] is True
+    kept = sorted(
+        r["doc_id"]
+        for r in blocklist_filter(df, "text", "doc_id", ("spam",))
+        .where(~F.col("blocked"))
+        .collect()
+    )
+    assert kept == [2, 3]
+
+
+def test_pack_assign_null_text_is_empty_doc(spark):
+    """NULL text behaves exactly like an empty doc: n_tokens=0,
+    n_contexts=0, and SUM(n_tokens) no longer skips the row."""
+    from whylogs_java_spark.operators.text import pack_assign
+
+    df = spark.createDataFrame(
+        [(1, "one two three"), (2, None), (3, "four five")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in pack_assign(
+            df, "text", "doc_id", context_len=4, sep_tokens=1
+        ).collect()
+    }
+    assert rows[2]["n_tokens"] == 0 and rows[2]["n_contexts"] == 0
+    # offsets unchanged vs an empty-string doc in the same slot
+    df2 = spark.createDataFrame(
+        [(1, "one two three"), (2, ""), (3, "four five")],
+        "doc_id long, text string",
+    )
+    rows2 = {
+        r["doc_id"]: r
+        for r in pack_assign(
+            df2, "text", "doc_id", context_len=4, sep_tokens=1
+        ).collect()
+    }
+    for d in (1, 2, 3):
+        assert tuple(rows[d]) == tuple(rows2[d])
+    total = sum(r["n_tokens"] for r in rows.values())
+    assert total == 5
+
+
+def test_pack_assign_single_stream_guard(spark):
+    """No-strata pack over more rows than the limit must raise unless
+    the caller opts in with allow_single_stream=True."""
+    import pytest as _pytest
+
+    from whylogs_java_spark.operators.text import pack_assign
+
+    df = spark.range(10).select(
+        F.col("id").alias("doc_id"), F.lit("a b").alias("text")
+    )
+    with _pytest.raises(ValueError, match="single"):
+        pack_assign(df, "text", "doc_id", single_stream_row_limit=5)
+    # opt-in works, and strata skip the probe entirely
+    assert (
+        pack_assign(
+            df, "text", "doc_id",
+            single_stream_row_limit=5, allow_single_stream=True,
+        ).count()
+        == 10
+    )
+    assert (
+        pack_assign(
+            df.withColumn("lang", F.lit("en")),
+            "text", "doc_id", strata=["lang"], single_stream_row_limit=5,
+        ).count()
+        == 10
+    )

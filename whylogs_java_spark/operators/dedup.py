@@ -45,7 +45,10 @@ def exact_duplicate_groups(
     ``prefer`` is given: then the survivor is the group member with the
     HIGHEST ``prefer`` score (ties -> min id), the policy real pipelines
     use to keep the best-metadata copy of duplicated content (longest
-    version, highest quality score, most trusted source). Still ONE
+    version, highest quality score, most trusted source). A NULL
+    ``prefer`` score loses to every non-null score (it coalesces to
+    -inf before negation), so an unscored copy can never beat a scored
+    one; all-NULL groups fall back to min id. Still ONE
     aggregation pass either way — the preferred survivor is
     min(struct(-score, id)), which Spark compiles to a SORT-based
     aggregate (struct buffers are not hash-aggregable) with the partial
@@ -59,7 +62,12 @@ def exact_duplicate_groups(
     else:
         keep = F.min(
             F.struct(
-                (-F.col("__pref").cast("double")).alias("np"),
+                (
+                    -F.coalesce(
+                        F.col("__pref").cast("double"),
+                        F.lit(float("-inf")),
+                    )
+                ).alias("np"),
                 F.col(id_col).alias("i"),
             )
         )["i"].alias("keep_id")

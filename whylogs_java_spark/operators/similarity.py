@@ -1886,8 +1886,12 @@ def ivfpq_topk_stored(
     ``nprobe`` nearest lists (partition-pruned scan), rank candidates by
     ASYMMETRIC PQ distance — per-query dot-product lookup tables over
     the stored codes; the scan projects only id/n/code columns — then
-    exact-refine the ``rerank`` best per query on the stored doubles
-    (read via an id equi-join against the same pruned partitions).
+    exact-refine the ``rerank`` best per query on the stored doubles.
+    Survivors carry their centroid_id, so the refine joins on
+    (centroid_id, neighbor_id) — centroid_id is the store's partition
+    column, so the `v`-column read is limited to the probed lists
+    (dynamic partition pruning / partition-key equi-join) rather than a
+    full-store scan.
 
     ``nprobe == n_centroids`` with a corpus-sized ``rerank`` degenerates
     to exact brute force (pinned by test). Output: (query_id,
@@ -1959,6 +1963,7 @@ def ivfpq_topk_stored(
         .select(
             "query_id",
             F.col("id").alias("neighbor_id"),
+            "centroid_id",
             (F.round(adc, 6) + F.lit(0.0)).alias("__adc"),
             "qv",
             "qn",
@@ -1970,13 +1975,18 @@ def ivfpq_topk_stored(
     survivors = cand.withColumn("__rr", F.row_number().over(wr)).where(
         F.col("__rr") <= rerank
     )
+    # survivors carry centroid_id so the exact-refine read joins on
+    # (centroid_id, neighbor_id): centroid_id is the lists store's
+    # partition column, so dynamic partition pruning limits the full
+    # `v`-column read to the probed lists instead of the whole store
     refined = survivors.join(
         lists.select(
             F.col("id").alias("neighbor_id"),
+            "centroid_id",
             F.col("v").alias("nv"),
             F.col("n").alias("nn"),
         ),
-        "neighbor_id",
+        ["centroid_id", "neighbor_id"],
     ).select(
         "query_id",
         "neighbor_id",

@@ -854,7 +854,14 @@ def blocklist_filter(
     cnt_cols = []
     for term in terms:
         pat = r"\b" + _re.sub(_BLOCK_META_RE, r"\\\1", term.lower()) + r"\b"
-        cnt_cols.append(F.size(F.regexp_extract_all(t, F.lit(pat), 0)))
+        # coalesce: regexp over NULL text yields NULL, and a NULL count
+        # would poison n_blocked AND the drop predicate (~blocked skips
+        # NULL rows silently) — NULL text counts as zero hits instead
+        cnt_cols.append(
+            F.coalesce(
+                F.size(F.regexp_extract_all(t, F.lit(pat), 0)), F.lit(0)
+            )
+        )
     n_blocked = cnt_cols[0]
     for c in cnt_cols[1:]:
         n_blocked = n_blocked + c
@@ -886,6 +893,8 @@ def pack_assign(
     context_len: int = 512,
     strata: list[str] | None = None,
     sep_tokens: int = 0,
+    allow_single_stream: bool = False,
+    single_stream_row_limit: int = 1_000_000,
 ) -> DataFrame:
     """Concat-and-chunk sequence packing ASSIGNMENT (the GPT-style
     packing step itself, where ``packing_stats`` only computes the
@@ -916,7 +925,26 @@ def pack_assign(
     from pyspark.sql import Window
 
     keys = list(strata or [])
-    toks = F.size(tokens(F.col(text_col)))
+    if not keys and not allow_single_stream:
+        # no strata = ONE window partition = the whole corpus serializes
+        # onto a single task. Cheap bounded probe (limit stops the scan
+        # early); corpus-scale callers must either stratify, pre-shard
+        # via sources.shards.assign_shards and pack per shard, or opt in
+        # explicitly with allow_single_stream=True.
+        probe = df.select(F.lit(1)).limit(single_stream_row_limit + 1).count()
+        if probe > single_stream_row_limit:
+            raise ValueError(
+                "pack_assign without strata serializes the whole input "
+                f"onto one window task and the input exceeds "
+                f"{single_stream_row_limit} rows; pass strata=, pre-shard "
+                "with sources.shards.assign_shards and pack per shard, or "
+                "set allow_single_stream=True to accept the single-task "
+                "stream"
+            )
+    # coalesce: NULL text must behave like an empty doc (n_tokens=0,
+    # zero contexts) — size(split(NULL)) is NULL and would both skip the
+    # row in SUM(n_tokens) and still burn a separator slot
+    toks = F.coalesce(F.size(tokens(F.col(text_col))), F.lit(0))
     base = df.select(*keys, F.col(id_col), toks.cast("long").alias("__t"))
     w = (
         Window.partitionBy(*keys).orderBy(id_col)
