@@ -2969,3 +2969,32 @@ def test_pack_assign_single_stream_guard(spark):
         ).count()
         == 10
     )
+
+
+def test_compression_invariants_extremes(spark):
+    """The bracket booleans hold on constructed extremes — empty, single
+    char, highly repetitive, incompressible random ASCII, multi-byte
+    UTF-8, >32KB (past the deflate window), and NULL text -> NULL
+    verdicts."""
+    import random
+
+    from whylogs_java_spark.operators.text import compression_invariants
+
+    rng = random.Random(7)
+    rand_ascii = "".join(chr(rng.randint(33, 126)) for _ in range(50_000))
+    texts = [
+        (1, ""),
+        (2, "a"),
+        (3, "ab" * 60_000),          # repetitive, > 32KB window
+        (4, rand_ascii),             # incompressible
+        (5, "héllo wörld ünïcode " * 500),
+        (6, None),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in compression_invariants(df, "text", "doc_id").collect()}
+    for d in (1, 2, 3, 4, 5):
+        r = rows[d]
+        assert r["z_upper_ok"] and r["z_lower_ok"] and r["rep3_ok"] and r["rep3_gain_ok"], r
+    assert rows[5]["raw_bytes"] > len("héllo wörld ünïcode " * 500)  # multi-byte
+    n = rows[6]
+    assert n["z_upper_ok"] is None and n["rep3_ok"] is None and n["rep3_gain_ok"] is None

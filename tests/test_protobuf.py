@@ -54,6 +54,13 @@ def test_parse_golden_regression():
 
 def test_parse_golden_numeric_summary():
     p = _first_profile(f"{FIXTURES}/python_profile.bin")
+    # session constants recorded from the golden binary — these back the
+    # profile_wire_fixture literal oracle in __spark_entry__.py
+    assert len(p["columns"]) == 105
+    assert p["properties"]["session_id"] == (
+        "d78c144f-a15a-4fd2-b1f6-11410afb55b1"
+    )
+    assert p["properties"]["session_timestamp"] == 1608772592814
     c = p["columns"]["mths_since_recent_revol_delinq"]
     d = c["numbers"]["doubles"]
     assert d["count"] == 816777

@@ -8,8 +8,10 @@ never means "unchecked":
 - HLL/theta uniques within 3x their relative standard error,
 - fast float tiers reproduce the exact tier's pair/neighbor sets,
 - IVF recall floors, SimHash determinism.
-(profile_wire_fixture, the remaining rows-only query, is pinned
-field-for-field by tests/test_protobuf.py's golden-fixture tests.)
+(profile_wire_fixture and compression_documents graduated to
+hash-checked BRACKET oracles in r11 — golden-fixture constants /
+zlib invariants; field-level pins live in tests/test_protobuf.py and
+the compression tests in tests/test_pipeline_ops.py.)
 """
 
 from __future__ import annotations

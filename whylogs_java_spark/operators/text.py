@@ -328,6 +328,68 @@ def compression_ratio(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def compression_invariants(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Hash-checkable BRACKET companion to ``compression_ratio``: the
+    per-doc zlib sizes themselves depend on the zlib build (no DuckDB
+    twin), but these DO replay cross-engine —
+
+    - ``raw_bytes``: exact UTF-8 octet length (octet_length both sides)
+    - ``z_upper_ok``: zlib_bytes <= raw + raw/100 + 64 (deflateBound-
+      style worst case with margin; corpus-measured max overhead is 8B)
+    - ``z_lower_ok``: zlib_bytes >= 8 (the empty-input zlib stream is
+      8 bytes: 2B header + empty fixed block + 4B adler)
+    - ``rep3_ok``: zlib(text×3) <= 3·zlib(text) — self-repetition never
+      compresses worse than three independent copies (the extra copies
+      become window back-references; streams beyond the 32 KB window
+      still save the repeated headers)
+    - ``rep3_gain_ok``: for texts within the 32 KB deflate window,
+      zlib(text×3) - zlib(text) <= raw/8 + 64 — the two extra copies
+      cost at most match codes (~raw/86 measured), i.e. repetition is
+      detected, not re-encoded. Past the window the extra copies cannot
+      back-reference the first (match distance > 32768), so the bound
+      is vacuously TRUE there — ``rep3_ok`` still applies
+
+    One Arrow-batched pandas UDF computes both sizes per batch; the
+    booleans are NULL for NULL text (mirrored by the oracle's CASE).
+    Monotonicity/extreme-input behavior is pinned by pytest on
+    constructed strings; this query ties the same invariants to the
+    corpus under the driver's hash gate.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("struct<z1: long, z3: long>")
+    def zsizes(s: pd.Series) -> pd.DataFrame:
+        import zlib
+
+        def f(t):
+            if t is None:
+                return (None, None)
+            b = t.encode("utf-8")
+            return (len(zlib.compress(b, 6)), len(zlib.compress(b * 3, 6)))
+
+        out = s.map(f)
+        return pd.DataFrame(
+            {"z1": out.map(lambda x: x[0]), "z3": out.map(lambda x: x[1])}
+        )
+
+    t = F.col(text_col)
+    raw = F.octet_length(t).cast("long")
+    z = zsizes(t)
+    z1, z3 = z["z1"], z["z3"]
+    return df.select(
+        F.col(id_col),
+        raw.alias("raw_bytes"),
+        (z1 <= raw + F.floor(raw / 100) + 64).alias("z_upper_ok"),
+        (z1 >= 8).alias("z_lower_ok"),
+        (z3 <= 3 * z1).alias("rep3_ok"),
+        ((raw > 32768) | (z3 - z1 <= F.floor(raw / 8) + 64)).alias(
+            "rep3_gain_ok"
+        ),
+    )
+
+
 def packing_stats(
     df: DataFrame,
     text_col: str,
