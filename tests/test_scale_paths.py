@@ -944,3 +944,66 @@ def test_r10_late_query_plan_guards_2(spark):
     assert "CartesianProduct" not in p
     assert "Window" in p
     assert "ExistingRDD" in p
+
+
+def test_rp_store_bit_identity_and_column_pruning(spark, tmp_path):
+    """Persisted RP index: (a) stored probes are bit-identical to the
+    in-memory rp_topk tier (same md5 sign planes, 6dp rounding before
+    ranking); (b) the corpus-wide ranking scan reads ONLY id/pv/pn —
+    the wide exact `v` column stays out until the rerank-cut refine
+    (parquet column pruning); (c) the stored-recall dashboard reports
+    the same numbers as probing the tiers directly."""
+    from pyspark.sql import functions as F
+
+    from whylogs_java_spark.operators.similarity import (
+        ann_recall_stored_report,
+        build_ivf_index,
+        build_rp_index,
+        ivf_topk_stored,
+        rp_topk,
+        rp_topk_stored,
+    )
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select("vec_id", "embedding")
+    ids = list(range(8))
+    p = str(tmp_path / "rp_store")
+    build_rp_index(emb, p, out_dim=16)
+
+    out = rp_topk_stored(spark, p, ids, k=5, rerank=20)
+    mem = rp_topk(emb, ids, k=5, rerank=20, out_dim=16)
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, mem.collect())
+    )
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    rank_scans = [
+        ln
+        for ln in plan.splitlines()
+        if "FileScan" in ln and "pv" in ln.split("ReadSchema:")[-1]
+    ]
+    assert rank_scans
+    for ln in rank_scans:
+        schema = ln.split("ReadSchema:")[-1]
+        # projected-only hot scan: `pv` yes, the wide exact `v` no
+        assert ",v:" not in schema and "<v:" not in schema, schema
+
+    # dashboard over stores == metrics of the tiers it wraps
+    pivf = str(tmp_path / "ivf_store")
+    build_ivf_index(emb, pivf, n_centroids=8)
+    rep = {
+        r["tier"]: r
+        for r in ann_recall_stored_report(
+            spark, emb, ids, {"ivf": pivf, "rp": p}, k=5, nprobe=2,
+            rerank=20,
+        ).collect()
+    }
+    assert set(rep) == {"ivf_stored", "rp_stored"}
+    stored = sorted(map(tuple, out.collect()))
+    ivf_direct = ivf_topk_stored(spark, pivf, emb.where(F.col("vec_id") < 8), k=5, nprobe=2)
+    assert rep["rp_stored"]["n_tier"] == len(stored)
+    assert rep["ivf_stored"]["n_tier"] == ivf_direct.count()
+    for t in rep.values():
+        assert 0.0 <= t["recall"] <= 1.0 and t["n_queries"] == 8

@@ -1732,6 +1732,13 @@ def ann_recall_report(
             id_col=id_col, vec_col=vec_col, dim=rp_dim,
         ),
     }
+    return _recall_rows(ex, ex_stats, tiers, k)
+
+
+def _recall_rows(ex, ex_stats, tiers: dict, k: int) -> DataFrame:
+    """Shared reduction for the recall dashboards: per-tier left join
+    against the exact top-k, candidate-sized aggregation to (tier, k,
+    n_queries, n_exact, n_tier, hits, recall, mean_rank_disp)."""
     rows = None
     for name in sorted(tiers):
         t = tiers[name].select(
@@ -1762,6 +1769,62 @@ def ann_recall_report(
             F.round(F.col("__sum_disp") / F.col("hits"), 6) + 0.0,
         ).alias("mean_rank_disp"),
     )
+
+
+def ann_recall_stored_report(
+    spark,
+    embeddings: DataFrame,
+    query_ids: list[int],
+    stores: dict,
+    k: int = 10,
+    nprobe: int = 4,
+    rerank: int = 30,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN recall dashboard over PERSISTED indexes — the tuning loop a
+    real pipeline runs: build the stores once, then sweep nprobe/rerank
+    against the exact top-k without paying an index rebuild per probe.
+    ``stores`` maps tier name -> store path for any subset of
+    {'ivf': build_ivf_index, 'ivfpq': build_ivfpq_index,
+    'rp': build_rp_index}; tiers appear in the report as
+    ``<name>_stored``.
+
+    Every stored tier is bit-identical to its in-memory twin (pinned by
+    pytest), so the recall NUMBERS replay in DuckDB exactly like
+    ``ann_recall_report``'s. The exact side is one brute-force pass for
+    the sampled query set; each stored probe reads only its pruned
+    partitions (centroid_id for ivf/ivfpq; the RP store is a narrow
+    projected table refined via the stored doubles).
+    """
+    ids = list(query_ids)
+    qdf = embeddings.where(F.col(id_col).isin(ids))
+    exact = materialize(cosine_topk(embeddings, qdf, id_col, vec_col, k))
+    ex = exact.select(
+        "query_id", "neighbor_id", F.col("rank").alias("rank_e")
+    )
+    ex_stats = exact.agg(
+        F.count_distinct("query_id").cast("long").alias("n_queries"),
+        F.count(F.lit(1)).cast("long").alias("n_exact"),
+    )
+    tiers = {}
+    if "ivf" in stores:
+        tiers["ivf_stored"] = ivf_topk_stored(
+            spark, stores["ivf"], qdf, k=k, nprobe=nprobe,
+            id_col=id_col, vec_col=vec_col,
+        )
+    if "ivfpq" in stores:
+        tiers["ivfpq_stored"] = ivfpq_topk_stored(
+            spark, stores["ivfpq"], qdf, k=k, nprobe=nprobe, rerank=rerank,
+            id_col=id_col, vec_col=vec_col,
+        )
+    if "rp" in stores:
+        tiers["rp_stored"] = rp_topk_stored(
+            spark, stores["rp"], ids, k=k, rerank=rerank
+        )
+    if not tiers:
+        raise ValueError("stores must name at least one of ivf/ivfpq/rp")
+    return _recall_rows(ex, ex_stats, tiers, k)
 
 
 def build_ivfpq_index(
@@ -2174,6 +2237,125 @@ def rp_topk(
                 F.round(
                     dot(F.col("__v"), F.col("qv"))
                     / (F.col("__n") * F.col("qn")),
+                    6,
+                )
+                + 0.0
+            ).alias("cosine"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        ref.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def build_rp_index(
+    embeddings: DataFrame,
+    path: str,
+    out_dim: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> None:
+    """Persist the RP (JL-compression) tier: one narrow parquet table
+    ``{path}/vectors`` = (id, pv, pn, v, n) — the 6dp-rounded projected
+    vector + its norm (the candidate-ranking side; out_dim doubles per
+    row) alongside the exact doubles + norm (the refine side), plus
+    ``{path}/meta`` = (out_dim, …). Building once amortizes the
+    projection folds across every probe/tuning sweep; the probe reads
+    pv/pn for ranking and only the survivors' v/n for refine (parquet
+    column pruning keeps the wide column out of the scan until the
+    rerank cut).
+
+    Same deterministic construction as ``rp_topk`` (md5 sign planes,
+    strict folds, 6dp rounding BEFORE ranking), so stored probes are
+    bit-identical to the in-memory tier (pinned by test).
+    """
+    proj = rp_project(embeddings, id_col, vec_col, out_dim, dim=dim)
+    pv = F.array(*[F.col(f"rp_{j}") for j in range(out_dim)])
+    vecd = _as_double(F.col(vec_col))
+    full = embeddings.select(
+        F.col(id_col).alias("id"), vecd.alias("v"), norm(vecd).alias("n")
+    )
+    (
+        proj.select(
+            F.col(id_col).alias("id"), pv.alias("pv"), norm(pv).alias("pn")
+        )
+        .join(full, "id")
+        .write.mode("overwrite")
+        .parquet(f"{path}/vectors")
+    )
+    spark = embeddings.sparkSession
+    spark.createDataFrame(
+        [(out_dim,)], "out_dim int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def rp_topk_stored(
+    spark,
+    path: str,
+    query_ids: list[int],
+    k: int = 10,
+    rerank: int = 32,
+) -> DataFrame:
+    """Query a persisted RP index (``build_rp_index``): candidate
+    ranking by cosine over the STORED projections (no projection folds
+    at query time), top-``rerank`` survivors refined with the exact
+    cosine from the stored doubles. Bit-identical to ``rp_topk`` with
+    the same out_dim/rerank (pinned by test); the ranking scan reads
+    only (id, pv, pn) — column pruning keeps the wide ``v`` out of the
+    corpus-wide pass.
+
+    Output: (query_id, neighbor_id, cosine, rank) — exact cosines.
+    """
+    from pyspark.sql import Window
+
+    ids = list(query_ids)
+    vecs = spark.read.parquet(f"{path}/vectors")
+    pvec = vecs.select("id", "pv", "pn").where(F.col("pn") > 0)
+    q = pvec.where(F.col("id").isin(ids)).select(
+        F.col("id").alias("query_id"),
+        F.col("pv").alias("qpv"),
+        F.col("pn").alias("qpn"),
+    )
+    cand = pvec.join(F.broadcast(q), F.col("id") != F.col("query_id")).select(
+        "query_id",
+        F.col("id").alias("neighbor_id"),
+        (
+            F.round(
+                dot(F.col("pv"), F.col("qpv"))
+                / (F.col("pn") * F.col("qpn")),
+                6,
+            )
+            + 0.0
+        ).alias("rp_cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("rp_cosine"), F.asc("neighbor_id")
+    )
+    cut = cand.withColumn("rp_rank", F.row_number().over(w)).where(
+        F.col("rp_rank") <= rerank
+    )
+    full = vecs.select("id", "v", "n").where(F.col("n") > 0)
+    qf = full.where(F.col("id").isin(ids)).select(
+        F.col("id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("n").alias("qn"),
+    )
+    ref = (
+        cut.join(full.withColumnRenamed("id", "neighbor_id"), "neighbor_id")
+        .join(F.broadcast(qf), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                F.round(
+                    dot(F.col("v"), F.col("qv"))
+                    / (F.col("n") * F.col("qn")),
                     6,
                 )
                 + 0.0
