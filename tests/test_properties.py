@@ -694,3 +694,111 @@ def test_leakage_safe_splits_atomic_property(spark, texts, n_dups):
         # cluster -> same split, no exceptions
         assert out[did][0] == out[src][0], (did, src)
         assert out[did][1] == out[src][1], (did, src)
+
+
+# ---------------------------------------------------------------------------
+# band-join skew ceiling: hot buckets stay bounded under a stop-word regime
+# ---------------------------------------------------------------------------
+
+from hypothesis import strategies as _st  # noqa: E402
+
+_skew_corpus = _st.integers(min_value=24, max_value=48).flatmap(
+    lambda n_hot: _st.tuples(
+        _st.just(n_hot),
+        _st.integers(min_value=2, max_value=6),   # planted near-dup pairs
+        _st.integers(min_value=0, max_value=3),   # random seed-ish salt
+    )
+)
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_skew_corpus)
+def test_band_join_hot_bucket_cap(spark, cfg):
+    """Skew hardening for the band-join family (the 100 TB claim's load-
+    bearing bound): a degenerate corpus where a large block of documents
+    shares EVERY band signature (exact copies — the stop-word/hot-bucket
+    regime) must stay bounded once bucket_cap is set.
+
+    Pins: (a) uncapped candidates include the full m*(m-1)/2 hot-block
+    blow-up; (b) with bucket_cap < m the hot block contributes ZERO
+    pairs while every planted near-dup pair outside the block is still
+    found (recall preserved where it matters); (c) the capped candidate
+    count obeys the ceiling sum_buckets(m_i^2) <= n_buckets * cap^2."""
+    from whylogs_java_spark.operators.dedup import (
+        lsh_band_signatures,
+        _candidates_from_bands,
+        minhash_signatures,
+    )
+
+    n_hot, n_pairs, salt = cfg
+    rows = []
+    hot_text = f"the same stop phrase repeated everywhere {salt}"
+    for i in range(n_hot):
+        rows.append((i, hot_text))
+    # planted duplicate pairs: distinct vocabularies per pair, EXACT
+    # copies — identical signatures share every band, so detection is
+    # guaranteed (an edited pair's detection is probabilistic in the
+    # banding and would make the test flaky)
+    for p in range(n_pairs):
+        base = " ".join(f"tok{p}x{j}" for j in range(12))
+        rows.append((1000 + 2 * p, base))
+        rows.append((1000 + 2 * p + 1, base))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = minhash_signatures(df, "text", "doc_id", 16, 3)
+    bands_df = lsh_band_signatures(sigs, "doc_id", 16, 4)
+
+    uncapped = _candidates_from_bands(bands_df, "doc_id").collect()
+    hot_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in uncapped
+        if r["id_a"] < n_hot and r["id_b"] < n_hot
+    }
+    assert len(hot_pairs) == n_hot * (n_hot - 1) // 2  # the blow-up is real
+
+    cap = 16
+    capped = _candidates_from_bands(bands_df, "doc_id", bucket_cap=cap).collect()
+    capped_set = {(r["id_a"], r["id_b"]) for r in capped}
+    # (b) hot block gone, planted pairs intact
+    assert not any(a < n_hot and b < n_hot for a, b in capped_set)
+    for p in range(n_pairs):
+        assert (1000 + 2 * p, 1000 + 2 * p + 1) in capped_set
+    # (c) the ceiling: every surviving bucket has <= cap members
+    from pyspark.sql import functions as F
+
+    sizes = (
+        bands_df.groupBy("band", "band_sig")
+        .count()
+        .where(F.col("count") <= cap)
+        .collect()
+    )
+    ceiling = sum(r["count"] * (r["count"] - 1) // 2 for r in sizes)
+    assert len(capped_set) <= ceiling
+
+
+def test_shingle_df_cap_drops_stop_shingle(spark):
+    """The shingle-candidate twin of the skew ceiling: a stop shingle
+    present in EVERY document must be excluded by df_cap, so documents
+    sharing only boilerplate never pair; documents sharing rare content
+    still do."""
+    from whylogs_java_spark.operators.dedup import (
+        shingle_candidate_pairs,
+        shingle_sets,
+    )
+
+    stop = "the quick brown"
+    rows = []
+    for i in range(60):
+        rows.append((i, f"{stop} doc{i}a doc{i}b doc{i}c"))
+    # one genuine near-dup pair sharing a rare 3-shingle run
+    rows.append((100, f"{stop} shared rare content here alpha"))
+    rows.append((101, f"{stop} shared rare content here beta"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = shingle_sets(df, "text", "doc_id", 3)
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in shingle_candidate_pairs(sh, "doc_id", df_cap=50).collect()
+    }
+    assert (100, 101) in pairs
+    # no pair exists solely through the stop shingle (present in all 62
+    # docs > df_cap=50): every other doc's content shingles are unique
+    assert all(a >= 100 for a, b in pairs)

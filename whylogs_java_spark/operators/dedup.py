@@ -284,8 +284,34 @@ def lsh_band_signatures(
     ).select(id_col, "bs.band", "bs.band_sig")
 
 
-def _candidates_from_bands(bands_df: DataFrame, id_col: str) -> DataFrame:
-    """Self-equi-join on (band, band_sig) -> distinct (id_a < id_b) pairs."""
+def _candidates_from_bands(
+    bands_df: DataFrame, id_col: str, bucket_cap: int | None = None
+) -> DataFrame:
+    """Self-equi-join on (band, band_sig) -> distinct (id_a < id_b) pairs.
+
+    ``bucket_cap`` is the hot-bucket skew ceiling: a bucket of m members
+    fans out m² join rows, and one degenerate signature (a stop-phrase
+    band over near-empty texts, or un-deduped exact-copy mass) can
+    otherwise produce a single partition with the whole corpus in it.
+    With the cap, buckets larger than ``bucket_cap`` are DROPPED before
+    the join — bounding every bucket's fan-out at bucket_cap² and the
+    join's worst partition at the cap. A >cap bucket means >cap
+    documents agreeing on an entire band; real pipelines run exact
+    dedup first, after which such mass is boilerplate the shingle
+    family's df_cap drops for the same reason. The count rides a window
+    over the SAME (band, band_sig) key the join shuffles on, so the cap
+    adds no extra exchange. Default None preserves the uncapped
+    contract (every existing query/oracle hash).
+    """
+    if bucket_cap is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band", "band_sig")
+        bands_df = (
+            bands_df.withColumn("__m", F.count(F.lit(1)).over(w))
+            .where(F.col("__m") <= bucket_cap)
+            .drop("__m")
+        )
     a = bands_df.select(F.col(id_col).alias("id_a"), "band", "band_sig")
     b = bands_df.select(F.col(id_col).alias("id_b"), "band", "band_sig")
     return (
@@ -303,15 +329,17 @@ def minhash_candidate_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     shingle_size: int = 3,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) sharing ≥1 LSH band.
 
     The heart of the scale path: a self-equi-join on (band, band_sig) —
-    shuffle on the band key only, no cross product.
+    shuffle on the band key only, no cross product. ``bucket_cap``
+    bounds the hot-bucket fan-out (see ``_candidates_from_bands``).
     """
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_size)
     bands_df = lsh_band_signatures(sigs, id_col, num_hashes, bands)
-    return _candidates_from_bands(bands_df, id_col)
+    return _candidates_from_bands(bands_df, id_col, bucket_cap=bucket_cap)
 
 
 def _spread(df: DataFrame) -> DataFrame:
@@ -477,6 +505,7 @@ def near_dup_pairs(
     char_ngrams: bool = False,
     verify: str = "array",
     hash_family: str = "affine",
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidates verified by exact Jaccard ≥ threshold.
     ``char_ngrams=True`` runs the same pipeline over character n-gram sets
@@ -530,7 +559,7 @@ def near_dup_pairs(
             hash_family=hash_family, bands=bands,
         )
         bands_df = lsh_band_signatures(sigs, id_col, num_hashes, bands)
-        pairs = _candidates_from_bands(bands_df, id_col)
+        pairs = _candidates_from_bands(bands_df, id_col, bucket_cap=bucket_cap)
         if verify == "array":
             verified = _jaccard_from_shingle_arrays(
                 df, pairs, text_col, id_col, shingle_size, char_ngrams
@@ -543,6 +572,7 @@ def near_dup_pairs(
     pairs, sh_cand, verified = near_dup_stages(
         df, text_col, id_col, threshold, num_hashes, bands, shingle_size,
         char_ngrams, hash_family=hash_family, verify=verify,
+        bucket_cap=bucket_cap,
     )
     try:
         return verified.transform(_materialize)
@@ -562,6 +592,7 @@ def near_dup_stages(
     char_ngrams: bool = False,
     hash_family: str = "affine",
     verify: str = "explode",
+    bucket_cap: int | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """The staged near-dup pipeline: (candidate_pairs, candidate_stage,
     verified).
@@ -584,7 +615,9 @@ def near_dup_stages(
         hash_family=hash_family, bands=bands,
     )
     bands_df = lsh_band_signatures(sigs, id_col, num_hashes, bands)
-    pairs = _candidates_from_bands(bands_df, id_col).persist()
+    pairs = _candidates_from_bands(
+        bands_df, id_col, bucket_cap=bucket_cap
+    ).persist()
     cand_ids = (
         pairs.select(F.col("id_a").alias(id_col))
         .unionByName(pairs.select(F.col("id_b").alias(id_col)))
@@ -1141,7 +1174,7 @@ def containment_pairs(
             hash_family=hash_family, bands=bands,
         )
         bands_df = lsh_band_signatures(sigs, id_col, num_hashes, bands)
-        pairs = _candidates_from_bands(bands_df, id_col)
+        pairs = _candidates_from_bands(bands_df, id_col, bucket_cap=bucket_cap)
     else:
         raise ValueError(f"unknown candidates mode: {candidates!r}")
     v = _jaccard_from_shingle_arrays(
@@ -1787,71 +1820,66 @@ def winnow_fingerprints(
     Output: (id, pos, print_hash) — pos is the 0-based char position of
     the selected k-gram.
 
-    Scale shape: per-document window functions only (frame bounded by
-    ``window``, partition by doc) — no corpus-wide state; selection
-    happens inside the scan stage's explode. Deterministic (md5-prefix
-    hashes, struct-min tie rule) and DuckDB-replayable.
+    Scale shape: ZERO-SHUFFLE — the whole hash → sliding-window-min →
+    distinct selection runs inside the scan stage's ARRAY world
+    (transform over an index sequence; array_min over a slice per
+    window; array_distinct before the explode), so no gram row ever
+    crosses an exchange and there is no per-document sort. The r10
+    implementation exploded every k-gram into rows and ran window
+    functions over them — that shuffled+sorted O(total chars) rows and
+    was the engine's steepest scaling exponent (5.08× per 10× docs,
+    SCALE.md); the array form is the same selection with the explode
+    AFTER the distinct cut (≈0.4× gram count at window=4).
+    Deterministic (md5-prefix hashes, struct-min rightmost-tie rule)
+    and DuckDB-replayable; equivalence with the paper's algorithm is
+    pinned by a pure-python property test.
     """
-    from pyspark.sql import Window
-
     if k < 1 or window < 1:
         raise ValueError(f"k and window must be >= 1, got k={k} window={window}")
     t = F.lower(F.col(text_col))
-    n_grams = F.greatest(F.length(t) - k + 1, F.lit(0))
-    # a bare sequence(1, 0) DESCENDS to [1, 0] — texts shorter than k
-    # must produce NO grams (the _dims_seq hazard)
-    idx = F.when(
-        n_grams > 0, F.sequence(F.lit(1), n_grams)
-    ).otherwise(F.array().cast("array<int>"))
-    grams = _spread(df.select(id_col, text_col)).select(
+    sel = _winnow_select_structs(t, k, window)
+    return _spread(df.select(id_col, text_col)).select(
         F.col(id_col),
-        F.explode(
-            F.transform(
-                idx,
-                lambda i: F.struct(
-                    (i - 1).alias("pos"),
-                    F.conv(
-                        F.substring(F.md5(F.substring(t, i, k)), 1, 15),
-                        16,
-                        10,
-                    )
-                    .cast("long")
-                    .alias("h"),
-                ),
-            )
-        ).alias("g"),
+        F.explode(F.array_distinct(sel)).alias("s"),
     ).select(
-        F.col(id_col), F.col("g.pos").alias("pos"), F.col("g.h").alias("h")
-    )
-    w_sel = (
-        Window.partitionBy(id_col)
-        .orderBy("pos")
-        .rowsBetween(-(window - 1), 0)
-    )
-    w_rn = Window.partitionBy(id_col).orderBy("pos")
-    sel = grams.select(
         F.col(id_col),
-        F.row_number().over(w_rn).alias("__rn"),
-        F.count(F.lit(1)).over(
-            Window.partitionBy(id_col).rowsBetween(
-                Window.unboundedPreceding, Window.unboundedFollowing
-            )
-        ).alias("__n"),
-        # rightmost tie: min over (h, -pos) recovers the largest pos
-        # among equal minima
-        F.min(F.struct(F.col("h"), (-F.col("pos")).alias("np"))).over(
-            w_sel
-        ).alias("__m"),
-    ).where(
-        # full windows only — except short documents (< window grams),
-        # where the final (partial) window selects from all grams
-        (F.col("__rn") >= window) | (F.col("__rn") == F.col("__n"))
+        (-F.col("s.np")).cast("int").alias("pos"),
+        F.col("s.h").alias("print_hash"),
     )
-    return sel.select(
-        F.col(id_col),
-        (-F.col("__m.np")).cast("int").alias("pos"),
-        F.col("__m.h").alias("print_hash"),
-    ).distinct()
+
+
+def _winnow_select_structs(t: Column, k: int, window: int) -> Column:
+    """Array of winnowing selections for lowercased text ``t``: one
+    struct (h = 60-bit md5-prefix hash of the k-gram, np = -pos) per
+    sliding window of ``window`` consecutive gram hashes —
+    ``array_min`` over each window slice implements the paper's
+    min-hash selection with ties to the RIGHTMOST position (min np =
+    max pos among equal h). Documents with fewer than ``window`` grams
+    contribute one selection over all their grams; texts shorter than
+    ``k`` contribute none (a bare sequence(1, 0) DESCENDS — the
+    _dims_seq hazard — hence the explicit emptiness guards)."""
+    n_grams = F.greatest(F.length(t) - k + 1, F.lit(0))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n_grams, F.lit(1))),
+        lambda i: F.struct(
+            F.conv(F.substring(F.md5(F.substring(t, i, k)), 1, 15), 16, 10)
+            .cast("long")
+            .alias("h"),
+            (1 - i).cast("int").alias("np"),
+        ),
+    )
+    empty = F.array().cast("array<struct<h: bigint, np: int>>")
+    return (
+        F.when(
+            n_grams >= window,
+            F.transform(
+                F.sequence(F.lit(window), F.greatest(n_grams, F.lit(window))),
+                lambda j: F.array_min(F.slice(grams, j - window + 1, window)),
+            ),
+        )
+        .when(n_grams > 0, F.array(F.array_min(grams)))
+        .otherwise(empty)
+    )
 
 
 def winnow_pairs(
@@ -1875,15 +1903,23 @@ def winnow_pairs(
     quadratic bound as the shingle candidate mode: per-print pair
     fan-out ≤ df_cap². Output: (id_a, id_b, n_a, n_b, shared, overlap).
     """
-    # the print table is tiny (one row per selected k-gram) but its
-    # lineage is the full gram explode + selection windows: materialize
-    # it ONCE for its two consumers (census, join side), and the capped
-    # table once for its three (sizes, both pair-join sides) — without
-    # this the raw corpus re-scans per consumer (measured: 16 scans)
+    # the distinct (id, print) table comes straight out of the array
+    # world — array_distinct over the selections' hashes BEFORE the
+    # explode, so no shuffle and no corpus-wide DISTINCT. It is tiny
+    # (≤ one row per selected k-gram) but its lineage is the full gram
+    # hashing pass: materialize it ONCE for its two consumers (census,
+    # join side), and the capped table once for its three (sizes, both
+    # pair-join sides) — without this the raw corpus re-hashes per
+    # consumer (measured: 16 scans under the r10 shape)
+    sel = _winnow_select_structs(F.lower(F.col(text_col)), k, window)
     fps = (
-        winnow_fingerprints(df, text_col, id_col, k, window)
-        .select(F.col(id_col), F.col("print_hash"))
-        .distinct()
+        _spread(df.select(id_col, text_col))
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.array_distinct(F.transform(sel, lambda s: s["h"]))
+            ).alias("print_hash"),
+        )
         .transform(_materialize)
     )
     rare = fps.join(
@@ -1958,10 +1994,17 @@ def winnow_screen(
     """
     from pyspark.sql import Window
 
+    # distinct (id, print) straight from the array world — no shuffle
+    # (see winnow_pairs)
+    sel = _winnow_select_structs(F.lower(F.col(text_col)), k, window)
     fps = (
-        winnow_fingerprints(df, text_col, id_col, k, window)
-        .select(F.col(id_col), F.col("print_hash"))
-        .distinct()
+        _spread(df.select(id_col, text_col))
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.array_distinct(F.transform(sel, lambda s: s["h"]))
+            ).alias("print_hash"),
+        )
         .transform(_materialize)
     )
     sizes = fps.groupBy(id_col).agg(
