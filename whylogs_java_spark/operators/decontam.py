@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.hof import let_bound
+
 
 def ngram_digests(text: Column, n: int) -> Column:
     """md5 digests of the word n-grams of ``text`` as an array column.
@@ -34,17 +36,23 @@ def ngram_digests(text: Column, n: int) -> Column:
     Pure JVM expressions (split -> transform over an index sequence ->
     slice+join+md5). Documents with fewer than ``n`` words contribute NO
     n-grams (empty array) — a short doc cannot be "contaminated" by a
-    gram longer than itself.
+    gram longer than itself. The split+filter is LET-BOUND so the text
+    is tokenized once per row, not once per gram (functions.hof).
     """
-    words = F.filter(F.split(text, " "), lambda t: t != "")
-    cnt = F.size(words)
-    return F.when(
-        cnt >= n,
-        F.transform(
-            F.sequence(F.lit(1), cnt - n + 1),
-            lambda i: F.md5(F.concat_ws(" ", F.slice(words, i, n))),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+
+    def grams(words: Column) -> Column:
+        cnt = F.size(words)
+        return F.when(
+            cnt >= n,
+            F.transform(
+                F.sequence(F.lit(1), cnt - n + 1),
+                lambda i: F.md5(F.concat_ws(" ", F.slice(words, i, n))),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return let_bound(
+        F.filter(F.split(text, " "), lambda t: t != ""), grams
+    )
 
 
 def eval_ngram_set(eval_df: DataFrame, text_col: str, n: int) -> DataFrame:

@@ -25,6 +25,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..ckpt import materialize as _materialize
+from ..functions.hof import let_bound
 
 
 def content_key(col: Column) -> Column:
@@ -100,16 +101,21 @@ def exact_dedup(
 def word_shingles(text: Column, size: int = 3) -> Column:
     """Word n-gram shingles as an array column — pure JVM expressions
     (split -> transform over an index sequence -> slice+join), no explode,
-    no UDF."""
-    words = F.split(text, " ")
-    n = F.size(words)
-    return F.when(
-        n >= size,
-        F.transform(
-            F.sequence(F.lit(1), n - size + 1),
-            lambda i: F.concat_ws(" ", F.slice(words, i, size)),
-        ),
-    ).otherwise(F.array(F.concat_ws(" ", words)))
+    no UDF. The split is LET-BOUND: a free `split` inside the transform
+    lambda would re-split the text once per shingle (O(words²) per row —
+    measured 25× slower on 8×-long documents)."""
+
+    def sh(words: Column) -> Column:
+        n = F.size(words)
+        return F.when(
+            n >= size,
+            F.transform(
+                F.sequence(F.lit(1), n - size + 1),
+                lambda i: F.concat_ws(" ", F.slice(words, i, size)),
+            ),
+        ).otherwise(F.array(F.concat_ws(" ", words)))
+
+    return let_bound(F.split(text, " "), sh)
 
 
 # affine hash-family modulus bound: with h1 < 2^60 and h2 < 2^55,
@@ -123,15 +129,21 @@ _MAX_NUM_HASHES = 224
 def char_shingles(text: Column, size: int = 5) -> Column:
     """Character n-gram shingles (lowercased) as an array column — pure JVM
     expressions (transform over an index sequence + substr), no explode, no
-    UDF. Texts shorter than ``size`` yield the whole text as one shingle."""
-    t = F.lower(text)
-    n = F.length(t)
-    return F.when(
-        n >= size,
-        F.transform(
-            F.sequence(F.lit(1), n - size + 1), lambda i: t.substr(i, F.lit(size))
-        ),
-    ).otherwise(F.array(t))
+    UDF. Texts shorter than ``size`` yield the whole text as one shingle.
+    The lowered text is LET-BOUND so it is lowered once, not once per
+    gram (see functions.hof)."""
+
+    def sh(t: Column) -> Column:
+        n = F.length(t)
+        return F.when(
+            n >= size,
+            F.transform(
+                F.sequence(F.lit(1), n - size + 1),
+                lambda i: t.substr(i, F.lit(size)),
+            ),
+        ).otherwise(F.array(t))
+
+    return let_bound(F.lower(text), sh)
 
 
 def _shingler(shingle_size: int, char_ngrams: bool):
@@ -1206,21 +1218,24 @@ def _segment_rows(
     """(id, pos, seg, seg_key) rows: consecutive non-overlapping
     ``seg_words``-word segments per document with md5 digests — the shared
     explode behind ``segment_dedup`` and ``boilerplate_stats``."""
-    words = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
-    n_segs = F.ceil(F.size(words) / F.lit(seg_words)).cast("int")
+    def segs(words: Column) -> Column:
+        # let-bound: a free `words` here would re-split+filter the text
+        # once per segment (see functions.hof)
+        n_segs = F.ceil(F.size(words) / F.lit(seg_words)).cast("int")
+        return F.transform(
+            F.sequence(F.lit(0), F.greatest(n_segs, F.lit(1)) - 1),
+            lambda i: F.struct(
+                i.alias("pos"),
+                F.concat_ws(
+                    " ", F.slice(words, i * seg_words + 1, seg_words)
+                ).alias("seg"),
+            ),
+        )
+
+    words_expr = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
     return _spread(df.select(id_col, text_col)).select(
         F.col(id_col),
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.greatest(n_segs, F.lit(1)) - 1),
-                lambda i: F.struct(
-                    i.alias("pos"),
-                    F.concat_ws(
-                        " ", F.slice(words, i * seg_words + 1, seg_words)
-                    ).alias("seg"),
-                ),
-            )
-        ).alias("s"),
+        F.explode(let_bound(words_expr, segs)).alias("s"),
     ).select(
         F.col(id_col),
         F.col("s.pos").alias("pos"),
@@ -1858,28 +1873,50 @@ def _winnow_select_structs(t: Column, k: int, window: int) -> Column:
     contribute one selection over all their grams; texts shorter than
     ``k`` contribute none (a bare sequence(1, 0) DESCENDS — the
     _dims_seq hazard — hence the explicit emptiness guards)."""
-    n_grams = F.greatest(F.length(t) - k + 1, F.lit(0))
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(n_grams, F.lit(1))),
-        lambda i: F.struct(
-            F.conv(F.substring(F.md5(F.substring(t, i, k)), 1, 15), 16, 10)
-            .cast("long")
-            .alias("h"),
-            (1 - i).cast("int").alias("np"),
-        ),
-    )
     empty = F.array().cast("array<struct<h: bigint, np: int>>")
-    return (
-        F.when(
-            n_grams >= window,
-            F.transform(
-                F.sequence(F.lit(window), F.greatest(n_grams, F.lit(window))),
-                lambda j: F.array_min(F.slice(grams, j - window + 1, window)),
+
+    # LET-BINDING, load-bearing (functions.hof): a lambda body
+    # re-evaluates its free subtrees on every invocation. Unbound, (a)
+    # slice(grams, …) inside the per-window transform would re-hash the
+    # WHOLE gram array per window — O(n²) md5 calls per document
+    # (measured: a 10× corpus probe burned 199 CPU-minutes) — and (b)
+    # substring(lower(text), …) inside the gram transform would
+    # re-lower the text per gram. Both the lowered text and the hashed
+    # gram array are bound once per row.
+    def _with_text(tb: Column) -> Column:
+        n_grams = F.greatest(F.length(tb) - k + 1, F.lit(0))
+        grams = F.transform(
+            F.sequence(F.lit(1), F.greatest(n_grams, F.lit(1))),
+            lambda i: F.struct(
+                F.conv(
+                    F.substring(F.md5(F.substring(tb, i, k)), 1, 15), 16, 10
+                )
+                .cast("long")
+                .alias("h"),
+                (1 - i).cast("int").alias("np"),
             ),
         )
-        .when(n_grams > 0, F.array(F.array_min(grams)))
-        .otherwise(empty)
-    )
+
+        def _selections(g: Column) -> Column:
+            return (
+                F.when(
+                    n_grams >= window,
+                    F.transform(
+                        F.sequence(
+                            F.lit(window), F.greatest(n_grams, F.lit(window))
+                        ),
+                        lambda j: F.array_min(
+                            F.slice(g, j - window + 1, window)
+                        ),
+                    ),
+                )
+                .when(n_grams > 0, F.array(F.array_min(g)))
+                .otherwise(empty)
+            )
+
+        return let_bound(grams, _selections)
+
+    return let_bound(t, _with_text)
 
 
 def winnow_pairs(

@@ -13,6 +13,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.hof import let_bound
+
 from ..ckpt import materialize
 
 # Minimal stopword lexicons for the n-gram/stopword language heuristic.
@@ -459,17 +461,22 @@ def _bigram_rows(
     mapped to ``<unk>`` via two broadcast joins. The bigram array is a
     pure per-row array expression — no window, no per-doc state."""
     cols = [F.col(id_col)] if id_col else []
-    t = _lm_toks(F.col(text_col))
-    arr = F.when(
-        F.size(t) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(t) - 1),
-            lambda i: F.struct(
-                F.element_at(t, i).alias("prev"),
-                F.element_at(t, i + 1).alias("w"),
+
+    def bigrams(t: Column) -> Column:
+        # let-bound: a free `t` here would re-tokenize the text once per
+        # bigram (functions.hof)
+        return F.when(
+            F.size(t) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - 1),
+                lambda i: F.struct(
+                    F.element_at(t, i).alias("prev"),
+                    F.element_at(t, i + 1).alias("w"),
+                ),
             ),
-        ),
-    ).otherwise(F.array().cast("array<struct<prev:string,w:string>>"))
+        ).otherwise(F.array().cast("array<struct<prev:string,w:string>>"))
+
+    arr = let_bound(_lm_toks(F.col(text_col)), bigrams)
     rows = source.select(*cols, F.posexplode(arr).alias("pos", "bg"))
     pv = vocab.select(F.col("tok").alias("__pv"))
     wv = vocab.select(F.col("tok").alias("__wv"))
@@ -732,30 +739,40 @@ def chunk_documents(
             f"overlap must be in [0, chunk_tokens), got {overlap}"
         )
     stride = chunk_tokens - overlap
-    words = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
-    n = F.size(words)
-    n_chunks = F.ceil(n / F.lit(stride)).cast("int")
-    # a bare sequence(0, -1) DESCENDS when n_chunks == 0 — guard to an
-    # empty array (the _dims_seq hazard)
-    idx = F.when(
-        n_chunks > 0, F.sequence(F.lit(0), n_chunks - 1)
-    ).otherwise(F.array().cast("array<int>"))
+
+    def chunks(words: Column) -> Column:
+        # let-bound: a free `words` here would re-split the text once
+        # per chunk (functions.hof)
+        n = F.size(words)
+        n_chunks = F.ceil(n / F.lit(stride)).cast("int")
+        # a bare sequence(0, -1) DESCENDS when n_chunks == 0 — guard to
+        # an empty array (the _dims_seq hazard)
+        idx = F.when(
+            n_chunks > 0, F.sequence(F.lit(0), n_chunks - 1)
+        ).otherwise(F.array().cast("array<int>"))
+        return F.struct(
+            n.alias("n"),
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    i.alias("chunk_id"),
+                    F.concat_ws(
+                        " ",
+                        F.slice(words, i * stride + 1, chunk_tokens),
+                    ).alias("chunk_text"),
+                ),
+            ).alias("cs"),
+        )
+
+    bound = let_bound(
+        F.filter(F.split(F.col(text_col), " "), lambda t: t != ""), chunks
+    )
     return (
-        df.select(
+        df.select(F.col(id_col), bound.alias("__b"))
+        .select(
             F.col(id_col),
-            n.alias("__n"),
-            F.explode(
-                F.transform(
-                    idx,
-                    lambda i: F.struct(
-                        i.alias("chunk_id"),
-                        F.concat_ws(
-                            " ",
-                            F.slice(words, i * stride + 1, chunk_tokens),
-                        ).alias("chunk_text"),
-                    ),
-                )
-            ).alias("__c"),
+            F.col("__b.n").alias("__n"),
+            F.explode(F.col("__b.cs")).alias("__c"),
         )
         .select(
             F.col(id_col),
