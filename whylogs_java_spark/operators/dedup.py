@@ -1144,6 +1144,7 @@ def containment_pairs(
     df_cap: int = 50,
     hash_family: str = "affine",
     min_shared: int = 1,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Asymmetric near-dup: Jaccard CONTAINMENT C(A,B) = |A∩B| / |A|.
 
