@@ -1007,3 +1007,68 @@ def test_rp_store_bit_identity_and_column_pruning(spark, tmp_path):
     assert rep["ivf_stored"]["n_tier"] == ivf_direct.count()
     for t in rep.values():
         assert 0.0 <= t["recall"] <= 1.0 and t["n_queries"] == 8
+
+
+def test_winnow_store_bit_identity_and_meta_refusal(spark, tmp_path):
+    """Persisted winnow print store: (a) stored screening is
+    bit-identical to winnow_screen over the same reference corpus;
+    (b) the store layout is bucketed on the join key (print_hash
+    xxhash64 partitions on disk); (c) k/window mismatches refuse loudly
+    instead of silently finding nothing."""
+    import os
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from whylogs_java_spark.operators.dedup import (
+        build_winnow_store,
+        read_winnow_store,
+        winnow_screen,
+        winnow_screen_stored,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    ref = docs.where(F.col("doc_id") % 2 == 0)
+    batch = docs.where(F.col("doc_id") % 2 == 1).unionByName(
+        ref.limit(10).select(
+            (F.col("doc_id") + 900000).alias("doc_id"), "text"
+        )
+    )
+    p = str(tmp_path / "wstore")
+    build_winnow_store(ref, p, "text", "doc_id", k=5, window=4, n_buckets=8)
+
+    stored = winnow_screen_stored(spark, p, batch, "text", "doc_id", 2)
+    prints, k, w = read_winnow_store(spark, p)
+    assert (k, w) == (5, 4)
+    direct = winnow_screen(batch, prints, "text", "doc_id", 5, 4, 2)
+    from_scratch = winnow_screen(
+        batch,
+        # unstored path: fingerprint the ref corpus in-flight
+        __import__(
+            "whylogs_java_spark.streaming.winnow_stream",
+            fromlist=["build_print_store"],
+        ).build_print_store(ref, "text", "doc_id", 5, 4),
+        "text", "doc_id", 5, 4, 2,
+    )
+    a = sorted(map(tuple, stored.collect()))
+    assert a == sorted(map(tuple, direct.collect()))
+    assert a == sorted(map(tuple, from_scratch.collect()))
+    # planted exact copies of accepted docs must be flagged
+    flagged = {r[0] for r in a if r[4]}
+    assert all(900000 <= d for d in range(900000, 900010)) and any(
+        d >= 900000 for d in flagged
+    )
+
+    # (b) on-disk bucketing
+    buckets = [
+        d for d in os.listdir(f"{p}/prints") if d.startswith("bucket=")
+    ]
+    assert len(buckets) > 1
+
+    # (c) parameter refusal
+    with _pytest.raises(ValueError, match="k="):
+        read_winnow_store(spark, p, k=13)
+    with _pytest.raises(ValueError, match="window="):
+        read_winnow_store(spark, p, window=9)

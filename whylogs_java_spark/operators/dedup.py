@@ -2086,6 +2086,99 @@ def winnow_screen(
     )
 
 
+def build_winnow_store(
+    df: DataFrame,
+    path: str,
+    text_col: str,
+    id_col: str,
+    k: int = 5,
+    window: int = 4,
+    n_buckets: int = 16,
+) -> None:
+    """Persist a WINNOWED PRINT STORE: build once, screen many — the
+    guaranteed-detection (MOSS) twin of ``build_minhash_store`` /
+    ``decontam.build_gram_store``. ``winnow_screen`` re-fingerprints
+    the accepted corpus on every call; a pipeline screening each
+    arriving batch against the same frozen corpus should pay that
+    hashing pass exactly once.
+
+    Two parquet tables under ``path``:
+
+    - ``{path}/prints``: distinct (ref_id, print_hash), PARTITIONED BY
+      ``bucket = pmod(xxhash64(print_hash), n_buckets)`` — balanced
+      files keyed on the screen's join key, so a probe co-partitions
+      against the store layout instead of reshuffling it;
+    - ``{path}/meta``: one row pinning (k, window, n_buckets) — a store
+      built for 5-gram/window-4 prints must not silently screen other
+      parameters; readers validate instead of trusting callers.
+
+    Store size is O(selected prints) ≈ 0.4× the reference gram count at
+    window=4 — a frozen reference corpus reduces once, not per batch.
+    """
+    sel = _winnow_select_structs(F.lower(F.col(text_col)), k, window)
+    prints = (
+        _spread(df.select(id_col, text_col))
+        .select(
+            F.col(id_col).alias("ref_id"),
+            F.explode(
+                F.array_distinct(F.transform(sel, lambda s: s["h"]))
+            ).alias("print_hash"),
+        )
+        .withColumn(
+            "bucket", F.pmod(F.xxhash64("print_hash"), F.lit(n_buckets))
+        )
+    )
+    prints.write.mode("overwrite").partitionBy("bucket").parquet(
+        f"{path}/prints"
+    )
+    df.sparkSession.createDataFrame(
+        [(int(k), int(window), int(n_buckets))],
+        "k int, window int, n_buckets int",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def read_winnow_store(
+    spark, path: str, k: int | None = None, window: int | None = None
+) -> tuple[DataFrame, int, int]:
+    """Load a persisted winnow print store -> ((ref_id, print_hash)
+    DataFrame, k, window). Validates requested parameters against the
+    store's meta — mismatched k/window would silently find nothing."""
+    meta = spark.read.parquet(f"{path}/meta").first()
+    if k is not None and int(meta["k"]) != int(k):
+        raise ValueError(
+            f"winnow store at {path} was built with k={meta['k']}, "
+            f"requested k={k}"
+        )
+    if window is not None and int(meta["window"]) != int(window):
+        raise ValueError(
+            f"winnow store at {path} was built with window="
+            f"{meta['window']}, requested window={window}"
+        )
+    prints = spark.read.parquet(f"{path}/prints").select(
+        "ref_id", "print_hash"
+    )
+    return prints, int(meta["k"]), int(meta["window"])
+
+
+def winnow_screen_stored(
+    spark,
+    path: str,
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Screen a batch against a PERSISTED winnow print store
+    (``build_winnow_store``): the store side is read, never
+    re-fingerprinted; k/window come from the store's meta so the batch
+    is hashed with exactly the parameters the store was built with.
+    Bit-identical to ``winnow_screen`` over the same reference corpus
+    (pinned by test). Output: (id, n_prints, best_ref, best_shared,
+    flagged)."""
+    prints, k, window = read_winnow_store(spark, path)
+    return winnow_screen(df, prints, text_col, id_col, k, window, min_shared)
+
+
 def dedup_threshold_report(
     df: DataFrame,
     text_col: str,
