@@ -1229,3 +1229,43 @@ def test_cli_project_subcommand(spark, tmp_path, monkeypatch, capsys):
     back = spark.read.parquet(out)
     assert set(back.columns) == {"vec_id"} | {f"rp_{j}" for j in range(8)}
     assert back.count() == spark.read.parquet(src).count()
+
+
+def test_cli_winnow_subcommand(spark, tmp_path, monkeypatch, capsys):
+    """CLI winnow: --ref screening, --build-store + --ref-store parity,
+    and the flagged verdicts on an exact copy of an accepted doc."""
+    import whylogs_java_spark.__main__ as cli
+    import whylogs_java_spark.session as sess
+
+    monkeypatch.setattr(sess, "get_spark", lambda *a, **k: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+
+    ref = str(tmp_path / "wn_ref.parquet")
+    spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy dog today"),
+         (11, "completely different accepted content lives here")],
+        "doc_id long, text string",
+    ).write.parquet(ref)
+    batch = str(tmp_path / "wn_batch.parquet")
+    spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today"),  # copy
+         (2, "novel text that shares nothing with the store corpus")],
+        "doc_id long, text string",
+    ).write.parquet(batch)
+
+    out = str(tmp_path / "wn_out")
+    rc = cli.main(["winnow", batch, "--ref", ref, "-o", out])
+    assert rc == 0
+    assert "flagged" in capsys.readouterr().out
+    got = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+    assert got[1]["flagged"] and got[1]["best_ref"] == 10
+    assert not got[2]["flagged"]
+
+    store = str(tmp_path / "wn_store")
+    rc = cli.main(["winnow", ref, "--build-store", store])
+    assert rc == 0
+    out2 = str(tmp_path / "wn_out2")
+    rc = cli.main(["winnow", batch, "--ref-store", store, "-o", out2])
+    assert rc == 0
+    got2 = {r["doc_id"]: tuple(r) for r in spark.read.parquet(out2).collect()}
+    assert got2 == {k: tuple(v) for k, v in got.items()}

@@ -54,7 +54,7 @@ def build_parser() -> argparse.ArgumentParser:
 
 SUBCOMMANDS = (
     "dedup", "drift", "constraints", "monitor", "view", "redact", "shards",
-    "blocklist", "split", "pack", "novelty", "project",
+    "blocklist", "split", "pack", "novelty", "project", "winnow",
 )
 
 
@@ -640,6 +640,77 @@ def _run_novelty(argv: list[str]) -> int:
         spark.stop()
 
 
+def _run_winnow(argv: list[str]) -> int:
+    p = argparse.ArgumentParser(prog="python -m whylogs_java_spark winnow")
+    p.add_argument("input", help="incoming batch (or the accepted "
+                                 "corpus with --build-store)")
+    g = p.add_mutually_exclusive_group(required=True)
+    g.add_argument("--ref", help="accepted-corpus path (fingerprinted "
+                                 "per run)")
+    g.add_argument("--ref-store", help="persisted winnow print store "
+                                       "(build once with --build-store)")
+    g.add_argument("--build-store", metavar="PATH",
+                   help="fingerprint INPUT into a persisted print store "
+                        "at PATH and exit (screen later with "
+                        "--ref-store; k/window are pinned in the store)")
+    p.add_argument("-o", "--output", default=None)
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("-k", "--kgram", type=int, default=5)
+    p.add_argument("-w", "--window", type=int, default=4)
+    p.add_argument("--min-shared", type=int, default=2)
+    a = p.parse_args(argv)
+    if a.build_store is None and a.output is None:
+        p.error("-o/--output is required unless --build-store")
+    from .session import get_spark
+
+    spark = get_spark("whylogs-cli-winnow")
+    try:
+        from pyspark.sql import functions as F
+
+        from .operators.dedup import (
+            build_winnow_store,
+            winnow_screen,
+            winnow_screen_stored,
+        )
+
+        if a.build_store:
+            ref = _read_input(spark, a.input)
+            build_winnow_store(
+                ref, a.build_store, a.text_col, a.id_col,
+                k=a.kgram, window=a.window,
+            )
+            print(
+                f"wrote winnow print store (k={a.kgram}, "
+                f"window={a.window}) to {a.build_store}"
+            )
+            return 0
+        cur = _read_input(spark, a.input)
+        if a.ref_store:
+            out = winnow_screen_stored(
+                spark, a.ref_store, cur, a.text_col, a.id_col,
+                min_shared=a.min_shared,
+            )
+        else:
+            from .streaming.winnow_stream import build_print_store
+
+            ref = _read_input(spark, a.ref)
+            out = winnow_screen(
+                cur,
+                build_print_store(
+                    ref, a.text_col, a.id_col, a.kgram, a.window
+                ),
+                a.text_col, a.id_col, a.kgram, a.window, a.min_shared,
+            )
+        out.write.mode("overwrite").parquet(a.output)
+        n = out.count()
+        fl = out.where(F.col("flagged")).count()
+        print(f"screened {n} docs, {fl} flagged -> {a.output}")
+        return 0
+    finally:
+        spark.stop()
+
+
 def _run_project(argv: list[str]) -> int:
     p = argparse.ArgumentParser(prog="python -m whylogs_java_spark project")
     p.add_argument("input")
@@ -689,6 +760,7 @@ def main(argv: list[str] | None = None) -> int:
             "pack": _run_pack,
             "novelty": _run_novelty,
             "project": _run_project,
+            "winnow": _run_winnow,
         }[argv[0]](argv[1:])
     args = build_parser().parse_args(argv)
     from .operators.profile import profile_atoms
