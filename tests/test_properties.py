@@ -802,3 +802,48 @@ def test_shingle_df_cap_drops_stop_shingle(spark):
     # no pair exists solely through the stop shingle (present in all 62
     # docs > df_cap=50): every other doc's content shingles are unique
     assert all(a >= 100 for a, b in pairs)
+
+
+def test_winnow_screen_ref_df_cap_drops_boilerplate(spark):
+    """The screen-side skew ceiling: a boilerplate sentence shared by
+    EVERY accepted doc must stop driving verdicts once ref_df_cap is
+    set — a batch doc made only of boilerplate is no longer flagged,
+    while a genuine copy of one accepted doc is still flagged with the
+    right best_ref."""
+    from whylogs_java_spark.operators.dedup import winnow_screen
+    from whylogs_java_spark.streaming.winnow_stream import build_print_store
+
+    boiler = "all rights reserved license text identical everywhere"
+    ref_rows = [
+        (i, f"{boiler} unique accepted content number {i} alpha beta")
+        for i in range(40)
+    ]
+    ref = spark.createDataFrame(ref_rows, "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [
+            (1, boiler),                 # boilerplate-only
+            (2, ref_rows[7][1]),         # exact copy of accepted doc 7
+            (3, "fresh novel content sharing nothing at all"),
+        ],
+        "doc_id long, text string",
+    )
+    prints = build_print_store(ref, "text", "doc_id", 5, 4).persist()
+    try:
+        uncapped = {
+            r["doc_id"]: r
+            for r in winnow_screen(
+                batch, prints, "text", "doc_id", 5, 4, 2
+            ).collect()
+        }
+        assert uncapped[1]["flagged"]  # boilerplate matches everything
+        capped = {
+            r["doc_id"]: r
+            for r in winnow_screen(
+                batch, prints, "text", "doc_id", 5, 4, 2, ref_df_cap=8
+            ).collect()
+        }
+        assert not capped[1]["flagged"]  # boilerplate prints dropped
+        assert capped[2]["flagged"] and capped[2]["best_ref"] == 7
+        assert not capped[3]["flagged"]
+    finally:
+        prints.unpersist()

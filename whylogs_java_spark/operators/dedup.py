@@ -2014,6 +2014,7 @@ def winnow_screen(
     k: int = 5,
     window: int = 4,
     min_shared: int = 2,
+    ref_df_cap: int | None = None,
 ) -> DataFrame:
     """Screen a batch of documents against a STATIC winnowed print store
     (``winnow_fingerprints`` output of a reference corpus, columns
@@ -2029,6 +2030,17 @@ def winnow_screen(
     the store document sharing the most prints (ties to the lowest
     ref_id; NULL when nothing is shared), flagged when best_shared ≥
     ``min_shared``.
+
+    ``ref_df_cap`` is the store-side skew ceiling (the screen's analog
+    of ``winnow_pairs``' df_cap): a print selected by more than that
+    many STORE documents — a stop phrase or license boilerplate the
+    whole accepted corpus shares — would fan the probe join out by its
+    document frequency for every batch doc that contains it. With the
+    cap, such prints are dropped from the store side before the join
+    (window count on the join key, no extra exchange), bounding the
+    per-print fan-out at ref_df_cap and keeping verdicts driven by
+    CONTENT prints. Default None preserves the uncapped contract
+    (every existing hash).
     """
     from pyspark.sql import Window
 
@@ -2048,13 +2060,16 @@ def winnow_screen(
     sizes = fps.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_prints")
     )
-    shared = (
-        fps.join(
-            ref_prints.select(
-                F.col("ref_id"), F.col("print_hash")
-            ),
-            "print_hash",
+    ref = ref_prints.select(F.col("ref_id"), F.col("print_hash"))
+    if ref_df_cap is not None:
+        wc = Window.partitionBy("print_hash")
+        ref = (
+            ref.withColumn("__m", F.count(F.lit(1)).over(wc))
+            .where(F.col("__m") <= ref_df_cap)
+            .drop("__m")
         )
+    shared = (
+        fps.join(ref, "print_hash")
         .groupBy(id_col, "ref_id")
         .agg(F.count(F.lit(1)).alias("shared"))
     )
@@ -2167,16 +2182,21 @@ def winnow_screen_stored(
     text_col: str,
     id_col: str,
     min_shared: int = 2,
+    ref_df_cap: int | None = None,
 ) -> DataFrame:
     """Screen a batch against a PERSISTED winnow print store
     (``build_winnow_store``): the store side is read, never
     re-fingerprinted; k/window come from the store's meta so the batch
     is hashed with exactly the parameters the store was built with.
     Bit-identical to ``winnow_screen`` over the same reference corpus
-    (pinned by test). Output: (id, n_prints, best_ref, best_shared,
-    flagged)."""
+    (pinned by test). ``ref_df_cap`` bounds hot-boilerplate store
+    prints (see ``winnow_screen``). Output: (id, n_prints, best_ref,
+    best_shared, flagged)."""
     prints, k, window = read_winnow_store(spark, path)
-    return winnow_screen(df, prints, text_col, id_col, k, window, min_shared)
+    return winnow_screen(
+        df, prints, text_col, id_col, k, window, min_shared,
+        ref_df_cap=ref_df_cap,
+    )
 
 
 def dedup_threshold_report(
