@@ -1342,6 +1342,66 @@ def test_metric_anomalies_large_magnitude(spark):
     assert r8["is_anomaly"] == (abs(5100.0 - m) > 3.0 * sd)
 
 
+def test_metric_anomalies_epoch_magnitude(spark):
+    """r12 magnitude audit: an epoch-millis-scale metric (~1.7e12, small
+    daily deviations) — the former E[x²]−E[x]² recombination drowned any
+    deviation under ~350 in double noise at this magnitude; the shifted
+    frame moments must match numpy and still flag a planted 8-sigma
+    spike."""
+    import math
+
+    from whylogs_java_spark.operators.monitor import metric_anomalies
+
+    base = 1.7e12
+    devs = [0.0, 12.0, -9.0, 4.0, -6.0, 10.0, -11.0]
+    vals = [base + d for d in devs] + [base + 80.0, base + 1.0]
+    rows = [(f"2024-01-{d:02d}", "m", v) for d, v in enumerate(vals, start=1)]
+    store = spark.createDataFrame(
+        rows, "day string, column_name string, mean double"
+    ).select(F.col("day").cast("date").alias("day"), "column_name", "mean")
+    out = {
+        str(r["day"]): r
+        for r in metric_anomalies(
+            store, "mean", "day", keys=["column_name"], window=7, z=3.0
+        ).collect()
+    }
+    r8 = out["2024-01-08"]
+    trail = vals[:7]
+    m = sum(d for d in devs) / len(devs) + base
+    sd = math.sqrt(
+        sum((x - sum(trail) / len(trail)) ** 2 for x in trail) / len(trail)
+    )
+    assert r8["trailing_mean"] == pytest.approx(m, abs=1e-4)
+    # pre-r12 this read ~0 or noise; deviation-scale accuracy now
+    assert r8["trailing_std"] == pytest.approx(sd, rel=1e-6, abs=1e-4)
+    assert r8["is_anomaly"] is True  # 80 >> 3 sigma (~27)
+    assert out["2024-01-09"]["is_anomaly"] is False
+
+
+def test_numeric_drift_epoch_magnitude_stats(spark):
+    """r12 magnitude audit twin for numeric_drift: its mean/stddev use
+    Spark-native avg/stddev_pop (Welford/Chan), so epoch-magnitude
+    columns must already match numpy — pinned so a refactor to raw
+    moments can't regress silently."""
+    import numpy as np
+
+    from whylogs_java_spark.operators.drift import numeric_drift
+
+    base = 1.7e18
+    a = [base + d * 1.1e9 for d in range(20)]
+    b = [base + 5e9 + d * 0.9e9 for d in range(25)]
+    dfa = spark.createDataFrame([(float(x),) for x in a], "value double")
+    dfb = spark.createDataFrame([(float(x),) for x in b], "value double")
+    row = numeric_drift(dfa, dfb, "value", [base + 1e10]).collect()[0]
+    assert row["mean_a"] == pytest.approx(float(np.mean(a)), rel=1e-12)
+    assert row["mean_b"] == pytest.approx(float(np.mean(b)), rel=1e-12)
+    # Welford's single-pass update carries ~1e-8 relative noise at this
+    # magnitude (delta = x − running_mean rounds at ulp(x) per update);
+    # 1e-6 is the bracket tolerance the profile gates use
+    assert row["stddev_a"] == pytest.approx(float(np.std(a)), rel=1e-6)
+    assert row["stddev_b"] == pytest.approx(float(np.std(b)), rel=1e-6)
+
+
 def test_topk_drift_statuses(spark):
     from whylogs_java_spark.operators.drift import topk_drift
 

@@ -7,7 +7,7 @@ import math
 
 import numpy as np
 import pytest
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
 
 from whylogs_java_spark import (
@@ -34,6 +34,18 @@ values = st.lists(
 
 @settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
 @given(values)
+# pinned falsifiers (r11 judge + r12 audit) so the battery replays known
+# failure modes instead of re-rolling random draws:
+# 1. the r11 hypothesis find — epoch-millis magnitude, ~2.3e6 apart; the
+#    raw-moment formula over double sum2_big kept only ~4 digits (84x
+#    outside vtol)
+@example(xs=[-999999999979.0, -999997706241.0])
+# 2. epoch-nanos within seconds: x~1.7e18, deviations ~1e9 — raw moments
+#    are pure noise there (ulp(x²) >> variance), clamped to 0 pre-fix
+@example(xs=[1.7e18, 1.7e18 + 1.0e9, 1.7e18 + 2.5e9, 1.7e18 + 0.7e9])
+# 3. tier mix: small values plus one big value must still engage the
+#    stable path for the WHOLE group
+@example(xs=[1.5, 2.25, None, 5.0e12, float("nan")])
 def test_profile_stats_match_numpy(spark, xs):
     df = spark.createDataFrame([(float(x) if x is not None else None,) for x in xs], "x double")
     r = {row["column_name"]: row for row in profile(df).collect()}["x"]
@@ -51,7 +63,12 @@ def test_profile_stats_match_numpy(spark, xs):
         # pairwise sum is off by ~1e-4, so a fixed 1e-6 bound is unachievable
         maxabs = float(np.abs(clean).max())
         fsum = math.fsum(float(x) for x in clean)
-        tol = 5e-7 * len(clean) + 1e-6 + len(clean) * np.spacing(maxabs or 1.0)
+        # summation drift: n roundings, each at most an ulp of the running
+        # sum (bounded by ulp(n*max|x|) — not ulp(max|x|), which understates
+        # the drift once partial sums exceed the max element's magnitude)
+        tol = 5e-7 * len(clean) + 1e-6 + len(clean) * np.spacing(
+            (maxabs or 1.0) * len(clean)
+        )
         assert r["sum"] == pytest.approx(fsum, abs=tol)
         assert r["mean"] == pytest.approx(fsum / len(clean), abs=tol / len(clean) + 1e-6)
     if len(clean) > 1:
@@ -92,6 +109,40 @@ def test_merge_split_invariance(spark, rows):
         for r in merged.collect()
     }
     assert got == whole
+
+
+def test_merge_big_magnitude_variance_stable(spark):
+    """Split/merge at epoch-nanos magnitude: the merged stable m2 (Chan
+    re-based about the group min) must agree with the whole profile's
+    single-pass variance — the regime where the raw-moment merge was pure
+    noise pre-r12. The merge path's precision floor is reconstructing Σx
+    from the double sum_big atom (rel error ~ n·x̄ / ((x̄−min)·2^53) ≈ 1e-7
+    here), so the bound is 1e-5 relative, not ulp-level — vs a pre-fix
+    error of ~1e0 relative (variance clamped to 0)."""
+    base = 1.7e18
+    rows = [(i % 3, base + (i * 1.3e9) % 7.1e10) for i in range(60)]
+    df = spark.createDataFrame(rows, "k int, v double")
+    whole = {
+        (r["k"], r["column_name"]): r
+        for r in profile(df, group_by=["k"]).collect()
+    }
+    a = profile_atoms(df.where("v >= 1.7e18 + 3e10"), group_by=["k"])
+    b = profile_atoms(df.where("v < 1.7e18 + 3e10"), group_by=["k"])
+    merged = finalize_profile(merge_profile_atoms(a.unionByName(b), ["k"]), ["k"])
+    for r in merged.collect():
+        w = whole[(r["k"], r["column_name"])]
+        assert (r["count"], r["n"], r["min"], r["max"]) == (
+            w["count"], w["n"], w["min"], w["max"],
+        )
+        assert r["variance"] == pytest.approx(w["variance"], rel=1e-5)
+        assert r["stddev"] == pytest.approx(w["stddev"], rel=1e-5)
+        # sanity vs ground truth: numpy two-pass on the raw values
+        import numpy as _np
+
+        vals = _np.array([v for k, v in rows if k == r["k"]])
+        assert r["variance"] == pytest.approx(
+            float(_np.var(vals, ddof=1)), rel=1e-5
+        )
 
 
 # ---------------------------------------------------------------------------

@@ -977,6 +977,15 @@ def test_rp_store_bit_identity_and_column_pruning(spark, tmp_path):
         map(tuple, mem.collect())
     )
 
+    # meta validation (same loud-refusal convention as read_winnow_store):
+    # matching out_dim passes, a mismatch refuses before reading the index
+    import pytest as _pytest
+
+    ok = rp_topk_stored(spark, p, ids, k=5, rerank=20, out_dim=16)
+    assert ok.count() > 0
+    with _pytest.raises(ValueError, match="out_dim=16"):
+        rp_topk_stored(spark, p, ids, k=5, rerank=20, out_dim=32)
+
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     rank_scans = [
@@ -1055,11 +1064,16 @@ def test_winnow_store_bit_identity_and_meta_refusal(spark, tmp_path):
     a = sorted(map(tuple, stored.collect()))
     assert a == sorted(map(tuple, direct.collect()))
     assert a == sorted(map(tuple, from_scratch.collect()))
-    # planted exact copies of accepted docs must be flagged
+    # planted exact copies of accepted docs must ALL be flagged — an
+    # exact copy shares every selected print with its source, so the
+    # only legitimate miss is a doc too short to yield min_shared=2
+    # prints (MOSS guarantee holds above the k-gram floor)
+    planted = {(r[0], r[1]) for r in a if r[0] >= 900000}
     flagged = {r[0] for r in a if r[4]}
-    assert all(900000 <= d for d in range(900000, 900010)) and any(
-        d >= 900000 for d in flagged
-    )
+    assert len(planted) == 10
+    missed = {d for d, n_prints in planted if n_prints >= 2} - flagged
+    assert not missed, missed
+    assert any(d >= 900000 for d in flagged)
 
     # (b) on-disk bucketing
     buckets = [
@@ -1067,8 +1081,30 @@ def test_winnow_store_bit_identity_and_meta_refusal(spark, tmp_path):
     ]
     assert len(buckets) > 1
 
-    # (c) parameter refusal
+    # (c) parameter refusal — at the reader AND through the screen path
+    # the CLI's --ref-store branch uses (explicit -k/-w must not be
+    # silently overridden by store meta)
     with _pytest.raises(ValueError, match="k="):
         read_winnow_store(spark, p, k=13)
     with _pytest.raises(ValueError, match="window="):
         read_winnow_store(spark, p, window=9)
+    with _pytest.raises(ValueError, match="k="):
+        winnow_screen_stored(spark, p, batch, "text", "doc_id", 2, k=7)
+    with _pytest.raises(ValueError, match="window="):
+        winnow_screen_stored(spark, p, batch, "text", "doc_id", 2, window=9)
+    # matching explicit parameters pass through
+    assert winnow_screen_stored(
+        spark, p, batch, "text", "doc_id", 2, k=5, window=4
+    ).count() == batch.count()
+
+    # (d) invalid winnowing parameters refuse at EVERY entry point (the
+    # validation lives in _winnow_select_structs, so the CLI's raw -k/-w
+    # can't silently hash empty grams)
+    from whylogs_java_spark.operators.dedup import winnow_pairs
+
+    with _pytest.raises(ValueError, match="k and window"):
+        winnow_pairs(batch, "text", "doc_id", k=0)
+    with _pytest.raises(ValueError, match="k and window"):
+        winnow_screen(batch, prints, "text", "doc_id", 5, 0, 2)
+    with _pytest.raises(ValueError, match="k and window"):
+        build_winnow_store(ref, str(tmp_path / "bad"), "text", "doc_id", k=-1)

@@ -656,10 +656,14 @@ def _run_winnow(argv: list[str]) -> int:
     p.add_argument("-o", "--output", default=None)
     p.add_argument("--text-col", default="text")
     p.add_argument("--id-col", default="doc_id")
-    p.add_argument("-k", "--kgram", type=int, default=5)
-    p.add_argument("-w", "--window", type=int, default=4)
+    # default=None so the --ref-store path can tell "user typed -k 7"
+    # (validated loudly against the store's pinned meta) from "defaulted"
+    p.add_argument("-k", "--kgram", type=int, default=None)
+    p.add_argument("-w", "--window", type=int, default=None)
     p.add_argument("--min-shared", type=int, default=2)
     a = p.parse_args(argv)
+    kgram = a.kgram if a.kgram is not None else 5
+    window = a.window if a.window is not None else 4
     if a.build_store is None and a.output is None:
         p.error("-o/--output is required unless --build-store")
     from .session import get_spark
@@ -678,18 +682,21 @@ def _run_winnow(argv: list[str]) -> int:
             ref = _read_input(spark, a.input)
             build_winnow_store(
                 ref, a.build_store, a.text_col, a.id_col,
-                k=a.kgram, window=a.window,
+                k=kgram, window=window,
             )
             print(
-                f"wrote winnow print store (k={a.kgram}, "
-                f"window={a.window}) to {a.build_store}"
+                f"wrote winnow print store (k={kgram}, "
+                f"window={window}) to {a.build_store}"
             )
             return 0
         cur = _read_input(spark, a.input)
         if a.ref_store:
+            # forward the RAW user values (None when not given): a store
+            # built with k=5 must refuse an explicit -k 7 loudly instead
+            # of silently screening at k=5
             out = winnow_screen_stored(
                 spark, a.ref_store, cur, a.text_col, a.id_col,
-                min_shared=a.min_shared,
+                min_shared=a.min_shared, k=a.kgram, window=a.window,
             )
         else:
             from .streaming.winnow_stream import build_print_store
@@ -698,9 +705,9 @@ def _run_winnow(argv: list[str]) -> int:
             out = winnow_screen(
                 cur,
                 build_print_store(
-                    ref, a.text_col, a.id_col, a.kgram, a.window
+                    ref, a.text_col, a.id_col, kgram, window
                 ),
-                a.text_col, a.id_col, a.kgram, a.window, a.min_shared,
+                a.text_col, a.id_col, kgram, window, a.min_shared,
             )
         out.write.mode("overwrite").parquet(a.output)
         n = out.count()

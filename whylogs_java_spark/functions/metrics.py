@@ -73,6 +73,20 @@ def _cnt(cond: Column) -> Column:
 #   magnitudes exceed exact double range anyway; columns without big
 #   values keep full determinism.
 #
+# Variance tier (r12): the raw-moment formula (Σx² − (Σx)²/n)/(n−1) over
+# the double sum2_big accumulator cancels ~log10(x²/var) digits once the
+# big tier engages — at epoch-millis magnitude only ~4 digits survive,
+# and epoch-nanos variance collapses to pure noise. The reference is
+# precision-correct at any magnitude (Welford update + Chan merge,
+# core/.../VarianceTracker.java:21-69). We therefore also carry an
+# ``_m2`` atom — the central second moment Σ(x−μ)², computed by the
+# engine's NATIVE stable variance aggregate (Spark/DuckDB var_samp, both
+# Welford/Chan-based) — and finalize variance from m2 WHENEVER the big
+# tier engaged (sum2_big ≠ 0). Small-tier groups keep the exact-integer
+# raw-moment path, bit-reproducible across engines; big-tier variance is
+# order-dependent in the last ulp (documented deviation — such columns
+# already have order-dependent double sums).
+#
 # All accumulators are LONG/DOUBLE -> whole-stage codegen (~10x faster
 # than DECIMAL(38,_) aggregation, measured on the sf0.1 flagship).
 
@@ -125,6 +139,10 @@ def _suite_aggs(in_prefix: str, out_prefix: str) -> list[Column]:
         F.sum(f"{in_prefix}_b31").alias(f"{out_prefix}_sum2_b"),
         F.sum(f"{in_prefix}_lo2").alias(f"{out_prefix}_sum2_lo"),
         F.sum(f"{in_prefix}_big2").alias(f"{out_prefix}_sum2_big"),
+        # stable central moment (Welford/Chan inside var_samp); n<=1 -> 0.0
+        F.coalesce(F.var_samp(v) * (F.count(v) - F.lit(1)), F.lit(0.0)).alias(
+            f"{out_prefix}_m2"
+        ),
     ]
 
 
@@ -152,6 +170,9 @@ def numeric_atom_exprs(val: Column, prefix: str) -> list[Column]:
         F.sum(exprs["b31"]).alias(f"{prefix}_sum2_b"),
         F.sum(exprs["lo2"]).alias(f"{prefix}_sum2_lo"),
         F.sum(exprs["big2"]).alias(f"{prefix}_sum2_big"),
+        F.coalesce(F.var_samp(d) * (F.count(d) - F.lit(1)), F.lit(0.0)).alias(
+            f"{prefix}_m2"
+        ),
     ]
 
 
@@ -176,10 +197,17 @@ def numeric_final_exprs(row_prefix: str, out_prefix: str = "") -> dict[str, Colu
     )
     mean = sx / n
     # clamp tiny negative cancellation residue to 0 (also keeps the SQL
-    # oracle's SQRT total); `+ 0.0` normalizes -0.0 -> +0.0 on both engines
-    var = F.when(n > 1, F.greatest((sx2 - sx * sx / n) / (n - 1), F.lit(0.0))).when(
-        n == 1, F.lit(0.0)
+    # oracle's SQRT total); `+ 0.0` normalizes -0.0 -> +0.0 on both engines.
+    # Tier gate (see the variance-tier note above _suite_projection): once
+    # any |x| >= 2^31 value engaged the big tier (sum2_big != 0 — big x²
+    # terms are >= 2^62, a sum of them can't be 0.0), the raw-moment
+    # formula cancels catastrophically, so variance comes from the stable
+    # m2 atom instead; small-tier groups keep the bit-exact formula.
+    big_engaged = F.coalesce(F.col(f"{row_prefix}_sum2_big"), F.lit(0.0)) != 0.0
+    var_raw = F.when(big_engaged, F.col(f"{row_prefix}_m2") / (n - 1)).otherwise(
+        (sx2 - sx * sx / n) / (n - 1)
     )
+    var = F.when(n > 1, F.greatest(var_raw, F.lit(0.0))).when(n == 1, F.lit(0.0))
     o = out_prefix
     return {
         f"{o}n": n,
@@ -228,7 +256,8 @@ def numeric_atom_sql(val_sql: str, prefix: str, dialect: str = "duckdb") -> str:
         f"SUM({av}) AS {prefix}_sum2_a, "
         f"SUM({bv}) AS {prefix}_sum2_b, "
         f"SUM({lo2}) AS {prefix}_sum2_lo, "
-        f"SUM({big2}) AS {prefix}_sum2_big"
+        f"SUM({big2}) AS {prefix}_sum2_big, "
+        f"COALESCE(VAR_SAMP({d}) * (COUNT({val_sql}) - 1), 0.0) AS {prefix}_m2"
     )
 
 
@@ -244,8 +273,13 @@ def numeric_final_sql(row_prefix: str, out_prefix: str = "") -> str:
         f" + CAST({row_prefix}_sum2_lo AS DOUBLE) / 1000000.0"
         f" + {row_prefix}_sum2_big)"
     )
+    var_raw = (
+        f"(CASE WHEN COALESCE({row_prefix}_sum2_big, 0.0) <> 0.0 "
+        f"THEN {row_prefix}_m2 / ({n} - 1) "
+        f"ELSE ({sx2} - {sx} * {sx} / {n}) / ({n} - 1) END)"
+    )
     var = (
-        f"CASE WHEN {n} > 1 THEN GREATEST(({sx2} - {sx} * {sx} / {n}) / ({n} - 1), 0.0) "
+        f"CASE WHEN {n} > 1 THEN GREATEST({var_raw}, 0.0) "
         f"WHEN {n} = 1 THEN 0.0 END"
     )
     o = out_prefix
@@ -282,6 +316,7 @@ ATOM_METRICS = [
     ("num_sum2_b", "long"),
     ("num_sum2_lo", "long"),
     ("num_sum2_big", "double"),
+    ("num_m2", "double"),
     ("len_n", "long"),
     ("len_min", "double"),
     ("len_max", "double"),
@@ -292,6 +327,7 @@ ATOM_METRICS = [
     ("len_sum2_b", "long"),
     ("len_sum2_lo", "long"),
     ("len_sum2_big", "double"),
+    ("len_m2", "double"),
     ("tok_n", "long"),
     ("tok_min", "double"),
     ("tok_max", "double"),
@@ -302,6 +338,7 @@ ATOM_METRICS = [
     ("tok_sum2_b", "long"),
     ("tok_sum2_lo", "long"),
     ("tok_sum2_big", "double"),
+    ("tok_m2", "double"),
 ]
 
 
@@ -464,6 +501,7 @@ def _null_numeric_atoms(prefix: str) -> list[Column]:
         nl.alias(f"{prefix}_sum2_b"),
         nl.alias(f"{prefix}_sum2_lo"),
         nd.alias(f"{prefix}_sum2_big"),
+        nd.alias(f"{prefix}_m2"),
     ]
 
 

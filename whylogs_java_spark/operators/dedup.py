@@ -1850,8 +1850,6 @@ def winnow_fingerprints(
     and DuckDB-replayable; equivalence with the paper's algorithm is
     pinned by a pure-python property test.
     """
-    if k < 1 or window < 1:
-        raise ValueError(f"k and window must be >= 1, got k={k} window={window}")
     t = F.lower(F.col(text_col))
     sel = _winnow_select_structs(t, k, window)
     return _spread(df.select(id_col, text_col)).select(
@@ -1873,7 +1871,14 @@ def _winnow_select_structs(t: Column, k: int, window: int) -> Column:
     max pos among equal h). Documents with fewer than ``window`` grams
     contribute one selection over all their grams; texts shorter than
     ``k`` contribute none (a bare sequence(1, 0) DESCENDS — the
-    _dims_seq hazard — hence the explicit emptiness guards)."""
+    _dims_seq hazard — hence the explicit emptiness guards).
+
+    Validates k/window here so EVERY caller (winnow_fingerprints,
+    winnow_pairs, winnow_screen, build_winnow_store — and through them
+    the CLI's user-supplied -k/-w) refuses invalid parameters instead of
+    silently hashing empty grams (k=0) or selecting NULLs (window=0)."""
+    if k < 1 or window < 1:
+        raise ValueError(f"k and window must be >= 1, got k={k} window={window}")
     empty = F.array().cast("array<struct<h: bigint, np: int>>")
 
     # LET-BINDING, load-bearing (functions.hof): a lambda body
@@ -2183,16 +2188,20 @@ def winnow_screen_stored(
     id_col: str,
     min_shared: int = 2,
     ref_df_cap: int | None = None,
+    k: int | None = None,
+    window: int | None = None,
 ) -> DataFrame:
     """Screen a batch against a PERSISTED winnow print store
     (``build_winnow_store``): the store side is read, never
     re-fingerprinted; k/window come from the store's meta so the batch
     is hashed with exactly the parameters the store was built with.
+    Pass explicit ``k``/``window`` to VALIDATE against the store's meta
+    (raises on mismatch — a k=7 screen over a k=5 store finds nothing).
     Bit-identical to ``winnow_screen`` over the same reference corpus
     (pinned by test). ``ref_df_cap`` bounds hot-boilerplate store
     prints (see ``winnow_screen``). Output: (id, n_prints, best_ref,
     best_shared, flagged)."""
-    prints, k, window = read_winnow_store(spark, path)
+    prints, k, window = read_winnow_store(spark, path, k=k, window=window)
     return winnow_screen(
         df, prints, text_col, id_col, k, window, min_shared,
         ref_df_cap=ref_df_cap,

@@ -9,10 +9,19 @@ read-back). Each row's metric is compared against the trailing
 ``window`` buckets of the SAME key (current bucket excluded): flag when
 |x − trailing_mean| > z · trailing_std.
 
-Engine-determinism: the trailing mean/std come from EXACT integer sums
+Engine-determinism: metrics scale to exact integers
 (``floor(x·1e6 + 0.5)`` BIGINT — profile metrics are already rounded to
-6 decimals, so the scaling is lossless), making the windowed moments
-shuffle- and frame-order-independent, hence DuckDB-oracle-checkable.
+6 decimals, so the scaling is lossless); the trailing mean AND variance
+come from SHIFTED moments over the collected frame (pivot = frame min,
+an exact long; deviations are exact longs; squares and the fixed
+left-fold sums run in double) — deterministic at EVERY metric
+magnitude, because double ops are exact functions of (values, order)
+and both engines replay the identical fold. The r12 magnitude audit replaced the former
+raw-moment recombination ``E[x²]−E[x]²`` here: its double ulp scales
+with x², so an epoch-millis-magnitude metric (~1e12, within the
+documented domain bound) drowned any deviation under ~350 in
+recombination noise — the same catastrophic-cancellation family as the
+profile variance fix (metrics.py variance-tier note).
 The whole computation is window functions over the aggregate-sized
 store (O(buckets × keys) rows) — monitoring a year of 100 TB days
 costs reading 365 profile rows per column.
@@ -22,8 +31,10 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+from ..functions.hof import let_bound
 
 INT_SCALE = 1_000_000
 
@@ -57,32 +68,46 @@ def metric_anomalies(
     )
     x = F.col(metric).cast("double")
     xi = F.floor(x * INT_SCALE + F.lit(0.5)).cast("long")
-    # Exact sum-of-squares without decimal window sums (decimal SUM over
-    # sliding frames is ~1.6x slower end-to-end): split xi = hi*2^30 + lo
-    # (arithmetic shift — exact for negatives in two's complement), so
-    # xi^2 = hi^2*2^60 + hi*lo*2^31 + lo^2 and three LONG window sums
-    # carry the square exactly. Every per-row term and each frame sum
-    # stays under 2^63 for |metric| <= ~1.2e12 at window<=7 (bound
-    # scales as 1/sqrt(window)); beyond that the ANSI overflow throws
-    # loudly — same failure mode (at a 3x lower bound) as the previous
-    # decimal(38,0) path, which overflowed past |metric|~3.8e12.
-    hi = F.shiftright(xi, 30)
-    lo = xi.bitwiseAND(F.lit((1 << 30) - 1))
     n = F.count(xi).over(w)
-    s = F.sum(xi).over(w)
-    s2 = (
-        F.sum(hi * hi).over(w).cast("double") * F.lit(float(1 << 60))
-        + F.sum(hi * lo).over(w).cast("double") * F.lit(float(1 << 31))
-        + F.sum(lo * lo).over(w).cast("double")
-    )
-    # exact-int sums -> deterministic double recombination; var via
-    # E[x^2] - E[x]^2 on the scaled ints, descaled once (the DuckDB
-    # oracle recombines the identical three sums with the identical
-    # IEEE expression, so values hash-match bit-for-bit)
-    mean = s / n / F.lit(float(INT_SCALE))
-    var = (
-        (s2 / n) - (s / n) * (s / n)
-    ) / F.lit(float(INT_SCALE) * float(INT_SCALE))
+    # Shifted trailing moments (r12 — see the module docstring): the
+    # frame is at most ``window`` rows, so collect it and compute BOTH
+    # Σ(xi−min) and Σ(xi−min)² in the array world. Pivot and deviations
+    # are exact longs; squares and the left-fold sums are double with
+    # error relative to the DEVIATIONS, never to the metric magnitude.
+    # No windowed Σxi anywhere, so the former frame-sum overflow bound
+    # (|metric| <= ~1.2e12 at window=7) widens to the xi cast itself
+    # (|metric| <= ~9.2e12, ANSI-loud beyond). Fold order is fixed, so
+    # the DuckDB oracle's identical list_reduce replay hash-matches
+    # bit-for-bit at every magnitude.
+    arr = F.collect_list(xi).over(w)
+
+    def _shifted_stats(a: Column) -> Column:
+        def _with_pivot(m: Column) -> Column:
+            def _folds(dev: Column) -> Column:
+                nn = F.size(dev).cast("double")
+                sd = F.aggregate(dev, F.lit(0.0), lambda acc, e: acc + e)
+                sd2 = F.aggregate(
+                    dev, F.lit(0.0), lambda acc, e: acc + e * e
+                )
+                return F.struct(
+                    ((m.cast("double") + sd / nn) / F.lit(float(INT_SCALE))).alias(
+                        "mean"
+                    ),
+                    (
+                        (sd2 / nn - (sd / nn) * (sd / nn))
+                        / F.lit(float(INT_SCALE) * float(INT_SCALE))
+                    ).alias("var"),
+                )
+
+            return let_bound(
+                F.transform(a, lambda e: (e - m).cast("double")), _folds
+            )
+
+        return let_bound(F.array_min(a), _with_pivot)
+
+    stats = let_bound(arr, _shifted_stats)
+    mean = stats["mean"]
+    var = stats["var"]
     std = F.sqrt(F.greatest(var, F.lit(0.0)))
     enough = n >= F.lit(int(min_obs))
     dev = F.abs(x - mean)

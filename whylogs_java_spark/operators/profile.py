@@ -192,18 +192,59 @@ def merge_profile_atoms(atoms: DataFrame, key_names: Sequence[str]) -> DataFrame
     from (n, Σx, Σx²). Column-name alignment across profiles is the groupBy
     itself (full outer union on column_name, DatasetProfile.java:284-291).
 
+    The ``_m2`` atoms (stable big-magnitude variance tier — see the
+    variance-tier note in functions/metrics.py) merge via Chan's identity
+    re-based about a shared pivot c = MIN(min) over the merge group:
+    combined m2 = Σᵢ(m2ᵢ + Tᵢ²/nᵢ) − (ΣᵢTᵢ)²/N with Tᵢ = Σxᵢ − nᵢ·c.
+    Shifting by c (always inside the data range) keeps the quadratic terms
+    at deviation scale, so no catastrophic cancellation at any magnitude —
+    the same reason the reference's VarianceTracker.java:49-69 combines
+    central (not raw) moments. The pivot window runs over ATOM rows
+    (O(groups × columns), aggregate-sized) and shares the groupBy's
+    partitioning, so no extra data-scale exchange.
+
     Usage: ``merge_profile_atoms(atoms_a.unionByName(atoms_b), keys)``.
     """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key_names, "column_name")
+    pre = atoms
+    for s in ("num", "len", "tok"):
+        n_i = F.col(f"{s}_n")
+        s_i = (
+            F.col(f"{s}_sum_hi").cast("double")
+            + F.col(f"{s}_sum_lo").cast("double") / 1000000.0
+            + F.col(f"{s}_sum_big")
+        )
+        t_i = s_i - n_i.cast("double") * F.min(f"{s}_min").over(w)
+        pre = pre.withColumn(
+            f"__{s}_t", F.when(n_i > 0, t_i).otherwise(F.lit(0.0))
+        ).withColumn(
+            f"__{s}_q",
+            F.when(
+                n_i > 0, F.coalesce(F.col(f"{s}_m2"), F.lit(0.0)) + t_i * t_i / n_i
+            ).otherwise(F.lit(0.0)),
+        )
     aggs: list[Column] = []
     for fname, _ in ATOM_METRICS:
-        if fname.endswith("_min"):
+        if fname.endswith("_m2"):
+            s = fname[: -len("_m2")]
+            n_tot = F.sum(f"{s}_n")
+            t_tot = F.sum(f"__{s}_t")
+            q_tot = F.sum(f"__{s}_q")
+            aggs.append(
+                F.when(n_tot > 1, F.greatest(q_tot - t_tot * t_tot / n_tot, F.lit(0.0)))
+                .when(F.count(f"{s}_m2") > 0, F.lit(0.0))
+                .alias(fname)
+            )
+        elif fname.endswith("_min"):
             aggs.append(F.min(fname).alias(fname))
         elif fname.endswith("_max"):
             aggs.append(F.max(fname).alias(fname))
         else:
             # counts and exact decimal sums both merge by addition
             aggs.append(F.sum(fname).alias(fname))
-    merged = atoms.groupBy(*key_names, "column_name").agg(*aggs)
+    merged = pre.groupBy(*key_names, "column_name").agg(*aggs)
     # F.sum widens decimal scale/precision and long->bigint stays; re-cast to
     # the canonical atom schema so merged output unions cleanly with fresh atoms
     casts = [F.col(f).cast(t).alias(f) for f, t in ATOM_METRICS]

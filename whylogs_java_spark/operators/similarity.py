@@ -2301,6 +2301,7 @@ def rp_topk_stored(
     query_ids: list[int],
     k: int = 10,
     rerank: int = 32,
+    out_dim: int | None = None,
 ) -> DataFrame:
     """Query a persisted RP index (``build_rp_index``): candidate
     ranking by cosine over the STORED projections (no projection folds
@@ -2310,10 +2311,23 @@ def rp_topk_stored(
     only (id, pv, pn) — column pruning keeps the wide ``v`` out of the
     corpus-wide pass.
 
+    Pass ``out_dim`` to VALIDATE against the store's pinned meta (same
+    loud-refusal convention as ``read_winnow_store``): the stored pv is
+    self-describing, but a caller expecting a different projection width
+    (e.g. recall dashboards comparing stores) should fail here, not read
+    a mismatched index.
+
     Output: (query_id, neighbor_id, cosine, rank) — exact cosines.
     """
     from pyspark.sql import Window
 
+    if out_dim is not None:
+        meta = spark.read.parquet(f"{path}/meta").first()
+        if int(meta["out_dim"]) != int(out_dim):
+            raise ValueError(
+                f"rp index at {path} was built with out_dim="
+                f"{meta['out_dim']}, requested out_dim={out_dim}"
+            )
     ids = list(query_ids)
     vecs = spark.read.parquet(f"{path}/vectors")
     pvec = vecs.select("id", "pv", "pn").where(F.col("pn") > 0)

@@ -96,7 +96,8 @@ def _null_atoms(prefix: str) -> str:
         f"CAST(NULL AS BIGINT) AS {prefix}_sum_hi, CAST(NULL AS BIGINT) AS {prefix}_sum_lo, "
         f"CAST(NULL AS DOUBLE) AS {prefix}_sum_big, "
         f"CAST(NULL AS BIGINT) AS {prefix}_sum2_a, CAST(NULL AS BIGINT) AS {prefix}_sum2_b, "
-        f"CAST(NULL AS BIGINT) AS {prefix}_sum2_lo, CAST(NULL AS DOUBLE) AS {prefix}_sum2_big"
+        f"CAST(NULL AS BIGINT) AS {prefix}_sum2_lo, CAST(NULL AS DOUBLE) AS {prefix}_sum2_big, "
+        f"CAST(NULL AS DOUBLE) AS {prefix}_m2"
     )
 
 

@@ -109,6 +109,9 @@ def _num_aggs_sql(in_prefix: str, out_prefix: str) -> list[str]:
         f"SUM({in_prefix}_b31) AS {out_prefix}_sum2_b",
         f"SUM({in_prefix}_lo2) AS {out_prefix}_sum2_lo",
         f"SUM({in_prefix}_big2) AS {out_prefix}_sum2_big",
+        # stable central moment for the big-magnitude variance tier
+        # (metrics.py variance-tier note); n<=1 -> 0.0
+        f"COALESCE(VAR_SAMP({v}) * (COUNT({v}) - 1), 0.0) AS {out_prefix}_m2",
     ]
 
 
@@ -124,6 +127,7 @@ def _null_num_aggs(prefix: str) -> list[str]:
         f"CAST(NULL AS BIGINT) AS {prefix}_sum2_b",
         f"CAST(NULL AS BIGINT) AS {prefix}_sum2_lo",
         f"CAST(NULL AS DOUBLE) AS {prefix}_sum2_big",
+        f"CAST(NULL AS DOUBLE) AS {prefix}_m2",
     ]
 
 

@@ -897,7 +897,11 @@ def merge_model_dicts(a: dict | None, b: dict | None) -> dict | None:
                 mean = (nx * mx + ny * my) / n
                 m2x = (x.get("score_variance") or 0.0) * max(nx - 1, 0)
                 m2y = (y.get("score_variance") or 0.0) * max(ny - 1, 0)
-                m2 = m2x + m2y + nx * mx * mx + ny * my * my - n * mean * mean
+                # Chan's delta form (VarianceTracker.java:49-69): the raw-
+                # moment spelling nx*mx² + ny*my² − n*mean² cancels
+                # catastrophically at big score magnitudes
+                delta = my - mx
+                m2 = m2x + m2y + delta * delta * nx * ny / n
                 cell["score_mean"] = mean
                 cell["score_variance"] = max(m2, 0.0) / (n - 1) if n > 1 else 0.0
             else:
