@@ -1108,3 +1108,99 @@ def test_winnow_store_bit_identity_and_meta_refusal(spark, tmp_path):
         winnow_screen(batch, prints, "text", "doc_id", 5, 0, 2)
     with _pytest.raises(ValueError, match="k and window"):
         build_winnow_store(ref, str(tmp_path / "bad"), "text", "doc_id", k=-1)
+
+
+def test_winnow_store_hot_print_ref_df_cap(spark, tmp_path):
+    """Hot-key stress for the PERSISTED print store (r12 — the stored
+    twin of winnow_screen's boilerplate test): a license sentence shared
+    by EVERY accepted doc puts one print in the whole store; screening
+    through the store must stay bounded under ref_df_cap — the
+    boilerplate-only batch doc stops being flagged while a genuine copy
+    keeps its correct best_ref."""
+    import pytest as _pytest
+    from whylogs_java_spark.operators.dedup import (
+        build_winnow_store,
+        winnow_screen_stored,
+    )
+
+    boiler = "all rights reserved license text identical everywhere"
+    ref_rows = [
+        (i, f"{boiler} unique accepted content number {i} alpha beta")
+        for i in range(40)
+    ]
+    ref = spark.createDataFrame(ref_rows, "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [
+            (1, boiler),            # boilerplate-only
+            (2, ref_rows[7][1]),    # exact copy of accepted doc 7
+            (3, "fresh novel content sharing nothing at all"),
+        ],
+        "doc_id long, text string",
+    )
+    p = str(tmp_path / "hotstore")
+    build_winnow_store(ref, p, "text", "doc_id", k=5, window=4)
+
+    uncapped = {
+        r["doc_id"]: r
+        for r in winnow_screen_stored(
+            spark, p, batch, "text", "doc_id", 2
+        ).collect()
+    }
+    assert uncapped[1]["flagged"]  # the hot print matches everything
+    capped = {
+        r["doc_id"]: r
+        for r in winnow_screen_stored(
+            spark, p, batch, "text", "doc_id", 2, ref_df_cap=8
+        ).collect()
+    }
+    assert not capped[1]["flagged"]
+    assert capped[2]["flagged"] and capped[2]["best_ref"] == 7
+    assert not capped[3]["flagged"]
+    # capped output is one row per batch doc — the hot print never
+    # fans a doc out into per-ref rows
+    assert len(capped) == 3
+
+
+def test_gram_store_probe_hot_gram_no_fanout(spark, tmp_path):
+    """Hot-key stress for the persisted GRAM store: the store's digests
+    are DISTINCT and the probe is a left-semi join, so a boilerplate
+    gram present in EVERY reference doc occupies ONE store row and
+    contributes at most one 'seen' hit per probe doc — candidate work is
+    O(probe grams), never O(probe × store). Pins exact novelty counts
+    and the one-row-per-doc output under the hot key."""
+    from whylogs_java_spark.operators.decontam import (
+        build_gram_store,
+        ngram_novelty,
+        read_gram_store,
+    )
+
+    boiler = "aa bb cc"  # one hot 3-gram shared by every ref doc
+    ref = spark.createDataFrame(
+        [(i, f"{boiler} ref{i}x ref{i}y ref{i}z") for i in range(200)],
+        "doc_id long, text string",
+    )
+    p = str(tmp_path / "gramstore")
+    build_gram_store(ref, p, "text", n=3)
+    grams = read_gram_store(spark, p, n=3)
+    # the hot gram dedupes to ONE store row despite 200 ref docs
+    probe = spark.createDataFrame(
+        [
+            (0, f"{boiler} novel0a novel0b novel0c"),   # 1 seen + 3 novel... (grams overlap)
+            (1, boiler),                                # all grams seen
+            (2, "totally fresh words only here now"),   # all novel
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in ngram_novelty(
+            probe, "text", "doc_id", ref_grams=grams, n=3
+        ).collect()
+    }
+    assert len(out) == 3  # exactly one row per probe doc — no fan-out
+    assert out[1]["n_grams"] == 1 and out[1]["n_seen"] == 1
+    assert out[1]["n_novel"] == 0 and out[1]["novelty"] == 0.0
+    assert out[2]["n_seen"] == 0 and out[2]["novelty"] == 1.0
+    # doc 0: 4 distinct 3-grams, only the boilerplate one is seen
+    assert out[0]["n_grams"] == 4 and out[0]["n_seen"] == 1
+    assert out[0]["n_novel"] == 3

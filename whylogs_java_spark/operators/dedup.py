@@ -1950,10 +1950,17 @@ def winnow_pairs(
     # world — array_distinct over the selections' hashes BEFORE the
     # explode, so no shuffle and no corpus-wide DISTINCT. It is tiny
     # (≤ one row per selected k-gram) but its lineage is the full gram
-    # hashing pass: materialize it ONCE for its two consumers (census,
-    # join side), and the capped table once for its three (sizes, both
-    # pair-join sides) — without this the raw corpus re-hashes per
-    # consumer (measured: 16 scans under the r10 shape)
+    # hashing pass. The df-capped census rides ONE window count over the
+    # print_hash exchange (r12 — replaces the r11 groupBy census + join-
+    # back, which paid a second full pass and a second checkpoint of the
+    # print table), and the result is materialized ONCE for its three
+    # consumers (sizes, both pair-join sides) — without the checkpoint
+    # the raw corpus re-hashes per consumer (measured: 16 scans under
+    # the r10 shape, and a pure exchange-reuse r12 prototype regressed
+    # 3.55×→4.6× per 10× docs because every consumer re-ran the census
+    # join from shuffle files).
+    from pyspark.sql import Window as _W
+
     sel = _winnow_select_structs(F.lower(F.col(text_col)), k, window)
     fps = (
         _spread(df.select(id_col, text_col))
@@ -1963,15 +1970,15 @@ def winnow_pairs(
                 F.array_distinct(F.transform(sel, lambda s: s["h"]))
             ).alias("print_hash"),
         )
+    )
+    rare = (
+        fps.withColumn(
+            "__df", F.count(F.lit(1)).over(_W.partitionBy("print_hash"))
+        )
+        .where(F.col("__df") <= df_cap)
+        .drop("__df")
         .transform(_materialize)
     )
-    rare = fps.join(
-        fps.groupBy("print_hash")
-        .agg(F.count(F.lit(1)).alias("__df"))
-        .where(F.col("__df") <= df_cap)
-        .select("print_hash"),
-        "print_hash",
-    ).transform(_materialize)
     # sizes over the SAME df-capped print space the intersection uses —
     # mixing a rare-print numerator with an all-print denominator would
     # deflate every overlap on a shared-vocabulary corpus
