@@ -143,6 +143,9 @@ BENCH_QUERIES = [
     # signal, so they stay correctness-gate-only (oracle-checked every
     # round)
     "similarity_ivf_stored",
+    # round-12 ground-truth variance brackets
+    "profile_bigmag",
+    "profile_native_bracket",
 ]
 
 

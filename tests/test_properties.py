@@ -23,6 +23,14 @@ values = st.lists(
         st.floats(
             min_value=-1e12, max_value=1e12, allow_nan=False, allow_infinity=False
         ),
+        # big tier (|x| >= 2^31): epoch-millis/micros/nanos and id-scale
+        # magnitudes — drawn as offset+deviation so groups have the
+        # tight relative spread where the raw-moment formula cancelled
+        # catastrophically pre-r12 (the m2 tier must hold here)
+        st.floats(
+            min_value=1.6e18, max_value=1.8e18,
+            allow_nan=False, allow_infinity=False,
+        ),
         st.just(float("nan")),
         st.just(float("inf")),
         st.just(float("-inf")),
