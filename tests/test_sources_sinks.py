@@ -93,6 +93,32 @@ def test_stored_profile_merge_roundtrip(spark, tmp_path):
     assert m == w
 
 
+def test_stored_profile_legacy_schema_backfill(spark, tmp_path):
+    """Stores written before the r12 _m2 atoms must read back, merge
+    with FRESH atoms, and finalize to the identical small-tier summary
+    (the backfill reconstructs m2 from the row's raw moments)."""
+    from whylogs_java_spark import finalize_profile, merge_profile_atoms
+    from whylogs_java_spark.sources.sinks import read_profile_atoms
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    keys = ["l_returnflag"]
+    a = profile_atoms(li.filter("l_orderkey % 2 = 0"), group_by=keys)
+    b = profile_atoms(li.filter("l_orderkey % 2 = 1"), group_by=keys)
+    # write half `a` in the LEGACY (pre-m2) schema
+    pa = str(tmp_path / "legacy")
+    a.drop("num_m2", "len_m2", "tok_m2").write.parquet(pa)
+    legacy = read_profile_atoms(spark, pa)
+    assert {"num_m2", "len_m2", "tok_m2"} <= set(legacy.columns)
+    merged = finalize_profile(
+        merge_profile_atoms(legacy.unionByName(b), keys), keys
+    )
+    whole = finalize_profile(profile_atoms(li, group_by=keys), keys)
+    key = lambda r: (r["l_returnflag"], r["column_name"])
+    m = {key(r): (r["count"], r["sum"], r["variance"]) for r in merged.collect()}
+    w = {key(r): (r["count"], r["sum"], r["variance"]) for r in whole.collect()}
+    assert m == w  # small tier: bit-identical through the legacy path
+
+
 def test_json_summary_sink(spark, tmp_path):
     li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
     atoms = profile_atoms(li, group_by=["l_returnflag"])

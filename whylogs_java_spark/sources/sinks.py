@@ -25,7 +25,39 @@ def write_profile_atoms(atoms: DataFrame, path: str, mode: str = "overwrite") ->
 
 
 def read_profile_atoms(spark: SparkSession, path: str) -> DataFrame:
-    return spark.read.parquet(path)
+    """Read a stored atom profile, backfilling schema evolution.
+
+    Stores written before the r12 ``_m2`` atoms (the stable variance
+    tier, metrics.py) lack the three m2 columns; backfill each from the
+    row's own raw moments — exactly the estimate the legacy finalize
+    computed, so a legacy store keeps its legacy variance quality
+    (exact below 2³¹/value, the known cancellation above) while gaining
+    mergeability with fresh atoms."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(path)
+    for s in ("num", "len", "tok"):
+        if f"{s}_m2" in df.columns:
+            continue
+        n = F.col(f"{s}_n")
+        sx = (
+            F.col(f"{s}_sum_hi").cast("double")
+            + F.col(f"{s}_sum_lo").cast("double") / 1000000.0
+            + F.col(f"{s}_sum_big")
+        )
+        sx2 = (
+            F.col(f"{s}_sum2_a").cast("double") * 2147483648.0
+            + F.col(f"{s}_sum2_b").cast("double")
+            + F.col(f"{s}_sum2_lo").cast("double") / 1000000.0
+            + F.col(f"{s}_sum2_big")
+        )
+        df = df.withColumn(
+            f"{s}_m2",
+            F.when(n > 1, F.greatest(sx2 - sx * sx / n, F.lit(0.0))).when(
+                n >= 1, F.lit(0.0)
+            ),
+        )
+    return df
 
 
 def merge_stored_profiles(
