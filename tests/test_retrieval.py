@@ -229,3 +229,38 @@ def test_embedding_drift_identical_and_shifted(spark):
         / (np.linalg.norm([1, 2, 3]) * np.linalg.norm([1, 2, 4]))
     )
     assert row["cosine_means"] == pytest.approx(want_cos, abs=1e-6)
+
+
+def test_embedding_drift_large_components_exact(spark):
+    """r12 magnitude audit pin: embedding_drift's integer dot products
+    take DIFFERENCES in int64 before any double cast, so near-identical
+    mean vectors with LARGE components (the regime where a double
+    raw-moment spelling would cancel) report exact shifts."""
+    import numpy as np
+
+    from whylogs_java_spark.operators.drift import embedding_drift
+
+    # int64 domain bound: the mean-vector dots sum squared 1e6-scaled
+    # means over dims and the l2 doubles one, so 2·Σ_d(x·1e6)² must fit
+    # a long -> |x| ≤ ~2100/√d (ANSI-loud beyond — probed: 9e5 and 2e3
+    # components overflow exactly as documented)
+    big = 1_000.0
+    a = spark.createDataFrame(
+        [(i, [big, -big, big / 2]) for i in range(8)],
+        "id long, v array<double>",
+    )
+    b = spark.createDataFrame(
+        [(i, [big + 0.25, -big, big / 2 - 0.125]) for i in range(8)],
+        "id long, v array<double>",
+    )
+    row = embedding_drift(a, b, "v").collect()[0]
+    # shifts are tiny relative to the components: a cancelling
+    # implementation would report 0 or noise here
+    assert row["max_dim_shift"] == pytest.approx(0.25, abs=1e-6)
+    assert row["mean_abs_shift"] == pytest.approx((0.25 + 0.125) / 3, abs=1e-6)
+    va = np.array([big, -big, big / 2])
+    vb = np.array([big + 0.25, -big, big / 2 - 0.125])
+    # output is ROUND(·, 6): compare at the rounding's own resolution
+    assert row["l2_means"] == pytest.approx(
+        float(np.linalg.norm(va - vb)), abs=1e-6
+    )
