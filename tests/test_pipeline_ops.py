@@ -2998,3 +2998,135 @@ def test_compression_invariants_extremes(spark):
     assert rows[5]["raw_bytes"] > len("héllo wörld ünïcode " * 500)  # multi-byte
     n = rows[6]
     assert n["z_upper_ok"] is None and n["rep3_ok"] is None and n["rep3_gain_ok"] is None
+
+
+# ---------------------------------------------------------------------------
+# r12 quota / budget / vocab-coverage operators
+# ---------------------------------------------------------------------------
+
+def test_source_cap_rank_and_null_prefer(spark):
+    """Cap binds per source; NULL prefer sorts LAST (never beats a scored
+    row); ties break on the id; source_rank is the 1-based kept rank."""
+    from whylogs_java_spark.operators.sampling import source_cap
+
+    rows = [
+        (1, "a", 0.8), (2, "a", 0.8), (3, "a", None), (4, "a", 0.9),
+        (5, "b", None), (6, "b", None),
+        (7, "c", 0.1),
+    ]
+    df = spark.createDataFrame(rows, "id long, src string, q double")
+    got = {
+        (r["id"], r["source_rank"])
+        for r in source_cap(df, "id", "src", 2, "q").collect()
+    }
+    # a: 4 (0.9), then 1 (0.8, id<2); 3 (NULL) loses to every scored row
+    # b: NULLs tie -> id order
+    assert got == {(4, 1), (1, 2), (5, 1), (6, 2), (7, 1)}
+    with pytest.raises(ValueError):
+        source_cap(df, "id", "src", 0, "q")
+
+
+def test_source_cap_plan_pushes_group_limit(spark):
+    """The rank<=cap predicate must become a WindowGroupLimit with a
+    Partial mode below the exchange — the property that bounds a hot
+    source's shuffle input at cap x upstream-partitions rows."""
+    from whylogs_java_spark.operators.sampling import source_cap
+
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 3).cast("string").alias("src"),
+        (F.col("id") % 7).cast("double").alias("q"),
+    )
+    plan = (
+        source_cap(df, "id", "src", 5, "q")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "WindowGroupLimit" in plan, plan
+    assert "Partial" in plan, plan
+
+
+def test_token_budget_select_matches_global_greedy(spark):
+    """The ladder + boundary-bucket plan must equal the single global
+    cumulative-sum semantics, including: row kept iff cum INCLUDING it
+    fits, NULL prefer last, NULL/negative token rows rejected."""
+    from whylogs_java_spark.operators.sampling import token_budget_select
+
+    rows = [
+        (1, 0.9, 10), (2, 0.9, 10), (3, 0.5, 25), (4, 0.5, 5),
+        (5, None, 1), (6, 0.1, None), (7, 0.1, -3), (8, 1.0, 7),
+    ]
+    df = spark.createDataFrame(rows, "id long, q double, toks long")
+    got = {r["id"]: r["cum_tokens"] for r in
+           token_budget_select(df, "id", "toks", "q", 50).collect()}
+    # order: 8(7) 1(17) 2(27) 3(52 X stop-at) 4(32? no — greedy PREFIX:)
+    # global order is 8,1,2,3,4,5; cum 7,17,27,52,57,58 -> kept iff <=50
+    assert got == {8: 7, 1: 17, 2: 27}
+    # budget exactly at a row's cum keeps it
+    got2 = {r["id"]: r["cum_tokens"] for r in
+            token_budget_select(df, "id", "toks", "q", 52).collect()}
+    assert got2 == {8: 7, 1: 17, 2: 27, 3: 52}
+    # zero budget selects nothing; negative refused
+    assert token_budget_select(df, "id", "toks", "q", 0).count() == 0
+    with pytest.raises(ValueError):
+        token_budget_select(df, "id", "toks", "q", -1)
+
+
+def test_token_budget_plan_has_no_global_sort(spark):
+    """The corpus-side plan must not contain a global (non-partitioned)
+    Sort or Window over the full input: the only unpartitioned window
+    rides the per-value ladder, whose input is the tiny census agg."""
+    from whylogs_java_spark.operators.sampling import token_budget_select
+
+    df = spark.range(10_000).select(
+        F.col("id"),
+        (F.col("id") % 5).cast("double").alias("q"),
+        (F.col("id") % 11 + 1).alias("toks"),
+    )
+    out = token_budget_select(df, "id", "toks", "q", 9_999)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # no GLOBAL sort anywhere (a global SortExec prints "], true, 0" —
+    # window sorts are per-partition, "], false, 0"): the corpus is
+    # never totally ordered, and the ladder window's single partition
+    # holds only the census aggregate (distinct q = 5 rows here)
+    assert "], true, 0" not in plan, plan
+    assert "HashAggregate" in plan  # the per-value census agg survives
+    # cross-check totals vs a brute single-window twin
+    from pyspark.sql import Window
+    w = Window.orderBy(F.col("q").desc(), F.col("id").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    brute = (
+        df.withColumn("cum_tokens", F.sum("toks").over(w))
+        .where(F.col("cum_tokens") <= 9_999)
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, brute.collect()))
+
+
+def test_vocab_top_deterministic_boundary(spark):
+    """Vocabulary ranking ties break token-ASC so the k-boundary is
+    engine-reproducible."""
+    from whylogs_java_spark.operators.text import vocab_top
+
+    df = spark.createDataFrame(
+        [(1, "b b a a c"), (2, "c d")], "doc_id long, text string"
+    )
+    got = [(r["token"], r["n"]) for r in vocab_top(df, "text", 3).collect()]
+    # counts: a2 b2 c2 d1 -> top3 by (n desc, token asc) = a, b, c
+    assert got == [("a", 2), ("b", 2), ("c", 2)]
+
+
+def test_oov_stats_against_fixed_vocab(spark):
+    from whylogs_java_spark.operators.text import oov_stats
+
+    df = spark.createDataFrame(
+        [(1, "The quick fox"), (2, ""), (3, None), (4, "the the zz")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in
+            oov_stats(df, "text", "doc_id", ["THE", "fox"]).collect()}
+    # vocab is lowercased both sides; tokens lowercased before the test
+    assert (rows[1]["n_tokens"], rows[1]["n_oov"]) == (3, 1)
+    assert rows[1]["oov_rate"] == pytest.approx(round(1 / 3, 6))
+    assert (rows[2]["n_tokens"], rows[2]["n_oov"], rows[2]["oov_rate"]) == (0, 0, None)
+    # NULL text is an empty doc (the blocklist/pack_assign convention)
+    assert (rows[3]["n_tokens"], rows[3]["n_oov"], rows[3]["oov_rate"]) == (0, 0, None)
+    assert (rows[4]["n_tokens"], rows[4]["n_oov"]) == (3, 1)

@@ -358,3 +358,130 @@ def dsir_weights(
         logratio.alias("dsir_logratio"),
         (F.round(F.exp(logratio), 6) + F.lit(0.0)).alias("dsir_weight"),
     )
+
+
+def source_cap(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    cap: int,
+    prefer_col: str | None = None,
+) -> DataFrame:
+    """Per-source quota cap: keep at most ``cap`` rows per source,
+    preferring high ``prefer_col`` (quality score, length, ...) with a
+    deterministic id tie-break — the web-pipeline rule that stops a
+    single crawl domain from dominating the training mix.
+
+    NULL ``prefer_col`` sorts LAST (coalesced to -inf — the
+    ``dedup.keep_best`` convention: an unscored row never beats a scored
+    one), and the id tie-break makes the kept set engine-reproducible.
+
+    Output: the capped rows plus ``source_rank`` (1-based rank within
+    the source), so downstream stages can tighten the cap without
+    re-ranking.
+
+    Scale: ONE shuffle on the source key; the rank-<=cap predicate is a
+    WindowGroupLimit — Spark pushes a per-partition top-``cap`` heap
+    BELOW the exchange (partial limit map-side), so a hot source ships
+    at most ``cap`` rows per input partition, never its full fan-in.
+    That bounds the skewed-task input at cap x upstream-partitions
+    rows — the window never materializes a whole hot source in one task.
+    """
+    from pyspark.sql import Window
+
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1, got {cap}")
+    prefer = (
+        F.coalesce(F.col(prefer_col).cast("double"), F.lit(float("-inf")))
+        if prefer_col
+        else F.lit(0.0)
+    )
+    w = Window.partitionBy(source_col).orderBy(
+        prefer.desc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("source_rank", F.row_number().over(w))
+        .where(F.col("source_rank") <= cap)
+    )
+
+
+def token_budget_select(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    prefer_col: str,
+    budget: int,
+) -> DataFrame:
+    """Greedy token-budget selection: order the corpus by
+    (``prefer_col`` DESC, id ASC) and keep the prefix whose running
+    token total stays within ``budget`` (a row is kept iff the total
+    INCLUDING it is <= budget) — the standard "best N tokens" cut when a
+    training run has a token budget rather than a document budget.
+
+    Semantically a single global cumulative sum — but a global-order
+    window is a one-task cliff at corpus scale, so the plan is split by
+    the prefer value itself (which prefixes of the global order respect,
+    because the order's leading key IS the prefer value):
+
+    1. per-prefer-value token totals — one map-side-combined hash agg,
+       O(distinct prefer values) rows;
+    2. running totals over that TINY table (window over d rows, d =
+       distinct scores — bounded for bucketed quality scores; callers
+       with continuous scores should round into a ladder first);
+    3. values whose running total fits take EVERY row (pure broadcast
+       semi-filter, no sort, no window over the corpus);
+    4. only the single BOUNDARY value pays an exact within-value
+       cumulative window (one partition = one value's rows, ordered by
+       id) against the remaining budget.
+
+    NULL ``prefer_col`` sorts last (-inf, same convention as
+    :func:`source_cap`); NULL/negative token counts are rejected rows
+    (they would corrupt the running sum silently). Output: the selected
+    rows + ``cum_tokens`` (the global running total including the row).
+
+    Scale: the corpus is never globally sorted; the only corpus-scale
+    exchange is the boundary value's window partition, whose size is
+    one score-bucket of the corpus. The whole-bucket accepts ride a
+    broadcast join of the d-row running-total table.
+    """
+    from pyspark.sql import Window
+
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    prefer = F.coalesce(
+        F.col(prefer_col).cast("double"), F.lit(float("-inf"))
+    )
+    toks = F.col(tokens_col).cast("long")
+    base = df.withColumn("__p", prefer).where(
+        toks.isNotNull() & (toks >= 0)
+    )
+
+    # (1) per-value census; (2) running totals over the tiny table.
+    per_val = base.groupBy("__p").agg(F.sum(toks).alias("__vt"))
+    wv = Window.orderBy(F.col("__p").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ladder = per_val.select(
+        "__p",
+        "__vt",
+        F.sum("__vt").over(wv).alias("__cum_end"),
+    ).select(
+        "__p",
+        (F.col("__cum_end") - F.col("__vt")).alias("__cum_start"),
+    )
+    joined = base.join(F.broadcast(ladder), "__p")
+
+    # (3) whole-bucket accepts: value fits entirely -> cum = bucket
+    # offset + within-bucket running sum ... which still needs a per-row
+    # number. The within-bucket cumulative is ONE window partitioned by
+    # the value (bounded by the bucket, never global order).
+    wb = Window.partitionBy("__p").orderBy(F.col(id_col).asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = (F.col("__cum_start") + F.sum(toks).over(wb)).alias("cum_tokens")
+    out = (
+        joined.where(F.col("__cum_start") < budget)
+        .select(*df.columns, cum)
+        .where(F.col("cum_tokens") <= budget)
+    )
+    return out

@@ -7,7 +7,7 @@ plans scale linearly with corpus size and stay inside whole-stage codegen.
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Sequence
 
 import pandas as pd
 from pyspark.sql import Column, DataFrame
@@ -1057,3 +1057,73 @@ def pack_assign(
         .cast("long")
         .alias("n_contexts"),
     )
+
+
+def vocab_top(df: DataFrame, text_col: str, k: int = 64) -> DataFrame:
+    """Corpus-wide top-``k`` vocabulary over lowercase whitespace tokens
+    (the reference's tokenizer, StringTracker.java:25), ranked by
+    (count DESC, token ASC) so the boundary is deterministic.
+
+    Output: (token, n). Scale: one token explode into a map-side-combined
+    hash agg (state = O(distinct tokens)), then a TakeOrderedAndProject
+    top-k — no global sort; each partition ships only its k best.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    toks = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda t: t != "")
+    return (
+        df.select(F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(k)
+    )
+
+
+def oov_stats(
+    df: DataFrame, text_col: str, id_col: str, vocab: Sequence[str]
+) -> DataFrame:
+    """Per-document out-of-vocabulary rate against a FIXED vocabulary
+    (a list, e.g. ``vocab_top(...)`` collected): the tokenizer-coverage
+    check a pipeline runs before committing to a vocab size.
+
+    Output: (id, n_tokens, n_oov, oov_rate) — oov_rate NULL for empty
+    docs. Pure scan-side projection (the vocab is a literal IN-list over
+    array elements): zero shuffles, zero joins — at 100 TB this is a
+    single pass that composes with whatever scan is already running.
+    """
+    voc = [v.lower() for v in vocab]
+    # NULL text counts as an empty doc (0 tokens, NULL rate) — the
+    # blocklist/pack_assign NULL-text convention, and what the DuckDB
+    # twin's missing-row COALESCE produces
+    toks = F.filter(
+        F.split(F.coalesce(F.lower(F.col(text_col)), F.lit("")), " "),
+        lambda t: t != "",
+    )
+    n_tok = F.size(toks)
+    n_oov = (
+        F.size(F.filter(toks, lambda t: ~t.isin(*voc)))
+        if voc
+        else n_tok
+    )
+    return df.select(
+        F.col(id_col),
+        n_tok.cast("long").alias("n_tokens"),
+        n_oov.cast("long").alias("n_oov"),
+        F.when(
+            n_tok > 0,
+            F.round(n_oov.cast("double") / n_tok, 6) + F.lit(0.0),
+        ).alias("oov_rate"),
+    )
+
+
+def vocab_oov(
+    df: DataFrame, text_col: str, id_col: str, k: int = 64
+) -> DataFrame:
+    """Top-``k`` vocab induction + per-document OOV coverage in one call
+    (``vocab_top`` -> ``oov_stats``). The vocab collect is k rows —
+    aggregate-sized by construction, never corpus-scale — and the OOV
+    pass is a second scan with the vocab folded in as literals (no join,
+    no broadcast table to build)."""
+    voc = [r["token"] for r in vocab_top(df, text_col, k).collect()]
+    return oov_stats(df, text_col, id_col, voc)
