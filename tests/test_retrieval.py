@@ -5,6 +5,7 @@ from __future__ import annotations
 import math
 
 import pytest
+from pyspark.sql import functions as F
 
 from whylogs_java_spark.operators.retrieval import bm25_topk, term_stats
 
@@ -264,3 +265,106 @@ def test_embedding_drift_large_components_exact(spark):
     assert row["l2_means"] == pytest.approx(
         float(np.linalg.norm(va - vb)), abs=1e-6
     )
+
+
+# ---------------------------------------------------------------------------
+# r12 positional inverted index + phrase search
+# ---------------------------------------------------------------------------
+
+def _phrase_corpus(spark):
+    rows = [
+        (1, "a a a b a a"),          # overlapping chains
+        (2, "Hash JOIN  beats sort"),  # case + double space
+        (3, None),                    # NULL text
+        (4, "hash"),                  # partial phrase only
+        (5, "x hash join y hash join"),
+        (6, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_phrase_counts_overlap_and_case(spark):
+    from whylogs_java_spark.operators.retrieval import phrase_search
+
+    df = _phrase_corpus(spark)
+    got = {r["doc_id"]: r["n_matches"]
+           for r in phrase_search(df, "text", "doc_id", "a a").collect()}
+    assert got == {1: 3}  # starts at positions 1, 2, 5
+    got2 = {r["doc_id"]: r["n_matches"]
+            for r in phrase_search(df, "text", "doc_id", "HASH join").collect()}
+    assert got2 == {2: 1, 5: 2}
+
+
+def test_phrase_stored_matches_scan_path(spark, tmp_path):
+    from whylogs_java_spark.operators.retrieval import (
+        build_text_index, phrase_search, phrase_search_stored,
+    )
+
+    df = _phrase_corpus(spark)
+    p = str(tmp_path / "tix")
+    build_text_index(df, p, "text", "doc_id", n_buckets=8)
+    for phrase in ("a a", "hash join", "hash", "a a a", "zz"):
+        scan = sorted(map(tuple, phrase_search(df, "text", "doc_id", phrase).collect()))
+        stored = sorted(map(tuple, phrase_search_stored(spark, p, phrase).collect()))
+        assert scan == stored, (phrase, scan, stored)
+
+
+def test_text_index_meta_refusal(spark, tmp_path):
+    from whylogs_java_spark.operators.retrieval import (
+        build_text_index, read_text_index,
+    )
+
+    df = _phrase_corpus(spark)
+    p = str(tmp_path / "tix")
+    build_text_index(df, p, "text", "doc_id", n_buckets=8)
+    postings, nb = read_text_index(spark, p, n_buckets=8)
+    assert nb == 8 and postings.count() > 0
+    with pytest.raises(ValueError, match="n_buckets"):
+        read_text_index(spark, p, n_buckets=16)
+    with pytest.raises(ValueError):
+        build_text_index(df, p, "text", "doc_id", n_buckets=0)
+    with pytest.raises(ValueError):
+        from whylogs_java_spark.operators.retrieval import phrase_search_stored
+        phrase_search_stored(spark, p, "   ")
+
+
+def test_phrase_stored_prunes_bucket_partitions(spark, tmp_path):
+    """The probe must read only the phrase terms' bucket partitions:
+    the postings scan's plan carries a PartitionFilters entry on
+    `bucket`, so a 64-bucket store serves a 2-term phrase from <=2
+    partition directories."""
+    from whylogs_java_spark.operators.retrieval import (
+        build_text_index, phrase_search_stored,
+    )
+
+    df = _phrase_corpus(spark)
+    p = str(tmp_path / "tix")
+    build_text_index(df, p, "text", "doc_id", n_buckets=8)
+    out = phrase_search_stored(spark, p, "hash join")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan, plan
+    # and the filters are non-empty (literal IN over the term buckets)
+    import re
+    pf = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert any(s.strip() for s in pf), plan
+
+
+def test_phrase_stored_positions_capped_per_doc(spark, tmp_path):
+    """A stop-word term's postings spread one row per doc (positions
+    stay WITH the row) — the store has no corpus-wide hot row, and the
+    probe's join starts from the rarest term's list."""
+    from whylogs_java_spark.operators.retrieval import (
+        build_text_index, phrase_search_stored, read_text_index,
+    )
+
+    rows = [(i, "the " * 50 + ("needle point" if i == 7 else "filler"))
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    p = str(tmp_path / "tix")
+    build_text_index(df, p, "text", "doc_id", n_buckets=4)
+    postings, _ = read_text_index(spark, p)
+    the_rows = postings.where(F.col("term") == "the")
+    assert the_rows.count() == 40  # one row per doc, never exploded
+    assert the_rows.agg(F.max(F.size("positions"))).collect()[0][0] == 50
+    got = phrase_search_stored(spark, p, "needle point").collect()
+    assert [(r["doc_id"], r["n_matches"]) for r in got] == [(7, 1)]

@@ -125,3 +125,206 @@ def bm25_topk(
         .where(F.col("rank") <= F.lit(int(k)))
         .select(query_id_col, "rank", id_col, "score")
     )
+
+
+def phrase_counts(text: Column, words: list[str]) -> Column:
+    """Overlap-aware count of exact token-adjacent occurrences of
+    ``words`` in lowercase whitespace tokens of ``text`` — a pure
+    array-world expression (zero shuffle, composes with any scan).
+
+    Chain starts may overlap ("a a a" contains "a a" twice); substring
+    counting can't see that, so the count walks candidate start
+    positions explicitly. The token array is let-bound (hof.let_bound)
+    so the split runs once per row, not once per candidate position.
+    """
+    from ..functions.hof import let_bound
+
+    if not words:
+        raise ValueError("phrase must have at least one word")
+    w = [x.lower() for x in words]
+    n = len(w)
+
+    def count_in(toks: Column) -> Column:
+        # sequence(1, 0) DESCENDS (the _dims_seq hazard — dedup.py) and
+        # ANSI element_at throws out-of-bounds, so short docs must get
+        # an explicitly EMPTY start list
+        starts = F.when(
+            F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - n + 1)
+        ).otherwise(F.array().cast("array<int>"))
+        hit = lambda i: F.aggregate(  # noqa: E731
+            F.sequence(F.lit(0), F.lit(n - 1)),
+            F.lit(True),
+            lambda acc, j: acc
+            & (
+                F.element_at(toks, (i + j).cast("int"))
+                == F.element_at(F.array(*[F.lit(x) for x in w]), (j + 1).cast("int"))
+            ),
+        )
+        return F.size(F.filter(starts, hit)).cast("long")
+
+    toks = F.filter(
+        F.split(F.coalesce(F.lower(text), F.lit("")), " "), lambda t: t != ""
+    )
+    return let_bound(toks, count_in)
+
+
+def phrase_search(
+    docs: DataFrame, text_col: str, id_col: str, phrase: str
+) -> DataFrame:
+    """Scan-side phrase search: docs containing the exact token-adjacent
+    phrase, with the overlap-aware match count. Output:
+    (id, n_matches), n_matches >= 1. One scan, zero shuffles."""
+    words = [x for x in phrase.lower().split(" ") if x]
+    c = phrase_counts(F.col(text_col), words).alias("n_matches")
+    return docs.select(F.col(id_col), c).where(F.col("n_matches") >= 1)
+
+
+def build_text_index(
+    docs: DataFrame,
+    path: str,
+    text_col: str,
+    id_col: str,
+    n_buckets: int = 64,
+) -> None:
+    """Persisted positional inverted index over lowercase whitespace
+    tokens: one parquet row per (term, doc) with the sorted 1-based
+    position list, partitioned by ``bucket = pmod(xxhash64(term),
+    n_buckets)`` so a query touches only its terms' partitions (static
+    partition pruning from literal buckets — no index-wide scan).
+
+    Layout: ``{path}/postings`` (bucket=…/) + ``{path}/meta`` pinning
+    (n_buckets, tokenizer) — probes refuse a mismatched expectation
+    loudly (the read_winnow_store convention).
+
+    Scale: the build is one token posexplode into a map-side-combined
+    (term, id) agg — shuffle rows are the per-doc vocabulary, not the
+    token stream; positions stay with their (term, doc) row so the
+    state is O(total tokens) spread across term-hash partitions with no
+    hot key (a stop-word's postings spread over all docs, and the
+    probe's per-term read is a pruned columnar scan, never a driver
+    collect)."""
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    toks = F.filter(
+        F.split(F.coalesce(F.lower(F.col(text_col)), F.lit("")), " "),
+        lambda t: t != "",
+    )
+    posted = docs.select(
+        F.col(id_col).alias("id"), F.posexplode(toks).alias("pos0", "term")
+    ).select("id", "term", (F.col("pos0") + 1).alias("pos"))
+    postings = (
+        posted.groupBy("term", "id")
+        .agg(
+            F.sort_array(F.collect_list("pos")).alias("positions"),
+            F.count(F.lit(1)).alias("tf"),
+        )
+        .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)))
+    )
+    postings.write.mode("overwrite").partitionBy("bucket").parquet(
+        f"{path}/postings"
+    )
+    spark = docs.sparkSession
+    spark.createDataFrame(
+        [(int(n_buckets), "ws-lower-v1")], "n_buckets int, tokenizer string"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def read_text_index(spark, path: str, n_buckets: int | None = None):
+    """Open a persisted text index; returns (postings DataFrame,
+    n_buckets). Passing ``n_buckets`` validates against the store's
+    pinned meta and refuses a mismatch loudly."""
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    if meta["tokenizer"] != "ws-lower-v1":
+        raise ValueError(
+            f"text index at {path} uses tokenizer {meta['tokenizer']!r}, "
+            "this build speaks ws-lower-v1"
+        )
+    if n_buckets is not None and int(meta["n_buckets"]) != int(n_buckets):
+        raise ValueError(
+            f"text index at {path} was built with n_buckets="
+            f"{meta['n_buckets']}, refusing expectation n_buckets={n_buckets}"
+        )
+    return spark.read.parquet(f"{path}/postings"), int(meta["n_buckets"])
+
+
+def phrase_search_stored(
+    spark, path: str, phrase: str, id_out: str = "doc_id"
+) -> DataFrame:
+    """Phrase search against a persisted text index, no corpus scan:
+    the probe reads ONLY the phrase terms' bucket partitions (literal
+    partition filter), joins the k term postings on the doc id, and
+    counts adjacency chains over the position arrays. Bit-identical to
+    the scan-side :func:`phrase_search` (pinned by pytest).
+
+    Output: (id_out, n_matches), n_matches >= 1.
+
+    Scale: per-term postings reads are pruned columnar scans; the k-way
+    join is doc-keyed (co-partitioned after the first shuffle); chain
+    counting is array work over per-doc position lists. A stop-word
+    phrase term fans the join to its document list — the same bound as
+    any inverted index; the rarest term's list drives the join size, so
+    the k-way join starts from the SMALLEST postings list (joins are
+    ordered by ascending tf sum)."""
+    words = [x for x in phrase.lower().split(" ") if x]
+    if not words:
+        raise ValueError("phrase must have at least one word")
+    postings, nb = read_text_index(spark, path)
+    uniq = sorted(set(words))
+    buckets = sorted(
+        {r["bucket"] for r in
+         spark.createDataFrame([(w,) for w in uniq], "term string")
+         .select(F.pmod(F.xxhash64("term"), F.lit(nb)).alias("bucket"))
+         .collect()}
+    )
+    pruned = postings.where(
+        F.col("bucket").isin(*buckets) & F.col("term").isin(*uniq)
+    )
+    # smallest-postings-first join order: census the phrase terms once
+    # (aggregate-sized: <= k rows) and start the chain from the rarest
+    sizes = {
+        r["term"]: r["n"]
+        for r in pruned.groupBy("term").agg(F.sum("tf").alias("n")).collect()
+    }
+    order = sorted(range(len(words)), key=lambda i: (sizes.get(words[i], 0), i))
+    first = order[0]
+    cur = (
+        pruned.where(F.col("term") == words[first])
+        .select(F.col("id"), F.col("positions").alias(f"p{first}"))
+    )
+    for i in order[1:]:
+        nxt = pruned.where(F.col("term") == words[i]).select(
+            F.col("id"), F.col("positions").alias(f"p{i}")
+        )
+        cur = cur.join(nxt, "id")
+    # chain starts: positions of word0 whose i-th successors all exist
+    chain = F.filter(
+        F.col("p0"),
+        lambda p: F.aggregate(
+            F.sequence(F.lit(1), F.lit(len(words) - 1)),
+            F.lit(True),
+            lambda acc, j: acc
+            # array_contains can't take a column needle pre-3.0 idiom;
+            # exists() scans the (sorted, per-doc-bounded) list instead
+            & F.exists(
+                F.col("p_all")[j.cast("int") - 1], lambda q: q == p + j
+            ),
+        )
+        if len(words) > 1
+        else F.lit(True),
+    )
+    if len(words) == 1:
+        out = cur.select(
+            F.col("id").alias(id_out), F.size(F.col(f"p{first}")).cast("long").alias("n_matches")
+        )
+        return out.where(F.col("n_matches") >= 1)
+    out = (
+        cur.withColumn(
+            "p_all", F.array(*[F.col(f"p{i}") for i in range(1, len(words))])
+        )
+        .select(
+            F.col("id").alias(id_out),
+            F.size(chain).cast("long").alias("n_matches"),
+        )
+        .where(F.col("n_matches") >= 1)
+    )
+    return out
