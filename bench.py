@@ -146,6 +146,11 @@ BENCH_QUERIES = [
     # round-12 ground-truth variance brackets
     "profile_bigmag",
     "profile_native_bracket",
+    # round-12 quota / budget / vocab / phrase-index operators
+    "source_cap_documents",
+    "token_budget_documents",
+    "vocab_oov_documents",
+    "phrase_search_documents",
 ]
 
 

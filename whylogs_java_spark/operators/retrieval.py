@@ -220,9 +220,14 @@ def build_text_index(
         )
         .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)))
     )
-    postings.write.mode("overwrite").partitionBy("bucket").parquet(
-        f"{path}/postings"
-    )
+    # cluster by bucket before the partitioned write: one task per
+    # bucket writes one file instead of every shuffle partition writing
+    # a sliver into every bucket dir (n_buckets x shuffle.partitions
+    # small files). Write parallelism = n_buckets — size it to the
+    # corpus (64 for tests, thousands for a 100 TB build).
+    postings.repartition(n_buckets, "bucket").write.mode(
+        "overwrite"
+    ).partitionBy("bucket").parquet(f"{path}/postings")
     spark = docs.sparkSession
     spark.createDataFrame(
         [(int(n_buckets), "ws-lower-v1")], "n_buckets int, tokenizer string"
