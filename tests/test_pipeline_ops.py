@@ -3130,3 +3130,47 @@ def test_oov_stats_against_fixed_vocab(spark):
     # NULL text is an empty doc (the blocklist/pack_assign convention)
     assert (rows[3]["n_tokens"], rows[3]["n_oov"], rows[3]["oov_rate"]) == (0, 0, None)
     assert (rows[4]["n_tokens"], rows[4]["n_oov"]) == (3, 1)
+
+
+def test_phrase_stream_matches_batch(spark, tmp_path):
+    """The streaming phrase screen is the batch projection over a
+    streaming source: row-identical match reports."""
+    from whylogs_java_spark.operators.retrieval import phrase_search
+    from whylogs_java_spark.streaming.phrase_stream import (
+        phrase_screen_stream,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    src = str(tmp_path / "ph_stream_src")
+    docs.repartition(5).write.parquet(src)
+    stream = spark.readStream.schema(docs.schema).option(
+        "maxFilesPerTrigger", 2
+    ).parquet(src)
+    q = (
+        phrase_screen_stream(stream, "text", "doc_id", "hash join")
+        .writeStream.format("memory")
+        .queryName("ph_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ph_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r["doc_id"]: r["n_matches"]
+        for r in spark.sql("SELECT * FROM ph_stream").collect()
+    }
+    batch = {
+        r["doc_id"]: r["n_matches"]
+        for r in phrase_search(docs, "text", "doc_id", "hash join").collect()
+    }
+    assert got == batch and len(batch) > 0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        phrase_screen_stream(docs, "text", "doc_id", "x")

@@ -1295,3 +1295,46 @@ def test_cli_winnow_subcommand(spark, tmp_path, monkeypatch, capsys):
     assert rc == 0
     got2 = {r["doc_id"]: tuple(r) for r in spark.read.parquet(out2).collect()}
     assert got2 == {k: tuple(v) for k, v in got.items()}
+
+
+def test_cli_search_subcommand(spark, tmp_path, monkeypatch, capsys):
+    """CLI search: scan-side phrase search, --build-index + --index
+    parity, and the explicit --buckets mismatch refusal."""
+    import whylogs_java_spark.__main__ as cli
+    import whylogs_java_spark.session as sess
+
+    monkeypatch.setattr(sess, "get_spark", lambda *a, **k: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+
+    corpus = str(tmp_path / "ph_corpus.parquet")
+    spark.createDataFrame(
+        [(1, "the hash join beats the sort merge join"),
+         (2, "hash join hash join"),
+         (3, "no phrase here")],
+        "doc_id long, text string",
+    ).write.parquet(corpus)
+
+    out = str(tmp_path / "ph_out")
+    rc = cli.main(["search", corpus, "hash join", "-o", out])
+    assert rc == 0
+    assert "matching doc" in capsys.readouterr().out
+    got = {r["doc_id"]: r["n_matches"]
+           for r in spark.read.parquet(out).collect()}
+    assert got == {1: 1, 2: 2}
+
+    idx = str(tmp_path / "ph_idx")
+    rc = cli.main(["search", corpus, "--build-index", idx, "--buckets", "8"])
+    assert rc == 0
+    out2 = str(tmp_path / "ph_out2")
+    rc = cli.main(["search", corpus, "hash join", "--index", idx, "-o", out2])
+    assert rc == 0
+    got2 = {r["doc_id"]: r["n_matches"]
+            for r in spark.read.parquet(out2).collect()}
+    assert got2 == got
+
+    # explicit --buckets expectation mismatching the store meta refuses
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="n_buckets"):
+        cli.main(["search", corpus, "hash join", "--index", idx,
+                  "--buckets", "16", "-o", str(tmp_path / "ph_out3")])

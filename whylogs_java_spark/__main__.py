@@ -54,7 +54,7 @@ def build_parser() -> argparse.ArgumentParser:
 
 SUBCOMMANDS = (
     "dedup", "drift", "constraints", "monitor", "view", "redact", "shards",
-    "blocklist", "split", "pack", "novelty", "project", "winnow",
+    "blocklist", "split", "pack", "novelty", "project", "winnow", "search",
 )
 
 
@@ -640,6 +640,71 @@ def _run_novelty(argv: list[str]) -> int:
         spark.stop()
 
 
+def _run_search(argv: list[str]) -> int:
+    p = argparse.ArgumentParser(prog="python -m whylogs_java_spark search")
+    p.add_argument("input", help="corpus (or, with --index, ignored "
+                                 "unless --build-index)")
+    p.add_argument("phrase", nargs="?", default=None,
+                   help="exact token-adjacent phrase to search")
+    p.add_argument("--build-index", metavar="PATH",
+                   help="build a persisted positional inverted index at "
+                        "PATH from INPUT and exit")
+    p.add_argument("--index", metavar="PATH",
+                   help="search against a persisted index instead of "
+                        "scanning INPUT")
+    p.add_argument("-o", "--output", default=None)
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--buckets", type=int, default=64,
+                   help="term-hash partitions for --build-index (also "
+                        "validated against --index meta when given "
+                        "explicitly)")
+    a = p.parse_args(argv)
+    if a.build_index is None and a.phrase is None:
+        p.error("a PHRASE is required unless --build-index")
+    if a.build_index is None and a.output is None:
+        p.error("-o/--output is required unless --build-index")
+    from .session import get_spark
+
+    spark = get_spark("whylogs-cli-search")
+    try:
+        from .operators.retrieval import (
+            build_text_index,
+            phrase_search,
+            phrase_search_stored,
+            read_text_index,
+        )
+
+        if a.build_index:
+            docs = _read_input(spark, a.input)
+            build_text_index(
+                docs, a.build_index, a.text_col, a.id_col,
+                n_buckets=a.buckets,
+            )
+            print(f"wrote text index (buckets={a.buckets}) "
+                  f"to {a.build_index}")
+            return 0
+        if a.index:
+            # validate an EXPLICIT --buckets expectation loudly
+            # (store meta governs otherwise)
+            explicit = "--buckets" in (argv or [])
+            read_text_index(
+                spark, a.index, n_buckets=a.buckets if explicit else None
+            )
+            out = phrase_search_stored(
+                spark, a.index, a.phrase, id_out=a.id_col
+            )
+        else:
+            docs = _read_input(spark, a.input)
+            out = phrase_search(docs, a.text_col, a.id_col, a.phrase)
+        out.write.mode("overwrite").parquet(a.output)
+        n = out.count()
+        print(f"{n} matching doc(s) -> {a.output}")
+        return 0
+    finally:
+        spark.stop()
+
+
 def _run_winnow(argv: list[str]) -> int:
     p = argparse.ArgumentParser(prog="python -m whylogs_java_spark winnow")
     p.add_argument("input", help="incoming batch (or the accepted "
@@ -768,6 +833,7 @@ def main(argv: list[str] | None = None) -> int:
             "novelty": _run_novelty,
             "project": _run_project,
             "winnow": _run_winnow,
+            "search": _run_search,
         }[argv[0]](argv[1:])
     args = build_parser().parse_args(argv)
     from .operators.profile import profile_atoms
