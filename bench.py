@@ -151,6 +151,7 @@ BENCH_QUERIES = [
     "token_budget_documents",
     "vocab_oov_documents",
     "phrase_search_documents",
+    "bm25_stored_documents",
 ]
 
 

@@ -368,3 +368,61 @@ def test_phrase_stored_positions_capped_per_doc(spark, tmp_path):
     assert the_rows.agg(F.max(F.size("positions"))).collect()[0][0] == 50
     got = phrase_search_stored(spark, p, "needle point").collect()
     assert [(r["doc_id"], r["n_matches"]) for r in got] == [(7, 1)]
+
+
+def test_bm25_stored_bit_identical_to_memory(spark, tmp_path):
+    """Stored BM25 == in-memory bm25_topk over lowercased text, rank
+    for rank, bit for bit (same rounding, same tie-break)."""
+    from whylogs_java_spark.operators.retrieval import (
+        bm25_topk, bm25_topk_stored, build_text_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "the hash join beats sort merge"),
+         (2, "hash hash hash tables everywhere"),
+         (3, "sort merge join wins sometimes"),
+         (4, "UPPER Case Hash JOIN text"),
+         (5, None), (6, "")],
+        "doc_id long, text string",
+    )
+    qdf = spark.createDataFrame(
+        [(1, "hash join"), (2, "sort merge"), (3, "zz-nothing")],
+        "query_id long, query_text string",
+    )
+    mem = sorted(map(tuple, bm25_topk(
+        docs.select("doc_id", F.lower("text").alias("text")),
+        qdf, "text", "doc_id", k=3,
+    ).collect()))
+    p = str(tmp_path / "bmix")
+    build_text_index(docs, p, "text", "doc_id", n_buckets=8)
+    st = sorted(map(tuple, bm25_topk_stored(spark, p, qdf, k=3).collect()))
+    assert mem == st and len(st) > 0
+    # doc 4 matched via lowercasing; query 3 matched nothing
+    assert any(r[2] == 4 for r in st)
+    assert not any(r[0] == 3 for r in st)
+
+
+def test_bm25_stored_refuses_legacy_index(spark, tmp_path):
+    """An index without the denormalized dl column (pre-BM25 layout)
+    refuses loudly instead of mis-scoring."""
+    from whylogs_java_spark.operators.retrieval import (
+        bm25_topk_stored, build_text_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c")], "doc_id long, text string"
+    )
+    built = str(tmp_path / "built")
+    build_text_index(docs, built, "text", "doc_id", n_buckets=2)
+    # assemble a legacy-layout twin: same meta/stats, postings minus dl
+    legacy = str(tmp_path / "legacy")
+    spark.read.parquet(f"{built}/postings").drop("dl").write.parquet(
+        f"{legacy}/postings"
+    )
+    spark.read.parquet(f"{built}/meta").write.parquet(f"{legacy}/meta")
+    qdf = spark.createDataFrame([(1, "a")], "query_id long, query_text string")
+    with pytest.raises(ValueError, match="dl"):
+        bm25_topk_stored(spark, legacy, qdf)
+    with pytest.raises(ValueError, match="no terms"):
+        bm25_topk_stored(spark, built, spark.createDataFrame(
+            [(1, "   ")], "query_id long, query_text string"))

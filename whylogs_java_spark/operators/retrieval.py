@@ -39,7 +39,16 @@ from pyspark.sql import functions as F
 
 from .text import tokens
 
-__all__ = ["bm25_topk", "term_stats"]
+__all__ = [
+    "bm25_topk",
+    "bm25_topk_stored",
+    "build_text_index",
+    "phrase_counts",
+    "phrase_search",
+    "phrase_search_stored",
+    "read_text_index",
+    "term_stats",
+]
 
 
 def term_stats(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -194,7 +203,14 @@ def build_text_index(
 
     Layout: ``{path}/postings`` (bucket=…/) + ``{path}/meta`` pinning
     (n_buckets, tokenizer) — probes refuse a mismatched expectation
-    loudly (the read_winnow_store convention).
+    loudly (the read_winnow_store convention) — + ``{path}/stats``
+    (n_docs, total_tokens, avgdl: the BM25 corpus constants, one row).
+
+    Each postings row also carries the document length ``dl``
+    (DENORMALIZED on purpose: one long per (term, doc) row buys
+    ranked retrieval with NO doc-table join at probe time — a
+    candidates × corpus-wide doc-length join would shuffle the whole
+    length table at 100 TB).
 
     Scale: the build is one token posexplode into a map-side-combined
     (term, id) agg — shuffle rows are the per-doc vocabulary, not the
@@ -212,13 +228,15 @@ def build_text_index(
     posted = docs.select(
         F.col(id_col).alias("id"), F.posexplode(toks).alias("pos0", "term")
     ).select("id", "term", (F.col("pos0") + 1).alias("pos"))
-    postings = (
-        posted.groupBy("term", "id")
-        .agg(
-            F.sort_array(F.collect_list("pos")).alias("positions"),
-            F.count(F.lit(1)).alias("tf"),
-        )
-        .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)))
+    tf = posted.groupBy("term", "id").agg(
+        F.sort_array(F.collect_list("pos")).alias("positions"),
+        F.count(F.lit(1)).alias("tf"),
+    )
+    # doc length rides the SAME vocabulary-sized tf table (never the raw
+    # token stream), then denormalizes onto each posting row
+    dl = tf.groupBy("id").agg(F.sum("tf").alias("dl"))
+    postings = tf.join(dl, "id").withColumn(
+        "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets))
     )
     # cluster by bucket before the partitioned write: one task per
     # bucket writes one file instead of every shuffle partition writing
@@ -228,6 +246,11 @@ def build_text_index(
     postings.repartition(n_buckets, "bucket").write.mode(
         "overwrite"
     ).partitionBy("bucket").parquet(f"{path}/postings")
+    dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("total_tokens"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/stats")
     spark = docs.sparkSession
     spark.createDataFrame(
         [(int(n_buckets), "ws-lower-v1")], "n_buckets int, tokenizer string"
@@ -333,3 +356,85 @@ def phrase_search_stored(
         .where(F.col("n_matches") >= 1)
     )
     return out
+
+
+def bm25_topk_stored(
+    spark,
+    path: str,
+    queries: DataFrame,
+    query_col: str = "query_text",
+    query_id_col: str = "query_id",
+    id_out: str = "doc_id",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-``k`` BM25 per query against a persisted text index — the
+    build-once / query-many half of :func:`bm25_topk` (identical
+    scoring, identical determinism: scores rounded to 6 decimals BEFORE
+    ranking, ascending-id tie-break; the index tokenizer lowercases, so
+    parity with the in-memory operator is over lowercased text —
+    bit-identity pinned by pytest).
+
+    The probe NEVER scans the corpus or the index in full:
+
+    - postings read = the query terms' bucket partitions only
+      (literal partition filter + term filter);
+    - ``df`` per term aggregates over that pruned read
+      (aggregate-sized, broadcast);
+    - ``dl`` is denormalized on the posting rows (no doc-table join);
+    - corpus constants come from the one-row ``stats`` table
+      (broadcast crossJoin, never a collect);
+    - top-k per query is a WindowGroupLimit, never a global sort.
+    """
+    postings, nb = read_text_index(spark, path)
+    if "dl" not in postings.columns:
+        raise ValueError(
+            f"text index at {path} predates BM25 stats (no dl column); "
+            "rebuild with build_text_index"
+        )
+    qterms = queries.select(
+        F.col(query_id_col),
+        F.explode(
+            F.array_distinct(tokens(F.lower(F.col(query_col))))
+        ).alias("term"),
+    )
+    uniq = sorted(
+        {r["term"] for r in qterms.select("term").distinct().collect()}
+    )
+    if not uniq:
+        raise ValueError("queries contain no terms")
+    buckets = sorted(
+        {r["bucket"] for r in
+         spark.createDataFrame([(t,) for t in uniq], "term string")
+         .select(F.pmod(F.xxhash64("term"), F.lit(nb)).alias("bucket"))
+         .collect()}
+    )
+    pruned = postings.where(
+        F.col("bucket").isin(*buckets) & F.col("term").isin(*uniq)
+    ).select("term", "id", "tf", "dl")
+    dfreq = pruned.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = spark.read.parquet(f"{path}/stats")
+
+    n = F.col("n_docs").cast("double")
+    idf = F.log(
+        F.lit(1.0) + (n - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    tfv = F.col("tf").cast("double")
+    norm = F.lit(float(k1)) * (
+        F.lit(1.0 - b) + F.lit(float(b)) * F.col("dl") / F.col("avgdl")
+    )
+    contrib = idf * tfv * F.lit(float(k1) + 1.0) / (tfv + norm)
+    scored = (
+        pruned.join(F.broadcast(qterms), on="term")
+        .join(F.broadcast(dfreq), on="term")
+        .crossJoin(F.broadcast(stats.select("n_docs", "avgdl")))
+        .groupBy(query_id_col, "id")
+        .agg((F.round(F.sum(contrib), 6) + F.lit(0.0)).alias("score"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc("id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= F.lit(int(k)))
+        .select(query_id_col, "rank", F.col("id").alias(id_out), "score")
+    )
