@@ -319,6 +319,7 @@ def build_gram_store(
     grams = eval_ngram_set(df, text_col, n).withColumn(
         "bucket", F.pmod(F.xxhash64("gram"), F.lit(n_buckets))
     )
+    grams = grams.repartition(F.col("bucket"))  # one task/file per dir
     grams.write.mode("overwrite").partitionBy("bucket").parquet(
         f"{path}/grams"
     )

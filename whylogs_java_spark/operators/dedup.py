@@ -1621,6 +1621,10 @@ def build_minhash_store(
             F.pmod(F.xxhash64("band_sig"), F.lit(n_buckets)).alias("bucket"),
             F.col("band_sig"),
         )
+        # cluster by the write-partition keys: one task/file per
+        # (band, bucket) dir instead of a sliver from every shuffle
+        # partition (the postings-write lesson, retrieval.py)
+        .repartition(F.col("band"), F.col("bucket"))
         .write.mode("overwrite")
         .partitionBy("band", "bucket")
         .parquet(f"{path}/bands")
@@ -1634,6 +1638,7 @@ def build_minhash_store(
             shset.alias("shset"),
             F.size(shset).cast("long").alias("size"),
         )
+        .repartition(F.col("sbucket"))
         .write.mode("overwrite")
         .partitionBy("sbucket")
         .parquet(f"{path}/shingles")
@@ -1691,6 +1696,7 @@ def append_minhash_store(
             ),
             F.col("band_sig"),
         )
+        .repartition(F.col("band"), F.col("bucket"))
         .write.mode("append")
         .partitionBy("band", "bucket")
         .parquet(f"{path}/bands")
@@ -1706,6 +1712,7 @@ def append_minhash_store(
             shset.alias("shset"),
             F.size(shset).cast("long").alias("size"),
         )
+        .repartition(F.col("sbucket"))
         .write.mode("append")
         .partitionBy("sbucket")
         .parquet(f"{path}/shingles")
@@ -2155,9 +2162,10 @@ def build_winnow_store(
             "bucket", F.pmod(F.xxhash64("print_hash"), F.lit(n_buckets))
         )
     )
-    prints.write.mode("overwrite").partitionBy("bucket").parquet(
-        f"{path}/prints"
-    )
+    # one task/file per bucket dir (the postings-write lesson)
+    prints.repartition(F.col("bucket")).write.mode("overwrite").partitionBy(
+        "bucket"
+    ).parquet(f"{path}/prints")
     df.sparkSession.createDataFrame(
         [(int(k), int(window), int(n_buckets))],
         "k int, window int, n_buckets int",

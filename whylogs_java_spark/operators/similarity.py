@@ -1261,6 +1261,8 @@ def build_ivf_index(
             F.col("__v").alias("v"),
             F.col("__n").alias("n"),
         )
+        # one task/file per centroid dir (the postings-write lesson)
+        .repartition(F.col("centroid_id"))
         .write.mode("overwrite")
         .partitionBy("centroid_id")
         .parquet(f"{path}/lists")
@@ -1925,6 +1927,8 @@ def build_ivfpq_index(
             *[code_expr(j).alias(f"code_{j}") for j in range(m)],
             F.col("__v").alias("v"),
         )
+        # one task/file per centroid dir (the postings-write lesson)
+        .repartition(F.col("centroid_id"))
         .write.mode("overwrite")
         .partitionBy("centroid_id")
         .parquet(f"{path}/lists")
