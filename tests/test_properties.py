@@ -906,3 +906,79 @@ def test_winnow_screen_ref_df_cap_drops_boilerplate(spark):
         assert not capped[3]["flagged"]
     finally:
         prints.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# r12 quota/budget + phrase operators vs pure-python twins
+# ---------------------------------------------------------------------------
+
+budget_rows = st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.floats(min_value=0, max_value=1,
+                                       allow_nan=False, width=16)),
+        st.one_of(st.none(), st.integers(min_value=-2, max_value=30)),
+    ),
+    min_size=0,
+    max_size=25,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=budget_rows, budget=st.integers(min_value=0, max_value=200))
+# boundary: a row whose cum lands EXACTLY on the budget stays in; NULL
+# prefer sorts last; NULL/negative tokens are rejected rows
+@example(rows=[(0.5, 10), (0.5, 10), (None, 5), (0.2, None), (0.2, -1)], budget=20)
+def test_token_budget_matches_python_greedy(spark, rows, budget):
+    """token_budget_select (ladder + boundary-bucket plan) == the
+    pure-python single-pass greedy over (prefer DESC, id ASC)."""
+    from whylogs_java_spark.operators.sampling import token_budget_select
+
+    data = [(i, q, t) for i, (q, t) in enumerate(rows)]
+    df = spark.createDataFrame(data, "id long, q double, toks long")
+    got = {r["id"]: r["cum_tokens"] for r in
+           token_budget_select(df, "id", "toks", "q", budget).collect()}
+    order = sorted(
+        [(i, q, t) for i, q, t in data if t is not None and t >= 0],
+        key=lambda r: (-(r[1] if r[1] is not None else float("-inf")), r[0]),
+    )
+    cum, want = 0, {}
+    for i, q, t in order:
+        cum += t
+        if cum <= budget:
+            want[i] = cum
+    assert got == want
+
+
+phrase_texts = st.lists(
+    st.one_of(
+        st.none(),
+        st.text(alphabet="ab ", min_size=0, max_size=30),
+    ),
+    min_size=0,
+    max_size=12,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(texts=phrase_texts, plen=st.integers(min_value=1, max_value=3))
+@example(texts=["a a a b a a", "", None, "b  a"], plen=2)
+def test_phrase_counts_match_python_walk(spark, texts, plen):
+    """phrase_counts (array-world chain walk) == a pure-python token
+    walk, including overlapping starts, multi-space splits, NULL text,
+    and phrases longer than the doc."""
+    from whylogs_java_spark.operators.retrieval import phrase_counts
+
+    words = ["a"] * plen if plen < 3 else ["a", "b", "a"][:plen]
+    data = [(i, t) for i, t in enumerate(texts)]
+    from pyspark.sql import functions as F
+    df = spark.createDataFrame(data, "id long, text string")
+    got = {r["id"]: r["n"] for r in df.select(
+        "id", phrase_counts(F.col("text"), words).alias("n")).collect()}
+    want = {}
+    for i, t in data:
+        toks = [x for x in (t or "").lower().split(" ") if x]
+        want[i] = sum(
+            1 for s in range(len(toks) - len(words) + 1)
+            if toks[s:s + len(words)] == words
+        )
+    assert got == want

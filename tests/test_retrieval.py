@@ -426,3 +426,46 @@ def test_bm25_stored_refuses_legacy_index(spark, tmp_path):
     with pytest.raises(ValueError, match="no terms"):
         bm25_topk_stored(spark, built, spark.createDataFrame(
             [(1, "   ")], "query_id long, query_text string"))
+
+
+def test_append_text_index_equals_union_rebuild(spark, tmp_path):
+    """build(A) + append(B) must be bit-identical to build(A ∪ B) for
+    BOTH probes: phrase counts and BM25 (stats rewritten as old+delta,
+    so avgdl/n_docs match the union exactly)."""
+    from whylogs_java_spark.operators.retrieval import (
+        append_text_index, bm25_topk_stored, build_text_index,
+        phrase_search_stored,
+    )
+
+    a = spark.createDataFrame(
+        [(1, "the hash join beats sort merge"),
+         (2, "hash hash tables everywhere")],
+        "doc_id long, text string",
+    )
+    b = spark.createDataFrame(
+        [(3, "sort merge join wins sometimes"),
+         (4, "hash join hash join")],
+        "doc_id long, text string",
+    )
+    inc = str(tmp_path / "inc")
+    build_text_index(a, inc, "text", "doc_id", n_buckets=4)
+    append_text_index(b, inc, "text", "doc_id")
+    full = str(tmp_path / "full")
+    build_text_index(a.unionByName(b), full, "text", "doc_id", n_buckets=4)
+
+    ph_inc = sorted(map(tuple, phrase_search_stored(spark, inc, "hash join").collect()))
+    ph_full = sorted(map(tuple, phrase_search_stored(spark, full, "hash join").collect()))
+    assert ph_inc == ph_full and ph_inc == [(1, 1), (4, 2)]
+
+    qdf = spark.createDataFrame(
+        [(1, "hash join"), (2, "sort merge")],
+        "query_id long, query_text string",
+    )
+    bm_inc = sorted(map(tuple, bm25_topk_stored(spark, inc, qdf).collect()))
+    bm_full = sorted(map(tuple, bm25_topk_stored(spark, full, qdf).collect()))
+    assert bm_inc == bm_full and len(bm_inc) > 0
+
+    stats = spark.read.parquet(f"{inc}/stats").collect()[0]
+    assert stats["n_docs"] == 4 and stats["avgdl"] == pytest.approx(
+        spark.read.parquet(f"{full}/stats").collect()[0]["avgdl"]
+    )

@@ -40,6 +40,7 @@ from pyspark.sql import functions as F
 from .text import tokens
 
 __all__ = [
+    "append_text_index",
     "bm25_topk",
     "bm25_topk_stored",
     "build_text_index",
@@ -438,3 +439,68 @@ def bm25_topk_stored(
         .where(F.col("rank") <= F.lit(int(k)))
         .select(query_id_col, "rank", F.col("id").alias(id_out), "score")
     )
+
+
+def append_text_index(
+    docs: DataFrame, path: str, text_col: str, id_col: str
+) -> None:
+    """Append a batch's postings to an existing text index — the
+    incremental-ingest leg (build → search → append accepted docs), so
+    tomorrow's corpus searches without a rebuild.
+
+    n_buckets/tokenizer come from ``{path}/meta`` (the probe's pinning);
+    parquet ``append`` adds one file per touched bucket dir; the
+    ``stats`` corpus constants are REWRITTEN as old + batch delta, so
+    stored BM25 over build+append is bit-identical to an index built on
+    the union (pinned by test). Caller contract: ids must be new to the
+    store (dl/tf are per-(term, doc) rows — a re-appended doc would
+    double its postings, same contract as append_minhash_store).
+    """
+    spark = docs.sparkSession
+    _, nb = read_text_index(spark, path)
+    toks = F.filter(
+        F.split(F.coalesce(F.lower(F.col(text_col)), F.lit("")), " "),
+        lambda t: t != "",
+    )
+    posted = docs.select(
+        F.col(id_col).alias("id"), F.posexplode(toks).alias("pos0", "term")
+    ).select("id", "term", (F.col("pos0") + 1).alias("pos"))
+    tf = posted.groupBy("term", "id").agg(
+        F.sort_array(F.collect_list("pos")).alias("positions"),
+        F.count(F.lit(1)).alias("tf"),
+    )
+    dl = tf.groupBy("id").agg(F.sum("tf").alias("dl"))
+    postings = tf.join(dl, "id").withColumn(
+        "bucket", F.pmod(F.xxhash64("term"), F.lit(nb))
+    )
+    postings.repartition(F.col("bucket")).write.mode("append").partitionBy(
+        "bucket"
+    ).parquet(f"{path}/postings")
+    # stats = old + batch delta; the tiny unioned agg rewrites the
+    # one-row table (the only non-append mutation, atomic enough for a
+    # single-writer store lifecycle)
+    old = spark.read.parquet(f"{path}/stats").select(
+        "n_docs", "total_tokens"
+    )
+    delta = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("total_tokens"),
+    )
+    merged = (
+        old.unionByName(delta)
+        .agg(
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("total_tokens").alias("total_tokens"),
+        )
+        .select(
+            "n_docs",
+            "total_tokens",
+            (F.col("total_tokens").cast("double") / F.col("n_docs")).alias(
+                "avgdl"
+            ),
+        )
+        .collect()
+    )
+    spark.createDataFrame(merged).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/stats")
