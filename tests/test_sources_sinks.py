@@ -1338,3 +1338,39 @@ def test_cli_search_subcommand(spark, tmp_path, monkeypatch, capsys):
     with _pytest.raises(ValueError, match="n_buckets"):
         cli.main(["search", corpus, "hash join", "--index", idx,
                   "--buckets", "16", "-o", str(tmp_path / "ph_out3")])
+
+
+def test_cli_quota_subcommand(spark, tmp_path, monkeypatch, capsys):
+    """CLI quota: per-source cap and token-budget modes, plus the
+    budget-without-prefer refusal."""
+    import whylogs_java_spark.__main__ as cli
+    import whylogs_java_spark.session as sess
+
+    monkeypatch.setattr(sess, "get_spark", lambda *a, **k: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+
+    src = str(tmp_path / "q_src.parquet")
+    spark.createDataFrame(
+        [(i, f"s{i % 2}", float(i % 3), 10) for i in range(12)],
+        "doc_id long, source string, q double, n_tokens long",
+    ).write.parquet(src)
+
+    out = str(tmp_path / "q_cap")
+    rc = cli.main(["quota", src, "-o", out, "--cap", "2",
+                   "--prefer-col", "q"])
+    assert rc == 0 and "kept 4" in capsys.readouterr().out
+    got = spark.read.parquet(out)
+    assert got.count() == 4
+    assert got.agg(F.max("source_rank")).collect()[0][0] == 2
+
+    out2 = str(tmp_path / "q_budget")
+    rc = cli.main(["quota", src, "-o", out2, "--token-budget", "35",
+                   "--prefer-col", "q"])
+    assert rc == 0
+    rows = spark.read.parquet(out2).collect()
+    assert len(rows) == 3 and max(r["cum_tokens"] for r in rows) == 30
+
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        cli.main(["quota", src, "-o", out2, "--token-budget", "35"])

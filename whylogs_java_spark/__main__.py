@@ -55,6 +55,7 @@ def build_parser() -> argparse.ArgumentParser:
 SUBCOMMANDS = (
     "dedup", "drift", "constraints", "monitor", "view", "redact", "shards",
     "blocklist", "split", "pack", "novelty", "project", "winnow", "search",
+    "quota",
 )
 
 
@@ -640,6 +641,46 @@ def _run_novelty(argv: list[str]) -> int:
         spark.stop()
 
 
+def _run_quota(argv: list[str]) -> int:
+    p = argparse.ArgumentParser(prog="python -m whylogs_java_spark quota")
+    p.add_argument("input")
+    p.add_argument("-o", "--output", required=True)
+    p.add_argument("--id-col", default="doc_id")
+    g = p.add_mutually_exclusive_group(required=True)
+    g.add_argument("--cap", type=int,
+                   help="keep at most CAP rows per --source-col, best "
+                        "--prefer-col first")
+    g.add_argument("--token-budget", type=int,
+                   help="keep the best---prefer-col prefix whose "
+                        "--tokens-col total fits the budget")
+    p.add_argument("--source-col", default="source")
+    p.add_argument("--tokens-col", default="n_tokens")
+    p.add_argument("--prefer-col", default=None,
+                   help="ordering column (required for --token-budget; "
+                        "optional for --cap: id-ordered when omitted)")
+    a = p.parse_args(argv)
+    if a.token_budget is not None and a.prefer_col is None:
+        p.error("--token-budget requires --prefer-col")
+    from .session import get_spark
+
+    spark = get_spark("whylogs-cli-quota")
+    try:
+        from .operators.sampling import source_cap, token_budget_select
+
+        df = _read_input(spark, a.input)
+        if a.cap is not None:
+            out = source_cap(df, a.id_col, a.source_col, a.cap, a.prefer_col)
+        else:
+            out = token_budget_select(
+                df, a.id_col, a.tokens_col, a.prefer_col, a.token_budget
+            )
+        out.write.mode("overwrite").parquet(a.output)
+        print(f"kept {out.count()} row(s) -> {a.output}")
+        return 0
+    finally:
+        spark.stop()
+
+
 def _run_search(argv: list[str]) -> int:
     p = argparse.ArgumentParser(prog="python -m whylogs_java_spark search")
     p.add_argument("input", help="corpus (or, with --index, ignored "
@@ -834,6 +875,7 @@ def main(argv: list[str] | None = None) -> int:
             "project": _run_project,
             "winnow": _run_winnow,
             "search": _run_search,
+            "quota": _run_quota,
         }[argv[0]](argv[1:])
     args = build_parser().parse_args(argv)
     from .operators.profile import profile_atoms
