@@ -233,10 +233,13 @@ def build_text_index(
         F.sort_array(F.collect_list("pos")).alias("positions"),
         F.count(F.lit(1)).alias("tf"),
     )
-    # doc length rides the SAME vocabulary-sized tf table (never the raw
-    # token stream), then denormalizes onto each posting row
-    dl = tf.groupBy("id").agg(F.sum("tf").alias("dl"))
-    postings = tf.join(dl, "id").withColumn(
+    # doc length rides the vocabulary-sized tf table (never the raw
+    # token stream) and denormalizes onto each posting row via ONE
+    # id-partitioned window (an agg+join twin would pay two exchanges)
+    from pyspark.sql import Window
+
+    dl_w = F.sum("tf").over(Window.partitionBy("id")).alias("dl")
+    postings = tf.select("*", dl_w).withColumn(
         "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets))
     )
     # cluster by bucket before the partitioned write: one task per
@@ -247,12 +250,16 @@ def build_text_index(
     postings.repartition(n_buckets, "bucket").write.mode(
         "overwrite"
     ).partitionBy("bucket").parquet(f"{path}/postings")
-    dl.agg(
+    spark = docs.sparkSession
+    # stats from the WRITTEN postings (vocab-sized read-back) — the
+    # corpus tokenization pipeline runs exactly once
+    spark.read.parquet(f"{path}/postings").groupBy("id").agg(
+        F.first("dl").alias("dl")
+    ).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("dl").alias("total_tokens"),
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/stats")
-    spark = docs.sparkSession
     spark.createDataFrame(
         [(int(n_buckets), "ws-lower-v1")], "n_buckets int, tokenizer string"
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
@@ -465,17 +472,24 @@ def append_text_index(
     posted = docs.select(
         F.col(id_col).alias("id"), F.posexplode(toks).alias("pos0", "term")
     ).select("id", "term", (F.col("pos0") + 1).alias("pos"))
+    from ..ckpt import materialize
+    from pyspark.sql import Window
+
     tf = posted.groupBy("term", "id").agg(
         F.sort_array(F.collect_list("pos")).alias("positions"),
         F.count(F.lit(1)).alias("tf"),
     )
-    dl = tf.groupBy("id").agg(F.sum("tf").alias("dl"))
-    postings = tf.join(dl, "id").withColumn(
-        "bucket", F.pmod(F.xxhash64("term"), F.lit(nb))
+    # window-dl (one id exchange, not agg+join) and materialize: the
+    # batch pipeline runs once for BOTH the append write and the stats
+    # delta
+    postings = materialize(
+        tf.select("*", F.sum("tf").over(Window.partitionBy("id")).alias("dl"))
+        .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(nb)))
     )
     postings.repartition(F.col("bucket")).write.mode("append").partitionBy(
         "bucket"
     ).parquet(f"{path}/postings")
+    dl = postings.groupBy("id").agg(F.first("dl").alias("dl"))
     # stats = old + batch delta; the tiny unioned agg rewrites the
     # one-row table (the only non-append mutation, atomic enough for a
     # single-writer store lifecycle)
