@@ -155,6 +155,7 @@ BENCH_QUERIES = [
     "token_budget_documents",
     "vocab_oov_documents",
     "phrase_search_documents",
+    "hybrid_search_documents",
 ]
 
 

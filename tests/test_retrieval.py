@@ -469,3 +469,32 @@ def test_append_text_index_equals_union_rebuild(spark, tmp_path):
     assert stats["n_docs"] == 4 and stats["avgdl"] == pytest.approx(
         spark.read.parquet(f"{full}/stats").collect()[0]["avgdl"]
     )
+
+
+def test_rrf_fuse_known_values(spark):
+    """RRF: both-lists docs sum both reciprocals, single-list docs get
+    one, ties break on ascending id, validation refuses bad k/k0."""
+    from whylogs_java_spark.operators.retrieval import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 1, 10), (1, 2, 11), (2, 1, 20)],
+        "query_id long, rank long, doc_id long",
+    )
+    b = spark.createDataFrame(
+        [(1, 1, 11), (1, 2, 12), (2, 1, 21)],
+        "query_id long, rank long, doc_id long",
+    )
+    got = {(r["query_id"], r["doc_id"]): (r["rank"], r["rrf_score"])
+           for r in rrf_fuse(a, b, "doc_id", k0=60, k=10).collect()}
+    # q1: doc 11 in both (1/62 + 1/61), doc 10 only a (1/61), doc 12
+    # only b (1/62)
+    assert got[(1, 11)][1] == pytest.approx(round(1 / 62 + 1 / 61, 6))
+    assert got[(1, 11)][0] == 1
+    assert got[(1, 10)] == (2, pytest.approx(round(1 / 61, 6)))
+    assert got[(1, 12)] == (3, pytest.approx(round(1 / 62, 6)))
+    # q2: same rounded score for 20 and 21 -> id tie-break
+    assert got[(2, 20)][0] == 1 and got[(2, 21)][0] == 2
+    with pytest.raises(ValueError):
+        rrf_fuse(a, b, "doc_id", k0=0)
+    with pytest.raises(ValueError):
+        rrf_fuse(a, b, "doc_id", k=0)

@@ -48,6 +48,7 @@ __all__ = [
     "phrase_search",
     "phrase_search_stored",
     "read_text_index",
+    "rrf_fuse",
     "term_stats",
 ]
 
@@ -518,3 +519,65 @@ def append_text_index(
     spark.createDataFrame(merged).coalesce(1).write.mode(
         "overwrite"
     ).parquet(f"{path}/stats")
+
+
+def rrf_fuse(
+    a: DataFrame,
+    b: DataFrame,
+    id_col: str,
+    query_col: str = "query_id",
+    rank_col: str = "rank",
+    k0: int = 60,
+    k: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack/Clarke/Buttcher 2009) of two
+    ranked lists — the standard hybrid-retrieval combiner (BM25 x
+    vector, or any two rankers): a doc's fused score is
+    sum over lists of 1/(k0 + rank), missing-from-a-list contributes 0.
+
+    Rank-only fusion makes the combiner score-scale-free, which is why
+    it needs no calibration between heterogeneous rankers. Determinism:
+    fused scores round to 6 decimals BEFORE ranking, ties break on the
+    ascending id (the bm25_topk convention). Output:
+    (query_col, rank, id_col, rrf_score).
+
+    Scale: both inputs are top-k-per-query tables (queries x k rows —
+    aggregate-sized by construction), so the full-outer join and the
+    re-rank window never touch corpus-scale data; at 100 TB the cost
+    lives in the upstream rankers.
+    """
+    if k0 < 1 or k < 1:
+        raise ValueError(f"k0 and k must be >= 1, got k0={k0} k={k}")
+
+    def side(df: DataFrame, out: str) -> DataFrame:
+        return df.select(
+            F.col(query_col),
+            F.col(id_col),
+            (F.lit(1.0) / (F.lit(float(k0)) + F.col(rank_col).cast("double"))
+             ).alias(out),
+        )
+
+    fused = (
+        side(a, "__ca")
+        .join(side(b, "__cb"), on=[query_col, id_col], how="full_outer")
+        .select(
+            query_col,
+            id_col,
+            (
+                F.round(
+                    F.coalesce(F.col("__ca"), F.lit(0.0))
+                    + F.coalesce(F.col("__cb"), F.lit(0.0)),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("rrf_score"),
+        )
+    )
+    w = Window.partitionBy(query_col).orderBy(
+        F.desc("rrf_score"), F.asc(id_col)
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(query_col, "rank", id_col, "rrf_score")
+    )
