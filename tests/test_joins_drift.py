@@ -1491,3 +1491,26 @@ def test_rolling_window_topk_churn(spark):
     assert got == {"a": "vanished", "b": "moved", "d": "new"}
     ranks = {r["cat"]: (r["rank_cur"], r["rank_prev"]) for r in out}
     assert ranks["b"] == (1, 2) and ranks["d"] == (2, None)
+
+
+def test_metric_anomalies_min_obs_zero_null_stats(spark):
+    """r12 review find: min_obs=0 evaluates empty trailing frames — the
+    shifted-moments fold must yield NULL stats there (the pre-r12
+    windowed-sum semantics), not an ANSI DIVIDE_BY_ZERO."""
+    from pyspark.sql import functions as F
+
+    from whylogs_java_spark.operators.monitor import metric_anomalies
+
+    df = spark.createDataFrame(
+        [("2024-01-01", "a", 1.0), ("2024-01-02", "a", 2.0)],
+        "ts string, col string, mean double",
+    ).select(F.col("ts").cast("timestamp").alias("ts"), "col", "mean")
+    rows = sorted(
+        metric_anomalies(
+            df, metric="mean", time_col="ts", keys=("col",),
+            window=3, min_obs=0,
+        ).collect(),
+        key=lambda r: str(r["ts"]),
+    )
+    assert rows[0]["trailing_mean"] is None and rows[0]["zscore"] is None
+    assert rows[1]["trailing_mean"] == 1.0

@@ -928,6 +928,10 @@ budget_rows = st.lists(
 # boundary: a row whose cum lands EXACTLY on the budget stays in; NULL
 # prefer sorts last; NULL/negative tokens are rejected rows
 @example(rows=[(0.5, 10), (0.5, 10), (None, 5), (0.2, None), (0.2, -1)], budget=20)
+# r12 review find: a zero-token row whose bucket OFFSET equals the
+# budget must still be kept (the <-vs-<= prefilter bug), incl. budget=0
+@example(rows=[(0.9, 20), (0.5, 0)], budget=20)
+@example(rows=[(0.5, 0), (0.4, 0)], budget=0)
 def test_token_budget_matches_python_greedy(spark, rows, budget):
     """token_budget_select (ladder + boundary-bucket plan) == the
     pure-python single-pass greedy over (prefer DESC, id ASC)."""

@@ -498,3 +498,16 @@ def test_rrf_fuse_known_values(spark):
         rrf_fuse(a, b, "doc_id", k0=0)
     with pytest.raises(ValueError):
         rrf_fuse(a, b, "doc_id", k=0)
+
+
+def test_build_text_index_refuses_tokenless_corpus(spark, tmp_path):
+    """r12 review find: a corpus with no tokens (all NULL/empty text)
+    must refuse loudly instead of crashing on the stats read-back and
+    leaving a half-written store."""
+    from whylogs_java_spark.operators.retrieval import build_text_index
+
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "   ")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="no tokens"):
+        build_text_index(df, str(tmp_path / "empty_ix"), "text", "doc_id")

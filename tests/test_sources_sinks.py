@@ -1333,11 +1333,16 @@ def test_cli_search_subcommand(spark, tmp_path, monkeypatch, capsys):
     assert got2 == got
 
     # explicit --buckets expectation mismatching the store meta refuses
+    # — in BOTH argparse spellings (r12 review find: the old argv scan
+    # missed the = form)
     import pytest as _pytest
 
     with _pytest.raises(ValueError, match="n_buckets"):
         cli.main(["search", corpus, "hash join", "--index", idx,
                   "--buckets", "16", "-o", str(tmp_path / "ph_out3")])
+    with _pytest.raises(ValueError, match="n_buckets"):
+        cli.main(["search", corpus, "hash join", "--index", idx,
+                  "--buckets=16", "-o", str(tmp_path / "ph_out3")])
 
 
 def test_cli_quota_subcommand(spark, tmp_path, monkeypatch, capsys):

@@ -696,10 +696,10 @@ def _run_search(argv: list[str]) -> int:
     p.add_argument("-o", "--output", default=None)
     p.add_argument("--text-col", default="text")
     p.add_argument("--id-col", default="doc_id")
-    p.add_argument("--buckets", type=int, default=64,
-                   help="term-hash partitions for --build-index (also "
-                        "validated against --index meta when given "
-                        "explicitly)")
+    p.add_argument("--buckets", type=int, default=None,
+                   help="term-hash partitions for --build-index "
+                        "(default 64); with --index, an expectation "
+                        "validated loudly against the store meta")
     a = p.parse_args(argv)
     if a.build_index is None and a.phrase is None:
         p.error("a PHRASE is required unless --build-index")
@@ -713,27 +713,23 @@ def _run_search(argv: list[str]) -> int:
             build_text_index,
             phrase_search,
             phrase_search_stored,
-            read_text_index,
         )
 
         if a.build_index:
             docs = _read_input(spark, a.input)
+            nb = a.buckets if a.buckets is not None else 64
             build_text_index(
-                docs, a.build_index, a.text_col, a.id_col,
-                n_buckets=a.buckets,
+                docs, a.build_index, a.text_col, a.id_col, n_buckets=nb
             )
-            print(f"wrote text index (buckets={a.buckets}) "
-                  f"to {a.build_index}")
+            print(f"wrote text index (buckets={nb}) to {a.build_index}")
             return 0
         if a.index:
-            # validate an EXPLICIT --buckets expectation loudly
-            # (store meta governs otherwise)
-            explicit = "--buckets" in (argv or [])
-            read_text_index(
-                spark, a.index, n_buckets=a.buckets if explicit else None
-            )
+            # None = no expectation; a given --buckets (any spelling —
+            # the raw-sentinel idiom, not an argv scan) validates
+            # loudly against the store meta, in ONE meta read
             out = phrase_search_stored(
-                spark, a.index, a.phrase, id_out=a.id_col
+                spark, a.index, a.phrase, id_out=a.id_col,
+                n_buckets=a.buckets,
             )
         else:
             docs = _read_input(spark, a.input)

@@ -89,14 +89,20 @@ def metric_anomalies(
                 sd2 = F.aggregate(
                     dev, F.lit(0.0), lambda acc, e: acc + e * e
                 )
-                return F.struct(
-                    ((m.cast("double") + sd / nn) / F.lit(float(INT_SCALE))).alias(
-                        "mean"
+                # empty frame (first rows of a partition when min_obs
+                # allows it): NULL stats, matching the pre-r12 windowed
+                # F.sum semantics — under ANSI, 0.0/0.0 would throw
+                return F.when(
+                    nn > 0,
+                    F.struct(
+                        ((m.cast("double") + sd / nn) / F.lit(float(INT_SCALE))).alias(
+                            "mean"
+                        ),
+                        (
+                            (sd2 / nn - (sd / nn) * (sd / nn))
+                            / F.lit(float(INT_SCALE) * float(INT_SCALE))
+                        ).alias("var"),
                     ),
-                    (
-                        (sd2 / nn - (sd / nn) * (sd / nn))
-                        / F.lit(float(INT_SCALE) * float(INT_SCALE))
-                    ).alias("var"),
                 )
 
             return let_bound(

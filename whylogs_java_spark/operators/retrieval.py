@@ -37,7 +37,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from .text import tokens
+from .text import tokens, ws_lower_tokens
 
 __all__ = [
     "append_text_index",
@@ -173,10 +173,7 @@ def phrase_counts(text: Column, words: list[str]) -> Column:
         )
         return F.size(F.filter(starts, hit)).cast("long")
 
-    toks = F.filter(
-        F.split(F.coalesce(F.lower(text), F.lit("")), " "), lambda t: t != ""
-    )
-    return let_bound(toks, count_in)
+    return let_bound(ws_lower_tokens(text), count_in)
 
 
 def phrase_search(
@@ -223,26 +220,7 @@ def build_text_index(
     collect)."""
     if n_buckets < 1:
         raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
-    toks = F.filter(
-        F.split(F.coalesce(F.lower(F.col(text_col)), F.lit("")), " "),
-        lambda t: t != "",
-    )
-    posted = docs.select(
-        F.col(id_col).alias("id"), F.posexplode(toks).alias("pos0", "term")
-    ).select("id", "term", (F.col("pos0") + 1).alias("pos"))
-    tf = posted.groupBy("term", "id").agg(
-        F.sort_array(F.collect_list("pos")).alias("positions"),
-        F.count(F.lit(1)).alias("tf"),
-    )
-    # doc length rides the vocabulary-sized tf table (never the raw
-    # token stream) and denormalizes onto each posting row via ONE
-    # id-partitioned window (an agg+join twin would pay two exchanges)
-    from pyspark.sql import Window
-
-    dl_w = F.sum("tf").over(Window.partitionBy("id")).alias("dl")
-    postings = tf.select("*", dl_w).withColumn(
-        "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets))
-    )
+    postings = _postings(docs, text_col, id_col, n_buckets)
     # cluster by bucket before the partitioned write: one task per
     # bucket writes one file instead of every shuffle partition writing
     # a sliver into every bucket dir (n_buckets x shuffle.partitions
@@ -254,16 +232,49 @@ def build_text_index(
     spark = docs.sparkSession
     # stats from the WRITTEN postings (vocab-sized read-back) — the
     # corpus tokenization pipeline runs exactly once
-    spark.read.parquet(f"{path}/postings").groupBy("id").agg(
-        F.first("dl").alias("dl")
-    ).agg(
+    try:
+        readback = spark.read.parquet(f"{path}/postings")
+    except Exception as e:  # UNABLE_TO_INFER_SCHEMA: zero postings files
+        raise ValueError(
+            f"corpus has no tokens; refusing to finish text index at "
+            f"{path} (empty postings dir written, no meta/stats — delete "
+            f"the path before rebuilding)"
+        ) from e
+    readback.groupBy("id").agg(F.first("dl").alias("dl")).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("dl").alias("total_tokens"),
-        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        F.when(
+            F.count(F.lit(1)) > 0,
+            F.sum("dl").cast("double") / F.count(F.lit(1)),
+        ).alias("avgdl"),
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/stats")
     spark.createDataFrame(
         [(int(n_buckets), "ws-lower-v1")], "n_buckets int, tokenizer string"
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def _postings(
+    docs: DataFrame, text_col: str, id_col: str, n_buckets: int
+) -> DataFrame:
+    """The ONE postings pipeline build and append share (bit-identity
+    between build(A)+append(B) and build(A∪B) hangs off this):
+    ws-lower-v1 posexplode → (term, id) tf/positions agg → dl via one
+    id-partitioned window (an agg+join twin would pay two exchanges) →
+    term-hash bucket."""
+    from pyspark.sql import Window
+
+    posted = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(ws_lower_tokens(F.col(text_col))).alias("pos0", "term"),
+    ).select("id", "term", (F.col("pos0") + 1).alias("pos"))
+    tf = posted.groupBy("term", "id").agg(
+        F.sort_array(F.collect_list("pos")).alias("positions"),
+        F.count(F.lit(1)).alias("tf"),
+    )
+    dl_w = F.sum("tf").over(Window.partitionBy("id")).alias("dl")
+    return tf.select("*", dl_w).withColumn(
+        "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets))
+    )
 
 
 def read_text_index(spark, path: str, n_buckets: int | None = None):
@@ -285,7 +296,11 @@ def read_text_index(spark, path: str, n_buckets: int | None = None):
 
 
 def phrase_search_stored(
-    spark, path: str, phrase: str, id_out: str = "doc_id"
+    spark,
+    path: str,
+    phrase: str,
+    id_out: str = "doc_id",
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """Phrase search against a persisted text index, no corpus scan:
     the probe reads ONLY the phrase terms' bucket partitions (literal
@@ -305,7 +320,8 @@ def phrase_search_stored(
     words = [x for x in phrase.lower().split(" ") if x]
     if not words:
         raise ValueError("phrase must have at least one word")
-    postings, nb = read_text_index(spark, path)
+    # n_buckets: optional caller expectation, validated against meta
+    postings, nb = read_text_index(spark, path, n_buckets=n_buckets)
     uniq = sorted(set(words))
     buckets = sorted(
         {r["bucket"] for r in
@@ -377,6 +393,7 @@ def bm25_topk_stored(
     k: int = 10,
     k1: float = 1.2,
     b: float = 0.75,
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """Top-``k`` BM25 per query against a persisted text index — the
     build-once / query-many half of :func:`bm25_topk` (identical
@@ -396,7 +413,7 @@ def bm25_topk_stored(
       (broadcast crossJoin, never a collect);
     - top-k per query is a WindowGroupLimit, never a global sort.
     """
-    postings, nb = read_text_index(spark, path)
+    postings, nb = read_text_index(spark, path, n_buckets=n_buckets)
     if "dl" not in postings.columns:
         raise ValueError(
             f"text index at {path} predates BM25 stats (no dl column); "
@@ -466,27 +483,11 @@ def append_text_index(
     """
     spark = docs.sparkSession
     _, nb = read_text_index(spark, path)
-    toks = F.filter(
-        F.split(F.coalesce(F.lower(F.col(text_col)), F.lit("")), " "),
-        lambda t: t != "",
-    )
-    posted = docs.select(
-        F.col(id_col).alias("id"), F.posexplode(toks).alias("pos0", "term")
-    ).select("id", "term", (F.col("pos0") + 1).alias("pos"))
     from ..ckpt import materialize
-    from pyspark.sql import Window
 
-    tf = posted.groupBy("term", "id").agg(
-        F.sort_array(F.collect_list("pos")).alias("positions"),
-        F.count(F.lit(1)).alias("tf"),
-    )
-    # window-dl (one id exchange, not agg+join) and materialize: the
-    # batch pipeline runs once for BOTH the append write and the stats
-    # delta
-    postings = materialize(
-        tf.select("*", F.sum("tf").over(Window.partitionBy("id")).alias("dl"))
-        .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(nb)))
-    )
+    # materialize: the batch pipeline runs once for BOTH the append
+    # write and the stats delta
+    postings = materialize(_postings(docs, text_col, id_col, nb))
     postings.repartition(F.col("bucket")).write.mode("append").partitionBy(
         "bucket"
     ).parquet(f"{path}/postings")

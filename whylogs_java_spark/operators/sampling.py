@@ -479,8 +479,11 @@ def token_budget_select(
         Window.unboundedPreceding, Window.currentRow
     )
     cum = (F.col("__cum_start") + F.sum(toks).over(wb)).alias("cum_tokens")
+    # prefilter must be <=, not <: a bucket whose offset EQUALS the
+    # budget can still contribute zero-token rows (cum == budget keeps
+    # the row per the greedy contract), incl. the budget=0 edge
     out = (
-        joined.where(F.col("__cum_start") < budget)
+        joined.where(F.col("__cum_start") <= budget)
         .select(*df.columns, cum)
         .where(F.col("cum_tokens") <= budget)
     )

@@ -36,6 +36,17 @@ def tokens(col: Column) -> Column:
     return F.filter(F.split(col, " "), lambda t: t != "")
 
 
+def ws_lower_tokens(col: Column) -> Column:
+    """Lowercase whitespace tokens, NULL text = empty doc — the
+    "ws-lower-v1" tokenizer pinned in text-index store meta. Every
+    consumer (vocab induction, OOV, phrase search, index build/append)
+    MUST share this one expression: stored-vs-scan bit-identity and the
+    meta version contract both hang off it."""
+    return F.filter(
+        F.split(F.coalesce(F.lower(col), F.lit("")), " "), lambda t: t != ""
+    )
+
+
 def token_counts(
     df: DataFrame, text_col: str, id_col: str, keep_cols: tuple[str, ...] = ()
 ) -> DataFrame:
@@ -1070,9 +1081,8 @@ def vocab_top(df: DataFrame, text_col: str, k: int = 64) -> DataFrame:
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    toks = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda t: t != "")
     return (
-        df.select(F.explode(toks).alias("token"))
+        df.select(F.explode(ws_lower_tokens(F.col(text_col))).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.col("n").desc(), F.col("token").asc())
@@ -1096,10 +1106,7 @@ def oov_stats(
     # NULL text counts as an empty doc (0 tokens, NULL rate) — the
     # blocklist/pack_assign NULL-text convention, and what the DuckDB
     # twin's missing-row COALESCE produces
-    toks = F.filter(
-        F.split(F.coalesce(F.lower(F.col(text_col)), F.lit("")), " "),
-        lambda t: t != "",
-    )
+    toks = ws_lower_tokens(F.col(text_col))
     n_tok = F.size(toks)
     n_oov = (
         F.size(F.filter(toks, lambda t: ~t.isin(*voc)))
