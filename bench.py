@@ -156,6 +156,7 @@ BENCH_QUERIES = [
     "vocab_oov_documents",
     "phrase_search_documents",
     "hybrid_search_documents",
+    "phrases_canary_documents",
 ]
 
 

@@ -7,6 +7,8 @@ import math
 import pytest
 from pyspark.sql import functions as F
 
+from tests.conftest import SF_DIR
+
 from whylogs_java_spark.operators.retrieval import bm25_topk, term_stats
 
 
@@ -511,3 +513,38 @@ def test_build_text_index_refuses_tokenless_corpus(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="no tokens"):
         build_text_index(df, str(tmp_path / "empty_ix"), "text", "doc_id")
+
+
+def test_phrase_search_many_matches_singles(spark):
+    """One-scan multi-phrase screen == per-phrase phrase_search, and a
+    doc matching several phrases yields one row per phrase."""
+    from whylogs_java_spark.operators.retrieval import (
+        phrase_search, phrase_search_many,
+    )
+
+    df = _phrase_corpus(spark)
+    phrases = ["a a", "hash join", "zz"]
+    many = {(r["doc_id"], r["phrase"]): r["n_matches"]
+            for r in phrase_search_many(df, "text", "doc_id", phrases).collect()}
+    singles = {}
+    for p in phrases:
+        for r in phrase_search(df, "text", "doc_id", p).collect():
+            singles[(r["doc_id"], p)] = r["n_matches"]
+    assert many == singles and len(many) > 0
+    with pytest.raises(ValueError):
+        phrase_search_many(df, "text", "doc_id", [])
+    with pytest.raises(ValueError):
+        phrase_search_many(df, "text", "doc_id", ["ok", "   "])
+
+
+def test_phrase_search_many_zero_shuffle_plan(spark):
+    """The multi-phrase screen must stay a pure scan projection: no
+    Exchange anywhere in the executed plan."""
+    from whylogs_java_spark.operators.retrieval import phrase_search_many
+
+    df = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = (
+        phrase_search_many(df, "text", "doc_id", ["hash join", "sort merge"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan, plan

@@ -34,6 +34,8 @@ No UDFs anywhere; the whole plan is whole-stage-codegen expressions.
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -46,6 +48,7 @@ __all__ = [
     "build_text_index",
     "phrase_counts",
     "phrase_search",
+    "phrase_search_many",
     "phrase_search_stored",
     "read_text_index",
     "rrf_fuse",
@@ -581,4 +584,36 @@ def rrf_fuse(
         fused.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
         .select(query_col, "rank", id_col, "rrf_score")
+    )
+
+
+def phrase_search_many(
+    docs: DataFrame, text_col: str, id_col: str, phrases: Sequence[str]
+) -> DataFrame:
+    """Screen a corpus against MANY exact phrases in ONE scan — the
+    contamination-canary / policy-phrase shape (a list of marker
+    phrases, every doc checked against all of them). Each phrase
+    compiles to its own overlap-aware chain walk over the SHARED
+    let-bound token array, then the per-phrase counts unpivot through
+    one inline explode. Zero shuffles, zero joins; cost is
+    O(tokens × total phrase words) inside the scan stage.
+
+    Output: (id, phrase, n_matches) for n_matches >= 1 only.
+    """
+    plist = [(p, [x for x in p.lower().split(" ") if x]) for p in phrases]
+    if not plist or any(not w for _, w in plist):
+        raise ValueError("phrases must be non-empty and contain words")
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(p).alias("phrase"),
+                phrase_counts(F.col(text_col), w).alias("n_matches"),
+            )
+            for p, w in plist
+        ]
+    )
+    return (
+        docs.select(F.col(id_col), F.explode(rows).alias("__m"))
+        .select(id_col, "__m.phrase", "__m.n_matches")
+        .where(F.col("n_matches") >= 1)
     )
