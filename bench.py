@@ -157,6 +157,8 @@ BENCH_QUERIES = [
     "phrase_search_documents",
     "hybrid_search_documents",
     "phrases_canary_documents",
+    # round-12 surgical span-level decontamination
+    "decontam_spans_documents",
 ]
 
 

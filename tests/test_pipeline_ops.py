@@ -3174,3 +3174,68 @@ def test_phrase_stream_matches_batch(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         phrase_screen_stream(docs, "text", "doc_id", "x")
+
+
+def test_decontaminate_spans_surgical_removal(spark):
+    """Span-level decontamination removes exactly the contaminated token
+    runs: overlapping grams merge to one span, disjoint leaks count
+    separately, clean/short docs keep their full (normalized) text."""
+    from whylogs_java_spark.operators.decontam import decontaminate_spans
+
+    leak = "alpha beta gamma delta epsilon zeta"  # 6 tokens -> 2 shared 5-grams
+    corpus = spark.createDataFrame(
+        [
+            (1, f"intro words {leak} trailing tail"),
+            (2, "one two three four five six seven eight"),  # clean
+            (3, "too short"),
+            (4, f"{leak} middle filler words here {leak}"),  # two spans
+            (5, leak),  # fully contaminated
+        ],
+        ["doc_id", "text"],
+    )
+    ev = spark.createDataFrame([(f"xx {leak} yy",)], ["text"])
+    out = {r["doc_id"]: r for r in decontaminate_spans(
+        corpus, "text", "doc_id", ev, n=5
+    ).collect()}
+    # the two overlapping 5-grams merge into ONE 6-token span
+    assert out[1]["n_spans"] == 1 and out[1]["tokens_removed"] == 6
+    assert out[1]["clean_text"] == "intro words trailing tail"
+    assert out[1]["n_tokens"] == 10
+    assert out[2]["n_spans"] == 0 and out[2]["tokens_removed"] == 0
+    assert out[2]["clean_text"] == "one two three four five six seven eight"
+    assert out[3]["n_spans"] == 0 and out[3]["clean_text"] == "too short"
+    assert out[4]["n_spans"] == 2 and out[4]["tokens_removed"] == 12
+    assert out[4]["clean_text"] == "middle filler words here"
+    assert out[5]["n_spans"] == 1 and out[5]["tokens_removed"] == 6
+    assert out[5]["clean_text"] == ""
+
+
+def test_decontaminate_spans_gram_store_and_validation(spark, tmp_path):
+    """decontaminate_spans accepts a persisted gram store's digest set
+    (build-once screening) and refuses a call with neither eval side."""
+    import pytest
+
+    from whylogs_java_spark.operators.decontam import (
+        build_gram_store,
+        decontaminate_spans,
+        read_gram_store,
+    )
+
+    leak = "p q r s t u"
+    corpus = spark.createDataFrame(
+        [(1, f"aa bb {leak} cc"), (2, "clean doc text here five six")],
+        ["doc_id", "text"],
+    )
+    ev = spark.createDataFrame([(leak,)], ["text"])
+    p = str(tmp_path / "gstore")
+    build_gram_store(ev, p, "text", n=5)
+    direct = decontaminate_spans(corpus, "text", "doc_id", ev, n=5)
+    stored = decontaminate_spans(
+        corpus, "text", "doc_id", n=5,
+        eval_grams=read_gram_store(spark, p, n=5),
+    )
+    assert sorted(map(tuple, direct.collect())) == sorted(
+        map(tuple, stored.collect())
+    )
+    with pytest.raises(ValueError, match="eval_df"):
+        decontaminate_spans(corpus, "text", "doc_id", n=5)

@@ -342,3 +342,118 @@ def read_gram_store(spark, path: str, n: int | None = None) -> DataFrame:
             f"requested n={n}"
         )
     return spark.read.parquet(f"{path}/grams").select("gram")
+
+
+def decontaminate_spans(
+    corpus: DataFrame,
+    text_col: str,
+    id_col: str,
+    eval_df: DataFrame | None = None,
+    eval_text_col: str | None = None,
+    n: int = 5,
+    eval_grams: DataFrame | None = None,
+) -> DataFrame:
+    """SURGICAL span-level decontamination: excise the contaminated
+    n-gram spans instead of dropping whole documents.
+
+    :func:`decontaminate` implements the drop-the-document policy; for
+    long documents that incidentally quote one benchmark sentence,
+    production pipelines prefer to cut just the leaked span and keep
+    the rest (the open-web variant of Lee et al. 2022's substring
+    removal, aimed at eval overlap instead of self-duplication). A
+    token position is contaminated when ANY word ``n``-gram covering it
+    matches the eval set; overlapping/adjacent contaminated windows
+    merge into maximal spans (gaps-and-islands, the
+    ``dedup.duplicate_spans`` machinery pointed at a reference set).
+
+    Output, one row per input document:
+      (id, n_tokens, n_spans, tokens_removed, clean_text)
+    ``clean_text`` re-joins the surviving tokens with single spaces
+    (whitespace is normalized — the tokenization is the same
+    split-and-drop-empties used by every gram operator here; NULL text
+    behaves as empty). Clean documents keep their full token stream.
+
+    Scale shape (100 TB corpus vs a bounded benchmark): eval digests
+    broadcast; the corpus-side probe is a scan-stage broadcast join and
+    only MATCHED positions (≈ nothing on a clean corpus) reach the
+    per-document span-merge window; the rebuild join is keyed on the
+    id. No pair fan-out, no driver collect anywhere.
+    """
+    from pyspark.sql import Window
+
+    from .dedup import _spread
+
+    if eval_grams is None and eval_df is None:
+        raise ValueError("pass eval_df or a precomputed eval_grams set")
+    grams = (
+        eval_grams
+        if eval_grams is not None
+        else eval_ngram_set(eval_df, eval_text_col or text_col, n)
+    )
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    base = _spread(corpus.select(id_col, text_col))
+    hit_pos = (
+        base.select(
+            F.col(id_col),
+            F.posexplode(ngram_digests(t, n)).alias("pos", "gram"),
+        )
+        .join(F.broadcast(grams), "gram")
+        .select(
+            F.col(id_col),
+            F.col("pos").alias("s0"),
+            (F.col("pos") + n - 1).alias("e0"),
+        )
+    )
+    w_prev = (
+        Window.partitionBy(id_col)
+        .orderBy("s0")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy(id_col)
+        .orderBy("s0")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    prev_end = F.max("e0").over(w_prev)
+    new_island = F.when(
+        prev_end.isNull() | (F.col("s0") > prev_end + 1), 1
+    ).otherwise(0)
+    spans = (
+        hit_pos.withColumn("island", F.sum(new_island).over(w_run))
+        .groupBy(id_col, "island")
+        .agg(F.min("s0").alias("s"), F.max("e0").alias("e"))
+        .groupBy(id_col)
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("s"), F.col("e")))
+            ).alias("__spans"),
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.col("e") - F.col("s") + 1).alias("tokens_removed"),
+        )
+    )
+    words = F.filter(F.split(t, " "), lambda x: x != "")
+    sp = F.coalesce(
+        F.col("__spans"),
+        F.array().cast("array<struct<s: int, e: int>>"),
+    )
+    # 0-based token index i survives unless some merged span covers it;
+    # spans-per-doc is bounded by the eval suite, so the exists() scan
+    # inside the filter lambda is tiny and stays in the scan stage
+    clean = F.filter(
+        words,
+        lambda x, i: ~F.exists(
+            sp, lambda s: (i >= s["s"]) & (i <= s["e"])
+        ),
+    )
+    return (
+        base.join(spans, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.size(words).cast("long").alias("n_tokens"),
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce("tokens_removed", F.lit(0))
+            .cast("long")
+            .alias("tokens_removed"),
+            F.concat_ws(" ", clean).alias("clean_text"),
+        )
+    )
