@@ -157,8 +157,9 @@ BENCH_QUERIES = [
     "phrase_search_documents",
     "hybrid_search_documents",
     "phrases_canary_documents",
-    # round-12 surgical span-level decontamination
+    # round-12 surgical span-level decontamination + CCNet tiers
     "decontam_spans_documents",
+    "ccnet_buckets_documents",
 ]
 
 

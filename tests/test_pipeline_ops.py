@@ -3239,3 +3239,62 @@ def test_decontaminate_spans_gram_store_and_validation(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="eval_df"):
         decontaminate_spans(corpus, "text", "doc_id", n=5)
+
+
+def test_score_buckets_global_terciles(spark):
+    """Known 1..9 scores split into exact interpolated terciles; a NULL
+    score keeps its row with a NULL bucket."""
+    from whylogs_java_spark.operators.sampling import score_buckets
+
+    rows = [(i, float(i)) for i in range(1, 10)] + [(99, None)]
+    df = spark.createDataFrame(rows, ["doc_id", "ppl"])
+    out = {r["doc_id"]: r["bucket"] for r in score_buckets(
+        df, "doc_id", "ppl"
+    ).collect()}
+    # percentile(1..9, 1/3) = 3.666667, 2/3 -> 6.333333
+    assert {k: v for k, v in out.items() if k != 99} == {
+        1: "head", 2: "head", 3: "head",
+        4: "middle", 5: "middle", 6: "middle",
+        7: "tail", 8: "tail", 9: "tail",
+    }
+    assert out[99] is None
+
+
+def test_score_buckets_per_stratum_and_validation(spark):
+    """Cutoffs are computed per stratum (the CCNet per-language rule) —
+    the same score lands in different buckets under different language
+    distributions; bad labels/cuts are refused."""
+    import pytest
+
+    from whylogs_java_spark.operators.sampling import score_buckets
+
+    rows = [("en", i, float(i)) for i in range(1, 10)] + [
+        ("fr", 100 + i, float(100 + i)) for i in range(1, 10)
+    ] + [("fr", 200, 5.0)]  # score 5: middle for en, head for fr
+    df = spark.createDataFrame(rows, ["lang", "doc_id", "ppl"])
+    out = {r["doc_id"]: r for r in score_buckets(
+        df, "doc_id", "ppl", stratum_col="lang"
+    ).collect()}
+    assert out[5]["bucket"] == "middle"
+    assert out[200]["bucket"] == "head"
+    assert out[101]["bucket"] == "head" and out[109]["bucket"] == "tail"
+    with pytest.raises(ValueError, match="labels"):
+        score_buckets(df, "doc_id", "ppl", labels=("a", "b"))
+    with pytest.raises(ValueError, match="ascending"):
+        score_buckets(df, "doc_id", "ppl", cuts=(0.9, 0.1))
+    with pytest.raises(ValueError, match="ascending"):
+        score_buckets(df, "doc_id", "ppl", cuts=(0.0, 0.5))
+
+
+def test_score_buckets_approx_tier_partitions(spark):
+    """approx=True keeps the plan shape and still produces a total
+    bucketing (every scored row gets some label)."""
+    from whylogs_java_spark.operators.sampling import score_buckets
+
+    df = spark.createDataFrame(
+        [(i, float(i % 37)) for i in range(200)], ["doc_id", "ppl"]
+    )
+    out = score_buckets(df, "doc_id", "ppl", approx=True).collect()
+    assert len(out) == 200
+    assert {r["bucket"] for r in out} <= {"head", "middle", "tail"}
+    assert all(r["bucket"] is not None for r in out)

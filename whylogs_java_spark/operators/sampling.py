@@ -488,3 +488,67 @@ def token_budget_select(
         .where(F.col("cum_tokens") <= budget)
     )
     return out
+
+
+def score_buckets(
+    df: DataFrame,
+    id_col: str,
+    score_col: str,
+    stratum_col: str | None = None,
+    cuts: Sequence[float] = (1.0 / 3.0, 2.0 / 3.0),
+    labels: Sequence[str] = ("head", "middle", "tail"),
+    approx: bool = False,
+) -> DataFrame:
+    """CCNet-style score bucketing (Wenzek et al. 2020): split a scored
+    corpus into quality tiers by per-stratum score quantiles — the
+    canonical use is head/middle/tail perplexity terciles PER LANGUAGE
+    over an LM score (``text.lm_score``), after which a pipeline keeps
+    the head, samples the middle, and drops the tail.
+
+    Buckets are assigned low-score-first: ``labels[0]`` is scores ≤ the
+    first cutoff (for perplexity, lower = more fluent = "head"). Rows
+    with NULL scores (e.g. sub-bigram docs) keep their row with a NULL
+    bucket. Cutoffs are exact interpolated quantiles rounded to 6
+    decimals so the boundary comparison replays bit-identically in the
+    DuckDB oracle (quantile_cont == Spark percentile, the
+    quantiles-query pairing).
+
+    Output: input id/stratum/score columns + ``bucket``.
+
+    Scale shape: NO global (or per-stratum) sort of the data — cutoffs
+    come from ONE aggregate (O(strata) rows), broadcast back, and the
+    assignment is a scan-side CASE. The exact-percentile aggregate holds
+    per-group value counts in memory; for continuous score domains at
+    corpus scale pass ``approx=True`` (percentile_approx, same plan
+    shape) and accept estimate-tier cutoffs — the exact tier is the
+    oracle-checkable default.
+    """
+    if len(labels) != len(cuts) + 1:
+        raise ValueError(
+            f"need len(labels) == len(cuts) + 1, got {len(labels)} labels "
+            f"for {len(cuts)} cuts"
+        )
+    if sorted(cuts) != list(cuts) or any(not 0.0 < c < 1.0 for c in cuts):
+        raise ValueError(f"cuts must be ascending and in (0, 1): {cuts!r}")
+    s = F.col(score_col)
+    strat = [stratum_col] if stratum_col is not None else []
+    pcts = F.array(*[F.lit(float(c)) for c in cuts])
+    agg = (F.percentile_approx(s, pcts, 10000) if approx
+           else F.percentile(s, pcts))
+    cutdf = df.groupBy(*strat).agg(
+        F.transform(agg, lambda c: F.round(c, 6) + F.lit(0.0)).alias("__cuts")
+    )
+    joined = (
+        df.join(F.broadcast(cutdf), on=strat, how="left")
+        if strat
+        else df.crossJoin(F.broadcast(cutdf))  # ONE cutoff row, not data×data
+    )
+    bucket = F.when(s.isNull() | F.col("__cuts").isNull(), F.lit(None))
+    for i, lab in enumerate(labels[:-1]):
+        bucket = bucket.when(
+            s <= F.element_at("__cuts", i + 1), F.lit(lab)
+        )
+    bucket = bucket.otherwise(F.lit(labels[-1]))
+    return joined.select(
+        F.col(id_col), *strat, s.alias(score_col), bucket.alias("bucket")
+    )
