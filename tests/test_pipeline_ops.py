@@ -3298,3 +3298,88 @@ def test_score_buckets_approx_tier_partitions(spark):
     assert len(out) == 200
     assert {r["bucket"] for r in out} <= {"head", "middle", "tail"}
     assert all(r["bucket"] is not None for r in out)
+
+
+def _toy_emb(spark, n=40, dim=4):
+    import math
+
+    rows = [
+        (i, [math.sin(i * (j + 1)) * 2.0 + (i % 3) for j in range(dim)])
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_kmeans_model_store_roundtrip_bit_identical(spark, tmp_path):
+    """build_kmeans_model + kmeans_assign_stored == kmeans_assign with
+    the same params (train-once/assign-many parity), for BOTH the
+    literal and join assignment paths; meta arity mismatch refuses."""
+    import pytest
+
+    from whylogs_java_spark.operators.cluster import (
+        build_kmeans_model,
+        kmeans_assign,
+        kmeans_assign_stored,
+        read_kmeans_model,
+    )
+
+    emb = _toy_emb(spark)
+    p = str(tmp_path / "kmodel")
+    build_kmeans_model(emb, p, k=4, n_iter=2)
+    direct = kmeans_assign(emb, k=4, n_iter=2)
+    stored = kmeans_assign_stored(spark, p, emb, k=4)
+    assert sorted(map(tuple, direct.collect())) == sorted(
+        map(tuple, stored.collect())
+    )
+    # join path over the same stored centroids is bit-identical too
+    stored_join = kmeans_assign_stored(spark, p, emb, assign="join")
+    assert sorted(map(tuple, stored.collect())) == sorted(
+        map(tuple, stored_join.collect())
+    )
+    cents = read_kmeans_model(spark, p)
+    assert len(cents) == 4 and all(len(c) == 4 for c in cents)
+    with pytest.raises(ValueError, match="k=4"):
+        read_kmeans_model(spark, p, k=7)
+
+
+def test_kmeans_model_store_scores_new_batch(spark, tmp_path):
+    """A frozen model assigns vectors it never trained on (the
+    incremental-ingest face): assignments are nearest-centroid exact."""
+    from whylogs_java_spark.operators.cluster import (
+        build_kmeans_model,
+        kmeans_assign_stored,
+        read_kmeans_model,
+    )
+
+    emb = _toy_emb(spark)
+    p = str(tmp_path / "kmodel2")
+    build_kmeans_model(emb, p, k=3, n_iter=1)
+    cents = read_kmeans_model(spark, p)
+    new = spark.createDataFrame(
+        [(1000, [0.5, 0.5, 0.5, 0.5]), (1001, [9.0, 9.0, 9.0, 9.0])],
+        ["vec_id", "embedding"],
+    )
+    out = {r["vec_id"]: r for r in kmeans_assign_stored(
+        spark, p, new
+    ).collect()}
+
+    def sq(v, c):
+        return sum((a - b) ** 2 for a, b in zip(v, c))
+
+    for vid, v in ((1000, [0.5] * 4), (1001, [9.0] * 4)):
+        dists = [sq(v, c) for c in cents]
+        want = min(range(len(dists)), key=lambda i: (dists[i], i))
+        assert out[vid]["cluster"] == want
+        assert abs(out[vid]["dist"] - round(dists[want], 6)) < 1e-9
+
+
+def test_kmeans_assign_with_validation(spark):
+    import pytest
+
+    from whylogs_java_spark.operators.cluster import kmeans_assign_with
+
+    emb = _toy_emb(spark, n=5)
+    with pytest.raises(ValueError, match="non-empty"):
+        kmeans_assign_with(emb, [])
+    with pytest.raises(ValueError, match="assign mode"):
+        kmeans_assign_with(emb, [[0.0] * 4], assign="nope")

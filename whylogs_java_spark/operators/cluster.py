@@ -253,7 +253,15 @@ def kmeans_assign(
         )
     centroids: list[list[float]] = [[float(x) for x in r["__v"]] for r in seeds]
     centroids = _lloyd_iterations(emb, centroids, n_iter, use_join)
+    return _final_assign(emb, centroids, id_col, use_join)
 
+
+def _final_assign(
+    emb: DataFrame, centroids: list[list[float]], id_col: str, use_join: bool
+) -> DataFrame:
+    """(id, cluster, dist) for a prepared table against FIXED centroids
+    — the shared assignment tail of the training and stored-model
+    paths (identical expressions, so stored == trained is structural)."""
     if use_join:
         return _assign_join(emb, centroids).select(
             F.col("__id").alias(id_col),
@@ -265,6 +273,114 @@ def kmeans_assign(
         F.col("__id").alias(id_col),
         cid.alias("cluster"),
         (F.round(d, 6) + F.lit(0.0)).alias("dist"),
+    )
+
+
+def kmeans_assign_with(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assign: str = "auto",
+) -> DataFrame:
+    """Assign every vector to the nearest of FIXED centroids (no Lloyd
+    rounds) — the inference face of :func:`kmeans_assign`, for frozen
+    codebooks: a persisted model (``kmeans_assign_stored``), a
+    quantizer trained on a sample, or centroids shipped from another
+    pipeline stage. Same argmin/tie/rounding rules as training."""
+    if assign not in ("auto", "literal", "join"):
+        raise ValueError(f"unknown assign mode {assign!r}")
+    if not centroids:
+        raise ValueError("centroids must be non-empty")
+    use_join = (
+        (len(centroids) > LITERAL_K_MAX) if assign == "auto" else (assign == "join")
+    )
+    emb = _prepare_emb(embeddings, id_col, vec_col)
+    return _final_assign(
+        emb, [[float(x) for x in c] for c in centroids], id_col, use_join
+    )
+
+
+def build_kmeans_model(
+    embeddings: DataFrame,
+    path: str,
+    k: int = 8,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assign: str = "auto",
+) -> None:
+    """Persist a trained k-means model: train once, assign many — the
+    centroid twin of the minhash/gram/winnow/IVF stores. Training is
+    the expensive leg (``n_iter`` corpus scans + the seeding sort);
+    clustering every future batch against the SAME partition of
+    embedding space (incremental SemDeDup, stable cluster-balanced
+    sampling, drift-comparable cluster censuses) should pay it exactly
+    once.
+
+    Two parquet tables under ``path``:
+
+    - ``{path}/centroids``: (cluster int, centroid double[]) — k rows.
+    - ``{path}/meta``: one row pinning (k, n_iter, dim); readers
+      validate a requested k instead of trusting caller arguments.
+    """
+    centroids = kmeans_centroids(
+        embeddings, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col,
+        assign=assign,
+    )
+    if not centroids:
+        raise ValueError("cannot build a k-means model from an empty corpus")
+    spark = embeddings.sparkSession
+    spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cluster int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    spark.createDataFrame(
+        [(int(k), int(n_iter), len(centroids[0]))],
+        "k int, n_iter int, dim int",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def read_kmeans_model(spark, path: str, k: int | None = None) -> list[list[float]]:
+    """Load a persisted k-means model's centroids (cluster-id order).
+
+    Validates a requested ``k`` against the store's meta — assigning
+    against a model of unexpected arity is a silent-corruption hazard
+    (cluster ids mean different things), so mismatches refuse loudly.
+    """
+    meta = spark.read.parquet(f"{path}/meta").first()
+    if k is not None and int(meta["k"]) != int(k):
+        raise ValueError(
+            f"k-means model at {path} was built with k={meta['k']}, "
+            f"requested k={k}"
+        )
+    rows = (
+        spark.read.parquet(f"{path}/centroids").orderBy("cluster").collect()
+    )
+    return [[float(x) for x in r["centroid"]] for r in rows]
+
+
+def kmeans_assign_stored(
+    spark,
+    path: str,
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assign: str = "auto",
+    k: int | None = None,
+) -> DataFrame:
+    """Assign a batch against a persisted k-means model
+    (``build_kmeans_model``): the centroid store is k rows (driver-side
+    by construction — the same bounded collect as every literal/broadcast
+    centroid path), so the probe plan is identical to
+    :func:`kmeans_assign_with` and bit-identical to training-time
+    assignment with the same parameters (pinned by test)."""
+    return kmeans_assign_with(
+        embeddings,
+        read_kmeans_model(spark, path, k=k),
+        id_col=id_col,
+        vec_col=vec_col,
+        assign=assign,
     )
 
 
