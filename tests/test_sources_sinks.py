@@ -1379,3 +1379,62 @@ def test_cli_quota_subcommand(spark, tmp_path, monkeypatch, capsys):
 
     with _pytest.raises(SystemExit):
         cli.main(["quota", src, "-o", out2, "--token-budget", "35"])
+
+
+def test_cli_decontam_subcommand(spark, tmp_path, monkeypatch, capsys):
+    """decontam CLI: report mode flags the quoting doc, --drop writes
+    survivors, --spans writes surgically cleaned text, and the
+    gram-store path (--ref-store, built by `novelty --build-store`)
+    matches the per-run eval derivation."""
+    import whylogs_java_spark.__main__ as cli
+    import whylogs_java_spark.session as sess
+
+    monkeypatch.setattr(sess, "get_spark", lambda *a, **k: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+
+    src = str(tmp_path / "dc_docs.parquet")
+    spark.createDataFrame(
+        [
+            (1, "intro a b c d e outro words"),
+            (2, "totally clean text with six words"),
+        ],
+        "doc_id long, text string",
+    ).write.parquet(src)
+    ev = str(tmp_path / "dc_eval.parquet")
+    spark.createDataFrame(
+        [(9, "x a b c d e y")], "doc_id long, text string"
+    ).write.parquet(ev)
+
+    rep = str(tmp_path / "dc_rep")
+    rc = cli.main(["decontam", src, "--eval", ev, "-o", rep])
+    assert rc == 0
+    assert "flagged 1 contaminated doc(s)" in capsys.readouterr().out
+    got = {r["doc_id"]: r for r in spark.read.parquet(rep).collect()}
+    assert got[1]["contaminated"] and not got[2]["contaminated"]
+
+    kept = str(tmp_path / "dc_kept")
+    rc = cli.main(["decontam", src, "--eval", ev, "-o", kept, "--drop"])
+    assert rc == 0
+    assert [r["doc_id"] for r in spark.read.parquet(kept).collect()] == [2]
+
+    sp = str(tmp_path / "dc_spans")
+    rc = cli.main(["decontam", src, "--eval", ev, "-o", sp, "--spans"])
+    assert rc == 0
+    assert "cleaned 1 contaminated doc(s)" in capsys.readouterr().out
+    rows = {r["doc_id"]: r for r in spark.read.parquet(sp).collect()}
+    assert rows[1]["clean_text"] == "intro outro words"
+    assert rows[1]["n_spans"] == 1 and rows[1]["tokens_removed"] == 5
+    assert rows[2]["clean_text"] == "totally clean text with six words"
+
+    # gram-store path: same verdicts from a persisted store
+    store = str(tmp_path / "dc_store")
+    rc = cli.main(["novelty", ev, "--build-store", store, "-n", "5"])
+    assert rc == 0
+    sp2 = str(tmp_path / "dc_spans2")
+    rc = cli.main([
+        "decontam", src, "--ref-store", store, "-o", sp2, "--spans",
+    ])
+    assert rc == 0
+    assert sorted(
+        map(tuple, spark.read.parquet(sp2).collect())
+    ) == sorted(map(tuple, spark.read.parquet(sp).collect()))

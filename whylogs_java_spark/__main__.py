@@ -55,7 +55,7 @@ def build_parser() -> argparse.ArgumentParser:
 SUBCOMMANDS = (
     "dedup", "drift", "constraints", "monitor", "view", "redact", "shards",
     "blocklist", "split", "pack", "novelty", "project", "winnow", "search",
-    "quota",
+    "quota", "decontam",
 )
 
 
@@ -641,6 +641,70 @@ def _run_novelty(argv: list[str]) -> int:
         spark.stop()
 
 
+def _run_decontam(argv: list[str]) -> int:
+    p = argparse.ArgumentParser(prog="python -m whylogs_java_spark decontam")
+    p.add_argument("input", help="training corpus")
+    g = p.add_mutually_exclusive_group(required=True)
+    g.add_argument("--eval", dest="eval_path",
+                   help="evaluation corpus (gram set derived per run)")
+    g.add_argument("--ref-store",
+                   help="persisted gram store (build with "
+                        "`novelty --build-store`; n validated loudly)")
+    p.add_argument("-o", "--output", required=True)
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--eval-text-col", default=None)
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("-n", "--ngram", type=int, default=5)
+    m = p.add_mutually_exclusive_group()
+    m.add_argument("--drop", action="store_true",
+                   help="write the surviving (uncontaminated) corpus "
+                        "rows instead of the report")
+    m.add_argument("--spans", action="store_true",
+                   help="surgical mode: excise the contaminated spans "
+                        "and write cleaned text instead of the report")
+    a = p.parse_args(argv)
+    from .session import get_spark
+
+    spark = get_spark("whylogs-cli-decontam")
+    try:
+        from pyspark.sql import functions as F
+
+        from .operators.decontam import (
+            decontaminate,
+            decontaminate_spans,
+            read_gram_store,
+        )
+
+        cur = _read_input(spark, a.input)
+        kw = dict(n=a.ngram)
+        if a.ref_store:
+            kw["eval_df"] = None
+            kw["eval_grams"] = read_gram_store(spark, a.ref_store, n=a.ngram)
+        else:
+            kw["eval_df"] = _read_input(spark, a.eval_path)
+            kw["eval_text_col"] = a.eval_text_col
+        if a.spans:
+            out = decontaminate_spans(cur, a.text_col, a.id_col, **kw)
+            out.write.mode("overwrite").parquet(a.output)
+            ncut = out.where(F.col("n_spans") > 0).count()
+            print(f"cleaned {ncut} contaminated doc(s) -> {a.output}")
+            return 0
+        rep = decontaminate(cur, a.text_col, a.id_col, **kw)
+        if a.drop:
+            out = cur.join(
+                rep.where(~F.col("contaminated")).select(a.id_col), a.id_col
+            )
+            out.write.mode("overwrite").parquet(a.output)
+            print(f"kept {out.count()} clean doc(s) -> {a.output}")
+            return 0
+        rep.write.mode("overwrite").parquet(a.output)
+        nc = rep.where(F.col("contaminated")).count()
+        print(f"flagged {nc} contaminated doc(s) -> {a.output}")
+        return 0
+    finally:
+        spark.stop()
+
+
 def _run_quota(argv: list[str]) -> int:
     p = argparse.ArgumentParser(prog="python -m whylogs_java_spark quota")
     p.add_argument("input")
@@ -872,6 +936,7 @@ def main(argv: list[str] | None = None) -> int:
             "winnow": _run_winnow,
             "search": _run_search,
             "quota": _run_quota,
+            "decontam": _run_decontam,
         }[argv[0]](argv[1:])
     args = build_parser().parse_args(argv)
     from .operators.profile import profile_atoms
