@@ -3383,3 +3383,57 @@ def test_kmeans_assign_with_validation(spark):
         kmeans_assign_with(emb, [])
     with pytest.raises(ValueError, match="assign mode"):
         kmeans_assign_with(emb, [[0.0] * 4], assign="nope")
+
+
+def test_score_buckets_stream_matches_batch(spark, tmp_path):
+    """Streaming tier assignment against frozen cutoffs == batch
+    score_buckets_with over the same rows, any batch boundaries; a
+    streaming cutoff table is refused."""
+    import pytest as _pytest
+
+    from whylogs_java_spark.operators.sampling import (
+        score_buckets_with,
+        score_cutoffs,
+    )
+    from whylogs_java_spark.streaming.score_stream import (
+        score_buckets_stream,
+    )
+
+    rows = [("en", i, float((i * 7) % 23)) for i in range(60)] + [
+        ("fr", 100 + i, float((i * 5) % 17)) for i in range(40)
+    ] + [("en", 999, None)]
+    scored = spark.createDataFrame(rows, "lang string, doc_id long, ppl double")
+    cuts = score_cutoffs(scored, "ppl", "lang").localCheckpoint(eager=True)
+
+    src = str(tmp_path / "sb_stream_src")
+    scored.repartition(7).write.parquet(src)
+    stream = spark.readStream.schema(scored.schema).option(
+        "maxFilesPerTrigger", 2
+    ).parquet(src)
+    out = score_buckets_stream(stream, cuts, "doc_id", "ppl", "lang")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sb_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "sb_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(
+        map(tuple, spark.sql("SELECT * FROM sb_stream").collect())
+    )
+    batch = sorted(
+        map(
+            tuple,
+            score_buckets_with(scored, cuts, "doc_id", "ppl", "lang").collect(),
+        )
+    )
+    assert got == batch and len(batch) == 101
+
+    with _pytest.raises(ValueError, match="not streaming"):
+        score_buckets_stream(scored, cuts, "doc_id", "ppl", "lang")
+    with _pytest.raises(ValueError, match="STATIC"):
+        score_buckets_stream(stream, stream, "doc_id", "ppl", "lang")

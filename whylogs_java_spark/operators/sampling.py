@@ -490,6 +490,71 @@ def token_budget_select(
     return out
 
 
+def score_cutoffs(
+    df: DataFrame,
+    score_col: str,
+    stratum_col: str | None = None,
+    cuts: Sequence[float] = (1.0 / 3.0, 2.0 / 3.0),
+    approx: bool = False,
+) -> DataFrame:
+    """Per-stratum quantile cutoffs for :func:`score_buckets_with` —
+    ONE aggregate producing O(strata) rows (stratum?, __cuts), each cut
+    an exact interpolated quantile rounded to 6 decimals (DuckDB
+    quantile_cont parity). Computed once over a REFERENCE corpus these
+    freeze the tier boundaries, which is exactly what the streaming
+    twin needs: scoring a firehose against last-build cutoffs instead
+    of re-deriving them per batch. ``approx=True`` switches to
+    percentile_approx (same plan shape, estimate-tier cutoffs) for
+    continuous score domains at corpus scale."""
+    if sorted(cuts) != list(cuts) or any(not 0.0 < c < 1.0 for c in cuts):
+        raise ValueError(f"cuts must be ascending and in (0, 1): {cuts!r}")
+    s = F.col(score_col)
+    strat = [stratum_col] if stratum_col is not None else []
+    pcts = F.array(*[F.lit(float(c)) for c in cuts])
+    agg = (F.percentile_approx(s, pcts, 10000) if approx
+           else F.percentile(s, pcts))
+    return df.groupBy(*strat).agg(
+        F.transform(agg, lambda c: F.round(c, 6) + F.lit(0.0)).alias("__cuts")
+    )
+
+
+def score_buckets_with(
+    df: DataFrame,
+    cutoffs: DataFrame,
+    id_col: str,
+    score_col: str,
+    stratum_col: str | None = None,
+    labels: Sequence[str] = ("head", "middle", "tail"),
+) -> DataFrame:
+    """Assign tier labels against FROZEN cutoffs (``score_cutoffs``
+    output): broadcast join (or one-row crossJoin when unstratified) +
+    a scan-side CASE — a stateless projection, which is why the
+    streaming twin is this exact plan over a streaming source.
+
+    ``labels`` must have exactly len(cuts)+1 entries for the cutoff
+    arity the store was built with (the CASE walks labels[:-1] against
+    ``element_at(__cuts, i)`` — under ANSI a mismatch fails loudly).
+    Buckets fill low-score-first; NULL scores (and strata absent from
+    the cutoff table) get a NULL bucket.
+    """
+    s = F.col(score_col)
+    strat = [stratum_col] if stratum_col is not None else []
+    joined = (
+        df.join(F.broadcast(cutoffs), on=strat, how="left")
+        if strat
+        else df.crossJoin(F.broadcast(cutoffs))  # ONE cutoff row, not data×data
+    )
+    bucket = F.when(s.isNull() | F.col("__cuts").isNull(), F.lit(None))
+    for i, lab in enumerate(labels[:-1]):
+        bucket = bucket.when(
+            s <= F.element_at("__cuts", i + 1), F.lit(lab)
+        )
+    bucket = bucket.otherwise(F.lit(labels[-1]))
+    return joined.select(
+        F.col(id_col), *strat, s.alias(score_col), bucket.alias("bucket")
+    )
+
+
 def score_buckets(
     df: DataFrame,
     id_col: str,
@@ -516,8 +581,10 @@ def score_buckets(
     Output: input id/stratum/score columns + ``bucket``.
 
     Scale shape: NO global (or per-stratum) sort of the data — cutoffs
-    come from ONE aggregate (O(strata) rows), broadcast back, and the
-    assignment is a scan-side CASE. The exact-percentile aggregate holds
+    come from ONE aggregate (O(strata) rows, :func:`score_cutoffs`),
+    broadcast back, and the assignment is a scan-side CASE
+    (:func:`score_buckets_with` — reuse it directly to freeze cutoffs
+    across batches/streams). The exact-percentile aggregate holds
     per-group value counts in memory; for continuous score domains at
     corpus scale pass ``approx=True`` (percentile_approx, same plan
     shape) and accept estimate-tier cutoffs — the exact tier is the
@@ -528,27 +595,7 @@ def score_buckets(
             f"need len(labels) == len(cuts) + 1, got {len(labels)} labels "
             f"for {len(cuts)} cuts"
         )
-    if sorted(cuts) != list(cuts) or any(not 0.0 < c < 1.0 for c in cuts):
-        raise ValueError(f"cuts must be ascending and in (0, 1): {cuts!r}")
-    s = F.col(score_col)
-    strat = [stratum_col] if stratum_col is not None else []
-    pcts = F.array(*[F.lit(float(c)) for c in cuts])
-    agg = (F.percentile_approx(s, pcts, 10000) if approx
-           else F.percentile(s, pcts))
-    cutdf = df.groupBy(*strat).agg(
-        F.transform(agg, lambda c: F.round(c, 6) + F.lit(0.0)).alias("__cuts")
-    )
-    joined = (
-        df.join(F.broadcast(cutdf), on=strat, how="left")
-        if strat
-        else df.crossJoin(F.broadcast(cutdf))  # ONE cutoff row, not data×data
-    )
-    bucket = F.when(s.isNull() | F.col("__cuts").isNull(), F.lit(None))
-    for i, lab in enumerate(labels[:-1]):
-        bucket = bucket.when(
-            s <= F.element_at("__cuts", i + 1), F.lit(lab)
-        )
-    bucket = bucket.otherwise(F.lit(labels[-1]))
-    return joined.select(
-        F.col(id_col), *strat, s.alias(score_col), bucket.alias("bucket")
+    cutdf = score_cutoffs(df, score_col, stratum_col, cuts, approx)
+    return score_buckets_with(
+        df, cutdf, id_col, score_col, stratum_col, labels
     )
