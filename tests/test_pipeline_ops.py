@@ -3437,3 +3437,42 @@ def test_score_buckets_stream_matches_batch(spark, tmp_path):
         score_buckets_stream(scored, cuts, "doc_id", "ppl", "lang")
     with _pytest.raises(ValueError, match="STATIC"):
         score_buckets_stream(stream, stream, "doc_id", "ppl", "lang")
+
+
+def test_decontam_spans_stream_matches_batch(spark, tmp_path):
+    """Streaming surgical decontamination == batch decontaminate_spans
+    over the same rows under any micro-batch boundaries."""
+    from whylogs_java_spark.operators.decontam import decontaminate_spans
+    from whylogs_java_spark.streaming.decontam_stream import (
+        decontam_spans_stream,
+    )
+
+    leak = "alpha beta gamma delta epsilon zeta"
+    rows = [(i, f"doc number {i} body {leak} tail words") for i in range(8)]
+    rows += [(100 + i, f"clean document {i} with its own words") for i in range(7)]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    ev = spark.createDataFrame([(f"xx {leak} yy",)], ["text"])
+
+    src = str(tmp_path / "ds_stream_src")
+    corpus.repartition(5).write.parquet(src)
+    stream = spark.readStream.schema(corpus.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    got = []
+    q = decontam_spans_stream(
+        stream, "text", "doc_id", ev,
+        on_batch=lambda df, bid: got.extend(map(tuple, df.collect())),
+        checkpoint_dir=str(tmp_path / "ds_ckpt"),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.decontam_grams.unpersist()
+    batch = sorted(
+        map(tuple, decontaminate_spans(corpus, "text", "doc_id", ev).collect())
+    )
+    assert sorted(got) == batch and len(batch) == 15
+    # the planted leak really was excised in the streamed output
+    cleaned = {t[0]: t[4] for t in got}
+    assert cleaned[3] == "doc number 3 body tail words"

@@ -81,6 +81,55 @@ def decontam_stream(
     return query
 
 
+def decontam_spans_stream(
+    stream_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    eval_df: DataFrame,
+    on_batch: Callable[[DataFrame, int], None],
+    eval_text_col: str | None = None,
+    n: int = 5,
+    checkpoint_dir: str | None = None,
+    eval_grams: DataFrame | None = None,
+):
+    """Streaming SURGICAL decontamination — the foreachBatch twin of
+    ``decontam.decontaminate_spans``: each micro-batch's contaminated
+    spans are excised against the same frozen eval digest set and
+    ``on_batch(clean_df, batch_id)`` receives the per-doc
+    (id, n_tokens, n_spans, tokens_removed, clean_text) table (the
+    exact batch schema). Per-document semantics -> zero cross-batch
+    state -> batch-boundary-independent (pinned by pytest).
+
+    Digest-set lifecycle matches :func:`decontam_stream` (persisted
+    once, exposed as ``query.decontam_grams`` when built here).
+    """
+    if eval_df is not None and eval_df.isStreaming:
+        raise ValueError("eval_df must be static — benchmarks are not a stream")
+    if eval_grams is None and eval_df is None:
+        raise ValueError("pass eval_df or a precomputed eval_grams set")
+
+    from ..operators.decontam import decontaminate_spans
+
+    grams = (
+        eval_grams
+        if eval_grams is not None
+        else eval_ngram_set(eval_df, eval_text_col or text_col, n).persist()
+    )
+
+    def _handle(batch_df: DataFrame, batch_id: int) -> None:
+        cleaned = decontaminate_spans(
+            batch_df, text_col, id_col, n=n, eval_grams=grams
+        )
+        on_batch(cleaned, batch_id)
+
+    writer = stream_df.writeStream.foreachBatch(_handle).outputMode("append")
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    query = writer.start()
+    query.decontam_grams = grams
+    return query
+
+
 # ---------------------------------------------------------------------------
 # per-eval-item attribution (streaming twin of contamination_report)
 # ---------------------------------------------------------------------------
