@@ -160,6 +160,8 @@ BENCH_QUERIES = [
     # round-12 surgical span-level decontamination + CCNet tiers
     "decontam_spans_documents",
     "ccnet_buckets_documents",
+    "c4_filter_documents",
+    "cluster_assign_stored",
 ]
 
 

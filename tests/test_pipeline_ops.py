@@ -3476,3 +3476,63 @@ def test_decontam_spans_stream_matches_batch(spark, tmp_path):
     # the planted leak really was excised in the streamed output
     cleaned = {t[0]: t[4] for t in got}
     assert cleaned[3] == "doc number 3 body tail words"
+
+
+def test_c4_filter_line_rules(spark):
+    """Each C4 rule gates its own line; the doc verdict needs min_lines
+    survivors and no braces; NULL text behaves as empty."""
+    from whylogs_java_spark.operators.text import c4_filter
+
+    good = "this line has plenty of words and punctuation."
+    docs = spark.createDataFrame(
+        [
+            (1, f"{good}\n{good}\n{good}"),                      # keeps 3
+            (2, f"{good}\nno terminal punctuation here at all\n{good}"),
+            (3, f"{good}\nshort line.\n{good}"),                 # <5 words
+            (4, f"{good}\nthis has sneaky Lorem Ipsum inside it.\n{good}"),
+            (5, f"{good}\nenable JAVASCRIPT to view this page.\n{good}"),
+            (6, f"{good}\n{good}\nvar x = {{1}};\n{good}"),      # brace doc
+            (7, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in c4_filter(
+        docs, "text", "doc_id"
+    ).collect()}
+    assert out[1]["n_kept"] == 3 and out[1]["keep"]
+    assert out[1]["clean_text"] == f"{good}\n{good}\n{good}"
+    for d in (2, 3, 4, 5):
+        assert out[d]["n_kept"] == 2 and not out[d]["keep"], d
+        assert out[d]["clean_text"] == f"{good}\n{good}"
+    assert out[6]["n_kept"] == 3 and not out[6]["keep"]  # brace veto
+    assert out[7]["n_lines"] == 1 and out[7]["n_kept"] == 0
+    assert not out[7]["keep"] and out[7]["clean_text"] == ""
+    # quote counts as terminal punctuation; question/exclamation too
+    q = spark.createDataFrame(
+        [(1, 'he said "five words right here!"\nis this five words long?')],
+        "doc_id long, text string",
+    )
+    r = c4_filter(q, "text", "doc_id", min_lines=2).first()
+    assert r["n_kept"] == 2 and r["keep"]
+
+
+def test_c4_filter_params_and_validation(spark):
+    import pytest
+
+    from whylogs_java_spark.operators.text import c4_filter
+
+    docs = spark.createDataFrame(
+        [(1, "one two three.\nuno dos tres cuatro cinco seis.")],
+        "doc_id long, text string",
+    )
+    out = c4_filter(
+        docs, "text", "doc_id", min_words_per_line=3, min_lines=1,
+        banned_substrings=(),
+    ).first()
+    assert out["n_kept"] == 2 and out["keep"]
+    out2 = c4_filter(
+        docs, "text", "doc_id", min_words_per_line=4, min_lines=2
+    ).first()
+    assert out2["n_kept"] == 1 and not out2["keep"]
+    with pytest.raises(ValueError, match="min_words_per_line"):
+        c4_filter(docs, "text", "doc_id", min_words_per_line=0)

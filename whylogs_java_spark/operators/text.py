@@ -1134,3 +1134,69 @@ def vocab_oov(
     no broadcast table to build)."""
     voc = [r["token"] for r in vocab_top(df, text_col, k).collect()]
     return oov_stats(df, text_col, id_col, voc)
+
+
+def c4_filter(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_words_per_line: int = 5,
+    min_lines: int = 3,
+    banned_substrings: Sequence[str] = ("lorem ipsum", "javascript"),
+    drop_braces: bool = True,
+) -> DataFrame:
+    """The C4 line-level cleaning rules (Raffel et al. 2020, §2.2) as
+    one scan-side operator: keep only lines that (a) end in a terminal
+    punctuation mark (``. ! ? "``), (b) hold at least
+    ``min_words_per_line`` words, and (c) contain none of the
+    case-insensitive ``banned_substrings`` (C4 drops "javascript"
+    warnings and "lorem ipsum" placeholder text); then gate the DOCUMENT
+    on ``min_lines`` surviving lines and (``drop_braces``) on curly
+    braces anywhere in the original text (C4's source-code heuristic).
+
+    Output, one row per input document:
+      (id, n_lines, n_kept, keep, clean_text)
+    — ``clean_text`` re-joins surviving lines with ``\\n`` (empty when
+    nothing survives); ``keep`` is the page verdict (n_kept ≥ min_lines
+    AND no brace). NULL text behaves as empty. The cross-document
+    three-sentence-span dedup from the same paper is a separate concern
+    (``dedup.duplicate_spans`` / ``segment_dedup``).
+
+    Scale shape: a pure per-row array projection — split on newline,
+    one ``F.filter`` with per-line predicates, concat back. ZERO
+    exchanges at any corpus size; composes into any scan (the verdict
+    is a column, so `.where(keep)` costs nothing extra). Every
+    predicate stays in the Java-regex ∩ RE2 subset so the DuckDB oracle
+    replays it verbatim.
+    """
+    if min_words_per_line < 1 or min_lines < 0:
+        raise ValueError(
+            f"need min_words_per_line >= 1 and min_lines >= 0, got "
+            f"{min_words_per_line}/{min_lines}"
+        )
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.split(t, "\n")
+
+    def _line_ok(ln: Column) -> Column:
+        words = F.filter(F.split(ln, " "), lambda w: w != "")
+        ok = (
+            ln.rlike('[.!?"]\\s*$')
+            & (F.size(words) >= min_words_per_line)
+        )
+        low = F.lower(ln)
+        for b in banned_substrings:
+            ok = ok & ~low.contains(b.lower())
+        return ok
+
+    kept = F.filter(lines, _line_ok)
+    has_brace = t.contains("{") | t.contains("}")
+    keep = F.size(kept) >= min_lines
+    if drop_braces:
+        keep = keep & ~has_brace
+    return df.select(
+        F.col(id_col),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept"),
+        keep.alias("keep"),
+        F.concat_ws("\n", kept).alias("clean_text"),
+    )
