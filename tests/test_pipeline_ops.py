@@ -3536,3 +3536,73 @@ def test_c4_filter_params_and_validation(spark):
     assert out2["n_kept"] == 1 and not out2["keep"]
     with pytest.raises(ValueError, match="min_words_per_line"):
         c4_filter(docs, "text", "doc_id", min_words_per_line=0)
+
+
+def test_source_cap_stream_matches_batch_under_ordered_ingest(spark, tmp_path):
+    """Streaming quota == batch source_cap (id order, no prefer) when
+    ids arrive non-decreasing across micro-batches: the cap spans the
+    batch boundary (state carries the admitted count), a source at
+    quota stops emitting forever, and quota_rank == source_rank."""
+    import os
+    import time as _time
+
+    from whylogs_java_spark.operators.sampling import source_cap
+    from whylogs_java_spark.streaming.quota_stream import source_cap_stream
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "source", "doc_id"
+    )
+    cut = 250
+    src = tmp_path / "quota_src"
+    lo = str(src / "f0.parquet")
+    hi = str(src / "f1.parquet")
+    docs.where(F.col("doc_id") < cut).coalesce(1).write.parquet(lo)
+    docs.where(F.col("doc_id") >= cut).coalesce(1).write.parquet(hi)
+    now = _time.time()
+    for root, offset in ((lo, -120), (hi, -60)):
+        for dirpath, _, files in os.walk(root):
+            for f in files:
+                p = os.path.join(dirpath, f)
+                os.utime(p, (now + offset, now + offset))
+
+    stream = spark.readStream.schema(docs.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(src / "*"))
+    out = source_cap_stream(stream, "doc_id", "source", cap=40)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("quota_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "quota_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r["doc_id"]: (r["source"], r["quota_rank"])
+        for r in spark.sql("SELECT * FROM quota_stream").collect()
+    }
+    batch = {
+        r["doc_id"]: (r["source"], r["source_rank"])
+        for r in source_cap(docs, "doc_id", "source", cap=40).collect()
+    }
+    assert got == batch and len(batch) > 0
+    # every source saturated its quota or ran out of docs
+    per_src = {}
+    for s, rk in got.values():
+        per_src[s] = max(per_src.get(s, 0), rk)
+    totals = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    for s, mx in per_src.items():
+        assert mx == min(40, totals[s])
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not streaming"):
+        source_cap_stream(docs, "doc_id", "source", cap=40)
+    with _pytest.raises(ValueError, match="cap"):
+        source_cap_stream(stream, "doc_id", "source", cap=0)

@@ -1,0 +1,88 @@
+"""Streaming per-source quota gate.
+
+The ingest-time half of ``operators.sampling.source_cap``: cap how many
+documents each source/domain may contribute, enforced AT THE FIREHOSE so
+a crawler burst from one hot domain never floods the staging corpus.
+
+SEMANTICS CONTRACT (documented, inherent to streaming): batch
+``source_cap`` keeps the CAP BEST rows per source (quality order over
+the whole corpus); a stream cannot know future quality, so the gate
+admits the first ``cap`` arrivals per source (ties within a micro-batch
+broken by id order — each batch is sorted by id before counting). The
+two agree exactly when ingest order matches the batch preference order
+(e.g. a staging feed already sorted by the prefer column, or id-ordered
+ingest against the batch default) — THAT regime is pinned by the
+batch-equivalence pytest; under arbitrary arrival the stream still
+enforces the cap deterministically per boundary sequence, it just keeps
+earlier arrivals instead of better ones — the same caveat any
+admission-control gate carries.
+
+Scale shape: one stateful shuffle on the source key; state is ONE long
+per source (admitted count) — O(distinct sources), never per-doc; the
+hot-domain skew case is exactly what the cap bounds (a source stops
+emitting after ``cap`` rows forever). Per-batch work is Arrow-batched
+pandas with no per-row Python round trips beyond the admitted slice.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUT_SCHEMA = "source string, doc_id long, quota_rank long"
+STATE_SCHEMA = "n_admitted long"
+
+
+def _quota_fn(cap: int):
+    def fn(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        (source,) = key
+        n = state.get[0] if state.exists else 0
+        rows: list[tuple] = []
+        parts = [p for p in pdfs if len(p)]
+        if parts:
+            batch = pd.concat(parts, ignore_index=True).sort_values("doc_id")
+            for doc_id in batch["doc_id"]:
+                if n >= cap:
+                    break
+                n += 1
+                rows.append((source, int(doc_id), n))
+        state.update((n,))
+        yield pd.DataFrame(rows, columns=["source", "doc_id", "quota_rank"])
+
+    return fn
+
+
+def source_cap_stream(
+    stream_df: DataFrame,
+    id_col: str,
+    source_col: str,
+    cap: int,
+) -> DataFrame:
+    """Admitted (source, doc_id, quota_rank) rows over a streaming
+    corpus — quota_rank is the 1-based admission index within the
+    source (≤ cap forever, across all micro-batches). Join back on the
+    id to carry payload columns, or treat the output as the admission
+    ticket table.
+    """
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1, got {cap}")
+    if not stream_df.isStreaming:
+        raise ValueError("stream_df is not streaming — use "
+                         "sampling.source_cap for batch corpora")
+    src = stream_df.select(
+        F.col(source_col).cast("string").alias("source"),
+        F.col(id_col).cast("long").alias("doc_id"),
+    )
+    return src.groupBy("source").applyInPandasWithState(
+        _quota_fn(cap),
+        outputStructType=OUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
