@@ -162,6 +162,7 @@ BENCH_QUERIES = [
     "ccnet_buckets_documents",
     "c4_filter_documents",
     "cluster_assign_stored",
+    "bpe_merges_documents",
 ]
 
 

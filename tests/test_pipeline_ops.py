@@ -3606,3 +3606,88 @@ def test_source_cap_stream_matches_batch_under_ordered_ingest(spark, tmp_path):
         source_cap_stream(docs, "doc_id", "source", cap=40)
     with _pytest.raises(ValueError, match="cap"):
         source_cap_stream(stream, "doc_id", "source", cap=0)
+
+
+def _py_bpe(word_counts, n_merges):
+    """Reference BPE trainer (pure python): wrapped-symbol census,
+    greedy leftmost merges, (count desc, left asc, right asc) ties."""
+    words = {tuple(list(w) + ["·"]): c for w, c in word_counts.items()}
+    merges = []
+    for step in range(n_merges):
+        pc = {}
+        for syms, c in words.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] = pc.get(
+                    (syms[i], syms[i + 1]), 0
+                ) + c
+        if not pc:
+            break
+        (l, r), c = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((step, l, r, l + r, c))
+        new = {}
+        for syms, cnt in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            k = tuple(out)
+            new[k] = new.get(k, 0) + cnt
+        words = new
+    return merges
+
+
+def test_bpe_train_matches_python_reference(spark):
+    """The distributed trainer learns exactly the reference merge
+    sequence (greedy leftmost, deterministic ties) on a known corpus."""
+    from collections import Counter
+
+    from whylogs_java_spark.operators.tokenizer import bpe_train
+
+    texts = [
+        "low low low low low",
+        "lower lower newest newest newest newest newest newest",
+        "widest widest widest",
+        "low lowest newest",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    wc = Counter(w for t in texts for w in t.split())
+    want = _py_bpe(wc, 10)
+    got = [
+        (r["step"], r["left"], r["right"], r["merged"], r["pair_count"])
+        for r in bpe_train(docs, "text", n_merges=10).orderBy("step").collect()
+    ]
+    assert got == want
+
+
+def test_bpe_apply_tokenizes_with_learned_merges(spark):
+    """bpe_apply replays merges in training order: trained-on words
+    collapse to few subwords, unseen words fall back to chars, and the
+    end-of-word marker rides the final symbol."""
+    from whylogs_java_spark.operators.tokenizer import bpe_apply, bpe_train
+
+    docs = spark.createDataFrame(
+        [(1, "banana banana banana band")], ["doc_id", "text"]
+    )
+    merges = bpe_train(docs, "text", n_merges=6)
+    out = {r["doc_id"]: r for r in bpe_apply(
+        spark.createDataFrame([(7, "banana zap")], ["doc_id", "text"]),
+        "text", "doc_id", merges,
+    ).collect()}
+    toks = out[7]["tokens"]
+    assert "".join(toks) == "banana·zap·"
+    # 'banana' was trained on -> compressed well below char count
+    cut = toks.index(next(t for t in toks if t.endswith("·")))
+    assert cut + 1 <= 4
+    # unseen 'zap' degrades to mostly single chars
+    assert out[7]["n_tokens"] == len(toks)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="n_merges"):
+        bpe_train(docs, "text", n_merges=0)

@@ -1,0 +1,189 @@
+"""Distributed BPE tokenizer induction (Sennrich et al. 2016).
+
+Byte-pair encoding learned FROM the corpus — the tokenizer-training leg
+of a training-data pipeline (vocabulary fitted to the data that will be
+packed/sharded by the rest of this engine).
+
+Formulation for scale: BPE statistics depend only on the WORD CENSUS
+(distinct word → count), never on the raw token stream — the same
+reduction production trainers use. So the corpus is scanned exactly
+ONCE (one explode + hash-agg to the vocabulary-sized census, map-side
+combined); every merge iteration then runs over that bounded table: one
+pair-count aggregate (rows ≤ census × word-length symbols) plus a
+1-ROW argmax collect — the classifier-GD loop shape (driver holds k
+scalars; data never leaves the cluster). ``n_merges`` iterations total,
+each re-materialized so iteration i+1 reads a table, not an
+i-deep lineage.
+
+Engine-portable representation: a word's symbol sequence is the string
+``|s1||s2||...||sn|`` (every symbol wrapped in its own ``|`` pair).
+Applying merge (a, b) is then EXACTLY ``replace(s, '|a||b|', '|ab|')``
+— leftmost non-overlapping, the BPE greedy rule — and because each
+symbol carries its own delimiters, consecutive occurrences all merge in
+one pass ('|a||b||a||b|' → '|ab||ab|'). Both Spark and DuckDB
+``replace`` share these semantics, so the whole trainer unrolls into a
+DuckDB oracle (one CTE trio per merge), the
+``quality_classifier`` precedent. Words containing the delimiter or the
+end-of-word marker are EXCLUDED from the census (documented; pick
+different markers for corpora that use them).
+
+Determinism: merge ties break (count DESC, left ASC, right ASC); the
+census and every pair count are exact integer aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..ckpt import materialize
+from ..functions.hof import let_bound
+
+#: end-of-word marker symbol (classic BPE '</w>', one char here so the
+#: census strings stay compact)
+EOW = "·"
+SEP = "|"
+
+
+def _census_sym(w: Column) -> Column:
+    """word -> '|c1||c2||...||·|' wrapped-symbol string."""
+    return F.concat(
+        F.lit(SEP),
+        F.array_join(F.split(w, ""), SEP + SEP),
+        F.lit(SEP + SEP + EOW + SEP),
+    )
+
+
+def bpe_word_census(
+    df: DataFrame, text_col: str, lowercase: bool = True
+) -> DataFrame:
+    """(s, cnt): the wrapped-symbol census — ONE corpus pass."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    if lowercase:
+        t = F.lower(t)
+    w = F.explode(F.filter(F.split(t, " "), lambda x: x != "")).alias("w")
+    return (
+        df.select(w)
+        .where(~F.col("w").contains(SEP) & ~F.col("w").contains(EOW))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(_census_sym(F.col("w")).alias("s"), "cnt")
+    )
+
+
+def _pair_counts(words: DataFrame) -> DataFrame:
+    """(l, r, c): weighted adjacent-symbol pair counts over a census."""
+    s = F.col("s")
+    arr = F.split(s.substr(F.lit(2), F.length(s) - 2), "\\|\\|")
+
+    def pairs(a: Column) -> Column:
+        return F.when(
+            F.size(a) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(a) - 1),
+                lambda i: F.struct(
+                    F.element_at(a, i).alias("l"),
+                    F.element_at(a, i + 1).alias("r"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
+
+    return (
+        words.select(F.col("cnt"), F.explode(let_bound(arr, pairs)).alias("p"))
+        .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+        .agg(F.sum("cnt").alias("c"))
+    )
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str,
+    n_merges: int = 16,
+    lowercase: bool = True,
+) -> DataFrame:
+    """Learn ``n_merges`` BPE merges from the corpus; returns the merge
+    table (step, left, right, merged, pair_count) in training order —
+    the tokenizer artifact (feed it to :func:`bpe_apply`, or export).
+    Stops early if the census runs out of pairs."""
+    if n_merges < 1:
+        raise ValueError(f"n_merges must be >= 1, got {n_merges}")
+    spark = df.sparkSession
+    words = bpe_word_census(df, text_col, lowercase).transform(materialize)
+    merges: list[tuple] = []
+    for step in range(n_merges):
+        top = (
+            _pair_counts(words)
+            .orderBy(F.desc("c"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        l, r, c = top[0]["l"], top[0]["r"], top[0]["c"]
+        merges.append((step, l, r, l + r, int(c)))
+        words = words.select(
+            F.replace(
+                F.col("s"),
+                F.lit(f"{SEP}{l}{SEP}{SEP}{r}{SEP}"),
+                F.lit(f"{SEP}{l}{r}{SEP}"),
+            ).alias("s"),
+            "cnt",
+        ).transform(materialize)
+    return spark.createDataFrame(
+        merges,
+        "step int, left string, right string, merged string, pair_count long",
+    )
+
+
+def bpe_apply(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    merges: DataFrame | list[tuple],
+    lowercase: bool = True,
+) -> DataFrame:
+    """Tokenize documents with a learned merge table: per word, the
+    merges replay IN TRAINING ORDER as chained ``replace`` calls (the
+    merge list is tokenizer-sized — plan literals, zero joins, zero
+    shuffle; the whole pass is a scan projection).
+
+    Output: (id, n_tokens, tokens array<string>) — subword symbols in
+    order, end-of-word marker attached to each word's last symbol.
+    """
+    if isinstance(merges, DataFrame):
+        rows = merges.orderBy("step").collect()
+        pairs = [(r["left"], r["right"]) for r in rows]
+    else:
+        pairs = [(m[1], m[2]) for m in sorted(merges)]
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    if lowercase:
+        t = F.lower(t)
+
+    def encode(w: Column) -> Column:
+        s = _census_sym(w)
+        for l, r in pairs:
+            s = F.replace(
+                s,
+                F.lit(f"{SEP}{l}{SEP}{SEP}{r}{SEP}"),
+                F.lit(f"{SEP}{l}{r}{SEP}"),
+            )
+        return F.split(s.substr(F.lit(2), F.length(s) - 2), "\\|\\|")
+
+    words = F.filter(F.split(t, " "), lambda x: x != "")
+    toks = F.flatten(
+        F.transform(
+            F.filter(
+                words,
+                lambda x: ~x.contains(SEP) & ~x.contains(EOW),
+            ),
+            encode,
+        )
+    )
+    # two-step select: `tokens` becomes a bound attribute before the
+    # size() projection, so the replace chain runs once per row, not
+    # once per output column
+    return df.select(F.col(id_col), toks.alias("tokens")).select(
+        F.col(id_col),
+        F.size("tokens").cast("long").alias("n_tokens"),
+        F.col("tokens"),
+    )
