@@ -1438,3 +1438,47 @@ def test_cli_decontam_subcommand(spark, tmp_path, monkeypatch, capsys):
     assert sorted(
         map(tuple, spark.read.parquet(sp2).collect())
     ) == sorted(map(tuple, spark.read.parquet(sp).collect()))
+
+
+def test_cli_tokenize_and_clean_subcommands(spark, tmp_path, monkeypatch, capsys):
+    """tokenize: --train exports a merge table a later --merges run
+    consumes; clean: C4 report vs --drop survivors with cleaned text."""
+    import whylogs_java_spark.__main__ as cli
+    import whylogs_java_spark.session as sess
+
+    monkeypatch.setattr(sess, "get_spark", lambda *a, **k: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+
+    src = str(tmp_path / "tk_docs.parquet")
+    spark.createDataFrame(
+        [(1, "banana banana banana"), (2, "band banana bans")],
+        "doc_id long, text string",
+    ).write.parquet(src)
+    merges = str(tmp_path / "tk_merges")
+    rc = cli.main(["tokenize", src, "--train", "-o", merges, "-m", "5"])
+    assert rc == 0
+    assert "learned 5 merge(s)" in capsys.readouterr().out
+    toks = str(tmp_path / "tk_out")
+    rc = cli.main(["tokenize", src, "--merges", merges, "-o", toks])
+    assert rc == 0
+    back = {r["doc_id"]: r for r in spark.read.parquet(toks).collect()}
+    assert "".join(back[1]["tokens"]) == "banana·banana·banana·"
+    assert back[1]["n_tokens"] < len("banana banana banana")
+
+    good = "this line has plenty of words and punctuation."
+    csrc = str(tmp_path / "cl_docs.parquet")
+    spark.createDataFrame(
+        [(1, f"{good}\n{good}\n{good}"), (2, "too short.\nno punct line")],
+        "doc_id long, text string",
+    ).write.parquet(csrc)
+    rep = str(tmp_path / "cl_rep")
+    rc = cli.main(["clean", csrc, "-o", rep])
+    assert rc == 0
+    got = {r["doc_id"]: r for r in spark.read.parquet(rep).collect()}
+    assert got[1]["keep"] and not got[2]["keep"]
+    kept = str(tmp_path / "cl_kept")
+    rc = cli.main(["clean", csrc, "-o", kept, "--drop"])
+    assert rc == 0
+    rows = spark.read.parquet(kept).collect()
+    assert [r["doc_id"] for r in rows] == [1]
+    assert rows[0]["clean_text"] == f"{good}\n{good}\n{good}"

@@ -55,7 +55,7 @@ def build_parser() -> argparse.ArgumentParser:
 SUBCOMMANDS = (
     "dedup", "drift", "constraints", "monitor", "view", "redact", "shards",
     "blocklist", "split", "pack", "novelty", "project", "winnow", "search",
-    "quota", "decontam",
+    "quota", "decontam", "tokenize", "clean",
 )
 
 
@@ -641,6 +641,87 @@ def _run_novelty(argv: list[str]) -> int:
         spark.stop()
 
 
+def _run_tokenize(argv: list[str]) -> int:
+    p = argparse.ArgumentParser(prog="python -m whylogs_java_spark tokenize")
+    p.add_argument("input", help="corpus")
+    g = p.add_mutually_exclusive_group(required=True)
+    g.add_argument("--train", action="store_true",
+                   help="learn BPE merges from INPUT and write the "
+                        "merge table to -o")
+    g.add_argument("--merges", metavar="PATH",
+                   help="tokenize INPUT with a stored merge table "
+                        "(written by --train)")
+    p.add_argument("-o", "--output", required=True)
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("-m", "--n-merges", type=int, default=64)
+    a = p.parse_args(argv)
+    from .session import get_spark
+
+    spark = get_spark("whylogs-cli-tokenize")
+    try:
+        from pyspark.sql import functions as F
+
+        from .operators.tokenizer import bpe_apply, bpe_train
+
+        df = _read_input(spark, a.input)
+        if a.train:
+            merges = bpe_train(df, a.text_col, n_merges=a.n_merges)
+            merges.coalesce(1).write.mode("overwrite").parquet(a.output)
+            print(f"learned {merges.count()} merge(s) -> {a.output}")
+            return 0
+        merges = spark.read.parquet(a.merges)
+        out = bpe_apply(df, a.text_col, a.id_col, merges)
+        out.write.mode("overwrite").parquet(a.output)
+        n = out.agg(F.sum("n_tokens")).first()[0]
+        print(f"tokenized to {n} subword token(s) -> {a.output}")
+        return 0
+    finally:
+        spark.stop()
+
+
+def _run_clean(argv: list[str]) -> int:
+    p = argparse.ArgumentParser(prog="python -m whylogs_java_spark clean")
+    p.add_argument("input", help="corpus")
+    p.add_argument("-o", "--output", required=True)
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--min-words", type=int, default=5,
+                   help="minimum words per surviving line")
+    p.add_argument("--min-lines", type=int, default=3,
+                   help="minimum surviving lines per kept page")
+    p.add_argument("--ban", default="lorem ipsum,javascript",
+                   help="comma-separated banned line substrings")
+    p.add_argument("--keep-braces", action="store_true",
+                   help="disable the curly-brace page veto")
+    p.add_argument("--drop", action="store_true",
+                   help="write only kept pages (id + cleaned text) "
+                        "instead of the per-doc report")
+    a = p.parse_args(argv)
+    from .session import get_spark
+
+    spark = get_spark("whylogs-cli-clean")
+    try:
+        from pyspark.sql import functions as F
+
+        from .operators.text import c4_filter
+
+        df = _read_input(spark, a.input)
+        banned = tuple(t for t in a.ban.split(",") if t)
+        out = c4_filter(
+            df, a.text_col, a.id_col,
+            min_words_per_line=a.min_words, min_lines=a.min_lines,
+            banned_substrings=banned, drop_braces=not a.keep_braces,
+        )
+        if a.drop:
+            out = out.where(F.col("keep")).select(a.id_col, "clean_text")
+        out.write.mode("overwrite").parquet(a.output)
+        print(f"wrote {out.count()} row(s) -> {a.output}")
+        return 0
+    finally:
+        spark.stop()
+
+
 def _run_decontam(argv: list[str]) -> int:
     p = argparse.ArgumentParser(prog="python -m whylogs_java_spark decontam")
     p.add_argument("input", help="training corpus")
@@ -937,6 +1018,8 @@ def main(argv: list[str] | None = None) -> int:
             "search": _run_search,
             "quota": _run_quota,
             "decontam": _run_decontam,
+            "tokenize": _run_tokenize,
+            "clean": _run_clean,
         }[argv[0]](argv[1:])
     args = build_parser().parse_args(argv)
     from .operators.profile import profile_atoms
