@@ -163,6 +163,7 @@ BENCH_QUERIES = [
     "c4_filter_documents",
     "cluster_assign_stored",
     "bpe_merges_documents",
+    "pipeline_manifest_v4",
 ]
 
 

@@ -3691,3 +3691,38 @@ def test_bpe_apply_tokenizes_with_learned_merges(spark):
 
     with _pytest.raises(ValueError, match="n_merges"):
         bpe_train(docs, "text", n_merges=0)
+
+
+def test_training_manifest_v4_invariants(spark):
+    """v4 composition invariants over the sf0.001 corpus slice: only
+    head/middle tiers admitted, per-source admission respects the cap
+    with contiguous ranks, n_tokens counts the CLEANED stream, and the
+    planted eval overlap really is excised before scoring."""
+    from whylogs_java_spark.operators.decontam import decontaminate_spans
+    from whylogs_java_spark.operators.pipeline import training_manifest_v4
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text", "lang", "source"
+    )
+    ev = docs.where(F.col("doc_id") % 20 == 0).select(
+        F.concat_ws(
+            " ",
+            F.slice(F.filter(F.split("text", " "), lambda t: t != ""), 3, 10),
+        ).alias("text")
+    )
+    out = training_manifest_v4(docs, "text", "doc_id", ev, n=5, cap=15)
+    rows = out.collect()
+    assert rows and all(r["bucket"] in ("head", "middle") for r in rows)
+    per_src = {}
+    for r in rows:
+        per_src.setdefault(r["source"], []).append(r["source_rank"])
+    for src, ranks in per_src.items():
+        assert len(ranks) <= 15
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), src
+    cleaned = {
+        r["doc_id"]: r["n_tokens"] - r["tokens_removed"]
+        for r in decontaminate_spans(
+            docs, "text", "doc_id", ev, n=5
+        ).collect()
+    }
+    assert all(r["n_tokens"] == cleaned[r["doc_id"]] for r in rows)

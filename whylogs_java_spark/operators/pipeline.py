@@ -302,3 +302,97 @@ def training_manifest_v3(
         keep.join(surv, id_col), text_col, id_col,
         context_len=context_len, strata=["split"], sep_tokens=sep_tokens,
     )
+
+
+def training_manifest_v4(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    eval_df: DataFrame,
+    *,
+    lang_col: str = "lang",
+    source_col: str = "source",
+    n: int = 5,
+    vocab_size: int = 256,
+    top_bigrams: int = 2048,
+    drop_tiers: Sequence[str] = ("tail",),
+    cap: int = 15,
+    materialize: bool = True,
+) -> DataFrame:
+    """Composed v4 pipeline — the round-12 operators end to end:
+
+        raw corpus
+          → surgical span decontamination  (excise eval-overlap spans;
+                                            the CLEANED text feeds every
+                                            later stage)
+          → CCNet tier gate                (bigram-LM perplexity trained
+                                            on the cleaned corpus,
+                                            per-language exact terciles;
+                                            ``drop_tiers`` and unscorable
+                                            docs drop)
+          → per-source quota               (keep the ``cap``
+                                            lowest-perplexity docs per
+                                            source, id tie-break)
+          → manifest
+
+    Output, one row per admitted doc:
+      (id, lang, source, perplexity, bucket, source_rank, n_tokens)
+    — n_tokens counts the CLEANED token stream (what would actually be
+    packed). Every stage is deterministic, so the whole composition is
+    oracle-checkable as ONE query (span rebuild → LM trajectory → tier
+    cutoffs → quota window, all replayed in DuckDB).
+
+    Scale: the decontam pass is the broadcast-digest scan; LM state is
+    bounded/broadcast; the tier gate is an O(languages) cutoff
+    broadcast; the quota is one WindowGroupLimit exchange on the source
+    key. ``materialize`` severs lineage at the cleaned corpus (it feeds
+    the LM build twice and the scoring pass).
+    """
+    from .decontam import decontaminate_spans
+    from .sampling import score_buckets, source_cap
+    from .text import lm_score
+
+    cleaned = decontaminate_spans(df, text_col, id_col, eval_df, n=n)
+    corpus = (
+        df.select(F.col(id_col), lang_col, source_col)
+        .join(
+            cleaned.select(
+                F.col(id_col),
+                F.col("clean_text"),
+                (F.col("n_tokens") - F.col("tokens_removed")).alias(
+                    "__clean_tokens"
+                ),
+            ),
+            id_col,
+        )
+    )
+    if materialize:
+        corpus = _materialize(corpus)
+    scored = corpus.join(
+        lm_score(
+            corpus, "clean_text", id_col,
+            vocab_size=vocab_size, top_bigrams=top_bigrams,
+        ).select(F.col(id_col), "perplexity"),
+        id_col,
+    )
+    tiers = score_buckets(
+        scored, id_col, "perplexity", stratum_col=lang_col
+    ).select(F.col(id_col), "bucket")
+    kept = (
+        scored.join(tiers, id_col)
+        .where(
+            F.col("bucket").isNotNull()
+            & ~F.col("bucket").isin(*drop_tiers)
+        )
+        .withColumn("__q", -F.col("perplexity"))
+    )
+    capped = source_cap(kept, id_col, source_col, cap, "__q")
+    return capped.select(
+        F.col(id_col),
+        F.col(lang_col),
+        F.col(source_col),
+        F.col("perplexity"),
+        F.col("bucket"),
+        F.col("source_rank").cast("long").alias("source_rank"),
+        F.col("__clean_tokens").cast("long").alias("n_tokens"),
+    )
