@@ -3726,3 +3726,52 @@ def test_training_manifest_v4_invariants(spark):
         ).collect()
     }
     assert all(r["n_tokens"] == cleaned[r["doc_id"]] for r in rows)
+
+
+def test_bpe_apply_stream_matches_batch(spark, tmp_path):
+    """Streaming tokenization against a frozen merge table is
+    row-identical to batch bpe_apply; streaming merges are refused."""
+    import pytest as _pytest
+
+    from whylogs_java_spark.operators.tokenizer import bpe_apply, bpe_train
+    from whylogs_java_spark.streaming.tokenize_stream import bpe_apply_stream
+
+    train = spark.createDataFrame(
+        [(1, "banana banana band bans"), (2, "bandana banana")],
+        "doc_id long, text string",
+    )
+    merges = bpe_train(train, "text", n_merges=6).localCheckpoint(eager=True)
+
+    feed = spark.createDataFrame(
+        [(i, ["banana splits", "band practice", "zap"][i % 3]) for i in range(9)],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "tok_stream_src")
+    feed.repartition(3).write.parquet(src)
+    stream = spark.readStream.schema(feed.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    out = bpe_apply_stream(stream, "text", "doc_id", merges)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("tok_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "tok_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(
+        (r["doc_id"], r["n_tokens"], tuple(r["tokens"]))
+        for r in spark.sql("SELECT * FROM tok_stream").collect()
+    )
+    batch = sorted(
+        (r["doc_id"], r["n_tokens"], tuple(r["tokens"]))
+        for r in bpe_apply(feed, "text", "doc_id", merges).collect()
+    )
+    assert got == batch and len(batch) == 9
+
+    with _pytest.raises(ValueError, match="not streaming"):
+        bpe_apply_stream(feed, "text", "doc_id", merges)
