@@ -986,3 +986,67 @@ def test_phrase_counts_match_python_walk(spark, texts, plen):
             if toks[s:s + len(words)] == words
         )
     assert got == want
+
+
+# --- r12: BPE trainer vs a pure-python reference -------------------------
+
+_bpe_words = st.lists(
+    st.text(alphabet="abcde", min_size=1, max_size=6),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_bpe_words)
+def test_bpe_train_matches_python_reference_property(spark, words):
+    """The distributed trainer replays the reference greedy-merge
+    trajectory (count desc, left asc, right asc ties) on arbitrary
+    small corpora — including heavy repetition and 1-char words."""
+    from collections import Counter
+
+    from tests.test_pipeline_ops import _py_bpe
+    from whylogs_java_spark.operators.tokenizer import bpe_train
+
+    docs = spark.createDataFrame(
+        [(0, " ".join(words))], ["doc_id", "text"]
+    )
+    want = _py_bpe(Counter(words), 5)
+    got = [
+        (r["step"], r["left"], r["right"], r["merged"], r["pair_count"])
+        for r in bpe_train(docs, "text", n_merges=5).orderBy("step").collect()
+    ]
+    assert got == want
+
+
+# --- r12: score_buckets vs numpy linear percentiles ----------------------
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.floats(min_value=-1e6, max_value=1e6,
+                  allow_nan=False, allow_infinity=False),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_score_buckets_match_numpy_percentiles(spark, xs):
+    """Tercile assignment agrees with numpy's linear-interpolation
+    percentiles under the same round-6 cutoff rule — the exact-quantile
+    contract the DuckDB oracle relies on."""
+    import numpy as np
+
+    from whylogs_java_spark.operators.sampling import score_buckets
+
+    df = spark.createDataFrame(
+        [(i, float(x)) for i, x in enumerate(xs)], ["doc_id", "ppl"]
+    )
+    got = {r["doc_id"]: r["bucket"] for r in score_buckets(
+        df, "doc_id", "ppl"
+    ).collect()}
+    c1 = round(float(np.percentile(xs, 100.0 / 3.0, method="linear")), 6)
+    c2 = round(float(np.percentile(xs, 200.0 / 3.0, method="linear")), 6)
+    for i, x in enumerate(xs):
+        want = "head" if x <= c1 else ("middle" if x <= c2 else "tail")
+        assert got[i] == want, (i, x, c1, c2)
