@@ -3775,3 +3775,70 @@ def test_bpe_apply_stream_matches_batch(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="not streaming"):
         bpe_apply_stream(feed, "text", "doc_id", merges)
+
+
+def test_kmeans_model_meta_pins_actual_arity(spark, tmp_path):
+    """A 3-vector corpus asked for k=8 yields a 3-centroid model; meta
+    pins the ACTUAL arity, so k=3 validates and k=8 is refused."""
+    import pytest
+
+    from whylogs_java_spark.operators.cluster import (
+        build_kmeans_model,
+        read_kmeans_model,
+    )
+
+    emb = _toy_emb(spark, n=3)
+    p = str(tmp_path / "ksmall")
+    build_kmeans_model(emb, p, k=8, n_iter=1)
+    cents = read_kmeans_model(spark, p, k=3)
+    assert len(cents) == 3
+    with pytest.raises(ValueError, match="k=3"):
+        read_kmeans_model(spark, p, k=8)
+
+
+def test_score_buckets_refuses_duplicate_cuts(spark):
+    import pytest
+
+    from whylogs_java_spark.operators.sampling import score_buckets
+
+    df = spark.createDataFrame([(1, 1.0)], ["doc_id", "ppl"])
+    with pytest.raises(ValueError, match="strictly ascending"):
+        score_buckets(df, "doc_id", "ppl", cuts=(0.5, 0.5))
+
+
+def test_source_cap_stream_string_ids_and_type_refusal(spark, tmp_path):
+    """String ids flow through the quota gate unchanged (no lossy long
+    cast); an unsupported id type is refused loudly up front."""
+    import pytest
+
+    from whylogs_java_spark.streaming.quota_stream import source_cap_stream
+
+    feed = spark.createDataFrame(
+        [(f"doc-{i:03d}", "srcA" if i % 2 else "srcB") for i in range(10)],
+        "doc_id string, source string",
+    )
+    src = str(tmp_path / "qs_str_src")
+    feed.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(feed.schema).parquet(src)
+    out = source_cap_stream(stream, "doc_id", "source", cap=3)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("quota_str_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "qs_str_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT * FROM quota_str_stream").collect()
+    assert len(rows) == 6  # 3 per source
+    assert all(isinstance(r["doc_id"], str) for r in rows)
+    # id order within each source decides admission
+    a = sorted(r["doc_id"] for r in rows if r["source"] == "srcA")
+    assert a == ["doc-001", "doc-003", "doc-005"]
+
+    bad = spark.readStream.schema("doc_id double, source string").parquet(src)
+    with pytest.raises(ValueError, match="unsupported id type"):
+        source_cap_stream(bad, "doc_id", "source", cap=3)

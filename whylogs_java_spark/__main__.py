@@ -673,7 +673,13 @@ def _run_tokenize(argv: list[str]) -> int:
         merges = spark.read.parquet(a.merges)
         out = bpe_apply(df, a.text_col, a.id_col, merges)
         out.write.mode("overwrite").parquet(a.output)
-        n = out.agg(F.sum("n_tokens")).first()[0]
+        # count from the WRITTEN table — re-aggregating `out` would
+        # re-run the whole chained-replace encode pass over the corpus
+        n = (
+            spark.read.parquet(a.output)
+            .agg(F.sum("n_tokens"))
+            .first()[0]
+        )
         print(f"tokenized to {n} subword token(s) -> {a.output}")
         return 0
     finally:

@@ -335,8 +335,11 @@ def build_kmeans_model(
         [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
         "cluster int, centroid array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    # meta pins the model's ACTUAL arity (seed collect can return fewer
+    # than the requested k on tiny corpora) — validating against the
+    # requested k would pass exactly when arity silently diverged
     spark.createDataFrame(
-        [(int(k), int(n_iter), len(centroids[0]))],
+        [(len(centroids), int(n_iter), len(centroids[0]))],
         "k int, n_iter int, dim int",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
 

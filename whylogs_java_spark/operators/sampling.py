@@ -506,8 +506,14 @@ def score_cutoffs(
     of re-deriving them per batch. ``approx=True`` switches to
     percentile_approx (same plan shape, estimate-tier cutoffs) for
     continuous score domains at corpus scale."""
-    if sorted(cuts) != list(cuts) or any(not 0.0 < c < 1.0 for c in cuts):
-        raise ValueError(f"cuts must be ascending and in (0, 1): {cuts!r}")
+    if any(a >= b for a, b in zip(cuts, cuts[1:])) or any(
+        not 0.0 < c < 1.0 for c in cuts
+    ):
+        # strictly ascending: a duplicated cut would make its label's
+        # CASE branch unreachable — silent mis-tiering, refuse loudly
+        raise ValueError(
+            f"cuts must be strictly ascending and in (0, 1): {cuts!r}"
+        )
     s = F.col(score_col)
     strat = [stratum_col] if stratum_col is not None else []
     pcts = F.array(*[F.lit(float(c)) for c in cuts])

@@ -77,7 +77,9 @@ def decontam_stream(
     if checkpoint_dir is not None:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     query = writer.start()
-    query.decontam_grams = grams
+    if eval_grams is None:
+        # expose only the internally built set (see the spans twin note)
+        query.decontam_grams = grams
     return query
 
 
@@ -126,7 +128,11 @@ def decontam_spans_stream(
     if checkpoint_dir is not None:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     query = writer.start()
-    query.decontam_grams = grams
+    if eval_grams is None:
+        # only the internally built-and-persisted set is exposed for
+        # cleanup — attaching a CALLER-owned shared set would invite
+        # generic lifecycle code to unpersist it under other queries
+        query.decontam_grams = grams
     return query
 
 

@@ -33,7 +33,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-OUT_SCHEMA = "source string, doc_id long, quota_rank long"
 STATE_SCHEMA = "n_admitted long"
 
 
@@ -51,7 +50,7 @@ def _quota_fn(cap: int):
                 if n >= cap:
                     break
                 n += 1
-                rows.append((source, int(doc_id), n))
+                rows.append((source, doc_id, n))
         state.update((n,))
         yield pd.DataFrame(rows, columns=["source", "doc_id", "quota_rank"])
 
@@ -75,13 +74,23 @@ def source_cap_stream(
     if not stream_df.isStreaming:
         raise ValueError("stream_df is not streaming — use "
                          "sampling.source_cap for batch corpora")
+    # ids keep their native type (string ids are legal corpus-wide —
+    # the batch twin accepts any id type); a lossy cast-to-long would
+    # NULL string ids and crash the state function mid-stream
+    id_type = stream_df.schema[id_col].dataType.simpleString()
+    if id_type not in ("long", "int", "bigint", "integer", "string"):
+        raise ValueError(
+            f"unsupported id type {id_type!r} for {id_col!r} — "
+            "use an integer or string id column"
+        )
+    out_id = "string" if id_type == "string" else "long"
     src = stream_df.select(
         F.col(source_col).cast("string").alias("source"),
-        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(id_col).cast(out_id).alias("doc_id"),
     )
     return src.groupBy("source").applyInPandasWithState(
         _quota_fn(cap),
-        outputStructType=OUT_SCHEMA,
+        outputStructType=f"source string, doc_id {out_id}, quota_rank long",
         stateStructType=STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
