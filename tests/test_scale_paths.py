@@ -1204,3 +1204,77 @@ def test_gram_store_probe_hot_gram_no_fanout(spark, tmp_path):
     # doc 0: 4 distinct 3-grams, only the boilerplate one is seen
     assert out[0]["n_grams"] == 4 and out[0]["n_seen"] == 1
     assert out[0]["n_novel"] == 3
+
+
+def test_winnow_store_append_equals_full_build(spark, tmp_path):
+    """build(A) + append(B) probes == build(A∪B) probes — the winnow
+    print store's incremental-ingest leg (bit-identical screens)."""
+    from pyspark.sql import functions as F
+
+    from whylogs_java_spark.operators.dedup import (
+        append_winnow_store,
+        build_winnow_store,
+        winnow_screen_stored,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    ref_a = docs.where(F.col("doc_id") % 3 == 0)
+    ref_b = docs.where(F.col("doc_id") % 3 == 1)
+    batch = docs.where(F.col("doc_id") % 3 == 2).limit(60)
+
+    inc = str(tmp_path / "w_inc")
+    build_winnow_store(ref_a, inc, "text", "doc_id", k=5, window=4,
+                       n_buckets=8)
+    append_winnow_store(ref_b, inc, "text", "doc_id")
+    full = str(tmp_path / "w_full")
+    build_winnow_store(ref_a.unionByName(ref_b), full, "text", "doc_id",
+                       k=5, window=4, n_buckets=8)
+    got_inc = sorted(map(tuple, winnow_screen_stored(
+        spark, inc, batch, "text", "doc_id", 2
+    ).collect()))
+    got_full = sorted(map(tuple, winnow_screen_stored(
+        spark, full, batch, "text", "doc_id", 2
+    ).collect()))
+    assert got_inc == got_full and len(got_inc) == 60
+
+
+def test_gram_store_append_equals_full_build(spark, tmp_path):
+    """Gram-store append writes only NEW digests (store stays a
+    distinct set) and store-backed screens match a full rebuild."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from whylogs_java_spark.operators.decontam import (
+        append_gram_store,
+        build_gram_store,
+        ngram_novelty,
+        read_gram_store,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    ref_a = docs.where(F.col("doc_id") % 3 == 0)
+    ref_b = docs.where(F.col("doc_id") % 3 == 1)
+    batch = docs.where(F.col("doc_id") % 3 == 2).limit(60)
+
+    inc = str(tmp_path / "g_inc")
+    build_gram_store(ref_a, inc, "text", n=5, n_buckets=8)
+    append_gram_store(ref_b, inc, "text")
+    full = str(tmp_path / "g_full")
+    build_gram_store(ref_a.unionByName(ref_b), full, "text", n=5,
+                     n_buckets=8)
+    gi = read_gram_store(spark, inc, n=5)
+    gf = read_gram_store(spark, full, n=5)
+    # distinct-set invariant: append dedups against the stored set
+    assert gi.count() == gi.distinct().count() == gf.count()
+    got_inc = sorted(map(tuple, ngram_novelty(
+        batch, "text", "doc_id", n=5, ref_grams=gi
+    ).collect()))
+    got_full = sorted(map(tuple, ngram_novelty(
+        batch, "text", "doc_id", n=5, ref_grams=gf
+    ).collect()))
+    assert got_inc == got_full and len(got_inc) == 60

@@ -329,6 +329,33 @@ def build_gram_store(
     meta.write.mode("overwrite").parquet(f"{path}/meta")
 
 
+def append_gram_store(
+    df: DataFrame,
+    path: str,
+    text_col: str,
+) -> None:
+    """Append a batch's n-gram digests to an existing gram store — the
+    incremental leg of the decontam/novelty screens (the reference set
+    grows as batches are accepted; rebuilding re-pays the whole
+    distinct-digest reduction). Only digests NOT already in the store
+    are written (a left-anti join against the stored set — the store
+    stays a distinct set, so store-backed screens after build+append
+    are bit-identical to a store built on the union; pinned by test).
+    ``n``/``n_buckets`` come from ``{path}/meta``."""
+    spark = df.sparkSession
+    meta = spark.read.parquet(f"{path}/meta").first()
+    n, n_buckets = int(meta["n"]), int(meta["n_buckets"])
+    existing = spark.read.parquet(f"{path}/grams").select("gram")
+    fresh = (
+        eval_ngram_set(df, text_col, n)
+        .join(existing, "gram", "left_anti")
+        .withColumn("bucket", F.pmod(F.xxhash64("gram"), F.lit(n_buckets)))
+    )
+    fresh.repartition(F.col("bucket")).write.mode("append").partitionBy(
+        "bucket"
+    ).parquet(f"{path}/grams")
+
+
 def read_gram_store(spark, path: str, n: int | None = None) -> DataFrame:
     """Load a persisted gram store's digest set (one ``gram`` column).
 

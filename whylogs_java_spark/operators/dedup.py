@@ -2172,6 +2172,48 @@ def build_winnow_store(
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
 
 
+def append_winnow_store(
+    df: DataFrame,
+    path: str,
+    text_col: str,
+    id_col: str,
+) -> None:
+    """Append a batch's winnowed prints to an existing print store —
+    the incremental-ingest leg the minhash/gram/text-index stores
+    already have (build → screen each batch → append the ACCEPTED
+    docs), so tomorrow's batch screens against everything accepted
+    today without re-fingerprinting the corpus.
+
+    k/window/n_buckets come from ``{path}/meta`` (the same pinning the
+    screen validates), the bucket layout matches the builder's, and
+    parquet ``append`` adds files inside existing bucket partitions —
+    screens over build+append are bit-identical to a store built on
+    the union (pinned by test). Caller contract: ids must be new to
+    the store (screen first)."""
+    spark = df.sparkSession
+    m = spark.read.parquet(f"{path}/meta").first()
+    sel = _winnow_select_structs(
+        F.lower(F.col(text_col)), int(m["k"]), int(m["window"])
+    )
+    (
+        _spread(df.select(id_col, text_col))
+        .select(
+            F.col(id_col).alias("ref_id"),
+            F.explode(
+                F.array_distinct(F.transform(sel, lambda s: s["h"]))
+            ).alias("print_hash"),
+        )
+        .withColumn(
+            "bucket",
+            F.pmod(F.xxhash64("print_hash"), F.lit(int(m["n_buckets"]))),
+        )
+        .repartition(F.col("bucket"))
+        .write.mode("append")
+        .partitionBy("bucket")
+        .parquet(f"{path}/prints")
+    )
+
+
 def read_winnow_store(
     spark, path: str, k: int | None = None, window: int | None = None
 ) -> tuple[DataFrame, int, int]:
