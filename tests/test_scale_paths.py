@@ -1278,3 +1278,41 @@ def test_gram_store_append_equals_full_build(spark, tmp_path):
         batch, "text", "doc_id", n=5, ref_grams=gf
     ).collect()))
     assert got_inc == got_full and len(got_inc) == 60
+
+
+def test_ivf_index_append_frozen_centroids_exact_at_full_probe(spark, tmp_path):
+    """FAISS-add contract: append assigns against the FROZEN stored
+    centroids; with nprobe=all, probes over build(A)+append(B) are
+    bit-identical to brute-force cosine over A∪B, and appended vectors
+    are reachable through the pruned partitions."""
+    from pyspark.sql import functions as F
+
+    from whylogs_java_spark.operators.similarity import (
+        append_ivf_index,
+        build_ivf_index,
+        cosine_topk_exact,
+        ivf_topk_stored,
+    )
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select("vec_id", "embedding")
+    a = emb.where(F.col("vec_id") % 2 == 0)
+    b = emb.where(F.col("vec_id") % 2 == 1)
+    p = str(tmp_path / "ivf_inc")
+    build_ivf_index(a, p, n_centroids=8)
+    append_ivf_index(spark, p, b)
+
+    qids = [0, 1, 2, 3]
+    queries = emb.where(F.col("vec_id").isin(qids))
+    stored = sorted(map(tuple, ivf_topk_stored(
+        spark, p, queries, k=5, nprobe=8
+    ).collect()))
+    brute = sorted(map(tuple, cosine_topk_exact(
+        emb, qids, k=5
+    ).collect()))
+    assert stored == brute and len(brute) == 20
+    # appended (odd-id) vectors really are in the lists
+    lists = spark.read.parquet(f"{p}/lists")
+    assert lists.where(F.col("vec_id") % 2 == 1).count() == b.count()
+    assert lists.count() == emb.count()

@@ -1269,6 +1269,60 @@ def build_ivf_index(
     )
 
 
+def append_ivf_index(
+    spark,
+    path: str,
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Append new vectors to a persisted IVF index — the FAISS ``add``
+    shape: centroids stay FROZEN (the coarse quantizer is a versioned
+    artifact; re-deriving it would re-bucket every stored vector), new
+    vectors rank against the stored centroid table with the exact
+    builder rule ((ccos DESC, centroid_id ASC) argmax) and their rows
+    parquet-append inside the existing centroid_id partitions.
+
+    With frozen centroids every probe semantics is preserved:
+    nprobe=all over build(A)+append(B) is bit-identical to brute-force
+    cosine over A∪B (pinned by test), and pruned probes read the
+    appended vectors through the same partition filters. Caller
+    contract: ids must be new to the index.
+    """
+    from pyspark.sql import Window
+
+    cvecs = spark.read.parquet(f"{path}/centroids")
+    target = embeddings.sparkSession.sparkContext.defaultParallelism
+    if embeddings.rdd.getNumPartitions() < target:
+        embeddings = embeddings.repartition(target)
+    vecd = _as_double(F.col(vec_col))
+    vecs = embeddings.select(
+        F.col(id_col), vecd.alias("__v"), norm(vecd).alias("__n")
+    ).where(F.col("__n") > 0)
+    ccos = dot(F.col("__v"), F.col("cv")) / (F.col("__n") * F.col("cn"))
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("ccos"), F.asc("centroid_id")
+    )
+    assigned = (
+        vecs.crossJoin(F.broadcast(cvecs))
+        .select(id_col, "centroid_id", ccos.alias("ccos"), "__v", "__n")
+        .withColumn("crk", F.row_number().over(w))
+        .where(F.col("crk") == 1)
+    )
+    (
+        assigned.select(
+            F.col(id_col),
+            F.col("centroid_id"),
+            F.col("__v").alias("v"),
+            F.col("__n").alias("n"),
+        )
+        .repartition(F.col("centroid_id"))
+        .write.mode("append")
+        .partitionBy("centroid_id")
+        .parquet(f"{path}/lists")
+    )
+
+
 def ivf_topk_stored(
     spark,
     path: str,
