@@ -1316,3 +1316,34 @@ def test_ivf_index_append_frozen_centroids_exact_at_full_probe(spark, tmp_path):
     lists = spark.read.parquet(f"{p}/lists")
     assert lists.where(F.col("vec_id") % 2 == 1).count() == b.count()
     assert lists.count() == emb.count()
+
+
+def test_rp_index_append_equals_full_build(spark, tmp_path):
+    """The RP projection is stateless (md5 sign planes), so
+    build(A)+append(B) == build(A∪B) bit-for-bit for ANY split."""
+    from pyspark.sql import functions as F
+
+    from whylogs_java_spark.operators.similarity import (
+        append_rp_index,
+        build_rp_index,
+        rp_topk_stored,
+    )
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select("vec_id", "embedding")
+    a = emb.where(F.col("vec_id") % 2 == 0)
+    b = emb.where(F.col("vec_id") % 2 == 1)
+    inc = str(tmp_path / "rp_inc")
+    build_rp_index(a, inc, out_dim=8)
+    append_rp_index(spark, inc, b)
+    full = str(tmp_path / "rp_full")
+    build_rp_index(emb, full, out_dim=8)
+    qids = [0, 1, 5]
+    got_inc = sorted(map(tuple, rp_topk_stored(
+        spark, inc, qids, k=5, rerank=16
+    ).collect()))
+    got_full = sorted(map(tuple, rp_topk_stored(
+        spark, full, qids, k=5, rerank=16
+    ).collect()))
+    assert got_inc == got_full and len(got_inc) == 15

@@ -2353,6 +2353,40 @@ def build_rp_index(
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
 
 
+def append_rp_index(
+    spark,
+    path: str,
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> None:
+    """Append new vectors to a persisted RP (JL) index. The projection
+    is STATELESS by construction (md5 sign planes are pure functions of
+    (plane, dimension) — no fitted model), so appending is exactly the
+    builder's projection over the new batch parquet-appended to the
+    vectors table: stored probes over build(A)+append(B) are
+    bit-identical to build(A∪B) (pinned by test — the strongest append
+    contract in the store family, holding for ANY split). out_dim comes
+    from ``{path}/meta``. Caller contract: ids must be new."""
+    meta = spark.read.parquet(f"{path}/meta").first()
+    out_dim = int(meta["out_dim"])
+    proj = rp_project(embeddings, id_col, vec_col, out_dim, dim=dim)
+    pv = F.array(*[F.col(f"rp_{j}") for j in range(out_dim)])
+    vecd = _as_double(F.col(vec_col))
+    full = embeddings.select(
+        F.col(id_col).alias("id"), vecd.alias("v"), norm(vecd).alias("n")
+    )
+    (
+        proj.select(
+            F.col(id_col).alias("id"), pv.alias("pv"), norm(pv).alias("pn")
+        )
+        .join(full, "id")
+        .write.mode("append")
+        .parquet(f"{path}/vectors")
+    )
+
+
 def rp_topk_stored(
     spark,
     path: str,
