@@ -1347,3 +1347,42 @@ def test_rp_index_append_equals_full_build(spark, tmp_path):
         spark, full, qids, k=5, rerank=16
     ).collect()))
     assert got_inc == got_full and len(got_inc) == 15
+
+
+def test_ivfpq_index_append_frozen_quantizers_exact_at_full_probe(
+    spark, tmp_path
+):
+    """IVF×PQ append: coarse centroids AND PQ codebooks frozen from the
+    store; nprobe=all + rerank=corpus probes over build(A)+append(B)
+    exact-refine to brute-force cosine over A∪B."""
+    from pyspark.sql import functions as F
+
+    from whylogs_java_spark.operators.similarity import (
+        append_ivfpq_index,
+        build_ivfpq_index,
+        cosine_topk_exact,
+        ivfpq_topk_stored,
+    )
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select("vec_id", "embedding")
+    a = emb.where(F.col("vec_id") % 2 == 0)
+    b = emb.where(F.col("vec_id") % 2 == 1)
+    p = str(tmp_path / "ivfpq_inc")
+    build_ivfpq_index(a, p, n_centroids=8, m=4, codebook_k=8)
+    append_ivfpq_index(spark, p, b)
+
+    n_all = emb.count()
+    qids = [0, 1, 3]
+    queries = emb.where(F.col("vec_id").isin(qids))
+    stored = sorted(map(tuple, ivfpq_topk_stored(
+        spark, p, queries, k=5, nprobe=8, rerank=n_all
+    ).collect()))
+    brute = sorted(map(tuple, cosine_topk_exact(emb, qids, k=5).collect()))
+    assert stored == brute and len(brute) == 15
+    lists = spark.read.parquet(f"{p}/lists")
+    assert lists.count() == n_all
+    # appended rows carry stored-codebook codes (all in range)
+    mx = lists.agg(*[F.max(f"code_{j}") for j in range(4)]).first()
+    assert all(0 <= v <= 7 for v in mx)

@@ -1993,6 +1993,85 @@ def build_ivfpq_index(
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
 
 
+def append_ivfpq_index(
+    spark,
+    path: str,
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Append new vectors to a persisted IVF×PQ index — the FAISS
+    ``add`` shape with BOTH quantizers frozen: coarse centroids and PQ
+    codebooks come from the store (re-deriving either would re-bucket /
+    re-encode every stored row), new vectors rank against the stored
+    centroid table (builder's (ccos DESC, centroid_id ASC) rule), get
+    encoded with the stored codebooks (floor-exact argmin, the
+    builder's code_expr), and parquet-append inside the existing
+    centroid_id partitions. With frozen quantizers, nprobe=all +
+    rerank=corpus probes over build(A)+append(B) exactly refine to
+    brute-force cosine over A∪B (pinned by test). Caller contract: ids
+    must be new."""
+    from pyspark.sql import Window
+
+    from .cluster import _sq_l2
+
+    meta = spark.read.parquet(f"{path}/meta").first()
+    m, codebook_k = int(meta["m"]), int(meta["codebook_k"])
+    sub = int(meta["dim"]) // m
+    cb_rows = spark.read.parquet(f"{path}/codebooks").collect()
+    codebooks = [[None] * codebook_k for _ in range(m)]
+    for r in cb_rows:
+        codebooks[r["subspace"]][r["code"]] = [float(x) for x in r["cvec"]]
+    cvecs = spark.read.parquet(f"{path}/centroids")
+
+    target = embeddings.sparkSession.sparkContext.defaultParallelism
+    if embeddings.rdd.getNumPartitions() < target:
+        embeddings = embeddings.repartition(target)
+    vecd = _as_double(F.col(vec_col))
+    vecs = embeddings.select(
+        F.col(id_col), vecd.alias("__v"), norm(vecd).alias("__n")
+    ).where(F.col("__n") > 0)
+    ccos = dot(F.col("__v"), F.col("cv")) / (F.col("__n") * F.col("cn"))
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("ccos"), F.asc("centroid_id")
+    )
+    assigned = (
+        vecs.crossJoin(F.broadcast(cvecs))
+        .select(id_col, "centroid_id", ccos.alias("ccos"), "__v", "__n")
+        .withColumn("crk", F.row_number().over(w))
+        .where(F.col("crk") == 1)
+    )
+
+    def code_expr(j):
+        sl = F.slice(F.col("__v"), j * sub + 1, sub)
+        darr = F.array(*[_sq_l2(sl, c) for c in codebooks[j]])
+        pairs = F.zip_with(
+            darr,
+            F.sequence(F.lit(0), F.lit(codebook_k - 1)),
+            lambda d, i: F.struct(d.alias("d"), i.alias("i")),
+        )
+        best = F.aggregate(
+            pairs,
+            F.struct(F.lit(float("inf")).alias("d"), F.lit(-1).alias("i")),
+            lambda acc, x: F.when(x["d"] < acc["d"], x).otherwise(acc),
+        )
+        return best["i"]
+
+    (
+        assigned.select(
+            F.col(id_col).alias("id"),
+            F.col("centroid_id"),
+            F.col("__n").alias("n"),
+            *[code_expr(j).alias(f"code_{j}") for j in range(m)],
+            F.col("__v").alias("v"),
+        )
+        .repartition(F.col("centroid_id"))
+        .write.mode("append")
+        .partitionBy("centroid_id")
+        .parquet(f"{path}/lists")
+    )
+
+
 def ivfpq_topk_stored(
     spark,
     path: str,
