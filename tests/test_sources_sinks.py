@@ -1482,3 +1482,37 @@ def test_cli_tokenize_and_clean_subcommands(spark, tmp_path, monkeypatch, capsys
     rows = spark.read.parquet(kept).collect()
     assert [r["doc_id"] for r in rows] == [1]
     assert rows[0]["clean_text"] == f"{good}\n{good}\n{good}"
+
+
+def test_cli_tier_subcommand(spark, tmp_path, monkeypatch, capsys):
+    """tier CLI: per-stratum tercile report and the --keep filter mode."""
+    import whylogs_java_spark.__main__ as cli
+    import whylogs_java_spark.session as sess
+
+    monkeypatch.setattr(sess, "get_spark", lambda *a, **k: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+
+    src = str(tmp_path / "tier_docs.parquet")
+    rows = [("en", i, float(i)) for i in range(1, 10)]
+    spark.createDataFrame(
+        rows, "lang string, doc_id long, perplexity double"
+    ).write.parquet(src)
+
+    rep = str(tmp_path / "tier_rep")
+    rc = cli.main(["tier", src, "-o", rep, "--stratum-col", "lang"])
+    assert rc == 0
+    got = {r["doc_id"]: r["bucket"] for r in spark.read.parquet(rep).collect()}
+    assert [got[i] for i in range(1, 10)] == (
+        ["head"] * 3 + ["middle"] * 3 + ["tail"] * 3
+    )
+
+    kept = str(tmp_path / "tier_kept")
+    rc = cli.main([
+        "tier", src, "-o", kept, "--stratum-col", "lang",
+        "--keep", "head,middle",
+    ])
+    assert rc == 0
+    assert "wrote 6 row(s)" in capsys.readouterr().out
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(kept).collect()
+    ) == [1, 2, 3, 4, 5, 6]

@@ -55,7 +55,7 @@ def build_parser() -> argparse.ArgumentParser:
 SUBCOMMANDS = (
     "dedup", "drift", "constraints", "monitor", "view", "redact", "shards",
     "blocklist", "split", "pack", "novelty", "project", "winnow", "search",
-    "quota", "decontam", "tokenize", "clean",
+    "quota", "decontam", "tokenize", "clean", "tier",
 )
 
 
@@ -641,6 +641,55 @@ def _run_novelty(argv: list[str]) -> int:
         spark.stop()
 
 
+def _run_tier(argv: list[str]) -> int:
+    p = argparse.ArgumentParser(prog="python -m whylogs_java_spark tier")
+    p.add_argument("input", help="scored corpus (e.g. lm_score output "
+                                 "joined with metadata)")
+    p.add_argument("-o", "--output", required=True)
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--score-col", default="perplexity")
+    p.add_argument("--stratum-col", default=None,
+                   help="per-stratum cutoffs (CCNet: the language "
+                        "column); global when omitted")
+    p.add_argument("--cuts", default="0.3333333333333333,0.6666666666666666",
+                   help="comma-separated ascending quantiles in (0,1)")
+    p.add_argument("--labels", default="head,middle,tail",
+                   help="comma-separated labels (len(cuts)+1, "
+                        "low-score-first)")
+    p.add_argument("--keep", default=None,
+                   help="write only rows in these tiers (comma list) "
+                        "instead of the full report")
+    p.add_argument("--approx", action="store_true",
+                   help="percentile_approx cutoffs (corpus-scale "
+                        "continuous score domains)")
+    a = p.parse_args(argv)
+    from .session import get_spark
+
+    spark = get_spark("whylogs-cli-tier")
+    try:
+        from pyspark.sql import functions as F
+
+        from .operators.sampling import score_buckets
+
+        df = _read_input(spark, a.input)
+        out = score_buckets(
+            df, a.id_col, a.score_col,
+            stratum_col=a.stratum_col,
+            cuts=tuple(float(c) for c in a.cuts.split(",") if c),
+            labels=tuple(t for t in a.labels.split(",") if t),
+            approx=a.approx,
+        )
+        if a.keep:
+            out = out.where(
+                F.col("bucket").isin(*[t for t in a.keep.split(",") if t])
+            )
+        out.write.mode("overwrite").parquet(a.output)
+        print(f"wrote {out.count()} row(s) -> {a.output}")
+        return 0
+    finally:
+        spark.stop()
+
+
 def _run_tokenize(argv: list[str]) -> int:
     p = argparse.ArgumentParser(prog="python -m whylogs_java_spark tokenize")
     p.add_argument("input", help="corpus")
@@ -1026,6 +1075,7 @@ def main(argv: list[str] | None = None) -> int:
             "decontam": _run_decontam,
             "tokenize": _run_tokenize,
             "clean": _run_clean,
+            "tier": _run_tier,
         }[argv[0]](argv[1:])
     args = build_parser().parse_args(argv)
     from .operators.profile import profile_atoms
