@@ -3777,6 +3777,211 @@ def test_bpe_apply_stream_matches_batch(spark, tmp_path):
         bpe_apply_stream(feed, "text", "doc_id", merges)
 
 
+def _py_bpe_apply(text, merge_pairs, lowercase=True):
+    """Reference encoder (pure python): literal ordered replay — for
+    each merge IN TRAINING ORDER, one leftmost-non-overlapping pass per
+    word. O(merges x len) by construction; the ground truth both
+    bpe_apply tiers must reproduce."""
+    if text is None:
+        text = ""
+    if lowercase:
+        text = text.lower()
+    toks = []
+    for w in text.split(" "):
+        if not w or "|" in w or "·" in w:
+            continue
+        syms = list(w) + ["·"]
+        for left, right in merge_pairs:
+            out, i = [], 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == left
+                    and syms[i + 1] == right
+                ):
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        toks.extend(syms)
+    return toks
+
+
+def test_bpe_apply_arrow_bit_identical_to_expr(spark):
+    """The Arrow encoder tier is BIT-IDENTICAL to the expression tier
+    on the same merge table (trained, so it exercises real multi-char
+    merges), including null text, unseen words, and marker-carrying
+    words that the census filter drops."""
+    from whylogs_java_spark.operators.tokenizer import bpe_apply, bpe_train
+
+    train = spark.createDataFrame(
+        [(1, "banana banana band bans bandana lowest lower low low low"),
+         (2, "newest newest newest widest widest banana")],
+        "doc_id long, text string",
+    )
+    merges = bpe_train(train, "text", n_merges=24)
+    feed = spark.createDataFrame(
+        [
+            (1, "banana splits lowest"),
+            (2, None),
+            (3, ""),
+            (4, "zap  zap UNSEEN"),
+            (5, "we|ird mark·er banana"),
+            (6, "low low low newest"),
+        ],
+        "doc_id long, text string",
+    )
+    key = lambda r: (r["doc_id"], r["n_tokens"], tuple(r["tokens"]))  # noqa: E731
+    expr = sorted(
+        key(r)
+        for r in bpe_apply(feed, "text", "doc_id", merges, method="expr").collect()
+    )
+    arrow = sorted(
+        key(r)
+        for r in bpe_apply(feed, "text", "doc_id", merges, method="arrow").collect()
+    )
+    assert arrow == expr
+    # both tiers match the pure-python ordered-replay reference too
+    pairs = [(r["left"], r["right"]) for r in merges.orderBy("step").collect()]
+    want = sorted(
+        (i, len(t), tuple(t))
+        for i, t in (
+            (r["doc_id"], _py_bpe_apply(r["text"], pairs))
+            for r in feed.collect()
+        )
+    )
+    assert expr == want
+
+
+def test_bpe_apply_arrow_production_merge_table(spark):
+    """Production-vocabulary leg: a >=1k-merge table (trained by the
+    pure-python reference trainer over a combinatorial corpus) applied
+    via the Arrow tier matches the ordered-replay reference encoder —
+    the scale the expression tier's chained-replace plan cannot carry."""
+    from collections import Counter
+
+    from whylogs_java_spark.operators.tokenizer import bpe_apply
+
+    letters = "abcdefghijkl"
+    words = [
+        a + b + c
+        for a in letters
+        for b in letters
+        for c in letters[:8]
+    ]  # 1152 distinct words -> thousands of learnable pairs
+    wc = Counter()
+    for i, w in enumerate(words):
+        wc[w] += (i % 7) + 1
+    merges = _py_bpe(wc, 1200)
+    assert len(merges) >= 1000  # the corpus really sustains 1k merges
+    pairs = [(m[1], m[2]) for m in merges]
+
+    feed = spark.createDataFrame(
+        [
+            (i, " ".join(words[i * 97 % len(words)] for _ in range(5)) + " zap")
+            for i in range(40)
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], tuple(r["tokens"]))
+        for r in bpe_apply(feed, "text", "doc_id", merges).collect()
+    }
+    for r in feed.collect():
+        want = _py_bpe_apply(r["text"], pairs)
+        assert got[r["doc_id"]] == (len(want), tuple(want))
+
+
+def test_bpe_apply_tiering_and_plan_shape(spark):
+    """auto tiers by merge count: <=64 stays the codegen expression
+    projection, >64 routes to MapInPandas; both plans stay
+    shuffle-free (one scan, zero Exchange), and malformed inputs are
+    refused loudly."""
+    import pytest as _pytest
+
+    from whylogs_java_spark.operators.tokenizer import bpe_apply
+
+    feed = spark.createDataFrame([(1, "ab ab cd")], "doc_id long, text string")
+    small = [(i, "a", "b") for i in range(1)]
+    big = [(i, f"s{i}", f"t{i}") for i in range(65)]
+
+    p_small = (
+        bpe_apply(feed, "text", "doc_id", small)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    p_big = (
+        bpe_apply(feed, "text", "doc_id", big)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "MapInPandas" not in p_small
+    assert "MapInPandas" in p_big
+    assert "Exchange" not in p_small and "Exchange" not in p_big
+
+    # forced tiers override the count heuristic
+    assert "MapInPandas" in (
+        bpe_apply(feed, "text", "doc_id", small, method="arrow")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "MapInPandas" not in (
+        bpe_apply(feed, "text", "doc_id", big, method="expr")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+
+    with _pytest.raises(ValueError, match="method"):
+        bpe_apply(feed, "text", "doc_id", small, method="fast")
+    with _pytest.raises(ValueError, match="duplicate"):
+        bpe_apply(
+            feed, "text", "doc_id",
+            [(0, "a", "b"), (1, "a", "b")], method="arrow",
+        )
+
+
+def test_bpe_apply_stream_arrow_tier_matches_batch(spark, tmp_path):
+    """The streaming twin inherits the tiering: a production-sized
+    merge table routes the stream through the Arrow encoder (still a
+    stateless projection) and stays row-identical to batch."""
+    from whylogs_java_spark.operators.tokenizer import bpe_apply
+    from whylogs_java_spark.streaming.tokenize_stream import bpe_apply_stream
+
+    # 70 distinct merges, >BPE_EXPR_MAX_MERGES so the arrow tier
+    # engages; the first four actually fire on the feed text
+    big = [(0, "a", "b"), (1, "c", "d"), (2, "e", "f"), (3, "g", "h")] + [
+        (i + 4, f"q{i}", f"z{i}") for i in range(66)
+    ]
+    feed = spark.createDataFrame(
+        [(i, ["abab cdcd", "efef ghgh", "aceg bdfh"][i % 3]) for i in range(6)],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "tok_arrow_src")
+    feed.repartition(2).write.parquet(src)
+    stream = spark.readStream.schema(feed.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    out = bpe_apply_stream(stream, "text", "doc_id", big)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("tok_arrow_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "tok_arrow_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(
+        (r["doc_id"], r["n_tokens"], tuple(r["tokens"]))
+        for r in spark.sql("SELECT * FROM tok_arrow_stream").collect()
+    )
+    batch = sorted(
+        (r["doc_id"], r["n_tokens"], tuple(r["tokens"]))
+        for r in bpe_apply(feed, "text", "doc_id", big).collect()
+    )
+    assert got == batch and len(batch) == 6
+
+
 def test_kmeans_model_meta_pins_actual_arity(spark, tmp_path):
     """A 3-vector corpus asked for k=8 yields a 3-centroid model; meta
     pins the ACTUAL arity, so k=3 validates and k=8 is refused."""

@@ -135,26 +135,58 @@ def bpe_train(
     )
 
 
+#: merge-table size above which ``bpe_apply(method="auto")`` switches
+#: from the chained-replace expression plan to the Arrow-batched
+#: encoder — past this the expression tier's plan grows one replace
+#: node PER MERGE per row (O(merges x word_len) row cost, unbounded
+#: plan size), which is unusable at real 32k-100k vocabularies.
+BPE_EXPR_MAX_MERGES = 64
+
+
 def bpe_apply(
     df: DataFrame,
     text_col: str,
     id_col: str,
     merges: DataFrame | list[tuple],
     lowercase: bool = True,
+    method: str = "auto",
+    max_expr_merges: int = BPE_EXPR_MAX_MERGES,
 ) -> DataFrame:
-    """Tokenize documents with a learned merge table: per word, the
-    merges replay IN TRAINING ORDER as chained ``replace`` calls (the
-    merge list is tokenizer-sized — plan literals, zero joins, zero
-    shuffle; the whole pass is a scan projection).
+    """Tokenize documents with a learned merge table. Two execution
+    tiers, bit-identical by construction (pinned by test):
+
+    - **expr** (small tables, <= ``max_expr_merges``): per word, the
+      merges replay IN TRAINING ORDER as chained ``replace`` calls —
+      plan literals, zero joins, zero shuffle, whole-stage codegen;
+      this tier is what the DuckDB oracle replays.
+    - **arrow** (production vocabularies): one ``mapInPandas``
+      projection over an O(vocab) rank table. Per DISTINCT word the
+      encoder runs the cursor-ordered replay loop — repeatedly merge
+      the lowest-rank pair *not yet passed in training order* — which
+      is exactly the expression tier's semantics but O(word_len^2)
+      rank lookups per word instead of O(merges x word_len) replace
+      scans, so a 32k-merge table costs the same per row as a 32-merge
+      one. A per-task word cache amortizes Zipf-repeated words to a
+      dict hit. Same plan shape as the expr tier (one scan, zero
+      shuffle, zero joins); the projection runs in Arrow batches
+      instead of codegen.
+
+    ``method``: "auto" (tier by ``max_expr_merges``), "expr", "arrow".
 
     Output: (id, n_tokens, tokens array<string>) — subword symbols in
     order, end-of-word marker attached to each word's last symbol.
     """
+    if method not in ("auto", "expr", "arrow"):
+        raise ValueError(
+            f"method must be 'auto', 'expr' or 'arrow', got {method!r}"
+        )
     if isinstance(merges, DataFrame):
         rows = merges.orderBy("step").collect()
         pairs = [(r["left"], r["right"]) for r in rows]
     else:
         pairs = [(m[1], m[2]) for m in sorted(merges)]
+    if method == "arrow" or (method == "auto" and len(pairs) > max_expr_merges):
+        return _bpe_apply_arrow(df, text_col, id_col, pairs, lowercase)
     t = F.coalesce(F.col(text_col), F.lit(""))
     if lowercase:
         t = F.lower(t)
@@ -187,3 +219,119 @@ def bpe_apply(
         F.size("tokens").cast("long").alias("n_tokens"),
         F.col("tokens"),
     )
+
+
+def _bpe_apply_arrow(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    pairs: list[tuple],
+    lowercase: bool,
+) -> DataFrame:
+    """Arrow-batched encoder tier (see :func:`bpe_apply`).
+
+    Semantics contract with the expression tier: replaying merges in
+    training order, each as a single leftmost-non-overlapping pass, is
+    equivalent to the cursor loop below — at each step merge the
+    lowest-rank adjacent pair whose rank is >= the last-fired rank + 1
+    (ranks BEHIND the cursor were already offered their pass and, per
+    training order, must not fire late). The loop terminates because
+    every merge shortens the symbol list. Lowercasing stays SPARK-side
+    (``F.lower`` before the Arrow exchange) so the tiers share one
+    casing semantic.
+
+    The rank table requires distinct pairs (guaranteed by
+    ``bpe_train``; duplicates would make rank order ambiguous) and
+    ships once per executor as a broadcast, O(vocab) small.
+    """
+    import pandas as pd
+    from pyspark.sql.types import (
+        ArrayType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    ranks = {}
+    for i, p in enumerate(pairs):
+        ranks.setdefault(p, i)
+    if len(ranks) != len(pairs):
+        raise ValueError(
+            "merge table contains duplicate pairs — not a bpe_train "
+            "artifact; the arrow tier requires distinct merges"
+        )
+    parts = list(pairs)
+    bc = df.sparkSession.sparkContext.broadcast((ranks, parts))
+
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    if lowercase:
+        t = F.lower(t)
+    src = df.select(F.col(id_col), t.alias("__t"))
+    schema = StructType(
+        [
+            StructField(id_col, df.schema[id_col].dataType),
+            StructField("n_tokens", LongType()),
+            StructField("tokens", ArrayType(StringType())),
+        ]
+    )
+
+    def run(batches):
+        ranks_, parts_ = bc.value
+        cache: dict = {}
+
+        def enc(word):
+            got = cache.get(word)
+            if got is None:
+                syms = list(word)
+                syms.append(EOW)
+                cursor = 0
+                while len(syms) > 1:
+                    best = -1
+                    for i in range(len(syms) - 1):
+                        r = ranks_.get((syms[i], syms[i + 1]), -1)
+                        if r >= cursor and (best < 0 or r < best):
+                            best = r
+                    if best < 0:
+                        break
+                    left, right = parts_[best]
+                    lr = left + right
+                    out, i, m = [], 0, len(syms)
+                    while i < m:
+                        if (
+                            i + 1 < m
+                            and syms[i] == left
+                            and syms[i + 1] == right
+                        ):
+                            out.append(lr)
+                            i += 2
+                        else:
+                            out.append(syms[i])
+                            i += 1
+                    syms = out
+                    cursor = best + 1
+                got = syms
+                cache[word] = got
+            return got
+
+        for pdf in batches:
+            toks = [
+                [
+                    s
+                    for w in txt.split(" ")
+                    if w and SEP not in w and EOW not in w
+                    for s in enc(w)
+                ]
+                for txt in pdf["__t"]
+            ]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_tokens": pd.Series(
+                        [len(x) for x in toks], dtype="int64"
+                    ),
+                    "tokens": toks,
+                }
+            )
+
+    return src.mapInPandas(run, schema)
