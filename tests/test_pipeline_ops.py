@@ -990,6 +990,65 @@ def test_lm_score_fluent_beats_gibberish(spark):
     assert out[101]["n_bigrams"] == 5
 
 
+def test_lm_score3_fluent_beats_gibberish_margin_grows(spark):
+    """The order=3 tier (JM-interpolated trigram) separates fluent from
+    gibberish MORE than the bigram tier on the same corpus — the point
+    of conditioning on two words of context (Wenzek et al. 2020's
+    CCNet uses a 5-gram LM for exactly this) — and keeps the bigram
+    tier's row contract (sub-order docs keep their row, null scores)."""
+    from whylogs_java_spark.operators.text import lm_score
+
+    # two symmetric sentence families: the crossover doc "john eats
+    # pasta" is built ONLY from corpus-frequent bigrams (the bigram
+    # tier scores it identically to the fluent doc by construction),
+    # but its trigram never occurs — only 2-word context catches it
+    rows = [(i, "john eats rice") for i in range(12)]
+    rows += [(100 + i, "mary eats pasta") for i in range(12)]
+    rows.append((200, "john eats rice"))    # fluent
+    rows.append((201, "john eats pasta"))   # bigram-plausible crossover
+    rows.append((202, "zqx vbnk wplf"))     # plain gibberish
+    rows.append((203, "two tokens"))  # < 3 tokens: row kept, null scores
+    rows.append((204, ""))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    o3 = {r["doc_id"]: r for r in lm_score(
+        df, "text", "doc_id", order=3
+    ).collect()}
+    o2 = {r["doc_id"]: r for r in lm_score(df, "text", "doc_id").collect()}
+    assert len(o3) == 29
+    # both tiers: fluent beats gibberish
+    assert o3[200]["perplexity"] < o3[202]["perplexity"]
+    assert o2[200]["perplexity"] < o2[202]["perplexity"]
+    # the crossover margin GROWS with the trigram tier: the bigram
+    # tier is blind to it (symmetric bigram counts -> margin 1.0)
+    m3 = o3[201]["perplexity"] / o3[200]["perplexity"]
+    m2 = o2[201]["perplexity"] / o2[200]["perplexity"]
+    assert abs(m2 - 1.0) < 1e-6
+    assert m3 > m2 + 0.2
+    # sub-order docs keep their row with no score; n = tokens - 2
+    assert o3[203]["n_trigrams"] == 0 and o3[203]["avg_logp"] is None
+    assert o3[204]["n_trigrams"] == 0 and o3[204]["perplexity"] is None
+    assert o3[200]["n_trigrams"] == 1
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="order"):
+        lm_score(df, "text", "doc_id", order=4)
+    with _pytest.raises(ValueError, match="lambdas"):
+        lm_score(df, "text", "doc_id", order=3, lambdas=(0.9, 0.3, 0.2))
+
+
+def test_lm_score3_partitioning_invariant(spark):
+    """Trigram-tier determinism under repartition — exact top-k tables
+    and total-order ties make the score partition-invariant."""
+    from whylogs_java_spark.operators.text import lm_score
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(80)
+    kw = dict(vocab_size=64, top_bigrams=256, top_trigrams=512, order=3)
+    a = lm_score(d, "text", "doc_id", **kw)
+    b = lm_score(d.repartition(13), "text", "doc_id", **kw)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
 def test_lm_score_partitioning_invariant(spark):
     from whylogs_java_spark.operators.text import lm_score
 

@@ -604,6 +604,197 @@ def lm_score_with(
     )
 
 
+class TrigramLM(NamedTuple):
+    """A built interpolated-trigram LM (see :func:`build_trigram_lm`):
+    the bigram LM's tables plus mapped unigram counts, trigram prefix
+    counts and the exact top-T trigram table — all bounded and
+    broadcastable regardless of corpus size."""
+
+    bigram: BigramLM
+    unigram_counts: DataFrame        # (w, __cu) — ≤ V+1 rows
+    total_tokens: int                # N: total mapped token count
+    trigram_prefix_counts: DataFrame  # (prev2, prev, __cq) — ≤ (V+1)² rows
+    trigram_counts: DataFrame        # (prev2, prev, w, __ct) — exact top-T
+    lambdas: tuple                   # (λ3, λ2, λ1), sums to 1
+
+
+def _trigram_rows(
+    source: DataFrame, text_col: str, vocab: DataFrame, id_col: str | None
+) -> DataFrame:
+    """(id?, pos, prev2, prev, w) trigram rows with OOV tokens mapped to
+    ``<unk>`` via three broadcast joins — the 3-gram twin of
+    :func:`_bigram_rows`."""
+    cols = [F.col(id_col)] if id_col else []
+
+    def trigrams(t: Column) -> Column:
+        return F.when(
+            F.size(t) >= 3,
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - 2),
+                lambda i: F.struct(
+                    F.element_at(t, i).alias("p2"),
+                    F.element_at(t, i + 1).alias("p1"),
+                    F.element_at(t, i + 2).alias("w"),
+                ),
+            ),
+        ).otherwise(
+            F.array().cast("array<struct<p2:string,p1:string,w:string>>")
+        )
+
+    arr = let_bound(_lm_toks(F.col(text_col)), trigrams)
+    rows = source.select(*cols, F.posexplode(arr).alias("pos", "tg"))
+    v2 = vocab.select(F.col("tok").alias("__v2"))
+    v1 = vocab.select(F.col("tok").alias("__v1"))
+    vw = vocab.select(F.col("tok").alias("__vw"))
+    return (
+        rows.join(F.broadcast(v2), rows["tg.p2"] == F.col("__v2"), "left")
+        .join(F.broadcast(v1), rows["tg.p1"] == F.col("__v1"), "left")
+        .join(F.broadcast(vw), rows["tg.w"] == F.col("__vw"), "left")
+        .select(
+            *cols,
+            "pos",
+            F.coalesce("__v2", F.lit("<unk>")).alias("prev2"),
+            F.coalesce("__v1", F.lit("<unk>")).alias("prev"),
+            F.coalesce("__vw", F.lit("<unk>")).alias("w"),
+        )
+    )
+
+
+def build_trigram_lm(
+    src: DataFrame,
+    text_col: str,
+    vocab_size: int = 512,
+    top_bigrams: int = 4096,
+    top_trigrams: int = 16384,
+    alpha: float = 0.5,
+    lambdas: tuple = (0.5, 0.3, 0.2),
+) -> TrigramLM:
+    """Train the Jelinek-Mercer-interpolated trigram LM — one step
+    toward the published CCNet shape (Wenzek et al. 2020 use a 5-gram
+    KenLM): P(w|u,v) = λ3·P̂3(w|u,v) + λ2·P̂2(w|v) + λ1·P̂1(w), each P̂
+    an add-``alpha`` conditional over unk-mapped counts, so the whole
+    build stays deterministic and DuckDB-replayable (the existing
+    bigram-LM contract) while the model actually conditions on two
+    words of context.
+
+    Tables stay bounded by construction: the mapped unigram table is
+    ≤ V+1 rows; the trigram prefix table ≤ (V+1)² rows (broadcastable
+    at the default V=512: ~263k short rows); the trigram table is the
+    exact top-``top_trigrams`` (count desc, prev2/prev/w asc ties) —
+    dropped/unseen trigrams back off to the add-alpha numerator, the
+    bigram-table convention. Build passes over the corpus: the two
+    bigram-LM passes plus one mapped-unigram and one mapped-trigram
+    aggregation, each a map-side-combined hash agg.
+    """
+    if len(lambdas) != 3 or any(l <= 0 for l in lambdas) or abs(
+        sum(lambdas) - 1.0
+    ) > 1e-9:
+        raise ValueError(
+            f"lambdas must be 3 positive weights summing to 1: {lambdas!r}"
+        )
+    from .dedup import _spread
+
+    bi = build_bigram_lm(
+        src, text_col, vocab_size=vocab_size,
+        top_bigrams=top_bigrams, alpha=alpha,
+    )
+    toks = _spread(src).select(
+        F.explode(_lm_toks(F.col(text_col))).alias("t0")
+    )
+    uv = bi.vocab.select(F.col("tok").alias("__uv"))
+    ug = (
+        toks.join(F.broadcast(uv), toks["t0"] == F.col("__uv"), "left")
+        .select(F.coalesce("__uv", F.lit("<unk>")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("__cu"))
+        .transform(materialize)
+    )
+    total = ug.agg(F.sum("__cu")).collect()[0][0] or 0
+    tc_full = (
+        _trigram_rows(_spread(src), text_col, bi.vocab, id_col=None)
+        .groupBy("prev2", "prev", "w")
+        .agg(F.count(F.lit(1)).alias("__ct"))
+        .transform(materialize)
+    )
+    tpfx = tc_full.groupBy("prev2", "prev").agg(F.sum("__ct").alias("__cq"))
+    tcounts = tc_full.orderBy(
+        F.desc("__ct"), F.asc("prev2"), F.asc("prev"), F.asc("w")
+    ).limit(top_trigrams)
+    return TrigramLM(
+        bi, ug, int(total), tpfx, tcounts,
+        tuple(float(x) for x in lambdas),
+    )
+
+
+def lm_score3_with(
+    df: DataFrame, text_col: str, id_col: str, lm: TrigramLM
+) -> DataFrame:
+    """Score ``df`` against a built :class:`TrigramLM` — the same
+    scan shape as :func:`lm_score_with` (per-row trigram arrays, one
+    explode, five broadcast count joins, one doc-keyed aggregation as
+    the only shuffle). Per trigram position,
+    ln(λ3·P̂3 + λ2·P̂2 + λ1·P̂1); all three conditionals share the
+    add-alpha denominator constant α·(V+1) (the unigram denominator is
+    the corpus token total), and unseen prefixes back off to pure
+    add-alpha mass via left joins + zero coalesce.
+
+    Output, one row per input doc: (id, n_trigrams, avg_logp,
+    perplexity), 6-decimal rounding; docs with < 3 tokens keep their
+    row with n_trigrams=0 and null scores.
+    """
+    from .dedup import _spread
+
+    bi = lm.bigram
+    a = float(bi.alpha)
+    denom = a * (bi.vocab_size + 1)
+    l3, l2, l1 = lm.lambdas
+    rows = _trigram_rows(_spread(df), text_col, bi.vocab, id_col)
+    scored = (
+        rows.join(
+            F.broadcast(lm.trigram_prefix_counts),
+            on=["prev2", "prev"], how="left",
+        )
+        .join(
+            F.broadcast(lm.trigram_counts),
+            on=["prev2", "prev", "w"], how="left",
+        )
+        .join(F.broadcast(bi.prefix_counts), on="prev", how="left")
+        .join(F.broadcast(bi.bigram_counts), on=["prev", "w"], how="left")
+        .join(F.broadcast(lm.unigram_counts), on="w", how="left")
+    )
+    p3 = (F.coalesce(F.col("__ct"), F.lit(0)) + F.lit(a)) / (
+        F.coalesce(F.col("__cq"), F.lit(0)) + F.lit(denom)
+    )
+    p2 = (F.coalesce(F.col("__cb"), F.lit(0)) + F.lit(a)) / (
+        F.coalesce(F.col("__cp"), F.lit(0)) + F.lit(denom)
+    )
+    p1 = (F.coalesce(F.col("__cu"), F.lit(0)) + F.lit(a)) / (
+        F.lit(float(lm.total_tokens)) + F.lit(denom)
+    )
+    lnp = F.log(F.lit(l3) * p3 + F.lit(l2) * p2 + F.lit(l1) * p1)
+    agg = (
+        scored.select(F.col(id_col), lnp.alias("__lnp"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            F.sum("__lnp").alias("__s"),
+        )
+    )
+    mean = F.col("__s") / F.col("n_trigrams")
+    return (
+        df.select(id_col)
+        .join(agg, on=id_col, how="left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_trigrams", F.lit(0)).cast("long").alias(
+                "n_trigrams"
+            ),
+            (F.round(mean, 6) + 0.0).alias("avg_logp"),
+            (F.round(F.exp(-mean), 6) + 0.0).alias("perplexity"),
+        )
+    )
+
+
 def lm_score(
     df: DataFrame,
     text_col: str,
@@ -612,6 +803,9 @@ def lm_score(
     top_bigrams: int = 4096,
     alpha: float = 0.5,
     lm_df: DataFrame | None = None,
+    order: int = 2,
+    top_trigrams: int = 16384,
+    lambdas: tuple = (0.5, 0.3, 0.2),
 ) -> DataFrame:
     """Corpus-trained smoothed-bigram LM quality score (the CCNet-style
     perplexity proxy: fluent, corpus-typical text scores low perplexity;
@@ -624,9 +818,26 @@ def lm_score(
     state is bounded and broadcast by construction, every decision is
     deterministic (exact top-k with total-order ties), so the whole
     pipeline is oracle-checkable in DuckDB to the 6-decimal rounding.
+
+    ``order=3`` switches to the interpolated-trigram tier
+    (:func:`build_trigram_lm` + :func:`lm_score3_with` — closer to the
+    published CCNet 5-gram shape while keeping the same bounded,
+    replayable design); output column is then ``n_trigrams``. The
+    default ``order=2`` keeps every existing caller (incl. the CCNet
+    tier pipeline) bit-unchanged.
     """
+    src = lm_df if lm_df is not None else df
+    if order == 3:
+        lm3 = build_trigram_lm(
+            src, text_col, vocab_size=vocab_size,
+            top_bigrams=top_bigrams, top_trigrams=top_trigrams,
+            alpha=alpha, lambdas=lambdas,
+        )
+        return lm_score3_with(df, text_col, id_col, lm3)
+    if order != 2:
+        raise ValueError(f"order must be 2 or 3, got {order}")
     lm = build_bigram_lm(
-        lm_df if lm_df is not None else df,
+        src,
         text_col,
         vocab_size=vocab_size,
         top_bigrams=top_bigrams,
