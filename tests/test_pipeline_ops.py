@@ -3129,6 +3129,66 @@ def test_token_budget_select_matches_global_greedy(spark):
         token_budget_select(df, "id", "toks", "q", -1)
 
 
+def test_token_budget_continuous_score_guard(spark):
+    """r12 verdict item: the ladder contract ('round continuous scores
+    first') is now ENFORCED — a score with more distinct values than
+    max_ladder is refused with a pointer at quantize; quantize bounds
+    the ladder and matches the python greedy over the ROUNDED scores
+    (ties ordered id-asc, the documented coarsening contract)."""
+    from whylogs_java_spark.operators.sampling import token_budget_select
+
+    df = spark.range(200).select(
+        F.col("id"),
+        (F.col("id") / 7.0).alias("q"),   # 200 distinct 'continuous' scores
+        F.lit(3).cast("long").alias("toks"),
+    )
+    with pytest.raises(ValueError, match="quantize"):
+        token_budget_select(df, "id", "toks", "q", 60, max_ladder=50)
+
+    out = {r["id"]: r["cum_tokens"] for r in token_budget_select(
+        df, "id", "toks", "q", 60, quantize=0, max_ladder=50
+    ).collect()}
+    rows = [(i, round(i / 7.0 + 1e-12), 3) for i in range(200)]
+    order = sorted(rows, key=lambda r: (-r[1], r[0]))
+    cum, want = 0, {}
+    for i, q, t in order:
+        cum += t
+        if cum <= 60:
+            want[i] = cum
+    assert out == want and len(out) == 20
+
+
+def test_token_budget_hot_boundary_bucket_guard(spark):
+    """A CONSTANT score funnels the whole corpus into the boundary
+    bucket's one-task window — refused past max_bucket_rows unless the
+    caller opts in (the pack_assign allow_single_stream precedent).
+    Whole-bucket ACCEPTS (never paying the boundary window) stay
+    unguarded."""
+    from whylogs_java_spark.operators.sampling import token_budget_select
+
+    df = spark.range(50).select(
+        F.col("id"), F.lit(1.0).alias("q"), F.lit(2).cast("long").alias("toks")
+    )
+    with pytest.raises(ValueError, match="allow_hot_bucket"):
+        token_budget_select(df, "id", "toks", "q", 30, max_bucket_rows=10)
+    got = token_budget_select(
+        df, "id", "toks", "q", 30, max_bucket_rows=10, allow_hot_bucket=True
+    )
+    assert got.count() == 15
+    # ACCEPTED hot buckets are guarded too — they pay the same
+    # one-task window for their per-row running totals
+    with pytest.raises(ValueError, match="allow_hot_bucket"):
+        token_budget_select(df, "id", "toks", "q", 1_000, max_bucket_rows=10)
+    # buckets below the threshold never trip the guard
+    fine = spark.range(50).select(
+        F.col("id"), (F.col("id") % 10).cast("double").alias("q"),
+        F.lit(2).cast("long").alias("toks"),
+    )
+    assert token_budget_select(
+        fine, "id", "toks", "q", 1_000, max_bucket_rows=10
+    ).count() == 50
+
+
 def test_token_budget_plan_has_no_global_sort(spark):
     """The corpus-side plan must not contain a global (non-partitioned)
     Sort or Window over the full input: the only unpartitioned window
@@ -3147,7 +3207,9 @@ def test_token_budget_plan_has_no_global_sort(spark):
     # never totally ordered, and the ladder window's single partition
     # holds only the census aggregate (distinct q = 5 rows here)
     assert "], true, 0" not in plan, plan
-    assert "HashAggregate" in plan  # the per-value census agg survives
+    # the corpus side joins the broadcast ladder (the census agg runs
+    # once at build time, materialized — r13 guard change)
+    assert "BroadcastHashJoin" in plan
     # cross-check totals vs a brute single-window twin
     from pyspark.sql import Window
     w = Window.orderBy(F.col("q").desc(), F.col("id").asc()).rowsBetween(

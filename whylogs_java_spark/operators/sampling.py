@@ -411,6 +411,10 @@ def token_budget_select(
     tokens_col: str,
     prefer_col: str,
     budget: int,
+    quantize: int | None = None,
+    max_ladder: int = 65536,
+    max_bucket_rows: int = 10_000_000,
+    allow_hot_bucket: bool = False,
 ) -> DataFrame:
     """Greedy token-budget selection: order the corpus by
     (``prefer_col`` DESC, id ASC) and keep the prefix whose running
@@ -443,32 +447,85 @@ def token_budget_select(
     exchange is the boundary value's window partition, whose size is
     one score-bucket of the corpus. The whole-bucket accepts ride a
     broadcast join of the d-row running-total table.
+
+    Guards (the r12 ``pack_assign allow_single_stream`` precedent —
+    the contract was documented but unenforced):
+
+    - **continuous scores**: the census is materialized and counted;
+      more than ``max_ladder`` distinct prefer values is refused with
+      a pointer at ``quantize``. ``quantize=k`` rounds the score to
+      ``k`` decimals (half-up) BEFORE laddering — the documented
+      coarsening contract: rows tied after rounding are ordered id-asc
+      within the tie, so the kept set can differ from the unquantized
+      greedy exactly at quantization ties.
+    - **hot bucket**: every participating score value (running span
+      start within budget) pays a one-task ordered window for its
+      per-row running totals — accepted buckets included, not just the
+      boundary one. Bucket row counts are read from the (already
+      materialized) census and any participating bucket past
+      ``max_bucket_rows`` is refused unless ``allow_hot_bucket=True``
+      — a CONSTANT score would otherwise funnel the whole corpus into
+      one window task.
     """
     from pyspark.sql import Window
 
+    from ..ckpt import materialize
+
     if budget < 0:
         raise ValueError(f"budget must be >= 0, got {budget}")
-    prefer = F.coalesce(
-        F.col(prefer_col).cast("double"), F.lit(float("-inf"))
-    )
+    score = F.col(prefer_col).cast("double")
+    if quantize is not None:
+        score = F.round(score, quantize)
+    prefer = F.coalesce(score, F.lit(float("-inf")))
     toks = F.col(tokens_col).cast("long")
     base = df.withColumn("__p", prefer).where(
         toks.isNotNull() & (toks >= 0)
     )
 
-    # (1) per-value census; (2) running totals over the tiny table.
-    per_val = base.groupBy("__p").agg(F.sum(toks).alias("__vt"))
+    # (1) per-value census (materialized: the ladder, the ladder-size
+    # guard, and the boundary-bucket probe all read it without
+    # re-scanning the corpus); (2) running totals over the tiny table.
+    per_val = base.groupBy("__p").agg(
+        F.sum(toks).alias("__vt"), F.count(F.lit(1)).alias("__vn")
+    ).transform(materialize)
+    n_distinct = per_val.count()
+    if n_distinct > max_ladder:
+        raise ValueError(
+            f"prefer_col {prefer_col!r} has {n_distinct} distinct values "
+            f"(> max_ladder={max_ladder}) — effectively continuous, which "
+            "degenerates the ladder plan. Pass quantize=<decimals> to "
+            "round scores into a bounded ladder (ties then order id-asc), "
+            "or raise max_ladder if the census genuinely fits."
+        )
     wv = Window.orderBy(F.col("__p").desc()).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    ladder = per_val.select(
+    spans = per_val.select(
         "__p",
-        "__vt",
+        "__vn",
         F.sum("__vt").over(wv).alias("__cum_end"),
-    ).select(
-        "__p",
-        (F.col("__cum_end") - F.col("__vt")).alias("__cum_start"),
+        (F.sum("__vt").over(wv) - F.col("__vt")).alias("__cum_start"),
     )
+    if not allow_hot_bucket:
+        hot = (
+            spans.where(
+                (F.col("__cum_start") <= budget)
+                & (F.col("__vn") > max_bucket_rows)
+            )
+            .select("__p", "__vn")
+            .limit(1)
+            .collect()
+        )
+        if hot:
+            raise ValueError(
+                f"participating score bucket (prefer={hot[0]['__p']}) "
+                f"holds {hot[0]['__vn']} rows (> max_bucket_rows="
+                f"{max_bucket_rows}) — its exact cumulative window would "
+                "run in ONE task. Use a finer prefer_col (or quantize "
+                "less aggressively), or accept the cliff explicitly with "
+                "allow_hot_bucket=True."
+            )
+    ladder = spans.select("__p", "__cum_start")
     joined = base.join(F.broadcast(ladder), "__p")
 
     # (3) whole-bucket accepts: value fits entirely -> cum = bucket
