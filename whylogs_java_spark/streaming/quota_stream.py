@@ -22,6 +22,15 @@ per source (admitted count) — O(distinct sources), never per-doc; the
 hot-domain skew case is exactly what the cap bounds (a source stops
 emitting after ``cap`` rows forever). Per-batch work is Arrow-batched
 pandas with no per-row Python round trips beyond the admitted slice.
+
+STATE-GROWTH guard (r13, the band-stream ``state_ttl`` treatment):
+O(sources) state is fine for the intended domain keys, but a per-URL
+(or otherwise unbounded) ``source_col`` misuse grows one state row per
+distinct key forever. ``state_ttl`` drops a source's counter after
+that much processing-time idleness — the quota becomes a ROLLING one
+(cap per activity window, the rate-limiter regime) instead of
+cap-forever; pick a TTL only when the key domain is unbounded and
+first-N-forever wasn't the real contract anyway.
 """
 
 from __future__ import annotations
@@ -31,15 +40,30 @@ from collections.abc import Iterable
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.streaming.state import GroupState
+
+from ._state import parse_state_ttl
 
 STATE_SCHEMA = "n_admitted long"
 
 
-def _quota_fn(cap: int):
+def _quota_fn(cap: int, ttl_ms: int | None, out_id: str):
+    id_dtype = "object" if out_id == "string" else "int64"
+
     def fn(
         key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
     ) -> Iterable[pd.DataFrame]:
+        if state.hasTimedOut:
+            # idle source: drop its counter (rolling-quota contract)
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "source": pd.Series([], dtype="object"),
+                    "doc_id": pd.Series([], dtype=id_dtype),
+                    "quota_rank": pd.Series([], dtype="int64"),
+                }
+            )
+            return
         (source,) = key
         n = state.get[0] if state.exists else 0
         rows: list[tuple] = []
@@ -52,6 +76,8 @@ def _quota_fn(cap: int):
                 n += 1
                 rows.append((source, doc_id, n))
         state.update((n,))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
         yield pd.DataFrame(rows, columns=["source", "doc_id", "quota_rank"])
 
     return fn
@@ -62,12 +88,15 @@ def source_cap_stream(
     id_col: str,
     source_col: str,
     cap: int,
+    state_ttl: str | int | None = None,
 ) -> DataFrame:
     """Admitted (source, doc_id, quota_rank) rows over a streaming
     corpus — quota_rank is the 1-based admission index within the
     source (≤ cap forever, across all micro-batches). Join back on the
     id to carry payload columns, or treat the output as the admission
-    ticket table.
+    ticket table. ``state_ttl`` (e.g. ``"30 minutes"``) bounds state
+    for unbounded key domains — see the module docstring's
+    rolling-quota contract.
     """
     if cap < 1:
         raise ValueError(f"cap must be >= 1, got {cap}")
@@ -84,14 +113,15 @@ def source_cap_stream(
             "use an integer or string id column"
         )
     out_id = "string" if id_type == "string" else "long"
+    ttl_ms, timeout = parse_state_ttl(state_ttl)
     src = stream_df.select(
         F.col(source_col).cast("string").alias("source"),
         F.col(id_col).cast(out_id).alias("doc_id"),
     )
     return src.groupBy("source").applyInPandasWithState(
-        _quota_fn(cap),
+        _quota_fn(cap, ttl_ms, out_id),
         outputStructType=f"source string, doc_id {out_id}, quota_rank long",
         stateStructType=STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=timeout,
     )
