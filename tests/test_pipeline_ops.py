@@ -3560,6 +3560,34 @@ def test_score_buckets_stream_matches_batch(spark, tmp_path):
         score_buckets_stream(stream, stream, "doc_id", "ppl", "lang")
 
 
+def test_score_buckets_with_unstratified_rejects_multirow_cutoffs(spark):
+    """r12 advice: passing a STRATIFIED (multi-row) cutoff table with
+    stratum_col=None would crossJoin-multiply every input row N-fold
+    with conflicting buckets — refused loudly; the sanctioned one-row
+    case still works."""
+    import pytest as _pytest
+
+    from whylogs_java_spark.operators.sampling import (
+        score_buckets_with,
+        score_cutoffs,
+    )
+
+    rows = [("en", i, float(i)) for i in range(30)] + [
+        ("fr", 100 + i, float(i)) for i in range(30)
+    ]
+    scored = spark.createDataFrame(rows, "lang string, doc_id long, ppl double")
+    strat_cuts = score_cutoffs(scored, "ppl", "lang")
+    with _pytest.raises(ValueError, match="ONE-row"):
+        score_buckets_with(scored, strat_cuts, "doc_id", "ppl")
+    with _pytest.raises(ValueError, match="ONE-row"):
+        score_buckets_with(
+            scored, strat_cuts.limit(0), "doc_id", "ppl"
+        )
+    one = score_cutoffs(scored, "ppl")
+    out = score_buckets_with(scored, one, "doc_id", "ppl")
+    assert out.count() == 60 and out.where(F.col("bucket").isNull()).count() == 0
+
+
 def test_decontam_spans_stream_matches_batch(spark, tmp_path):
     """Streaming surgical decontamination == batch decontaminate_spans
     over the same rows under any micro-batch boundaries."""

@@ -1386,3 +1386,51 @@ def test_ivfpq_index_append_frozen_quantizers_exact_at_full_probe(
     # appended rows carry stored-codebook codes (all in range)
     mx = lists.agg(*[F.max(f"code_{j}") for j in range(4)]).first()
     assert all(0 <= v <= 7 for v in mx)
+
+
+def test_index_append_legs_refuse_wrong_dim_batch(spark, tmp_path):
+    """r12 advice: the builders/readers validate dimensionality but the
+    append legs appended a wrong-dim batch silently (NULL cosines, yet
+    row_number still picked an arbitrary list). All three legs now read
+    the store's pinned dim and refuse loudly; NULL vectors stay
+    builder-dropped, not refusal triggers."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from whylogs_java_spark.operators.similarity import (
+        append_ivf_index,
+        append_ivfpq_index,
+        append_rp_index,
+        build_ivf_index,
+        build_ivfpq_index,
+        build_rp_index,
+    )
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select("vec_id", "embedding").limit(64)
+    narrow = spark.createDataFrame(
+        [(9001, [1.0, 2.0, 3.0]), (9002, None)],
+        "vec_id long, embedding array<double>",
+    )
+
+    ivf = str(tmp_path / "dim_ivf")
+    build_ivf_index(emb, ivf, n_centroids=4)
+    with pytest.raises(ValueError, match="built with dim"):
+        append_ivf_index(spark, ivf, narrow)
+
+    ivfpq = str(tmp_path / "dim_ivfpq")
+    build_ivfpq_index(emb, ivfpq, n_centroids=4, m=4, codebook_k=4)
+    with pytest.raises(ValueError, match="built with dim"):
+        append_ivfpq_index(spark, ivfpq, narrow)
+
+    rp = str(tmp_path / "dim_rp")
+    build_rp_index(emb, rp, out_dim=8)
+    with pytest.raises(ValueError, match="built with dim"):
+        append_rp_index(spark, rp, narrow)
+
+    # a NULL-only batch passes validation (builders drop nulls)
+    nulls = spark.createDataFrame(
+        [(9003, None)], "vec_id long, embedding array<double>"
+    )
+    append_ivf_index(spark, ivf, nulls)  # no raise

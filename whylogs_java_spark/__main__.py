@@ -470,7 +470,8 @@ def _run_blocklist(argv: list[str]) -> int:
             keep = report.where(~F.col("blocked")).select(a.id_col)
             out = df.join(keep, a.id_col, "left_semi")
             out.write.mode("overwrite").parquet(a.output)
-            n_in, n_out = df.count(), out.count()
+            n_in = df.count()
+            n_out = spark.read.parquet(a.output).count()
             print(f"kept {n_out}/{n_in} docs -> {a.output}")
         else:
             report.write.mode("overwrite").parquet(a.output)
@@ -684,7 +685,10 @@ def _run_tier(argv: list[str]) -> int:
                 F.col("bucket").isin(*[t for t in a.keep.split(",") if t])
             )
         out.write.mode("overwrite").parquet(a.output)
-        print(f"wrote {out.count()} row(s) -> {a.output}")
+        # count from the WRITTEN parquet (the _run_tokenize precedent):
+        # out.count() would re-run the whole plan, incl. its corpus aggs
+        n = spark.read.parquet(a.output).count()
+        print(f"wrote {n} row(s) -> {a.output}")
         return 0
     finally:
         spark.stop()
@@ -771,7 +775,10 @@ def _run_clean(argv: list[str]) -> int:
         if a.drop:
             out = out.where(F.col("keep")).select(a.id_col, "clean_text")
         out.write.mode("overwrite").parquet(a.output)
-        print(f"wrote {out.count()} row(s) -> {a.output}")
+        # count from the WRITTEN parquet (the _run_tokenize precedent):
+        # out.count() would re-run the whole plan, incl. its corpus aggs
+        n = spark.read.parquet(a.output).count()
+        print(f"wrote {n} row(s) -> {a.output}")
         return 0
     finally:
         spark.stop()
@@ -822,7 +829,10 @@ def _run_decontam(argv: list[str]) -> int:
         if a.spans:
             out = decontaminate_spans(cur, a.text_col, a.id_col, **kw)
             out.write.mode("overwrite").parquet(a.output)
-            ncut = out.where(F.col("n_spans") > 0).count()
+            ncut = (
+                spark.read.parquet(a.output)
+                .where(F.col("n_spans") > 0).count()
+            )
             print(f"cleaned {ncut} contaminated doc(s) -> {a.output}")
             return 0
         rep = decontaminate(cur, a.text_col, a.id_col, **kw)
@@ -831,7 +841,8 @@ def _run_decontam(argv: list[str]) -> int:
                 rep.where(~F.col("contaminated")).select(a.id_col), a.id_col
             )
             out.write.mode("overwrite").parquet(a.output)
-            print(f"kept {out.count()} clean doc(s) -> {a.output}")
+            n = spark.read.parquet(a.output).count()
+            print(f"kept {n} clean doc(s) -> {a.output}")
             return 0
         rep.write.mode("overwrite").parquet(a.output)
         nc = rep.where(F.col("contaminated")).count()
@@ -875,7 +886,8 @@ def _run_quota(argv: list[str]) -> int:
                 df, a.id_col, a.tokens_col, a.prefer_col, a.token_budget
             )
         out.write.mode("overwrite").parquet(a.output)
-        print(f"kept {out.count()} row(s) -> {a.output}")
+        n = spark.read.parquet(a.output).count()
+        print(f"kept {n} row(s) -> {a.output}")
         return 0
     finally:
         spark.stop()
@@ -935,7 +947,7 @@ def _run_search(argv: list[str]) -> int:
             docs = _read_input(spark, a.input)
             out = phrase_search(docs, a.text_col, a.id_col, a.phrase)
         out.write.mode("overwrite").parquet(a.output)
-        n = out.count()
+        n = spark.read.parquet(a.output).count()
         print(f"{n} matching doc(s) -> {a.output}")
         return 0
     finally:
@@ -1012,8 +1024,9 @@ def _run_winnow(argv: list[str]) -> int:
                 a.text_col, a.id_col, kgram, window, a.min_shared,
             )
         out.write.mode("overwrite").parquet(a.output)
-        n = out.count()
-        fl = out.where(F.col("flagged")).count()
+        written = spark.read.parquet(a.output)
+        n = written.count()
+        fl = written.where(F.col("flagged")).count()
         print(f"screened {n} docs, {fl} flagged -> {a.output}")
         return 0
     finally:
@@ -1042,7 +1055,7 @@ def _run_project(argv: list[str]) -> int:
             df, a.id_col, a.vec_col, out_dim=a.out_dim, dim=a.dim
         )
         out.write.mode("overwrite").parquet(a.output)
-        n = out.count()
+        n = spark.read.parquet(a.output).count()
         print(
             f"projected {n} vectors to {a.out_dim} dims -> {a.output}"
         )

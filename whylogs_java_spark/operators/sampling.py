@@ -602,6 +602,19 @@ def score_buckets_with(
     """
     s = F.col(score_col)
     strat = [stratum_col] if stratum_col is not None else []
+    if not strat:
+        # r12 advice: a stratified (multi-row) cutoff table passed with
+        # stratum_col=None would silently multiply every input row
+        # N-fold with conflicting buckets — the crossJoin is sanctioned
+        # for exactly ONE row. limit(2) probe: O(1), aggregate-sized.
+        n_cut = len(cutoffs.limit(2).collect())
+        if n_cut != 1:
+            raise ValueError(
+                f"unstratified score_buckets_with needs a ONE-row cutoff "
+                f"table (got {'0 rows' if n_cut == 0 else '>1 rows'}) — "
+                "pass the stratum_col the cutoffs were built with, or "
+                "rebuild them with score_cutoffs(stratum_col=None)"
+            )
     joined = (
         df.join(F.broadcast(cutoffs), on=strat, how="left")
         if strat

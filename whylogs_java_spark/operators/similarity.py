@@ -1269,6 +1269,33 @@ def build_ivf_index(
     )
 
 
+def _validate_append_dim(
+    embeddings: DataFrame, vec_col: str, dim: int, store_desc: str
+) -> None:
+    """Refuse an append batch whose vectors don't match the store's
+    pinned dimensionality (r12 advice: the builders/readers validate,
+    the append legs silently corrupted — zip_with over mismatched
+    lengths yields NULL cosines yet row_number still assigns the vector
+    to an arbitrary list). One limit(1) probe over the batch — O(batch),
+    the read_gram_store/read_kmeans_model loud-refusal convention.
+    NULL vectors stay the builders' concern (they drop them)."""
+    bad = (
+        embeddings.where(
+            F.col(vec_col).isNotNull() & (F.size(vec_col) != dim)
+        )
+        .select(F.size(vec_col).alias("got"))
+        .limit(1)
+        .collect()
+    )
+    if bad:
+        raise ValueError(
+            f"append batch has a {bad[0]['got']}-dim vector in "
+            f"{vec_col!r} but {store_desc} was built with dim={dim} — "
+            "refusing the append (a mismatched vector would corrupt "
+            "the index)"
+        )
+
+
 def append_ivf_index(
     spark,
     path: str,
@@ -1292,6 +1319,11 @@ def append_ivf_index(
     from pyspark.sql import Window
 
     cvecs = spark.read.parquet(f"{path}/centroids")
+    dim_row = cvecs.select(F.size("cv").alias("d")).first()
+    if dim_row is not None:
+        _validate_append_dim(
+            embeddings, vec_col, int(dim_row["d"]), f"ivf index at {path}"
+        )
     target = embeddings.sparkSession.sparkContext.defaultParallelism
     if embeddings.rdd.getNumPartitions() < target:
         embeddings = embeddings.repartition(target)
@@ -2018,6 +2050,9 @@ def append_ivfpq_index(
     meta = spark.read.parquet(f"{path}/meta").first()
     m, codebook_k = int(meta["m"]), int(meta["codebook_k"])
     sub = int(meta["dim"]) // m
+    _validate_append_dim(
+        embeddings, vec_col, int(meta["dim"]), f"ivfpq index at {path}"
+    )
     cb_rows = spark.read.parquet(f"{path}/codebooks").collect()
     codebooks = [[None] * codebook_k for _ in range(m)]
     for r in cb_rows:
@@ -2450,6 +2485,17 @@ def append_rp_index(
     from ``{path}/meta``. Caller contract: ids must be new."""
     meta = spark.read.parquet(f"{path}/meta").first()
     out_dim = int(meta["out_dim"])
+    # the RP meta predates an input-dim field, so pin the input width
+    # from a stored exact vector: the md5 sign planes are position
+    # functions, so a narrower batch would silently project into a
+    # DIFFERENT geometry (a prefix of the planes) and corrupt rankings
+    stored = spark.read.parquet(f"{path}/vectors").select(
+        F.size("v").alias("d")
+    ).first()
+    if stored is not None:
+        _validate_append_dim(
+            embeddings, vec_col, int(stored["d"]), f"rp index at {path}"
+        )
     proj = rp_project(embeddings, id_col, vec_col, out_dim, dim=dim)
     pv = F.array(*[F.col(f"rp_{j}") for j in range(out_dim)])
     vecd = _as_double(F.col(vec_col))
