@@ -164,6 +164,8 @@ BENCH_QUERIES = [
     "cluster_assign_stored",
     "bpe_merges_documents",
     "pipeline_manifest_v4",
+    # round-13: interpolated trigram LM tier
+    "lm_score3_documents",
 ]
 
 

@@ -82,6 +82,35 @@ def build_fixture(spark, base_dir: str = SF_BASE, out_dir: str = FIXTURE_DIR):
     return out_dir
 
 
+def build_embeddings_fixture(
+    spark, base_dir: str = SF_BASE, out_dir: str = FIXTURE_DIR
+):
+    """embeddings.parquet = base ∪ 9 id-offset copies (10× vectors).
+    Vectors are kept verbatim — k-means/ANN cost is O(rows × k × dim)
+    with no dedup shortcut, so the probe measures row scaling; ids stay
+    disjoint via the same COPY_OFFSET as the documents fixture."""
+    from pyspark.sql import functions as F
+
+    out = f"{out_dir}/embeddings.parquet"
+    if os.path.exists(out):
+        return out_dir
+    e = spark.read.parquet(f"{base_dir}/embeddings.parquet")
+    other = [c for c in e.columns if c != "vec_id"]
+    parts = [e]
+    for k in range(1, N_COPIES):
+        parts.append(
+            e.select(
+                (F.col("vec_id") + k * COPY_OFFSET).alias("vec_id"),
+                *[F.col(c) for c in other],
+            )
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    u.repartition(32).write.mode("overwrite").parquet(out)
+    return out_dir
+
+
 def _timed(qs, name: str, spark, sf_dir: str) -> float:
     best = float("inf")
     for _ in range(2):
@@ -95,6 +124,8 @@ def main() -> None:
     names = sys.argv[1:] or DEFAULT_QUERIES
     spark = get_spark("docs-scaling")
     fixture = build_fixture(spark)
+    if any("embedding" in n or "cluster" in n or n.startswith(("similarity", "knn", "ann", "prune", "quantize", "rp_")) for n in names):
+        build_embeddings_fixture(spark)
     qs = entry_mod.queries()
     for n in names:  # warm plan shapes at the smallest sf
         qs[n](spark, "/root/testdata/sf0.001").write.format("noop").mode(
