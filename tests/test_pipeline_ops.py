@@ -1205,6 +1205,59 @@ def test_lm_stream_matches_batch_any_boundaries(spark, tmp_path):
     assert len(batches) > 1
 
 
+def test_lm_stream_trigram_tier_matches_batch(spark, tmp_path):
+    """order=3 streaming LM scoring == batch lm_score3_with against the
+    same frozen TrigramLM over the same rows (per-doc operator — the
+    bigram-tier equivalence argument carries unchanged)."""
+    from whylogs_java_spark.operators.text import (
+        build_trigram_lm,
+        lm_score3_with,
+    )
+    from whylogs_java_spark.streaming.lm_stream import lm_score_stream
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    ).limit(150).localCheckpoint(eager=True)
+    lm_corpus = docs.where(F.col("doc_id") % 3 == 0)
+    src = str(tmp_path / "lm3_stream_src")
+    docs.repartition(5).write.parquet(src)
+
+    stream = spark.readStream.schema(docs.schema).option(
+        "maxFilesPerTrigger", 2
+    ).parquet(src)
+    collected: list = []
+
+    def on_batch(report, batch_id):
+        collected.extend(report.collect())
+
+    kw = dict(vocab_size=64, top_bigrams=256, top_trigrams=512)
+    q = lm_score_stream(
+        stream, "text", "doc_id", lm_corpus, on_batch,
+        order=3, checkpoint_dir=str(tmp_path / "lm3_ckpt"), **kw,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    lm3 = build_trigram_lm(lm_corpus, "text", **kw)
+    batch_report = {
+        r["doc_id"]: (r["n_trigrams"], r["avg_logp"], r["perplexity"])
+        for r in lm_score3_with(docs, "text", "doc_id", lm3).collect()
+    }
+    stream_report = {
+        r["doc_id"]: (r["n_trigrams"], r["avg_logp"], r["perplexity"])
+        for r in collected
+    }
+    assert len(collected) == len(stream_report)
+    assert stream_report == batch_report
+
+    with pytest.raises(ValueError, match="order"):
+        lm_score_stream(
+            stream, "text", "doc_id", lm_corpus, on_batch, order=5
+        )
+
+
 def test_lm_stream_rejects_streaming_lm_corpus(spark, tmp_path):
     from whylogs_java_spark.streaming.lm_stream import lm_score_stream
 

@@ -25,7 +25,14 @@ from typing import Callable
 
 from pyspark.sql import DataFrame
 
-from ..operators.text import BigramLM, build_bigram_lm, lm_score_with
+from ..operators.text import (
+    BigramLM,
+    TrigramLM,
+    build_bigram_lm,
+    build_trigram_lm,
+    lm_score3_with,
+    lm_score_with,
+)
 
 
 def lm_score_stream(
@@ -37,17 +44,22 @@ def lm_score_stream(
     vocab_size: int = 512,
     top_bigrams: int = 4096,
     alpha: float = 0.5,
-    lm: BigramLM | None = None,
+    lm: "BigramLM | TrigramLM | None" = None,
     checkpoint_dir: str | None = None,
+    order: int = 2,
+    top_trigrams: int = 16384,
+    lambdas: tuple = (0.5, 0.3, 0.2),
 ):
     """Start a streaming query scoring each micro-batch against a static
-    bigram LM.
+    LM — bigram by default, the interpolated trigram tier with
+    ``order=3`` (or by passing a prebuilt :class:`TrigramLM` as ``lm``;
+    the model type dispatches the scorer).
 
     ``on_batch(report_df, batch_id)`` receives the batch's per-doc report
-    — (id, n_bigrams, avg_logp, perplexity), the same schema as batch
-    ``lm_score`` — and owns the sink write. ``lm_df`` must be a static
-    (non-streaming) DataFrame; pass a prebuilt ``lm`` to share one model
-    across several queries.
+    — (id, n_bigrams|n_trigrams, avg_logp, perplexity), the same schema
+    as batch ``lm_score`` at that order — and owns the sink write.
+    ``lm_df`` must be a static (non-streaming) DataFrame; pass a prebuilt
+    ``lm`` to share one model across several queries.
 
     Returns the started ``StreamingQuery``.
     """
@@ -55,13 +67,25 @@ def lm_score_stream(
         raise ValueError("provide lm_df (to train) or a prebuilt lm")
     if lm_df is not None and lm_df.isStreaming:
         raise ValueError("lm_df must be static — the LM corpus is not a stream")
-    model = lm if lm is not None else build_bigram_lm(
-        lm_df, text_col, vocab_size=vocab_size, top_bigrams=top_bigrams,
-        alpha=alpha,
-    )
+    if order not in (2, 3):
+        raise ValueError(f"order must be 2 or 3, got {order}")
+    if lm is not None:
+        model = lm
+    elif order == 3:
+        model = build_trigram_lm(
+            lm_df, text_col, vocab_size=vocab_size,
+            top_bigrams=top_bigrams, top_trigrams=top_trigrams,
+            alpha=alpha, lambdas=lambdas,
+        )
+    else:
+        model = build_bigram_lm(
+            lm_df, text_col, vocab_size=vocab_size,
+            top_bigrams=top_bigrams, alpha=alpha,
+        )
+    scorer = lm_score3_with if isinstance(model, TrigramLM) else lm_score_with
 
     def _handle(batch_df: DataFrame, batch_id: int) -> None:
-        on_batch(lm_score_with(batch_df, text_col, id_col, model), batch_id)
+        on_batch(scorer(batch_df, text_col, id_col, model), batch_id)
 
     writer = stream_df.writeStream.foreachBatch(_handle).outputMode("append")
     if checkpoint_dir is not None:
