@@ -164,8 +164,9 @@ BENCH_QUERIES = [
     "cluster_assign_stored",
     "bpe_merges_documents",
     "pipeline_manifest_v4",
-    # round-13: interpolated trigram LM tier
+    # round-13: interpolated trigram LM tier + scan-tier token budget
     "lm_score3_documents",
+    "token_budget_scan_documents",
 ]
 
 

@@ -3242,6 +3242,55 @@ def test_token_budget_hot_boundary_bucket_guard(spark):
     ).count() == 50
 
 
+def test_token_budget_scan_tier_bit_identical_and_cliff_free(spark):
+    """method='scan' (distributed prefix sum) == the ladder tier on
+    mixed data, == the brute global window on a CONSTANT score (the
+    regime the ladder guard refuses), and its plan carries NO Window at
+    all — range exchange + Arrow cumsum only."""
+    from pyspark.sql import Window
+
+    from whylogs_java_spark.operators.sampling import token_budget_select
+
+    rows = [
+        (1, 0.9, 10), (2, 0.9, 10), (3, 0.5, 25), (4, 0.5, 5),
+        (5, None, 1), (6, 0.1, None), (7, 0.1, -3), (8, 1.0, 7),
+        (9, 0.5, 0),
+    ]
+    df = spark.createDataFrame(rows, "id long, q double, toks long")
+    for budget in (0, 50, 52, 57, 1_000):
+        ladder = sorted(map(tuple, token_budget_select(
+            df, "id", "toks", "q", budget
+        ).collect()))
+        scan = sorted(map(tuple, token_budget_select(
+            df, "id", "toks", "q", budget, method="scan"
+        ).collect()))
+        assert scan == ladder, budget
+
+    # constant score: ladder refuses at tight max_bucket_rows; scan
+    # just runs, matching the brute global cumulative window
+    const = spark.range(500).select(
+        F.col("id"), F.lit(1.0).alias("q"),
+        (F.col("id") % 7 + 1).cast("long").alias("toks"),
+    )
+    with pytest.raises(ValueError, match="scan"):
+        token_budget_select(const, "id", "toks", "q", 900, max_bucket_rows=100)
+    got = token_budget_select(const, "id", "toks", "q", 900, method="scan")
+    w = Window.orderBy(F.col("q").desc(), F.col("id").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    brute = const.withColumn("cum_tokens", F.sum("toks").over(w)).where(
+        F.col("cum_tokens") <= 900
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, brute.collect())
+    )
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan and "MapInPandas" in plan
+
+    with pytest.raises(ValueError, match="method"):
+        token_budget_select(df, "id", "toks", "q", 10, method="sorted")
+
+
 def test_token_budget_plan_has_no_global_sort(spark):
     """The corpus-side plan must not contain a global (non-partitioned)
     Sort or Window over the full input: the only unpartitioned window

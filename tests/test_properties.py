@@ -941,6 +941,11 @@ def test_token_budget_matches_python_greedy(spark, rows, budget):
     df = spark.createDataFrame(data, "id long, q double, toks long")
     got = {r["id"]: r["cum_tokens"] for r in
            token_budget_select(df, "id", "toks", "q", budget).collect()}
+    # r13: the scan tier (distributed prefix sum) is bit-identical
+    got_scan = {r["id"]: r["cum_tokens"] for r in token_budget_select(
+        df, "id", "toks", "q", budget, method="scan"
+    ).collect()}
+    assert got_scan == got
     order = sorted(
         [(i, q, t) for i, q, t in data if t is not None and t >= 0],
         key=lambda r: (-(r[1] if r[1] is not None else float("-inf")), r[0]),

@@ -405,6 +405,104 @@ def source_cap(
     )
 
 
+def _budget_base(df, id_col, tokens_col, prefer_col, budget, quantize):
+    """Shared validation + (__p, token-sanity) projection for the two
+    token-budget tiers."""
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    score = F.col(prefer_col).cast("double")
+    if quantize is not None:
+        score = F.round(score, quantize)
+    prefer = F.coalesce(score, F.lit(float("-inf")))
+    toks = F.col(tokens_col).cast("long")
+    return df.withColumn("__p", prefer).where(
+        toks.isNotNull() & (toks >= 0)
+    ), toks
+
+
+def token_budget_scan(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    prefer_col: str,
+    budget: int,
+    quantize: int | None = None,
+) -> DataFrame:
+    """The SCAN tier of :func:`token_budget_select` — identical
+    semantics (global greedy prefix over (prefer DESC, id ASC), row
+    kept iff its inclusive running total fits), computed as the classic
+    distributed prefix sum, so there is NO one-task window at ANY score
+    distribution (constant scores included — the regime the ladder
+    tier's ``allow_hot_bucket`` guard refuses):
+
+    1. range-repartition + sort on (prefer DESC, id ASC), materialized
+       once so both passes read the SAME frozen partitioning;
+    2. per-partition token totals — one O(shuffle.partitions)-row
+       aggregate collected to the driver and laddered into per-partition
+       global offsets (broadcast back);
+    3. one Arrow ``mapInPandas`` pass: vectorized cumsum per partition
+       plus the partition's offset; a partition stops emitting at the
+       first row past the budget (running totals are nondecreasing, so
+       nothing later in it can fit).
+
+    Cost vs the ladder tier: one corpus range-shuffle + checkpoint
+    instead of a hash-shuffle — pay it when the score distribution is
+    hostile to bucketing (constant or mega-bucket scores); the ladder
+    stays the default because its whole-bucket accepts never sort.
+    Output schema and values are bit-identical to the ladder tier
+    (pinned by test + a shared driver oracle).
+    """
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from ..ckpt import materialize
+
+    base, _ = _budget_base(df, id_col, tokens_col, prefer_col, budget, quantize)
+    spark = df.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    ranged = materialize(
+        base.repartitionByRange(
+            n_part, F.col("__p").desc(), F.col(id_col).asc()
+        )
+        .sortWithinPartitions(F.col("__p").desc(), F.col(id_col).asc())
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    sums = {
+        r["__pid"]: int(r["__s"])
+        for r in ranged.groupBy("__pid").agg(
+            F.sum(F.col(tokens_col).cast("long")).alias("__s")
+        ).collect()
+    }
+    offsets, run = {}, 0
+    for pid in sorted(sums):
+        offsets[pid] = run
+        run += sums[pid]
+    bc = spark.sparkContext.broadcast(offsets)
+    out_cols = list(df.columns)
+    schema = StructType(
+        [df.schema[c] for c in out_cols]
+        + [StructField("cum_tokens", LongType())]
+    )
+
+    def fn(batches):
+        running = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            if running is None:
+                running = bc.value.get(int(pdf["__pid"].iloc[0]), 0)
+            csum = pdf[tokens_col].astype("int64").cumsum() + running
+            running = int(csum.iloc[-1])
+            keep = csum <= budget
+            out = pdf.loc[keep, out_cols].copy()
+            out["cum_tokens"] = csum[keep]
+            yield out
+            if not bool(keep.iloc[-1]):
+                # nondecreasing running totals: nothing later fits
+                break
+
+    return ranged.mapInPandas(fn, schema)
+
+
 def token_budget_select(
     df: DataFrame,
     id_col: str,
@@ -415,6 +513,7 @@ def token_budget_select(
     max_ladder: int = 65536,
     max_bucket_rows: int = 10_000_000,
     allow_hot_bucket: bool = False,
+    method: str = "ladder",
 ) -> DataFrame:
     """Greedy token-budget selection: order the corpus by
     (``prefer_col`` DESC, id ASC) and keep the prefix whose running
@@ -465,21 +564,22 @@ def token_budget_select(
       materialized) census and any participating bucket past
       ``max_bucket_rows`` is refused unless ``allow_hot_bucket=True``
       — a CONSTANT score would otherwise funnel the whole corpus into
-      one window task.
+      one window task. The cliff-free alternative is
+      ``method="scan"`` (:func:`token_budget_scan` — a distributed
+      prefix sum, bit-identical output, pays a range shuffle instead).
     """
     from pyspark.sql import Window
 
     from ..ckpt import materialize
 
-    if budget < 0:
-        raise ValueError(f"budget must be >= 0, got {budget}")
-    score = F.col(prefer_col).cast("double")
-    if quantize is not None:
-        score = F.round(score, quantize)
-    prefer = F.coalesce(score, F.lit(float("-inf")))
-    toks = F.col(tokens_col).cast("long")
-    base = df.withColumn("__p", prefer).where(
-        toks.isNotNull() & (toks >= 0)
+    if method == "scan":
+        return token_budget_scan(
+            df, id_col, tokens_col, prefer_col, budget, quantize
+        )
+    if method != "ladder":
+        raise ValueError(f"method must be 'ladder' or 'scan', got {method!r}")
+    base, toks = _budget_base(
+        df, id_col, tokens_col, prefer_col, budget, quantize
     )
 
     # (1) per-value census (materialized: the ladder, the ladder-size
@@ -521,9 +621,9 @@ def token_budget_select(
                 f"participating score bucket (prefer={hot[0]['__p']}) "
                 f"holds {hot[0]['__vn']} rows (> max_bucket_rows="
                 f"{max_bucket_rows}) — its exact cumulative window would "
-                "run in ONE task. Use a finer prefer_col (or quantize "
-                "less aggressively), or accept the cliff explicitly with "
-                "allow_hot_bucket=True."
+                "run in ONE task. Use method='scan' (distributed prefix "
+                "sum, no cliff), a finer prefer_col, or accept the cliff "
+                "explicitly with allow_hot_bucket=True."
             )
     ladder = spans.select("__p", "__cum_start")
     joined = base.join(F.broadcast(ladder), "__p")
