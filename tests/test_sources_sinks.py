@@ -1516,3 +1516,50 @@ def test_cli_tier_subcommand(spark, tmp_path, monkeypatch, capsys):
     assert sorted(
         r["doc_id"] for r in spark.read.parquet(kept).collect()
     ) == [1, 2, 3, 4, 5, 6]
+
+
+def test_cli_score_subcommand(spark, tmp_path, monkeypatch, capsys):
+    """score CLI (r13): per-doc LM perplexity at both orders, with an
+    optional trusted LM corpus (the CCNet deployment shape)."""
+    import whylogs_java_spark.__main__ as cli
+    import whylogs_java_spark.session as sess
+
+    monkeypatch.setattr(sess, "get_spark", lambda *a, **k: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+
+    src = str(tmp_path / "sc_docs.parquet")
+    rows = [(i, "the cat sat on the mat") for i in range(10)]
+    rows.append((100, "zqx vbnk wplf qq zz yy"))
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(src)
+
+    out2 = str(tmp_path / "sc2")
+    rc = cli.main(["score", src, "-o", out2, "--vocab-size", "32"])
+    assert rc == 0
+    assert "scored 11 doc(s) (order=2)" in capsys.readouterr().out
+    got2 = {r["doc_id"]: r for r in spark.read.parquet(out2).collect()}
+    assert got2[0]["perplexity"] < got2[100]["perplexity"]
+    assert got2[0]["n_bigrams"] == 5
+
+    out3 = str(tmp_path / "sc3")
+    rc = cli.main([
+        "score", src, "-o", out3, "--order", "3",
+        "--vocab-size", "32", "--top-trigrams", "256",
+    ])
+    assert rc == 0
+    got3 = {r["doc_id"]: r for r in spark.read.parquet(out3).collect()}
+    assert got3[0]["n_trigrams"] == 4
+    assert got3[0]["perplexity"] < got3[100]["perplexity"]
+
+    # trusted LM corpus: the gibberish doc scores against the CLEAN LM
+    lm_src = str(tmp_path / "sc_lm.parquet")
+    spark.createDataFrame(
+        rows[:10], "doc_id long, text string"
+    ).write.parquet(lm_src)
+    out_lm = str(tmp_path / "sc_lm_out")
+    rc = cli.main([
+        "score", src, "-o", out_lm, "--lm-corpus", lm_src,
+        "--vocab-size", "32",
+    ])
+    assert rc == 0
+    got_lm = {r["doc_id"]: r for r in spark.read.parquet(out_lm).collect()}
+    assert got_lm[0]["perplexity"] < got_lm[100]["perplexity"]

@@ -55,7 +55,7 @@ def build_parser() -> argparse.ArgumentParser:
 SUBCOMMANDS = (
     "dedup", "drift", "constraints", "monitor", "view", "redact", "shards",
     "blocklist", "split", "pack", "novelty", "project", "winnow", "search",
-    "quota", "decontam", "tokenize", "clean", "tier",
+    "quota", "decontam", "tokenize", "clean", "tier", "score",
 )
 
 
@@ -1064,6 +1064,45 @@ def _run_project(argv: list[str]) -> int:
         spark.stop()
 
 
+def _run_score(argv: list[str]) -> int:
+    p = argparse.ArgumentParser(prog="python -m whylogs_java_spark score")
+    p.add_argument("input", help="corpus to score")
+    p.add_argument("-o", "--output", required=True)
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--order", type=int, choices=[2, 3], default=2,
+                   help="2 = smoothed bigram (default), 3 = "
+                        "JM-interpolated trigram (closer to the "
+                        "published CCNet shape)")
+    p.add_argument("--lm-corpus", default=None,
+                   help="train the LM on THIS corpus instead of the "
+                        "input (the CCNet deployment shape: a trusted "
+                        "reference corpus scores the crawl)")
+    p.add_argument("--vocab-size", type=int, default=512)
+    p.add_argument("--top-bigrams", type=int, default=4096)
+    p.add_argument("--top-trigrams", type=int, default=16384)
+    a = p.parse_args(argv)
+    from .session import get_spark
+
+    spark = get_spark("whylogs-cli-score")
+    try:
+        from .operators.text import lm_score
+
+        df = _read_input(spark, a.input)
+        lm_df = _read_input(spark, a.lm_corpus) if a.lm_corpus else None
+        out = lm_score(
+            df, a.text_col, a.id_col,
+            vocab_size=a.vocab_size, top_bigrams=a.top_bigrams,
+            lm_df=lm_df, order=a.order, top_trigrams=a.top_trigrams,
+        )
+        out.write.mode("overwrite").parquet(a.output)
+        n = spark.read.parquet(a.output).count()
+        print(f"scored {n} doc(s) (order={a.order}) -> {a.output}")
+        return 0
+    finally:
+        spark.stop()
+
+
 def main(argv: list[str] | None = None) -> int:
     argv = sys.argv[1:] if argv is None else argv
     # subcommand dispatch; bare invocation keeps the reference Profiler
@@ -1089,6 +1128,7 @@ def main(argv: list[str] | None = None) -> int:
             "tokenize": _run_tokenize,
             "clean": _run_clean,
             "tier": _run_tier,
+            "score": _run_score,
         }[argv[0]](argv[1:])
     args = build_parser().parse_args(argv)
     from .operators.profile import profile_atoms
