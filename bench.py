@@ -167,6 +167,7 @@ BENCH_QUERIES = [
     # round-13: interpolated trigram LM tier + scan-tier token budget
     "lm_score3_documents",
     "token_budget_scan_documents",
+    "pipeline_manifest_v5",
 ]
 
 

@@ -3859,6 +3859,53 @@ def test_source_cap_stream_matches_batch_under_ordered_ingest(spark, tmp_path):
         source_cap_stream(stream, "doc_id", "source", cap=0)
 
 
+def test_training_manifest_v5_invariants(spark):
+    """v5 composition invariants: only head/middle tiers admitted,
+    quota ranks contiguous per source, the token budget is a GLOBAL
+    greedy over (perplexity ASC, id ASC) — cum_tokens reconstructs from
+    the output itself — and tightening the budget yields a prefix of
+    the looser selection."""
+    from whylogs_java_spark.operators.pipeline import training_manifest_v5
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text", "lang", "source"
+    )
+    ev = docs.where(F.col("doc_id") % 20 == 0).select(
+        F.concat_ws(
+            " ",
+            F.slice(F.filter(F.split("text", " "), lambda t: t != ""), 3, 10),
+        ).alias("text")
+    )
+    out = training_manifest_v5(
+        docs, "text", "doc_id", ev, n=5, cap=15, token_budget=4000
+    )
+    rows = sorted(
+        out.collect(), key=lambda r: (r["perplexity"], r["doc_id"])
+    )
+    assert rows and all(r["bucket"] in ("head", "middle") for r in rows)
+    # cum_tokens is the running total in global greedy order, <= budget
+    run = 0
+    for r in rows:
+        run += r["n_tokens"]
+        assert r["cum_tokens"] == run <= 4000
+    # per-source ranks contiguous from 1 within the PRE-budget quota;
+    # post-budget they stay <= cap and strictly increasing per source
+    per_src: dict = {}
+    for r in rows:
+        per_src.setdefault(r["source"], []).append(r["source_rank"])
+    for ranks in per_src.values():
+        assert all(1 <= x <= 15 for x in ranks)
+    # a tighter budget selects a strict prefix of the looser run
+    tight = training_manifest_v5(
+        docs, "text", "doc_id", ev, n=5, cap=15, token_budget=2000
+    ).collect()
+    tight_ids = {r["doc_id"] for r in tight}
+    loose_ids = {r["doc_id"] for r in rows}
+    assert tight_ids < loose_ids
+    prefix = {r["doc_id"] for r in rows if r["cum_tokens"] <= 2000}
+    assert tight_ids == prefix
+
+
 def test_source_cap_stream_ttl_resets_idle_source_quota(spark, tmp_path):
     """r12 verdict item: state_ttl bounds source_cap_stream state for
     unbounded key domains (per-URL misuse). Contract: after a source

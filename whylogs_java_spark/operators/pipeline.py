@@ -396,3 +396,106 @@ def training_manifest_v4(
         F.col("source_rank").cast("long").alias("source_rank"),
         F.col("__clean_tokens").cast("long").alias("n_tokens"),
     )
+
+
+def training_manifest_v5(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    eval_df: DataFrame,
+    *,
+    lang_col: str = "lang",
+    source_col: str = "source",
+    n: int = 5,
+    vocab_size: int = 256,
+    top_bigrams: int = 2048,
+    top_trigrams: int = 4096,
+    drop_tiers: Sequence[str] = ("tail",),
+    cap: int = 15,
+    token_budget: int = 8000,
+    materialize: bool = True,
+) -> DataFrame:
+    """Composed v5 pipeline — the round-13 operators end to end:
+
+        raw corpus
+          → surgical span decontamination   (v4 stage, cleaned text
+                                             feeds everything later)
+          → TRIGRAM-tier CCNet gate         (order=3 JM-interpolated LM
+                                             trained on the cleaned
+                                             corpus — the r13 tier,
+                                             closer to the published
+                                             5-gram shape; per-language
+                                             exact terciles, tail drops)
+          → per-source quota                (cap best-perplexity docs
+                                             per source)
+          → global token budget, SCAN tier  (the final "best N tokens"
+                                             cut over the survivors by
+                                             (-perplexity, id) — the
+                                             r13 distributed prefix
+                                             sum, cliff-free for any
+                                             perplexity distribution)
+          → manifest
+
+    Output, one row per admitted doc: (id, lang, source, perplexity,
+    bucket, source_rank, n_tokens, cum_tokens) — cum_tokens is the
+    running CLEANED-token total of the final selection. Every stage is
+    deterministic, so the whole composition replays as ONE DuckDB
+    statement (span rebuild → trigram LM trajectory → tier cutoffs →
+    quota window → budget window).
+
+    Scale: v4's ledger plus the trigram LM's two extra bounded
+    broadcast tables and the budget stage's one range shuffle over the
+    already-quota-capped survivor set (≤ cap × sources rows).
+    """
+    from .decontam import decontaminate_spans
+    from .sampling import score_buckets, source_cap, token_budget_select
+    from .text import lm_score
+
+    cleaned = decontaminate_spans(df, text_col, id_col, eval_df, n=n)
+    corpus = (
+        df.select(F.col(id_col), lang_col, source_col)
+        .join(
+            cleaned.select(
+                F.col(id_col),
+                F.col("clean_text"),
+                (F.col("n_tokens") - F.col("tokens_removed")).alias(
+                    "__clean_tokens"
+                ),
+            ),
+            id_col,
+        )
+    )
+    if materialize:
+        corpus = _materialize(corpus)
+    scored = corpus.join(
+        lm_score(
+            corpus, "clean_text", id_col,
+            vocab_size=vocab_size, top_bigrams=top_bigrams,
+            order=3, top_trigrams=top_trigrams,
+        ).select(F.col(id_col), "perplexity"),
+        id_col,
+    )
+    tiers = score_buckets(
+        scored, id_col, "perplexity", stratum_col=lang_col
+    ).select(F.col(id_col), "bucket")
+    kept = (
+        scored.join(tiers, id_col)
+        .where(
+            F.col("bucket").isNotNull()
+            & ~F.col("bucket").isin(*drop_tiers)
+        )
+        .withColumn("__q", -F.col("perplexity"))
+    )
+    capped = source_cap(kept, id_col, source_col, cap, "__q").select(
+        F.col(id_col),
+        F.col(lang_col),
+        F.col(source_col),
+        F.col("perplexity"),
+        F.col("bucket"),
+        F.col("source_rank").cast("long").alias("source_rank"),
+        F.col("__clean_tokens").cast("long").alias("n_tokens"),
+        F.col("__q"),
+    )
+    return token_budget_select(
+        capped, id_col, "n_tokens", "__q", token_budget, method="scan"
+    ).drop("__q")
