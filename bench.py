@@ -168,6 +168,7 @@ BENCH_QUERIES = [
     "lm_score3_documents",
     "token_budget_scan_documents",
     "pipeline_manifest_v5",
+    "retrieval_eval_documents",
 ]
 
 

@@ -548,3 +548,49 @@ def test_phrase_search_many_zero_shuffle_plan(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan, plan
+
+
+def test_retrieval_eval_hand_computed_metrics(spark):
+    """retrieval_eval against a hand-worked fixture: q1 has relevant at
+    ranks 2 and 5 of 3 judged; q2's run has no relevant docs; q3 is
+    judged but absent from the run (zeros row); q4 appears in the run
+    but is UNJUDGED (excluded — trec_eval convention). Duplicate qrels
+    rows must not double-count."""
+    import math
+
+    import pytest as _pytest
+
+    from whylogs_java_spark.operators.retrieval import retrieval_eval
+
+    runs = spark.createDataFrame(
+        [(1, r, 100 + r) for r in range(1, 6)]
+        + [(2, 1, 201), (2, 2, 202)]
+        + [(4, 1, 401)],
+        "query_id long, rank long, doc_id long",
+    )
+    qrels = spark.createDataFrame(
+        [(1, 102), (1, 105), (1, 999), (1, 102),   # dup row
+         (2, 777),
+         (3, 301), (3, 302)],
+        "query_id long, doc_id long",
+    )
+    out = {r["query_id"]: r for r in retrieval_eval(runs, qrels, k=5).collect()}
+    assert set(out) == {1, 2, 3}  # q4 unjudged -> excluded
+
+    q1 = out[1]
+    assert q1["n_rel"] == 3 and q1["hits_at_k"] == 2
+    assert q1["precision_at_k"] == 0.4
+    assert q1["recall_at_k"] == round(2 / 3, 6)
+    assert q1["mrr"] == 0.5  # first relevant at rank 2
+    dcg = 1 / math.log2(3) + 1 / math.log2(6)
+    idcg = 1 / math.log2(2) + 1 / math.log2(3) + 1 / math.log2(4)
+    assert q1["ndcg_at_k"] == _pytest.approx(dcg / idcg, abs=1e-6)
+
+    q2 = out[2]
+    assert (q2["hits_at_k"], q2["mrr"], q2["ndcg_at_k"]) == (0, 0.0, 0.0)
+    q3 = out[3]
+    assert q3["n_rel"] == 2 and q3["hits_at_k"] == 0
+    assert (q3["recall_at_k"], q3["mrr"], q3["ndcg_at_k"]) == (0.0, 0.0, 0.0)
+
+    with _pytest.raises(ValueError, match="k must"):
+        retrieval_eval(runs, qrels, k=0)

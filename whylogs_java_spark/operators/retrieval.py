@@ -617,3 +617,90 @@ def phrase_search_many(
         .select(id_col, "__m.phrase", "__m.n_matches")
         .where(F.col("n_matches") >= 1)
     )
+
+
+def retrieval_eval(
+    runs: DataFrame,
+    qrels: DataFrame,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+    k: int = 10,
+) -> DataFrame:
+    """IR effectiveness dashboard — the retrieval counterpart of the
+    embedding family's ``knn_label_eval``/``ann_recall_report``: given a
+    ranker's RUN (query, doc, rank — ``bm25_topk``/``rrf_fuse``/
+    ``bm25_topk_stored`` output) and binary relevance judgments QRELS
+    (query, doc), the standard trec_eval-style per-query metrics at
+    cutoff ``k``:
+
+    - ``hits_at_k`` / ``precision_at_k`` / ``recall_at_k``
+    - ``mrr`` — reciprocal rank of the FIRST relevant in the top-k
+      (0.0 when none; the @k-bounded convention)
+    - ``ndcg_at_k`` — binary nDCG with the standard 1/log2(rank+1)
+      discount; ideal DCG uses min(n_rel, k) positions.
+
+    Every query WITH judgments gets a row (a judged query the ranker
+    returned nothing for scores zeros); run rows for unjudged queries
+    are ignored (not evaluable — the trec_eval convention). Determinism:
+    DCG/IDCG evaluate as left-to-right array folds over sorted rank
+    lists (bit-reproducible in DuckDB ``list_reduce``), everything
+    rounds to 6 decimals.
+
+    Scale: both inputs are aggregate-sized by construction (runs =
+    queries x k, qrels = judgment count), so every join and the final
+    per-query aggregation are broadcast-tier — at 100 TB the cost lives
+    in the upstream ranker, never here.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    rel = qrels.select(query_col, doc_col).distinct()
+    n_rel = rel.groupBy(query_col).agg(F.count(F.lit(1)).alias("n_rel"))
+    topk = runs.where(F.col(rank_col) <= k).select(
+        query_col, doc_col, F.col(rank_col).cast("long").alias("__rk")
+    )
+    marked = topk.join(
+        rel.withColumn("__r", F.lit(1)), on=[query_col, doc_col], how="left"
+    ).select(
+        query_col, "__rk", F.coalesce(F.col("__r"), F.lit(0)).alias("__rel")
+    )
+    per_q = marked.groupBy(query_col).agg(
+        F.sum("__rel").alias("__hits"),
+        F.min(F.when(F.col("__rel") == 1, F.col("__rk"))).alias("__first"),
+        F.sort_array(
+            F.collect_list(F.when(F.col("__rel") == 1, F.col("__rk")))
+        ).alias("__relranks"),
+    )
+
+    def disc(r: Column) -> Column:
+        return F.lit(1.0) / (
+            F.log(r.cast("double") + F.lit(1.0)) / F.log(F.lit(2.0))
+        )
+
+    dcg = F.aggregate(
+        F.coalesce(F.col("__relranks"), F.array().cast("array<bigint>")),
+        F.lit(0.0),
+        lambda acc, r: acc + disc(r),
+    )
+    m = F.least(F.col("n_rel"), F.lit(k))
+    idcg = F.aggregate(
+        F.sequence(F.lit(1), m), F.lit(0.0), lambda acc, i: acc + disc(i)
+    )
+    hits = F.coalesce(F.col("__hits"), F.lit(0)).cast("long")
+    r6 = lambda c: F.round(c, 6) + F.lit(0.0)  # noqa: E731
+    return (
+        n_rel.join(per_q, on=query_col, how="left")
+        .select(
+            F.col(query_col),
+            F.col("n_rel").cast("long").alias("n_rel"),
+            hits.alias("hits_at_k"),
+            r6(hits / F.lit(float(k))).alias("precision_at_k"),
+            r6(hits / F.col("n_rel")).alias("recall_at_k"),
+            r6(
+                F.coalesce(
+                    F.lit(1.0) / F.col("__first").cast("double"), F.lit(0.0)
+                )
+            ).alias("mrr"),
+            r6(dcg / idcg).alias("ndcg_at_k"),
+        )
+    )
