@@ -1024,6 +1024,42 @@ def test_bpe_train_matches_python_reference_property(spark, words):
     assert got == want
 
 
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(train=_bpe_words, feed=_bpe_words)
+# ambiguous-decomposition shape: the same merged string reachable via
+# two paths — the regime where a NAIVE min-rank priority loop can
+# diverge from training-order replay; the cursor loop must not
+@example(
+    train=["bc", "abc", "abc", "abcd", "ab", "ab", "ab"],
+    feed=["abcd", "ab", "abc", "zabc"],
+)
+def test_bpe_apply_arrow_matches_expr_property(spark, train, feed):
+    """r13: the Arrow encoder tier is bit-identical to the expression
+    tier for ARBITRARY trained merge tables and feeds (unseen words,
+    repeats, 1-char words) — the cursor-ordered replay loop's
+    equivalence proof, exercised."""
+    from collections import Counter
+
+    from tests.test_pipeline_ops import _py_bpe
+    from whylogs_java_spark.operators.tokenizer import bpe_apply
+
+    merges = _py_bpe(Counter(train), 6)
+    pairs = [(m[0], m[1], m[2]) for m in merges]
+    docs = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(feed)], ["doc_id", "text"]
+    )
+    key = lambda r: (r["doc_id"], r["n_tokens"], tuple(r["tokens"]))  # noqa: E731
+    expr = sorted(
+        key(r)
+        for r in bpe_apply(docs, "text", "doc_id", pairs, method="expr").collect()
+    )
+    arrow = sorted(
+        key(r)
+        for r in bpe_apply(docs, "text", "doc_id", pairs, method="arrow").collect()
+    )
+    assert arrow == expr
+
+
 # --- r12: score_buckets vs numpy linear percentiles ----------------------
 
 
