@@ -4420,3 +4420,93 @@ def test_source_cap_stream_string_ids_and_type_refusal(spark, tmp_path):
     bad = spark.readStream.schema("doc_id double, source string").parquet(src)
     with pytest.raises(ValueError, match="unsupported id type"):
         source_cap_stream(bad, "doc_id", "source", cap=3)
+
+
+def test_bpe_train_census_bit_identical_to_distributed(spark):
+    """The driver-census training tier learns EXACTLY the distributed
+    tier's merge table (same pairs, same counts, same tie-breaks) on
+    two differently-shaped corpora — the contract that lets auto-tier
+    swap them freely."""
+    from whylogs_java_spark.operators.tokenizer import bpe_train
+
+    corpora = [
+        [  # natural-ish text with Zipf repeats and tie candidates
+            "low low low low low",
+            "lower lower newest newest newest newest newest newest",
+            "widest widest widest",
+            "low lowest newest",
+        ],
+        [  # adversarial: overlapping runs, shared prefixes, unicode
+            "aaaa aaa aa aaaa",
+            "banana bandana band banana",
+            "née née naïve naïve naïve",
+            "xyxyxy xyxy xy xyxyxy",
+        ],
+    ]
+    for texts in corpora:
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+        )
+        dist = [
+            tuple(r)
+            for r in bpe_train(docs, "text", n_merges=24, method="distributed")
+            .orderBy("step")
+            .collect()
+        ]
+        cens = [
+            tuple(r)
+            for r in bpe_train(docs, "text", n_merges=24, method="census")
+            .orderBy("step")
+            .collect()
+        ]
+        assert cens == dist and len(dist) >= 10
+
+
+def test_bpe_train_census_production_merge_count(spark):
+    """A >=1k-merge census-tier training run (the scale where the
+    distributed tier would need thousands of Spark jobs) matches the
+    pure-python rebuild-everything reference trainer merge-for-merge,
+    and auto-tiering routes past BPE_DIST_MAX_MERGES to this tier."""
+    from collections import Counter
+
+    from whylogs_java_spark.operators.tokenizer import (
+        BPE_DIST_MAX_MERGES,
+        bpe_train,
+    )
+
+    letters = "abcdefghijkl"
+    words = [a + b + c for a in letters for b in letters for c in letters[:8]]
+    texts, wc = [], Counter()
+    for i, w in enumerate(words):
+        n = (i % 5) + 1
+        wc[w] += n
+        texts.append(" ".join([w] * n))
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    want = _py_bpe(wc, 1200)
+    assert len(want) >= 1000
+    got = [
+        (r["step"], r["left"], r["right"], r["merged"], r["pair_count"])
+        for r in bpe_train(docs, "text", n_merges=1200).orderBy("step").collect()
+    ]  # auto: 1200 > BPE_DIST_MAX_MERGES -> census tier
+    assert 1200 > BPE_DIST_MAX_MERGES
+    assert got == want
+
+
+def test_bpe_train_census_row_guard(spark):
+    """The census tier refuses loudly when the distinct-word census
+    exceeds max_census_rows instead of silently collecting it."""
+    import pytest as _pytest
+
+    from whylogs_java_spark.operators.tokenizer import bpe_train
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon")], ["doc_id", "text"]
+    )
+    with _pytest.raises(ValueError, match="max_census_rows"):
+        bpe_train(
+            docs, "text", n_merges=4, method="census", max_census_rows=3
+        )
+    with _pytest.raises(ValueError, match="method"):
+        bpe_train(docs, "text", n_merges=4, method="driver")

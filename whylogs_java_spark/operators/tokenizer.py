@@ -54,10 +54,12 @@ def _census_sym(w: Column) -> Column:
     )
 
 
-def bpe_word_census(
+def _raw_census(
     df: DataFrame, text_col: str, lowercase: bool = True
 ) -> DataFrame:
-    """(s, cnt): the wrapped-symbol census — ONE corpus pass."""
+    """(w, cnt): the distinct-word census — ONE corpus pass (explode +
+    map-side-combined hash agg). Words containing the delimiter or the
+    end-of-word marker are excluded (module contract)."""
     t = F.coalesce(F.col(text_col), F.lit(""))
     if lowercase:
         t = F.lower(t)
@@ -67,7 +69,15 @@ def bpe_word_census(
         .where(~F.col("w").contains(SEP) & ~F.col("w").contains(EOW))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .select(_census_sym(F.col("w")).alias("s"), "cnt")
+    )
+
+
+def bpe_word_census(
+    df: DataFrame, text_col: str, lowercase: bool = True
+) -> DataFrame:
+    """(s, cnt): the wrapped-symbol census — ONE corpus pass."""
+    return _raw_census(df, text_col, lowercase).select(
+        _census_sym(F.col("w")).alias("s"), "cnt"
     )
 
 
@@ -95,18 +105,68 @@ def _pair_counts(words: DataFrame) -> DataFrame:
     )
 
 
+#: merge count above which ``bpe_train(method="auto")`` switches from
+#: the per-merge distributed loop to the driver-census trainer — past
+#: this the distributed tier costs one pair-count aggregate + argmax
+#: collect + census re-materialization PER MERGE (a 32k-vocab run would
+#: be ~100k Spark jobs of driver round-trips), while BPE statistics
+#: depend only on the bounded word census, which the census tier
+#: collects ONCE. Mirrors ``BPE_EXPR_MAX_MERGES`` on the apply leg.
+BPE_DIST_MAX_MERGES = 64
+
+#: census-size refusal for ``bpe_train(method="census")`` — the driver
+#: trainer holds the distinct-word census in memory; a census larger
+#: than this (distinct WORDS, not rows — Zipf keeps real corpora far
+#: below it) must be pre-filtered (min-count threshold) or trained with
+#: the distributed tier.
+BPE_MAX_CENSUS_ROWS = 5_000_000
+
+
 def bpe_train(
     df: DataFrame,
     text_col: str,
     n_merges: int = 16,
     lowercase: bool = True,
+    method: str = "auto",
+    max_dist_merges: int = BPE_DIST_MAX_MERGES,
+    max_census_rows: int = BPE_MAX_CENSUS_ROWS,
 ) -> DataFrame:
     """Learn ``n_merges`` BPE merges from the corpus; returns the merge
     table (step, left, right, merged, pair_count) in training order —
     the tokenizer artifact (feed it to :func:`bpe_apply`, or export).
-    Stops early if the census runs out of pairs."""
+    Stops early if the census runs out of pairs.
+
+    Two execution tiers, bit-identical by construction (pinned by
+    test; both reduce the corpus to the same one-pass word census and
+    break merge ties identically — count DESC, left ASC, right ASC):
+
+    - **distributed** (demo merge counts, <= ``max_dist_merges``): the
+      census stays in the cluster; each merge runs one pair-count
+      aggregate + a 1-row argmax collect + a census re-materialization.
+      This tier is what the DuckDB oracle replays (one CTE trio per
+      merge) — but its job-per-merge shape cannot serve a production
+      vocabulary.
+    - **census** (production vocabularies): collect the bounded census
+      ONCE (loud refusal past ``max_census_rows`` distinct words) and
+      run the classic in-memory trainer — incremental pair-count
+      updates (only words containing the fired pair are touched) and a
+      lazy-deletion heap argmax, so a 32k-100k-merge run is seconds of
+      driver CPU and exactly ONE Spark job, the shape production BPE
+      trainers (Sennrich et al. 2016 ``learn_bpe``) use.
+
+    ``method``: "auto" (tier by ``max_dist_merges``), "distributed",
+    "census".
+    """
     if n_merges < 1:
         raise ValueError(f"n_merges must be >= 1, got {n_merges}")
+    if method not in ("auto", "distributed", "census"):
+        raise ValueError(
+            f"method must be 'auto', 'distributed' or 'census', got {method!r}"
+        )
+    if method == "census" or (method == "auto" and n_merges > max_dist_merges):
+        return _bpe_train_census(
+            df, text_col, n_merges, lowercase, max_census_rows
+        )
     spark = df.sparkSession
     words = bpe_word_census(df, text_col, lowercase).transform(materialize)
     merges: list[tuple] = []
@@ -129,6 +189,108 @@ def bpe_train(
             ).alias("s"),
             "cnt",
         ).transform(materialize)
+    return spark.createDataFrame(
+        merges,
+        "step int, left string, right string, merged string, pair_count long",
+    )
+
+
+def _bpe_train_census(
+    df: DataFrame,
+    text_col: str,
+    n_merges: int,
+    lowercase: bool,
+    max_census_rows: int,
+) -> DataFrame:
+    """Driver-census training tier (see :func:`bpe_train`).
+
+    Collects the distinct-word census once (guarded), then trains
+    in-driver with incremental pair-count maintenance: a pair→word-set
+    index finds the words a fired merge touches; each touched word's
+    old pair contributions are subtracted, the merge applied (leftmost
+    non-overlapping — identical to the distributed tier's wrapped
+    ``replace``), and the new contributions added back. Argmax is a
+    lazy-deletion min-heap keyed (-count, left, right) — pop order IS
+    the distributed tier's (count DESC, left ASC, right ASC) orderBy
+    (UTF-8 byte order == code-point order, so Spark string sort and
+    Python string sort agree). Stale heap entries are discarded by
+    re-checking the live count at pop time.
+
+    Per merge the work is O(touched words × word length) + O(changed
+    pairs × log heap) — independent of corpus size and of merges
+    already learned, so 32k+ merges are driver-cheap.
+    """
+    import heapq
+    from collections import defaultdict
+
+    spark = df.sparkSession
+    census = (
+        _raw_census(df, text_col, lowercase)
+        .limit(max_census_rows + 1)
+        .collect()
+    )
+    if len(census) > max_census_rows:
+        raise ValueError(
+            f"bpe_train(method='census'): word census exceeds "
+            f"max_census_rows={max_census_rows} distinct words — "
+            f"pre-filter the corpus (min-count threshold) or raise the "
+            f"guard; the distributed tier (method='distributed') has no "
+            f"census ceiling but costs one Spark job per merge"
+        )
+    words: list[list] = []  # [symbols, count] per distinct word
+    pair_cnt: dict = defaultdict(int)
+    pair_words: dict = defaultdict(set)
+    for row in census:
+        syms = list(row["w"])
+        syms.append(EOW)
+        idx = len(words)
+        words.append([syms, row["cnt"]])
+        for a, b in zip(syms, syms[1:]):
+            pair_cnt[(a, b)] += row["cnt"]
+            pair_words[(a, b)].add(idx)
+    heap = [(-c, l, r) for (l, r), c in pair_cnt.items() if c > 0]
+    heapq.heapify(heap)
+    merges: list[tuple] = []
+    for step in range(n_merges):
+        top = None
+        while heap:
+            negc, l, r = heapq.heappop(heap)
+            if pair_cnt.get((l, r), 0) == -negc and negc < 0:
+                top = (l, r, -negc)
+                break
+        if top is None:
+            break
+        l, r, c = top
+        merges.append((step, l, r, l + r, c))
+        lr = l + r
+        changed: set = set()
+        for idx in list(pair_words.get((l, r), ())):
+            syms, cnt = words[idx]
+            if len(syms) < 2:
+                continue
+            for a, b in zip(syms, syms[1:]):
+                pair_cnt[(a, b)] -= cnt
+                changed.add((a, b))
+            out, i, m = [], 0, len(syms)
+            while i < m:
+                if i + 1 < m and syms[i] == l and syms[i + 1] == r:
+                    out.append(lr)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[idx][0] = out
+            for a, b in zip(out, out[1:]):
+                pair_cnt[(a, b)] += cnt
+                changed.add((a, b))
+                pair_words[(a, b)].add(idx)
+        for p in changed:
+            cc = pair_cnt.get(p, 0)
+            if cc > 0:
+                heapq.heappush(heap, (-cc, p[0], p[1]))
+            else:
+                pair_cnt.pop(p, None)
+                pair_words.pop(p, None)
     return spark.createDataFrame(
         merges,
         "step int, left string, right string, merged string, pair_count long",
