@@ -4510,3 +4510,60 @@ def test_bpe_train_census_row_guard(spark):
         )
     with _pytest.raises(ValueError, match="method"):
         bpe_train(docs, "text", n_merges=4, method="driver")
+
+
+def test_token_budget_scan_float_tokens_with_nonfinite(spark):
+    """Float tokens_col with NaN/Inf: both tiers try_cast to long, so
+    non-finite token counts land in the documented rejected-rows
+    bucket (NULL tokens) instead of throwing the ANSI CAST_OVERFLOW —
+    and the scan tier's Arrow cumsum sees pre-cast longs (raw NaN
+    would crash pandas astype("int64") and break the
+    bit-identical-tiers contract). Kept rows keep their ORIGINAL
+    float values; fractional counts truncate like SQL cast."""
+    from whylogs_java_spark.operators.sampling import token_budget_select
+
+    rows = [
+        (1, 0.9, 10.0), (2, 0.9, float("nan")), (3, 0.5, 25.0),
+        (4, 0.5, 5.5), (5, 0.2, float("inf")), (6, 0.1, 3.0),
+    ]
+    df = spark.createDataFrame(rows, "id long, q double, toks double")
+
+    def norm(rs):
+        return sorted(
+            (r["id"], r["q"], r["toks"], r["cum_tokens"]) for r in rs
+        )
+
+    for budget in (0, 12, 43, 10**15):
+        ladder = norm(token_budget_select(
+            df, "id", "toks", "q", budget
+        ).collect())
+        scan = norm(token_budget_select(
+            df, "id", "toks", "q", budget, method="scan"
+        ).collect())
+        assert scan == ladder, budget
+    # non-finite rows are rejected everywhere; 5.5 truncates to 5
+    kept = {r[0]: r for r in scan}
+    assert 2 not in kept and 5 not in kept
+    assert kept[4][2] == 5.5 and kept[4][3] == 10 + 25 + 5
+
+
+def test_parse_state_ttl_forms_and_errors():
+    """The shared TTL parser accepts int ms and '<n> <unit>' with
+    singular or plural units, and refuses malformed inputs with a
+    message naming the accepted forms (not a bare KeyError)."""
+    import pytest as _pytest
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from whylogs_java_spark.streaming._state import parse_state_ttl
+
+    assert parse_state_ttl(None) == (None, GroupStateTimeout.NoTimeout)
+    for s, ms in [
+        (1500, 1500), ("30 seconds", 30_000), ("1 minute", 60_000),
+        ("2 Hours", 7_200_000), ("1 second", 1000),
+    ]:
+        got_ms, to = parse_state_ttl(s)
+        assert got_ms == ms
+        assert to == GroupStateTimeout.ProcessingTimeTimeout
+    for bad in ["30min", "1", "soon", "x seconds", "5 fortnights", 0, -3]:
+        with _pytest.raises(ValueError, match="state_ttl"):
+            parse_state_ttl(bad)

@@ -594,3 +594,26 @@ def test_retrieval_eval_hand_computed_metrics(spark):
 
     with _pytest.raises(ValueError, match="k must"):
         retrieval_eval(runs, qrels, k=0)
+
+
+def test_retrieval_eval_dedups_repeated_run_docs(spark):
+    """A run that repeats a doc inside its top-k (a buggy or fused
+    ranker) scores that doc ONCE at its best rank — trec_eval dedups
+    judged docs, so precision/recall/nDCG stay <= 1.0 instead of
+    double-counting hits."""
+    from whylogs_java_spark.operators.retrieval import retrieval_eval
+
+    runs = spark.createDataFrame(
+        [(1, 1, 101), (1, 2, 101), (1, 3, 101), (1, 4, 102), (1, 5, 101)],
+        "query_id long, rank long, doc_id long",
+    )
+    qrels = spark.createDataFrame(
+        [(1, 101), (1, 102)], "query_id long, doc_id long"
+    )
+    r = retrieval_eval(runs, qrels, k=5).collect()[0]
+    # doc 101 counts once (best rank 1), doc 102 once at rank 4
+    assert r["hits_at_k"] == 2 and r["n_rel"] == 2
+    assert r["precision_at_k"] == 0.4  # 2 distinct hits / k=5
+    assert r["recall_at_k"] == 1.0
+    assert r["mrr"] == 1.0
+    assert 0.0 < r["ndcg_at_k"] <= 1.0

@@ -656,8 +656,14 @@ def retrieval_eval(
         raise ValueError(f"k must be >= 1, got {k}")
     rel = qrels.select(query_col, doc_col).distinct()
     n_rel = rel.groupBy(query_col).agg(F.count(F.lit(1)).alias("n_rel"))
-    topk = runs.where(F.col(rank_col) <= k).select(
-        query_col, doc_col, F.col(rank_col).cast("long").alias("__rk")
+    # dedup (query, doc) keeping the BEST rank — trec_eval scores each
+    # judged doc once; a run that repeats a doc in its top-k would
+    # otherwise double-count __hits/__relranks and push precision/
+    # recall/nDCG past 1.0
+    topk = (
+        runs.where(F.col(rank_col) <= k)
+        .groupBy(query_col, doc_col)
+        .agg(F.min(F.col(rank_col).cast("long")).alias("__rk"))
     )
     marked = topk.join(
         rel.withColumn("__r", F.lit(1)), on=[query_col, doc_col], how="left"

@@ -414,7 +414,12 @@ def _budget_base(df, id_col, tokens_col, prefer_col, budget, quantize):
     if quantize is not None:
         score = F.round(score, quantize)
     prefer = F.coalesce(score, F.lit(float("-inf")))
-    toks = F.col(tokens_col).cast("long")
+    # try_cast, not cast: a float tokens_col with NaN/Inf must land in
+    # the documented rejected-rows bucket (NULL tokens), not throw the
+    # ANSI CAST_OVERFLOW mid-scan (Spark 4 default) — and the scan
+    # tier's Arrow cumsum consumes this same long column, so both
+    # tiers reject identical rows by construction.
+    toks = F.col(tokens_col).try_cast("long")
     return df.withColumn("__p", prefer).where(
         toks.isNotNull() & (toks >= 0)
     ), toks
@@ -459,8 +464,17 @@ def token_budget_scan(
     base, _ = _budget_base(df, id_col, tokens_col, prefer_col, budget, quantize)
     spark = df.sparkSession
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    # the cumsum consumes the SPARK-cast long (the same values the
+    # ladder tier sums) — never the raw column: a float tokens_col
+    # would otherwise crash pandas .astype("int64") on any NaN/Inf
+    # that slipped through, breaking the bit-identical-tiers contract.
+    # Output rows keep the ORIGINAL column values (ladder parity);
+    # __tl is plumbing only. try_cast mirrors _budget_base (non-finite
+    # -> NULL -> already rejected upstream, so __tl is never null
+    # here).
     ranged = materialize(
-        base.repartitionByRange(
+        base.withColumn("__tl", F.col(tokens_col).try_cast("long"))
+        .repartitionByRange(
             n_part, F.col("__p").desc(), F.col(id_col).asc()
         )
         .sortWithinPartitions(F.col("__p").desc(), F.col(id_col).asc())
@@ -469,7 +483,7 @@ def token_budget_scan(
     sums = {
         r["__pid"]: int(r["__s"])
         for r in ranged.groupBy("__pid").agg(
-            F.sum(F.col(tokens_col).cast("long")).alias("__s")
+            F.sum("__tl").alias("__s")
         ).collect()
     }
     offsets, run = {}, 0
@@ -490,7 +504,7 @@ def token_budget_scan(
                 continue
             if running is None:
                 running = bc.value.get(int(pdf["__pid"].iloc[0]), 0)
-            csum = pdf[tokens_col].astype("int64").cumsum() + running
+            csum = pdf["__tl"].astype("int64").cumsum() + running
             running = int(csum.iloc[-1])
             keep = csum <= budget
             out = pdf.loc[keep, out_cols].copy()

@@ -561,7 +561,10 @@ def items_sketch_bytes(
 # encode: our profile rows -> DatasetProfileMessage
 # ---------------------------------------------------------------------------
 
-SCHEMA_MAJOR, SCHEMA_MINOR = 1, 2  # SchemaInformation.java constants
+# SchemaInformation.java:10-11 pins 1.3; validateSchema accepts any
+# minor <= the reader's own (the reference golden fixtures are 1.1),
+# so written profiles stay readable by 1.3+ reference readers.
+SCHEMA_MAJOR, SCHEMA_MINOR = 1, 3
 
 _EMPTY_KLL_256 = bytes([2, 1, 15, 1, 0, 1, 8, 0])
 _EMPTY_THETA = bytes([1, 3, 3, 0, 0, 0x1E, 0xCC, 0x93])

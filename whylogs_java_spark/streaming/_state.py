@@ -12,7 +12,12 @@ from __future__ import annotations
 
 from pyspark.sql.streaming.state import GroupStateTimeout
 
-_UNIT_MS = {"seconds": 1000, "minutes": 60000, "hours": 3600000}
+_UNIT_MS = {"second": 1000, "minute": 60000, "hour": 3600000}
+
+_TTL_FORMS = (
+    "accepted forms: int milliseconds, or '<n> seconds|minutes|hours' "
+    "(singular or plural)"
+)
 
 
 def parse_state_ttl(state_ttl: str | int | None):
@@ -20,8 +25,23 @@ def parse_state_ttl(state_ttl: str | int | None):
     if state_ttl is None:
         return None, GroupStateTimeout.NoTimeout
     if isinstance(state_ttl, str):
-        num, unit = state_ttl.split()
-        ttl_ms = int(num) * _UNIT_MS[unit]
+        parts = state_ttl.split()
+        if len(parts) != 2:
+            raise ValueError(
+                f"state_ttl {state_ttl!r} is not '<n> <unit>' — {_TTL_FORMS}"
+            )
+        num, unit = parts
+        mult = _UNIT_MS.get(unit.lower().rstrip("s"))
+        if mult is None:
+            raise ValueError(
+                f"state_ttl unit {unit!r} unknown — {_TTL_FORMS}"
+            )
+        try:
+            ttl_ms = int(num) * mult
+        except ValueError:
+            raise ValueError(
+                f"state_ttl count {num!r} is not an integer — {_TTL_FORMS}"
+            ) from None
     else:
         ttl_ms = int(state_ttl)
     if ttl_ms <= 0:

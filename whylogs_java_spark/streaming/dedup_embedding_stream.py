@@ -41,9 +41,10 @@ from collections.abc import Iterable
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.streaming.state import GroupState
 
 from ..operators.similarity import _plane_component
+from ._state import parse_state_ttl
 
 OUT_SCHEMA = "vec_id long, dup_of long, band int"
 _STATE_SCHEMA = "owner long"
@@ -126,18 +127,7 @@ def dedup_embedding_stream(
         "vec_id", F.posexplode(band_buckets).alias("band", "bucket")
     )
 
-    ttl_ms: int | None
-    if state_ttl is None:
-        ttl_ms = None
-        timeout = GroupStateTimeout.NoTimeout
-    else:
-        if isinstance(state_ttl, str):
-            num, unit = state_ttl.split()
-            mult = {"seconds": 1000, "minutes": 60000, "hours": 3600000}[unit]
-            ttl_ms = int(num) * mult
-        else:
-            ttl_ms = int(state_ttl)
-        timeout = GroupStateTimeout.ProcessingTimeTimeout
+    ttl_ms, timeout = parse_state_ttl(state_ttl)
 
     return exploded.groupBy("band", "bucket").applyInPandasWithState(
         _bucket_owner_factory(ttl_ms),
