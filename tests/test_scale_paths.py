@@ -1434,3 +1434,93 @@ def test_index_append_legs_refuse_wrong_dim_batch(spark, tmp_path):
         [(9003, None)], "vec_id long, embedding array<double>"
     )
     append_ivf_index(spark, ivf, nulls)  # no raise
+
+
+def _clustered_embeddings(spark, per_cluster=20, dim=8):
+    """Deterministic 3-cluster fixture: unit-ish vectors hugging three
+    orthogonal axes with small id-derived jitter — separated in ANGLE,
+    so cosine-based list assignment is cluster-crisp."""
+    rows = []
+    for c in range(3):
+        for i in range(per_cluster):
+            vid = c * per_cluster + i
+            v = [0.0] * dim
+            v[c] = 1.0
+            for d in range(dim):
+                v[d] += (((vid * 31 + d * 17) % 13) - 6) / 100.0
+            rows.append((vid, [float(x) for x in v]))
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+
+
+def test_ivf_kmeans_quantizer_recall_and_meta(spark, tmp_path):
+    """build_ivf_index(centroids='kmeans'): FAISS-style trained coarse
+    quantizer. On a clustered corpus at nprobe=1 the data-fitted
+    centroids put each cluster in its own list (recall@10 == 1.0) and
+    beat-or-match the md5-sampled quantizer; the store meta records
+    the quantizer kind; unknown kinds are refused."""
+    import pytest as _pytest
+
+    from whylogs_java_spark.operators.similarity import (
+        ann_recall_stored_report,
+        build_ivf_index,
+    )
+
+    emb = _clustered_embeddings(spark)
+    p_s = str(tmp_path / "ivf_sample")
+    p_k = str(tmp_path / "ivf_kmeans")
+    build_ivf_index(emb, p_s, n_centroids=3)
+    build_ivf_index(emb, p_k, n_centroids=3, centroids="kmeans", n_iter=2)
+
+    meta_s = spark.read.parquet(f"{p_s}/meta").first()
+    meta_k = spark.read.parquet(f"{p_k}/meta").first()
+    assert meta_s["quantizer"] == "sample" and meta_k["quantizer"] == "kmeans"
+    assert meta_k["n_centroids"] == 3 and meta_k["dim"] == 8
+
+    qids = [0, 5, 20, 25, 40, 45]
+    rep = {
+        r["tier"]: r
+        for r in ann_recall_stored_report(
+            spark, emb, qids, {"ivf": p_s, "ivf_kmeans": p_k},
+            k=10, nprobe=1,
+        ).collect()
+    }
+    assert set(rep) == {"ivf_stored", "ivf_kmeans_stored"}
+    assert rep["ivf_kmeans_stored"]["recall"] == 1.0
+    assert rep["ivf_kmeans_stored"]["recall"] >= rep["ivf_stored"]["recall"]
+
+    with _pytest.raises(ValueError, match="centroids"):
+        build_ivf_index(emb, str(tmp_path / "bad"), centroids="random")
+
+
+def test_ivf_kmeans_append_keeps_frozen_quantizer_contract(spark, tmp_path):
+    """append_ivf_index over a kmeans-quantizer store: centroids stay
+    frozen (trained ONLY on the build half), and nprobe=all over
+    build(A)+append(B) equals brute-force cosine over A∪B — the same
+    invariant the sampled-quantizer store pins."""
+    from whylogs_java_spark.operators.similarity import (
+        append_ivf_index,
+        build_ivf_index,
+        cosine_topk_exact,
+        ivf_topk_stored,
+    )
+
+    emb = _clustered_embeddings(spark)
+    a = emb.where(F.col("vec_id") % 2 == 0)
+    b = emb.where(F.col("vec_id") % 2 == 1)
+    p = str(tmp_path / "ivfk_inc")
+    build_ivf_index(a, p, n_centroids=3, centroids="kmeans", n_iter=2)
+    cents_before = sorted(map(tuple, spark.read.parquet(
+        f"{p}/centroids"
+    ).collect()))
+    append_ivf_index(spark, p, b)
+    assert sorted(map(tuple, spark.read.parquet(
+        f"{p}/centroids"
+    ).collect())) == cents_before
+    qids = [0, 1, 21, 41]
+    stored = sorted(map(tuple, ivf_topk_stored(
+        spark, p, emb.where(F.col("vec_id").isin(qids)), k=5, nprobe=3
+    ).collect()))
+    brute = sorted(map(tuple, cosine_topk_exact(emb, qids, k=5).collect()))
+    assert stored == brute and len(brute) == 20

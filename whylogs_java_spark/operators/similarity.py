@@ -1190,10 +1190,14 @@ def _ivf_structures(
     n_centroids: int,
     id_col: str,
     vec_col: str,
+    cvecs: DataFrame | None = None,
 ):
     """(vecs, cvecs, ranked) — the shared md5-rank centroid selection and
     centroid-rank fan-out behind ``ivf_topk_exact`` and the persisted
-    index builder. ``ranked`` carries (id, centroid_id, ccos, crk)."""
+    index builder. ``ranked`` carries (id, centroid_id, ccos, crk).
+    Pass a prebuilt ``cvecs`` (centroid_id, cv, cn) to swap the coarse
+    quantizer (e.g. k-means-trained) while keeping the assignment rule
+    identical."""
     from pyspark.sql import Window
 
     target = embeddings.sparkSession.sparkContext.defaultParallelism
@@ -1203,18 +1207,21 @@ def _ivf_structures(
     vecs = embeddings.select(
         F.col(id_col), vecd.alias("__v"), norm(vecd).alias("__n")
     ).where(F.col("__n") > 0)
-    cent = (
-        embeddings.select(
-            F.col(id_col).alias("centroid_id"),
-            F.md5(F.col(id_col).cast("string")).alias("__h"),
+    if cvecs is None:
+        cent = (
+            embeddings.select(
+                F.col(id_col).alias("centroid_id"),
+                F.md5(F.col(id_col).cast("string")).alias("__h"),
+            )
+            .orderBy("__h")
+            .limit(n_centroids)
+            .drop("__h")
         )
-        .orderBy("__h")
-        .limit(n_centroids)
-        .drop("__h")
-    )
-    cvecs = vecs.join(
-        F.broadcast(cent), vecs[id_col] == cent["centroid_id"]
-    ).select("centroid_id", F.col("__v").alias("cv"), F.col("__n").alias("cn"))
+        cvecs = vecs.join(
+            F.broadcast(cent), vecs[id_col] == cent["centroid_id"]
+        ).select(
+            "centroid_id", F.col("__v").alias("cv"), F.col("__n").alias("cn")
+        )
     ccos = dot(F.col("__v"), F.col("cv")) / (F.col("__n") * F.col("cn"))
     w = Window.partitionBy(id_col).orderBy(F.desc("ccos"), F.asc("centroid_id"))
     ranked = (
@@ -1231,29 +1238,78 @@ def build_ivf_index(
     n_centroids: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: str = "sample",
+    n_iter: int = 1,
 ) -> None:
     """Persist an IVF index: build once, query many — the index-store
-    face of the ANN family. Writes two parquet tables under ``path``:
+    face of the ANN family. Writes three parquet tables under ``path``:
 
     - ``{path}/centroids``: (centroid_id, cv, cn) — n_centroids rows,
       broadcast at query time;
     - ``{path}/lists``: (id, centroid_id, v, n) — the inverted lists,
       PARTITIONED BY centroid_id so a probe reads only its lists'
       files (partition pruning at the scan — at 100 TB a 4-probe query
-      touches 4/n_centroids of the index bytes, not all of them).
+      touches 4/n_centroids of the index bytes, not all of them);
+    - ``{path}/meta``: one row pinning (quantizer, n_centroids, n_iter,
+      dim) — the store records HOW its coarse quantizer was derived.
 
-    Same deterministic construction as ``ivf_topk_exact`` (md5-rank
-    centroid sample, strict-fold cosines, (ccos DESC, id ASC) argmin),
-    so stored-index queries reproduce the in-memory tier bit-for-bit
-    (pinned by test).
+    Two coarse quantizers (``centroids=``), identical assignment rule
+    ((ccos DESC, centroid_id ASC) argmax, strict-fold cosines) and
+    identical probe/append semantics — the quantizer only decides the
+    centroid TABLE, which is frozen into the store either way:
+
+    - ``"sample"`` — deterministic md5-rank sample of corpus vectors
+      (the ``ivf_topk_exact`` construction; stored-index queries
+      reproduce the in-memory tier bit-for-bit, pinned by test);
+    - ``"kmeans"`` — centroids TRAINED by ``cluster.kmeans_centroids``
+      (md5-seeded, ``n_iter`` exact-integer Lloyd rounds) — how FAISS
+      trains its coarse quantizer; data-fitted lists raise recall at
+      equal nprobe on clustered corpora (pinned by test). Zero-norm
+      trained centroids (possible on degenerate data) are dropped —
+      cosine ranking against them is undefined.
     """
+    if centroids not in ("sample", "kmeans"):
+        raise ValueError(
+            f"centroids must be 'sample' or 'kmeans', got {centroids!r}"
+        )
+    spark = embeddings.sparkSession
+    cvecs_in = None
+    if centroids == "kmeans":
+        from .cluster import kmeans_centroids
+
+        cents = kmeans_centroids(
+            embeddings, k=n_centroids, n_iter=n_iter,
+            id_col=id_col, vec_col=vec_col,
+        )
+        if not cents:
+            raise ValueError(
+                "cannot build an IVF index from an empty corpus"
+            )
+        cvecs_in = (
+            spark.createDataFrame(
+                [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+                "centroid_id int, cv array<double>",
+            )
+            .select("centroid_id", "cv", norm(F.col("cv")).alias("cn"))
+            .where(F.col("cn") > 0)
+        )
     vecs, cvecs, ranked = _ivf_structures(
-        embeddings, n_centroids, id_col, vec_col
+        embeddings, n_centroids, id_col, vec_col, cvecs=cvecs_in
     )
     lists = ranked.where(F.col("crk") == 1).select(id_col, "centroid_id").join(
         vecs, id_col
     )
     cvecs.write.mode("overwrite").parquet(f"{path}/centroids")
+    dim_row = (
+        spark.read.parquet(f"{path}/centroids")
+        .select(F.size("cv").alias("d"))
+        .first()
+    )
+    spark.createDataFrame(
+        [(centroids, int(n_centroids), int(n_iter),
+          int(dim_row["d"]) if dim_row else 0)],
+        "quantizer string, n_centroids int, n_iter int, dim int",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
     (
         lists.select(
             F.col(id_col),
@@ -1901,6 +1957,13 @@ def ann_recall_stored_report(
             spark, stores["ivf"], qdf, k=k, nprobe=nprobe,
             id_col=id_col, vec_col=vec_col,
         )
+    if "ivf_kmeans" in stores:
+        # same probe machinery — the store's frozen centroid table IS
+        # the quantizer, so a kmeans-built store needs no special read
+        tiers["ivf_kmeans_stored"] = ivf_topk_stored(
+            spark, stores["ivf_kmeans"], qdf, k=k, nprobe=nprobe,
+            id_col=id_col, vec_col=vec_col,
+        )
     if "ivfpq" in stores:
         tiers["ivfpq_stored"] = ivfpq_topk_stored(
             spark, stores["ivfpq"], qdf, k=k, nprobe=nprobe, rerank=rerank,
@@ -1911,7 +1974,9 @@ def ann_recall_stored_report(
             spark, stores["rp"], ids, k=k, rerank=rerank
         )
     if not tiers:
-        raise ValueError("stores must name at least one of ivf/ivfpq/rp")
+        raise ValueError(
+            "stores must name at least one of ivf/ivf_kmeans/ivfpq/rp"
+        )
     return _recall_rows(ex, ex_stats, tiers, k)
 
 
