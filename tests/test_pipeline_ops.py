@@ -4567,3 +4567,133 @@ def test_parse_state_ttl_forms_and_errors():
     for bad in ["30min", "1", "soon", "x seconds", "5 fortnights", 0, -3]:
         with _pytest.raises(ValueError, match="state_ttl"):
             parse_state_ttl(bad)
+
+
+def _py_kn_score(corpus, docs, vocab_size=512, top_bigrams=4096,
+                 top_trigrams=16384, alpha=0.5, discount=0.75):
+    """Pure-python interpolated-KN reference (Chen & Goodman 1999),
+    mirroring build_trigram_lm(smoothing='kn') + lm_score3_with:
+    top-V vocab, unk-mapping, top-T trigram truncation, continuation
+    counts from the untruncated type censuses, add-alpha-floored
+    continuation unigram."""
+    import math
+    from collections import Counter
+
+    toks = {i: [t for t in txt.lower().split(" ") if t]
+            for i, txt in corpus}
+    uc = Counter(t for ts in toks.values() for t in ts)
+    vocab = set(t for t, _ in sorted(
+        uc.items(), key=lambda kv: (-kv[1], kv[0])
+    )[:vocab_size])
+    m = lambda t: t if t in vocab else "<unk>"  # noqa: E731
+    bg = Counter()
+    tg = Counter()
+    for ts in toks.values():
+        ms = [m(t) for t in ts]
+        for x, y in zip(ms, ms[1:]):
+            bg[(x, y)] += 1
+        for x, y, z in zip(ms, ms[1:], ms[2:]):
+            tg[(x, y, z)] += 1
+    tg_kept = dict(sorted(
+        tg.items(), key=lambda kv: (-kv[1], kv[0])
+    )[:top_trigrams])
+    cq, nt, npw, nmid, tv = Counter(), Counter(), Counter(), Counter(), Counter()
+    for (u, v, w), c in tg.items():
+        cq[(u, v)] += c
+        nt[(u, v)] += 1
+        npw[(v, w)] += 1
+    for (v, w), c in npw.items():
+        nmid[v] += c
+        tv[v] += 1
+    n1w = Counter()
+    for (u, w) in bg:
+        n1w[w] += 1
+    n11 = len(bg)
+    a, d = alpha, discount
+    out = {}
+    for i, txt in docs:
+        ts = [m(t) for t in txt.lower().split(" ") if t]
+        lnps = []
+        for u, v, w in zip(ts, ts[1:], ts[2:]):
+            p1 = (n1w.get(w, 0) + a) / (n11 + a * (vocab_size + 1))
+            if nmid.get(v, 0) > 0:
+                p2 = (max(npw.get((v, w), 0) - d, 0.0)
+                      + d * tv.get(v, 0) * p1) / nmid[v]
+            else:
+                p2 = p1
+            if cq.get((u, v), 0) > 0:
+                p3 = (max(tg_kept.get((u, v, w), 0) - d, 0.0)
+                      + d * nt.get((u, v), 0) * p2) / cq[(u, v)]
+            else:
+                p3 = p2
+            lnps.append(math.log(p3))
+        if lnps:
+            mean = sum(lnps) / len(lnps)
+            out[i] = (len(lnps), round(mean, 6), round(math.exp(-mean), 6))
+        else:
+            out[i] = (0, None, None)
+    return out
+
+
+def test_lm_score3_kn_matches_python_reference(spark):
+    """smoothing='kn' reproduces the pure-python interpolated-KN
+    reference value-for-value (6-decimal contract) on a mixed corpus
+    with unk words, unseen prefixes, and a truncated trigram table."""
+    from whylogs_java_spark.operators.text import lm_score
+
+    corpus = [
+        (0, "the cat sat on the mat"),
+        (1, "the cat ate the fish"),
+        (2, "a dog sat on a log"),
+        (3, "the dog ate a bone and the cat sat"),
+        (4, "fish and chips on the mat"),
+    ] * 3
+    corpus = [(i * 10 + j, t) for j, (i, t) in enumerate(corpus)]
+    probes = [
+        (900, "the cat sat on a log"),
+        (901, "zqx vbnk wplf qqq"),
+        (902, "the fish ate the dog"),
+        (903, "one two"),
+    ]
+    df = spark.createDataFrame(corpus + probes, ["doc_id", "text"])
+    kw = dict(vocab_size=16, top_bigrams=32, top_trigrams=24)
+    got = {r["doc_id"]: (r["n_trigrams"], r["avg_logp"], r["perplexity"])
+           for r in lm_score(
+               df, "text", "doc_id", order=3, smoothing="kn", **kw
+           ).collect()}
+    want = _py_kn_score(corpus + probes, corpus + probes,
+                        alpha=0.5, discount=0.75, **kw)
+    assert got == want
+
+
+def test_lm_score3_kn_margin_and_knobs(spark):
+    """The KN tier separates the bigram-plausible crossover from fluent
+    text at least as widely as the JM tier (the r13 verdict bar), and
+    the smoothing/discount knobs validate loudly."""
+    import pytest as _pytest
+
+    from whylogs_java_spark.operators.text import lm_score
+
+    rows = [(i, "john eats rice") for i in range(12)]
+    rows += [(100 + i, "mary eats pasta") for i in range(12)]
+    rows.append((200, "john eats rice"))
+    rows.append((201, "john eats pasta"))
+    rows.append((202, "zqx vbnk wplf"))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    kn = {r["doc_id"]: r for r in lm_score(
+        df, "text", "doc_id", order=3, smoothing="kn"
+    ).collect()}
+    jm = {r["doc_id"]: r for r in lm_score(
+        df, "text", "doc_id", order=3
+    ).collect()}
+    assert kn[200]["perplexity"] < kn[202]["perplexity"]
+    m_kn = kn[201]["perplexity"] / kn[200]["perplexity"]
+    m_jm = jm[201]["perplexity"] / jm[200]["perplexity"]
+    assert m_kn >= m_jm > 1.0
+
+    with _pytest.raises(ValueError, match="smoothing"):
+        lm_score(df, "text", "doc_id", order=3, smoothing="katz")
+    with _pytest.raises(ValueError, match="discount"):
+        lm_score(df, "text", "doc_id", order=3, smoothing="kn", discount=1.5)
+    with _pytest.raises(ValueError, match="smoothing"):
+        lm_score(df, "text", "doc_id", smoothing="kn")  # order=2

@@ -608,14 +608,23 @@ class TrigramLM(NamedTuple):
     """A built interpolated-trigram LM (see :func:`build_trigram_lm`):
     the bigram LM's tables plus mapped unigram counts, trigram prefix
     counts and the exact top-T trigram table — all bounded and
-    broadcastable regardless of corpus size."""
+    broadcastable regardless of corpus size. ``smoothing="kn"`` models
+    additionally carry the Kneser-Ney continuation-count tables (every
+    one an aggregate of the trigram/bigram type census, so none can
+    outgrow the count tables they derive from)."""
 
     bigram: BigramLM
     unigram_counts: DataFrame        # (w, __cu) — ≤ V+1 rows
     total_tokens: int                # N: total mapped token count
-    trigram_prefix_counts: DataFrame  # (prev2, prev, __cq) — ≤ (V+1)² rows
+    trigram_prefix_counts: DataFrame  # (prev2, prev, __cq[, __nt]) — ≤ (V+1)²
     trigram_counts: DataFrame        # (prev2, prev, w, __ct) — exact top-T
-    lambdas: tuple                   # (λ3, λ2, λ1), sums to 1
+    lambdas: tuple                   # (λ3, λ2, λ1), sums to 1 (jm tier)
+    smoothing: str = "jm"            # "jm" | "kn"
+    discount: float = 0.75           # KN absolute discount D
+    kn_cont: DataFrame | None = None  # (prev, w, __npw=N1+(·,v,w))
+    kn_mid: DataFrame | None = None   # (prev, __nmid=N1+(·,v,·), __tv)
+    kn_uni: DataFrame | None = None   # (w, __n1w=N1+(·,w))
+    kn_bigram_types: int = 0          # N1+(·,·): distinct mapped bigrams
 
 
 def _trigram_rows(
@@ -668,6 +677,8 @@ def build_trigram_lm(
     top_trigrams: int = 16384,
     alpha: float = 0.5,
     lambdas: tuple = (0.5, 0.3, 0.2),
+    smoothing: str = "jm",
+    discount: float = 0.75,
 ) -> TrigramLM:
     """Train the Jelinek-Mercer-interpolated trigram LM — one step
     toward the published CCNet shape (Wenzek et al. 2020 use a 5-gram
@@ -685,7 +696,28 @@ def build_trigram_lm(
     bigram-table convention. Build passes over the corpus: the two
     bigram-LM passes plus one mapped-unigram and one mapped-trigram
     aggregation, each a map-side-combined hash agg.
+
+    ``smoothing="kn"`` builds the interpolated KNESER-NEY tier instead
+    (Kneser & Ney 1995; the Chen & Goodman 1999 interpolated form —
+    the smoothing family KenLM, and therefore the published CCNet
+    pipeline, actually uses): absolute ``discount`` D at the trigram
+    level, CONTINUATION counts (how many distinct contexts a gram
+    completes) at the bigram/unigram levels, and an add-``alpha``
+    floor on the continuation unigram so every trigram keeps finite
+    mass. The extra state is four more bounded aggregates over the
+    type censuses the JM build already materializes (plus one mapped
+    bigram-type census): nothing grows past the (V+1)² prefix-table
+    ceiling. ``lambdas`` is ignored by this tier — interpolation
+    weights come from the discount mass D·N1+(prefix,·)/c(prefix).
     """
+    if smoothing not in ("jm", "kn"):
+        raise ValueError(
+            f"smoothing must be 'jm' or 'kn', got {smoothing!r}"
+        )
+    if smoothing == "kn" and not (0.0 < discount <= 1.0):
+        raise ValueError(
+            f"discount must be in (0, 1], got {discount}"
+        )
     if len(lambdas) != 3 or any(l <= 0 for l in lambdas) or abs(
         sum(lambdas) - 1.0
     ) > 1e-9:
@@ -716,13 +748,50 @@ def build_trigram_lm(
         .agg(F.count(F.lit(1)).alias("__ct"))
         .transform(materialize)
     )
-    tpfx = tc_full.groupBy("prev2", "prev").agg(F.sum("__ct").alias("__cq"))
     tcounts = tc_full.orderBy(
         F.desc("__ct"), F.asc("prev2"), F.asc("prev"), F.asc("w")
     ).limit(top_trigrams)
+    if smoothing == "jm":
+        tpfx = tc_full.groupBy("prev2", "prev").agg(
+            F.sum("__ct").alias("__cq")
+        )
+        return TrigramLM(
+            bi, ug, int(total), tpfx, tcounts,
+            tuple(float(x) for x in lambdas),
+        )
+    # KN continuation state — every table an aggregate of a type
+    # census (tc_full rows are distinct (u,v,w), so COUNT(*) groupings
+    # ARE the N1+ "distinct contexts" counts):
+    #   __nt   = N1+(u,v,·): distinct w after the trigram prefix
+    #   __npw  = N1+(·,v,w): distinct u before the bigram
+    #   __nmid = N1+(·,v,·) and __tv = |{w: N1+(·,v,w)>0}|
+    #   __n1w  = N1+(·,w) from the mapped bigram-TYPE census (the
+    #            trigram census misses each doc's first bigram, so the
+    #            unigram continuation re-censuses bigram types — one
+    #            extra map-side hash agg, ≤ (V+1)² rows)
+    tpfx = tc_full.groupBy("prev2", "prev").agg(
+        F.sum("__ct").alias("__cq"), F.count(F.lit(1)).alias("__nt")
+    )
+    cont = tc_full.groupBy("prev", "w").agg(
+        F.count(F.lit(1)).alias("__npw")
+    ).transform(materialize)
+    mid = cont.groupBy("prev").agg(
+        F.sum("__npw").alias("__nmid"), F.count(F.lit(1)).alias("__tv")
+    )
+    bg_types = (
+        _bigram_rows(_spread(src), text_col, bi.vocab, id_col=None)
+        .groupBy("prev", "w")
+        .agg(F.count(F.lit(1)).alias("__cb"))
+        .transform(materialize)
+    )
+    kn_uni = bg_types.groupBy("w").agg(F.count(F.lit(1)).alias("__n1w"))
+    n11 = bg_types.count()
     return TrigramLM(
         bi, ug, int(total), tpfx, tcounts,
         tuple(float(x) for x in lambdas),
+        smoothing="kn", discount=float(discount),
+        kn_cont=cont, kn_mid=mid, kn_uni=kn_uni,
+        kn_bigram_types=int(n11),
     )
 
 
@@ -741,37 +810,94 @@ def lm_score3_with(
     Output, one row per input doc: (id, n_trigrams, avg_logp,
     perplexity), 6-decimal rounding; docs with < 3 tokens keep their
     row with n_trigrams=0 and null scores.
+
+    ``smoothing="kn"`` models score with interpolated Kneser-Ney
+    instead (same join count, continuation tables swapped in for the
+    raw bigram tables): per level the discounted MLE term plus the
+    discount mass times the lower level, a prefix the census never saw
+    backing off entirely to that lower level —
+
+        P(w|u,v) = (max(c(u,v,w)−D,0) + D·N1+(u,v,·)·P(w|v)) / c(u,v)
+        P(w|v)   = (max(N1+(·,v,w)−D,0) + D·|after v|·P(w)) / N1+(·,v,·)
+        P(w)     = (N1+(·,w) + α) / (N1+(·,·) + α·(V+1))
+
+    (the unigram α-floor keeps every log finite and sums to exactly 1
+    over the mapped vocabulary, since ΣN1+(·,w) = N1+(·,·)).
     """
     from .dedup import _spread
 
     bi = lm.bigram
     a = float(bi.alpha)
     denom = a * (bi.vocab_size + 1)
-    l3, l2, l1 = lm.lambdas
     rows = _trigram_rows(_spread(df), text_col, bi.vocab, id_col)
-    scored = (
-        rows.join(
-            F.broadcast(lm.trigram_prefix_counts),
-            on=["prev2", "prev"], how="left",
+    if lm.smoothing == "kn":
+        d = float(lm.discount)
+        scored = (
+            rows.join(
+                F.broadcast(lm.trigram_prefix_counts),
+                on=["prev2", "prev"], how="left",
+            )
+            .join(
+                F.broadcast(lm.trigram_counts),
+                on=["prev2", "prev", "w"], how="left",
+            )
+            .join(F.broadcast(lm.kn_cont), on=["prev", "w"], how="left")
+            .join(F.broadcast(lm.kn_mid), on="prev", how="left")
+            .join(F.broadcast(lm.kn_uni), on="w", how="left")
         )
-        .join(
-            F.broadcast(lm.trigram_counts),
-            on=["prev2", "prev", "w"], how="left",
+        p1 = (F.coalesce(F.col("__n1w"), F.lit(0)) + F.lit(a)) / F.lit(
+            float(lm.kn_bigram_types) + denom
         )
-        .join(F.broadcast(bi.prefix_counts), on="prev", how="left")
-        .join(F.broadcast(bi.bigram_counts), on=["prev", "w"], how="left")
-        .join(F.broadcast(lm.unigram_counts), on="w", how="left")
-    )
-    p3 = (F.coalesce(F.col("__ct"), F.lit(0)) + F.lit(a)) / (
-        F.coalesce(F.col("__cq"), F.lit(0)) + F.lit(denom)
-    )
-    p2 = (F.coalesce(F.col("__cb"), F.lit(0)) + F.lit(a)) / (
-        F.coalesce(F.col("__cp"), F.lit(0)) + F.lit(denom)
-    )
-    p1 = (F.coalesce(F.col("__cu"), F.lit(0)) + F.lit(a)) / (
-        F.lit(float(lm.total_tokens)) + F.lit(denom)
-    )
-    lnp = F.log(F.lit(l3) * p3 + F.lit(l2) * p2 + F.lit(l1) * p1)
+        nmid = F.coalesce(F.col("__nmid"), F.lit(0))
+        p2 = F.when(
+            nmid > 0,
+            (
+                F.greatest(
+                    F.coalesce(F.col("__npw"), F.lit(0)) - F.lit(d),
+                    F.lit(0.0),
+                )
+                + F.lit(d) * F.coalesce(F.col("__tv"), F.lit(0)) * p1
+            )
+            / nmid,
+        ).otherwise(p1)
+        cq = F.coalesce(F.col("__cq"), F.lit(0))
+        p3 = F.when(
+            cq > 0,
+            (
+                F.greatest(
+                    F.coalesce(F.col("__ct"), F.lit(0)) - F.lit(d),
+                    F.lit(0.0),
+                )
+                + F.lit(d) * F.coalesce(F.col("__nt"), F.lit(0)) * p2
+            )
+            / cq,
+        ).otherwise(p2)
+        lnp = F.log(p3)
+    else:
+        l3, l2, l1 = lm.lambdas
+        scored = (
+            rows.join(
+                F.broadcast(lm.trigram_prefix_counts),
+                on=["prev2", "prev"], how="left",
+            )
+            .join(
+                F.broadcast(lm.trigram_counts),
+                on=["prev2", "prev", "w"], how="left",
+            )
+            .join(F.broadcast(bi.prefix_counts), on="prev", how="left")
+            .join(F.broadcast(bi.bigram_counts), on=["prev", "w"], how="left")
+            .join(F.broadcast(lm.unigram_counts), on="w", how="left")
+        )
+        p3 = (F.coalesce(F.col("__ct"), F.lit(0)) + F.lit(a)) / (
+            F.coalesce(F.col("__cq"), F.lit(0)) + F.lit(denom)
+        )
+        p2 = (F.coalesce(F.col("__cb"), F.lit(0)) + F.lit(a)) / (
+            F.coalesce(F.col("__cp"), F.lit(0)) + F.lit(denom)
+        )
+        p1 = (F.coalesce(F.col("__cu"), F.lit(0)) + F.lit(a)) / (
+            F.lit(float(lm.total_tokens)) + F.lit(denom)
+        )
+        lnp = F.log(F.lit(l3) * p3 + F.lit(l2) * p2 + F.lit(l1) * p1)
     agg = (
         scored.select(F.col(id_col), lnp.alias("__lnp"))
         .groupBy(id_col)
@@ -806,6 +932,8 @@ def lm_score(
     order: int = 2,
     top_trigrams: int = 16384,
     lambdas: tuple = (0.5, 0.3, 0.2),
+    smoothing: str = "jm",
+    discount: float = 0.75,
 ) -> DataFrame:
     """Corpus-trained smoothed-bigram LM quality score (the CCNet-style
     perplexity proxy: fluent, corpus-typical text scores low perplexity;
@@ -832,8 +960,11 @@ def lm_score(
             src, text_col, vocab_size=vocab_size,
             top_bigrams=top_bigrams, top_trigrams=top_trigrams,
             alpha=alpha, lambdas=lambdas,
+            smoothing=smoothing, discount=discount,
         )
         return lm_score3_with(df, text_col, id_col, lm3)
+    if smoothing != "jm":
+        raise ValueError("smoothing is a trigram (order=3) knob")
     if order != 2:
         raise ValueError(f"order must be 2 or 3, got {order}")
     lm = build_bigram_lm(
