@@ -4697,3 +4697,50 @@ def test_lm_score3_kn_margin_and_knobs(spark):
         lm_score(df, "text", "doc_id", order=3, smoothing="kn", discount=1.5)
     with _pytest.raises(ValueError, match="smoothing"):
         lm_score(df, "text", "doc_id", smoothing="kn")  # order=2
+
+
+def test_lm_store_roundtrip_bit_identical(spark, tmp_path):
+    """build_lm_store / lm_score_stored: stored scoring is bit-identical
+    to in-memory lm_score at order=2, order=3 JM, and order=3 KN — the
+    frozen-artifact CCNet deployment shape (train on the clean corpus
+    once, score shards forever)."""
+    import pytest as _pytest
+
+    from whylogs_java_spark.operators.text import build_lm_store, lm_score, lm_score_stored
+
+    corpus = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(
+            ["the cat sat on the mat", "the cat ate the fish",
+             "a dog sat on a log", "fish and chips on the mat"] * 4
+        )],
+        ["doc_id", "text"],
+    )
+    shard = spark.createDataFrame(
+        [(900, "the cat sat on a log"), (901, "zqx vbnk wplf qqq"),
+         (902, "one two"), (903, "")],
+        ["doc_id", "text"],
+    )
+    kw = dict(vocab_size=16, top_bigrams=32)
+    cases = [
+        ("lm2", dict()),
+        ("lm3", dict(order=3, top_trigrams=24)),
+        ("lm3kn", dict(order=3, top_trigrams=24, smoothing="kn")),
+    ]
+    for name, extra in cases:
+        p = str(tmp_path / name)
+        build_lm_store(corpus, p, "text", **kw, **extra)
+        stored = sorted(map(tuple, lm_score_stored(
+            spark, p, shard, "text", "doc_id"
+        ).collect()))
+        mem = sorted(map(tuple, lm_score(
+            shard, "text", "doc_id", lm_df=corpus, **kw, **extra
+        ).collect()))
+        assert stored == mem, name
+        meta = spark.read.parquet(f"{p}/meta").first()
+        assert meta["smoothing"] == extra.get("smoothing", "jm")
+        assert meta["order"] == extra.get("order", 2)
+
+    with _pytest.raises(ValueError, match="order"):
+        build_lm_store(corpus, str(tmp_path / "bad"), "text", order=4)
+    with _pytest.raises(ValueError, match="smoothing"):
+        build_lm_store(corpus, str(tmp_path / "bad"), "text", smoothing="kn")

@@ -51,8 +51,15 @@ N_COPIES = 10  # 1 identity + 9 mutated
 COPY_OFFSET = 10_000_000
 
 
-def build_fixture(spark, base_dir: str = SF_BASE, out_dir: str = FIXTURE_DIR):
-    """documents.parquet = base ∪ 9 fully-word-mutated copies (cached)."""
+def build_fixture(
+    spark,
+    base_dir: str = SF_BASE,
+    out_dir: str = FIXTURE_DIR,
+    n_copies: int = N_COPIES,
+):
+    """documents.parquet = base ∪ (n_copies-1) fully-word-mutated
+    copies (cached). n_copies=100 stacks a second decade on the same
+    disjoint-vocabulary model (the r13 verdict's 100× ask)."""
     from pyspark.sql import functions as F
 
     out = f"{out_dir}/documents.parquet"
@@ -61,7 +68,7 @@ def build_fixture(spark, base_dir: str = SF_BASE, out_dir: str = FIXTURE_DIR):
     d = spark.read.parquet(f"{base_dir}/documents.parquet")
     other = [c for c in d.columns if c not in ("doc_id", "text")]
     parts = [d]
-    for k in range(1, N_COPIES):
+    for k in range(1, n_copies):
         parts.append(
             d.select(
                 (F.col("doc_id") + k * COPY_OFFSET).alias("doc_id"),
@@ -78,7 +85,9 @@ def build_fixture(spark, base_dir: str = SF_BASE, out_dir: str = FIXTURE_DIR):
     u = parts[0]
     for p in parts[1:]:
         u = u.unionByName(p)
-    u.repartition(32).write.mode("overwrite").parquet(out)
+    u.repartition(32 if n_copies <= 10 else 128).write.mode(
+        "overwrite"
+    ).parquet(out)
     return out_dir
 
 
@@ -121,8 +130,42 @@ def _timed(qs, name: str, spark, sf_dir: str) -> float:
 
 
 def main() -> None:
-    names = sys.argv[1:] or DEFAULT_QUERIES
+    args = sys.argv[1:]
+    stack = "--stack" in args
+    if stack:
+        args.remove("--stack")
+    names = args or DEFAULT_QUERIES
     spark = get_spark("docs-scaling")
+    if stack:
+        # two stacked decades: base -> 10x -> 100x; the second-decade
+        # ratio is the honest linearity read (the constant term is
+        # already amortized at 10x, so ~10 = linear, >>10 = a hidden
+        # super-linear stage)
+        f10 = build_fixture(spark)
+        f100 = build_fixture(
+            spark, out_dir="/tmp/sf10docs_fixture", n_copies=100
+        )
+        qs = entry_mod.queries()
+        for n in names:
+            qs[n](spark, "/root/testdata/sf0.001").write.format(
+                "noop"
+            ).mode("overwrite").save()
+        out = {}
+        for n in names:
+            t1 = _timed(qs, n, spark, SF_BASE)
+            t10 = _timed(qs, n, spark, f10)
+            t100 = _timed(qs, n, spark, f100)
+            out[n] = {
+                "sf0.1_sec": t1, "x10_sec": t10, "x100_sec": t100,
+                "ratio_d1": round(t10 / t1, 2),
+                "ratio_d2": round(t100 / t10, 2),
+            }
+            print(f"# {n}: {t1}s -> {t10}s -> {t100}s "
+                  f"(d1 x{out[n]['ratio_d1']}, d2 x{out[n]['ratio_d2']})",
+                  file=sys.stderr)
+        print(json.dumps({"probe": "docs_scaling_100x", "runs": out}))
+        spark.stop()
+        return
     fixture = build_fixture(spark)
     if any("embedding" in n or "cluster" in n or n.startswith(("similarity", "knn", "ann", "prune", "quantize", "rp_")) for n in names):
         build_embeddings_fixture(spark)

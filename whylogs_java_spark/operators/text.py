@@ -977,6 +977,143 @@ def lm_score(
     return lm_score_with(df, text_col, id_col, lm)
 
 
+def build_lm_store(
+    src: DataFrame,
+    path: str,
+    text_col: str = "text",
+    vocab_size: int = 512,
+    top_bigrams: int = 4096,
+    alpha: float = 0.5,
+    order: int = 2,
+    top_trigrams: int = 16384,
+    lambdas: tuple = (0.5, 0.3, 0.2),
+    smoothing: str = "jm",
+    discount: float = 0.75,
+) -> None:
+    """Persist a trained LM: train once on the CLEAN reference corpus,
+    score every future shard against the frozen artifact — how the
+    published CCNet pipeline actually deploys its KenLM (Wenzek et al.
+    2020 train on Wikipedia, score Common Crawl), and the LM member of
+    the minhash/gram/winnow/kmeans/IVF/BM25 store family.
+
+    Writes the model's bounded count tables as parquet under ``path``
+    (vocab / bigram_prefix / bigram_counts, plus unigram /
+    trigram_prefix / trigram_counts for order=3 and the continuation
+    tables for smoothing="kn") and a one-row ``meta`` pinning every
+    scoring constant (order, vocab_size, alpha, lambdas, smoothing,
+    discount, total_tokens, kn_bigram_types). Readers reconstruct the
+    exact in-memory model, so stored scoring is bit-identical to
+    ``lm_score`` with the same parameters (pinned by test)."""
+    if order not in (2, 3):
+        raise ValueError(f"order must be 2 or 3, got {order}")
+    spark = src.sparkSession
+    if order == 2:
+        if smoothing != "jm":
+            raise ValueError("smoothing is a trigram (order=3) knob")
+        bi = build_bigram_lm(
+            src, text_col, vocab_size=vocab_size,
+            top_bigrams=top_bigrams, alpha=alpha,
+        )
+        lm3 = None
+    else:
+        lm3 = build_trigram_lm(
+            src, text_col, vocab_size=vocab_size,
+            top_bigrams=top_bigrams, top_trigrams=top_trigrams,
+            alpha=alpha, lambdas=lambdas,
+            smoothing=smoothing, discount=discount,
+        )
+        bi = lm3.bigram
+    bi.vocab.coalesce(1).write.mode("overwrite").parquet(f"{path}/vocab")
+    bi.prefix_counts.coalesce(1).write.mode("overwrite").parquet(
+        f"{path}/bigram_prefix"
+    )
+    bi.bigram_counts.coalesce(1).write.mode("overwrite").parquet(
+        f"{path}/bigram_counts"
+    )
+    if lm3 is not None:
+        lm3.unigram_counts.coalesce(1).write.mode("overwrite").parquet(
+            f"{path}/unigram"
+        )
+        lm3.trigram_prefix_counts.coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{path}/trigram_prefix")
+        lm3.trigram_counts.coalesce(1).write.mode("overwrite").parquet(
+            f"{path}/trigram_counts"
+        )
+        if lm3.smoothing == "kn":
+            lm3.kn_cont.coalesce(1).write.mode("overwrite").parquet(
+                f"{path}/kn_cont"
+            )
+            lm3.kn_mid.coalesce(1).write.mode("overwrite").parquet(
+                f"{path}/kn_mid"
+            )
+            lm3.kn_uni.coalesce(1).write.mode("overwrite").parquet(
+                f"{path}/kn_uni"
+            )
+    l3, l2, l1 = (lm3.lambdas if lm3 is not None else
+                  tuple(float(x) for x in lambdas))
+    spark.createDataFrame(
+        [(
+            int(order), int(vocab_size), float(alpha),
+            float(l3), float(l2), float(l1),
+            (lm3.smoothing if lm3 is not None else "jm"),
+            float(discount),
+            int(lm3.total_tokens) if lm3 is not None else 0,
+            int(lm3.kn_bigram_types) if lm3 is not None else 0,
+        )],
+        "order int, vocab_size int, alpha double, l3 double, l2 double, "
+        "l1 double, smoothing string, discount double, total_tokens long, "
+        "kn_bigram_types long",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def read_lm_store(spark, path: str) -> "BigramLM | TrigramLM":
+    """Load a persisted LM (``build_lm_store``) back into the exact
+    in-memory model object — the scoring tables are KB-scale parquet
+    (bounded by construction), so this is a metadata-cheap open; the
+    count tables stay DataFrames and broadcast at score time exactly
+    like a freshly built model's."""
+    meta = spark.read.parquet(f"{path}/meta").first()
+    bi = BigramLM(
+        spark.read.parquet(f"{path}/vocab"),
+        spark.read.parquet(f"{path}/bigram_prefix"),
+        spark.read.parquet(f"{path}/bigram_counts"),
+        int(meta["vocab_size"]),
+        float(meta["alpha"]),
+    )
+    if int(meta["order"]) == 2:
+        return bi
+    kn = meta["smoothing"] == "kn"
+    return TrigramLM(
+        bi,
+        spark.read.parquet(f"{path}/unigram"),
+        int(meta["total_tokens"]),
+        spark.read.parquet(f"{path}/trigram_prefix"),
+        spark.read.parquet(f"{path}/trigram_counts"),
+        (float(meta["l3"]), float(meta["l2"]), float(meta["l1"])),
+        smoothing=str(meta["smoothing"]),
+        discount=float(meta["discount"]),
+        kn_cont=spark.read.parquet(f"{path}/kn_cont") if kn else None,
+        kn_mid=spark.read.parquet(f"{path}/kn_mid") if kn else None,
+        kn_uni=spark.read.parquet(f"{path}/kn_uni") if kn else None,
+        kn_bigram_types=int(meta["kn_bigram_types"]),
+    )
+
+
+def lm_score_stored(
+    spark, path: str, df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Score a corpus against a persisted LM (``build_lm_store``):
+    the production CCNet loop — the reference model is a frozen
+    artifact, every shard pays only the scan + broadcast-join scoring
+    plan. Dispatches on the store's pinned order; bit-identical to
+    in-memory scoring with the same model (pinned by test)."""
+    lm = read_lm_store(spark, path)
+    if isinstance(lm, TrigramLM):
+        return lm_score3_with(df, text_col, id_col, lm)
+    return lm_score_with(df, text_col, id_col, lm)
+
+
 # Encoding-hygiene regexes — shared Java-regex/RE2 subset (two-digit \xhh
 # and braced \x{hhhh} escapes, no lookaround) so the Spark expressions and
 # the DuckDB oracle compile the same automaton.
