@@ -169,6 +169,11 @@ BENCH_QUERIES = [
     "token_budget_scan_documents",
     "pipeline_manifest_v5",
     "retrieval_eval_documents",
+    # round-14: Kneser-Ney LM tier + census-tier BPE training.
+    # lm_score3_kn_stored_documents stays correctness-gate-only (the
+    # store-build policy above — its probe cost IS lm_score3_kn's scan)
+    "lm_score3_kn_documents",
+    "bpe_merges_census_documents",
 ]
 
 
