@@ -1091,3 +1091,56 @@ def test_score_buckets_match_numpy_percentiles(spark, xs):
     for i, x in enumerate(xs):
         want = "head" if x <= c1 else ("middle" if x <= c2 else "tail")
         assert got[i] == want, (i, x, c1, c2)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_bpe_words)
+def test_bpe_train_census_matches_python_reference_property(spark, words):
+    """r14: the driver-census training tier replays the same reference
+    trajectory as the distributed tier on arbitrary small corpora —
+    the incremental pair-count maintenance and lazy-deletion heap
+    argmax cannot diverge from rebuild-everything greedy."""
+    from collections import Counter
+
+    from tests.test_pipeline_ops import _py_bpe
+    from whylogs_java_spark.operators.tokenizer import bpe_train
+
+    docs = spark.createDataFrame(
+        [(0, " ".join(words))], ["doc_id", "text"]
+    )
+    want = _py_bpe(Counter(words), 5)
+    got = [
+        (r["step"], r["left"], r["right"], r["merged"], r["pair_count"])
+        for r in bpe_train(
+            docs, "text", n_merges=5, method="census"
+        ).orderBy("step").collect()
+    ]
+    assert got == want
+
+
+_lm_docs = st.lists(
+    st.lists(st.sampled_from("the cat dog sat ate a on mat zz".split()),
+             min_size=0, max_size=8).map(" ".join),
+    min_size=1,
+    max_size=10,
+)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_lm_docs)
+def test_lm_score3_kn_matches_python_reference_property(spark, texts):
+    """r14: interpolated-KN scoring equals the pure-python reference
+    (6-decimal contract) for arbitrary tiny corpora — truncation,
+    unseen prefixes, empty docs, all-<unk> docs included."""
+    from tests.test_pipeline_ops import _py_kn_score
+    from whylogs_java_spark.operators.text import lm_score
+
+    rows = list(enumerate(texts))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    kw = dict(vocab_size=5, top_bigrams=8, top_trigrams=6)
+    got = {r["doc_id"]: (r["n_trigrams"], r["avg_logp"], r["perplexity"])
+           for r in lm_score(
+               docs, "text", "doc_id", order=3, smoothing="kn", **kw
+           ).collect()}
+    want = _py_kn_score(rows, rows, alpha=0.5, discount=0.75, **kw)
+    assert got == want
