@@ -1605,3 +1605,28 @@ def test_cli_score_subcommand(spark, tmp_path, monkeypatch, capsys):
     assert rc == 0
     got_lm = {r["doc_id"]: r for r in spark.read.parquet(out_lm).collect()}
     assert got_lm[0]["perplexity"] < got_lm[100]["perplexity"]
+
+    # r14: persisted-LM loop from the CLI — build the KN store from the
+    # clean corpus, score the crawl against it; stored == in-memory
+    store = str(tmp_path / "sc_store")
+    rc = cli.main([
+        "score", lm_src, "--build-lm-store", store, "--order", "3",
+        "--smoothing", "kn", "--vocab-size", "32",
+        "--top-trigrams", "256",
+    ])
+    assert rc == 0
+    assert "built lm store (order=3, smoothing=kn)" in capsys.readouterr().out
+    out_st = str(tmp_path / "sc_stored_out")
+    rc = cli.main(["score", src, "-o", out_st, "--lm-store", store])
+    assert rc == 0
+    assert "scored 11 doc(s) (order=3)" in capsys.readouterr().out
+    got_st = {r["doc_id"]: r for r in spark.read.parquet(out_st).collect()}
+    assert got_st[0]["perplexity"] < got_st[100]["perplexity"]
+
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):  # exclusive flags
+        cli.main(["score", src, "-o", out_st, "--lm-store", store,
+                  "--build-lm-store", store])
+    with _pytest.raises(SystemExit):  # scoring needs -o
+        cli.main(["score", src, "--lm-store", store])

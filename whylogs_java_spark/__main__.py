@@ -1091,7 +1091,9 @@ def _run_project(argv: list[str]) -> int:
 def _run_score(argv: list[str]) -> int:
     p = argparse.ArgumentParser(prog="python -m whylogs_java_spark score")
     p.add_argument("input", help="corpus to score")
-    p.add_argument("-o", "--output", required=True)
+    p.add_argument("-o", "--output", default=None,
+                   help="scored parquet (required unless "
+                        "--build-lm-store)")
     p.add_argument("--id-col", default="doc_id")
     p.add_argument("--text-col", default="text")
     p.add_argument("--order", type=int, choices=[2, 3], default=2,
@@ -1105,23 +1107,62 @@ def _run_score(argv: list[str]) -> int:
     p.add_argument("--vocab-size", type=int, default=512)
     p.add_argument("--top-bigrams", type=int, default=4096)
     p.add_argument("--top-trigrams", type=int, default=16384)
+    p.add_argument("--smoothing", choices=["jm", "kn"], default="jm",
+                   help="order=3 smoothing: 'jm' (interpolated "
+                        "Jelinek-Mercer) or 'kn' (interpolated "
+                        "Kneser-Ney — the KenLM/CCNet family)")
+    p.add_argument("--discount", type=float, default=0.75,
+                   help="KN absolute discount D")
+    p.add_argument("--build-lm-store", metavar="PATH",
+                   help="train the LM from INPUT (or --lm-corpus) and "
+                        "persist it at PATH, then exit — train once, "
+                        "score many")
+    p.add_argument("--lm-store", metavar="PATH",
+                   help="score against a persisted LM "
+                        "(--build-lm-store); training knobs are read "
+                        "from the store's meta")
     a = p.parse_args(argv)
+    if a.build_lm_store and a.lm_store:
+        p.error("--build-lm-store and --lm-store are exclusive")
+    if not a.output and not a.build_lm_store:
+        p.error("-o/--output is required when scoring")
     from .session import get_spark
 
     spark = get_spark("whylogs-cli-score")
     try:
-        from .operators.text import lm_score
+        from .operators.text import (
+            build_lm_store,
+            lm_score,
+            lm_score_stored,
+        )
 
         df = _read_input(spark, a.input)
-        lm_df = _read_input(spark, a.lm_corpus) if a.lm_corpus else None
-        out = lm_score(
-            df, a.text_col, a.id_col,
-            vocab_size=a.vocab_size, top_bigrams=a.top_bigrams,
-            lm_df=lm_df, order=a.order, top_trigrams=a.top_trigrams,
-        )
+        if a.build_lm_store:
+            src = _read_input(spark, a.lm_corpus) if a.lm_corpus else df
+            build_lm_store(
+                src, a.build_lm_store, a.text_col,
+                vocab_size=a.vocab_size, top_bigrams=a.top_bigrams,
+                order=a.order, top_trigrams=a.top_trigrams,
+                smoothing=a.smoothing, discount=a.discount,
+            )
+            print(f"built lm store (order={a.order}, "
+                  f"smoothing={a.smoothing}) -> {a.build_lm_store}")
+            return 0
+        if a.lm_store:
+            out = lm_score_stored(spark, a.lm_store, df, a.text_col, a.id_col)
+            order = int(spark.read.parquet(f"{a.lm_store}/meta").first()["order"])
+        else:
+            lm_df = _read_input(spark, a.lm_corpus) if a.lm_corpus else None
+            out = lm_score(
+                df, a.text_col, a.id_col,
+                vocab_size=a.vocab_size, top_bigrams=a.top_bigrams,
+                lm_df=lm_df, order=a.order, top_trigrams=a.top_trigrams,
+                smoothing=a.smoothing, discount=a.discount,
+            )
+            order = a.order
         out.write.mode("overwrite").parquet(a.output)
         n = spark.read.parquet(a.output).count()
-        print(f"scored {n} doc(s) (order={a.order}) -> {a.output}")
+        print(f"scored {n} doc(s) (order={order}) -> {a.output}")
         return 0
     finally:
         spark.stop()
