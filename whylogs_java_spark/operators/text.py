@@ -1003,7 +1003,14 @@ def build_lm_store(
     scoring constant (order, vocab_size, alpha, lambdas, smoothing,
     discount, total_tokens, kn_bigram_types). Readers reconstruct the
     exact in-memory model, so stored scoring is bit-identical to
-    ``lm_score`` with the same parameters (pinned by test)."""
+    ``lm_score`` with the same parameters (pinned by test).
+
+    Deliberately NO append leg (unlike the minhash/IVF/winnow stores):
+    the stored bigram/trigram tables are exact top-k TRUNCATIONS, so
+    adding a shard's counts to them cannot reproduce retraining (a
+    dropped gram's true count is gone) — an "appended" model would
+    silently diverge from the retrained one. The store contract is
+    train-once / score-many; refreshing the model is a rebuild."""
     if order not in (2, 3):
         raise ValueError(f"order must be 2 or 3, got {order}")
     spark = src.sparkSession
