@@ -1524,3 +1524,27 @@ def test_ivf_kmeans_append_keeps_frozen_quantizer_contract(spark, tmp_path):
     ).collect()))
     brute = sorted(map(tuple, cosine_topk_exact(emb, qids, k=5).collect()))
     assert stored == brute and len(brute) == 20
+
+
+def test_literal_df_local_relation_and_fallback(spark):
+    """literal_df routes curated literal tables through Arrow to a
+    JVM-side LocalRelation (the plain-list path materializes a
+    LogicalRDD whose EVERY action re-runs a Python runner — measured
+    seconds per action under local[32]); values, names, types and the
+    empty case stay exactly as the schema declares."""
+    from whylogs_java_spark.ckpt import literal_df
+
+    rows = [(0, [1.5, 2.5], "a", True), (1, [3.25], None, False)]
+    df = literal_df(
+        spark, rows, "cluster int, centroid array<double>, tag string, "
+        "flag boolean"
+    )
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "LocalRelation" in plan and "LogicalRDD" not in plan
+    got = sorted(map(tuple, df.collect()))
+    assert got == [(0, [1.5, 2.5], "a", True), (1, [3.25], None, False)]
+    assert df.dtypes == [
+        ("cluster", "int"), ("centroid", "array<double>"),
+        ("tag", "string"), ("flag", "boolean"),
+    ]
+    assert literal_df(spark, [], "a int, b string").count() == 0

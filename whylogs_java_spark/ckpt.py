@@ -59,3 +59,33 @@ def materialize(df: DataFrame) -> DataFrame:
             )
         return df.checkpoint(eager=True)
     return df.localCheckpoint(eager=True)
+
+
+def literal_df(spark, rows, schema: str) -> DataFrame:
+    """Small literal table as a JVM-side ``LocalRelation``.
+
+    ``spark.createDataFrame(list, schema)`` materializes a
+    ``LogicalRDD`` whose EVERY action re-evaluates the rows through a
+    Python runner — measured ~5-15 s per action under local[32], so a
+    store builder that writes a literal meta/centroid table plus reads
+    it back pays tens of seconds of pure interpreter spin-up. Routing
+    the same rows through a pandas frame (Arrow conversion, names and
+    types assigned positionally by ``schema``) yields a
+    ``LocalRelation`` that every consumer evaluates entirely JVM-side.
+
+    For CURATED literal tables only (metas, centroid codebooks, merge
+    tables): exact floats/ints/strings/arrays round-trip through Arrow
+    bit-identically, but pandas coerces None in NUMERIC columns to NaN
+    — callers with nullable numeric literals keep the plain path (the
+    fallback also catches anything Arrow refuses).
+    """
+    if not rows:
+        return spark.createDataFrame([], schema)
+    try:
+        import pandas as pd
+
+        return spark.createDataFrame(
+            pd.DataFrame([tuple(r) for r in rows]), schema=schema
+        )
+    except Exception:
+        return spark.createDataFrame(rows, schema)

@@ -36,7 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..ckpt import materialize
+from ..ckpt import literal_df, materialize
 
 INT_SCALE = 1_000_000
 
@@ -70,7 +70,8 @@ def _assign_join(emb: DataFrame, centroids: list[list[float]]) -> DataFrame:
     partial-agg min combines map-side before the single shuffle on id.
     """
     spark = emb.sparkSession
-    cent = spark.createDataFrame(
+    cent = literal_df(
+        spark,
         [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
         "cluster int, __c array<double>",
     )
@@ -331,14 +332,16 @@ def build_kmeans_model(
     if not centroids:
         raise ValueError("cannot build a k-means model from an empty corpus")
     spark = embeddings.sparkSession
-    spark.createDataFrame(
+    literal_df(
+        spark,
         [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
         "cluster int, centroid array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
     # meta pins the model's ACTUAL arity (seed collect can return fewer
     # than the requested k on tiny corpora) — validating against the
     # requested k would pass exactly when arity silently diverged
-    spark.createDataFrame(
+    literal_df(
+        spark,
         [(len(centroids), int(n_iter), len(centroids[0]))],
         "k int, n_iter int, dim int",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")

@@ -33,6 +33,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..ckpt import literal_df
+
 NUMERIC_OPS = ("<=", "<", ">=", ">", "==", "!=")
 STRING_OPS = ("==", "!=")
 STRING_METRICS = {"inferred_type"}
@@ -64,7 +66,8 @@ def check_constraints(
             raise ValueError(f"rule {i}: unknown op {op!r}")
         norm_rules.append((i, col, metric, op, str(thr)))
     spark = profile_df.sparkSession
-    rules_df = spark.createDataFrame(
+    rules_df = literal_df(
+        spark,
         norm_rules,
         "rule_id int, column_name string, metric string, op string, "
         "threshold string",

@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..ckpt import literal_df
 from ..functions.hof import let_bound
 
 
@@ -323,8 +324,8 @@ def build_gram_store(
     grams.write.mode("overwrite").partitionBy("bucket").parquet(
         f"{path}/grams"
     )
-    meta = df.sparkSession.createDataFrame(
-        [(int(n), int(n_buckets))], "n int, n_buckets int"
+    meta = literal_df(
+        df.sparkSession, [(int(n), int(n_buckets))], "n int, n_buckets int"
     )
     meta.write.mode("overwrite").parquet(f"{path}/meta")
 

@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..ckpt import literal_df
 from ..ckpt import materialize as _materialize
 from ..functions.hof import let_bound
 
@@ -1643,7 +1644,8 @@ def build_minhash_store(
         .partitionBy("sbucket")
         .parquet(f"{path}/shingles")
     )
-    meta = df.sparkSession.createDataFrame(
+    meta = literal_df(
+        df.sparkSession,
         [
             (
                 num_hashes,
@@ -2166,7 +2168,8 @@ def build_winnow_store(
     prints.repartition(F.col("bucket")).write.mode("overwrite").partitionBy(
         "bucket"
     ).parquet(f"{path}/prints")
-    df.sparkSession.createDataFrame(
+    literal_df(
+        df.sparkSession,
         [(int(k), int(window), int(n_buckets))],
         "k int, window int, n_buckets int",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")

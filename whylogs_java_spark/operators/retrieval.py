@@ -39,6 +39,7 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..ckpt import literal_df
 from .text import tokens, ws_lower_tokens
 
 __all__ = [
@@ -251,8 +252,8 @@ def build_text_index(
             F.sum("dl").cast("double") / F.count(F.lit(1)),
         ).alias("avgdl"),
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/stats")
-    spark.createDataFrame(
-        [(int(n_buckets), "ws-lower-v1")], "n_buckets int, tokenizer string"
+    literal_df(
+        spark, [(int(n_buckets), "ws-lower-v1")], "n_buckets int, tokenizer string"
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
 
 
@@ -328,7 +329,7 @@ def phrase_search_stored(
     uniq = sorted(set(words))
     buckets = sorted(
         {r["bucket"] for r in
-         spark.createDataFrame([(w,) for w in uniq], "term string")
+         literal_df(spark, [(w,) for w in uniq], "term string")
          .select(F.pmod(F.xxhash64("term"), F.lit(nb)).alias("bucket"))
          .collect()}
     )
@@ -435,7 +436,7 @@ def bm25_topk_stored(
         raise ValueError("queries contain no terms")
     buckets = sorted(
         {r["bucket"] for r in
-         spark.createDataFrame([(t,) for t in uniq], "term string")
+         literal_df(spark, [(t,) for t in uniq], "term string")
          .select(F.pmod(F.xxhash64("term"), F.lit(nb)).alias("bucket"))
          .collect()}
     )

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..ckpt import materialize
+from ..ckpt import literal_df, materialize
 
 
 def _as_double(vec: Column) -> Column:
@@ -1286,7 +1286,8 @@ def build_ivf_index(
                 "cannot build an IVF index from an empty corpus"
             )
         cvecs_in = (
-            spark.createDataFrame(
+            literal_df(
+                spark,
                 [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
                 "centroid_id int, cv array<double>",
             )
@@ -1305,7 +1306,8 @@ def build_ivf_index(
         .select(F.size("cv").alias("d"))
         .first()
     )
-    spark.createDataFrame(
+    literal_df(
+        spark,
         [(centroids, int(n_centroids), int(n_iter),
           int(dim_row["d"]) if dim_row else 0)],
         "quantizer string, n_centroids int, n_iter int, dim int",
@@ -2065,8 +2067,8 @@ def build_ivfpq_index(
         for j in range(m)
         for c in range(codebook_k)
     ]
-    spark.createDataFrame(
-        cb_rows, "subspace int, code int, cvec array<double>"
+    literal_df(
+        spark, cb_rows, "subspace int, code int, cvec array<double>"
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
     assigned = ranked.where(F.col("crk") == 1).select(id_col, "centroid_id")
     (
@@ -2084,7 +2086,8 @@ def build_ivfpq_index(
         .partitionBy("centroid_id")
         .parquet(f"{path}/lists")
     )
-    spark.createDataFrame(
+    literal_df(
+        spark,
         [(n_centroids, m, codebook_k, dim)],
         "n_centroids int, m int, codebook_k int, dim int",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
@@ -2527,8 +2530,8 @@ def build_rp_index(
         .parquet(f"{path}/vectors")
     )
     spark = embeddings.sparkSession
-    spark.createDataFrame(
-        [(out_dim,)], "out_dim int"
+    literal_df(
+        spark, [(out_dim,)], "out_dim int"
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
 
 

@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from ..functions.hof import let_bound
 
-from ..ckpt import materialize
+from ..ckpt import literal_df, materialize
 
 # Minimal stopword lexicons for the n-gram/stopword language heuristic.
 LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
@@ -1059,7 +1059,8 @@ def build_lm_store(
             )
     l3, l2, l1 = (lm3.lambdas if lm3 is not None else
                   tuple(float(x) for x in lambdas))
-    spark.createDataFrame(
+    literal_df(
+        spark,
         [(
             int(order), int(vocab_size), float(alpha),
             float(l3), float(l2), float(l1),

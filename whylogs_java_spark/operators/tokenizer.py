@@ -36,7 +36,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..ckpt import materialize
+from ..ckpt import literal_df, materialize
 from ..functions.hof import let_bound
 
 #: end-of-word marker symbol (classic BPE '</w>', one char here so the
@@ -189,7 +189,8 @@ def bpe_train(
             ).alias("s"),
             "cnt",
         ).transform(materialize)
-    return spark.createDataFrame(
+    return literal_df(
+        spark,
         merges,
         "step int, left string, right string, merged string, pair_count long",
     )
@@ -291,7 +292,8 @@ def _bpe_train_census(
             else:
                 pair_cnt.pop(p, None)
                 pair_words.pop(p, None)
-    return spark.createDataFrame(
+    return literal_df(
+        spark,
         merges,
         "step int, left string, right string, merged string, pair_count long",
     )

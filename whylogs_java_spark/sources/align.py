@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..ckpt import literal_df
+
 # widening ladder: left-to-right = narrower-to-wider
 _NUMERIC_LADDER = [
     "tinyint", "smallint", "int", "bigint", "float", "double",
@@ -82,7 +84,8 @@ def schema_report(
                 rows.append((name, col, have[col], target, "cast"))
             else:
                 rows.append((name, col, have[col], target, "ok"))
-    return dfs[0].sparkSession.createDataFrame(
+    return literal_df(
+        dfs[0].sparkSession,
         rows, "source string, column string, dtype string, "
         "target_dtype string, status string"
     )
