@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..ckpt import literal_df, materialize
+from ..functions import sqlexpr as sqlx
 
 INT_SCALE = 1_000_000
 
@@ -75,12 +76,11 @@ def _assign_join(emb: DataFrame, centroids: list[list[float]]) -> DataFrame:
         [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
         "cluster int, __c array<double>",
     )
-    d = F.aggregate(
-        F.zip_with(
-            F.col("__v"), F.col("__c"), lambda x, y: (x - y) * (x - y)
-        ),
-        F.lit(0.0),
-        lambda acc, dd: acc + dd,
+    # one SQL-text parse instead of 3 py4j-built lambdas (~20 ms/call;
+    # identical tree — functions/sqlexpr.py)
+    d = F.expr(
+        "aggregate(zip_with(__v, __c, (x, y) -> (x - y) * (x - y)), "
+        "0.0D, (acc, dd) -> acc + dd)"
     )
     scored = emb.join(F.broadcast(cent), how="cross").select(
         "__id", "cluster", d.alias("__d")
@@ -102,8 +102,7 @@ def _prepare_emb(embeddings: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     emb = embeddings.select(
         F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")
     ).where(F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) > 0))
-    vecd = F.transform(F.col("__v"), lambda x: x.cast("double"))
-    emb = emb.select("__id", vecd.alias("__v"))
+    emb = emb.selectExpr("__id", f"{sqlx.as_double_s('__v')} AS __v")
     target = embeddings.sparkSession.sparkContext.defaultParallelism
     if emb.rdd.getNumPartitions() < target:
         emb = emb.repartition(target)
@@ -114,18 +113,22 @@ def _assign_literal(centroids: list[list[float]]):
     """(cid, d) literal-path argmin columns over ``__v`` — ONE fold over
     a (dist, idx) struct array; strictly-less keeps the lowest centroid
     id on ties (the DuckDB MIN([dist, cid]) rule)."""
-    darr = F.array(*[_sq_l2(F.col("__v"), c) for c in centroids])
-    pairs = F.zip_with(
-        darr,
-        F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
-        lambda d, i: F.struct(d.alias("d"), i.alias("i")),
+    # SQL-text twin of the k-literal-fold argmin: the Column API costs
+    # k*dim F.lit calls + k fold lambdas (~2-3 s of py4j chatter at
+    # k=32, dim=64, re-paid per Lloyd round); one parser call yields
+    # the identical tree (functions/sqlexpr.py)
+    darr_s = (
+        "array(" + ",".join(sqlx.sq_l2_s("__v", c) for c in centroids) + ")"
     )
-    best = F.aggregate(
-        pairs,
-        F.struct(F.lit(float("inf")).alias("d"), F.lit(-1).alias("i")),
-        lambda acc, x: F.when(x["d"] < acc["d"], x).otherwise(acc),
+    pairs = (
+        f"zip_with({darr_s}, sequence(0, {len(centroids) - 1}), "
+        f"(d, i) -> named_struct('d', d, 'i', i))"
     )
-    return best["i"], best["d"]
+    best = (
+        f"aggregate({pairs}, named_struct('d', CAST('Infinity' AS DOUBLE), "
+        f"'i', -1), (acc, x) -> IF(x.d < acc.d, x, acc))"
+    )
+    return F.expr(f"({best}).i"), F.expr(f"({best}).d")
 
 
 def _lloyd_iterations(
@@ -149,9 +152,9 @@ def _lloyd_iterations(
         dims = assigned.select(
             "__cid",
             F.posexplode(
-                F.transform(
-                    F.col("__v"),
-                    lambda x: F.floor(x * INT_SCALE + F.lit(0.5)).cast("long"),
+                F.expr(
+                    f"transform(__v, x -> CAST(floor(x * {INT_SCALE} "
+                    f"+ 0.5D) AS BIGINT))"
                 )
             ).alias("__pos", "__iv"),
         )
@@ -420,21 +423,15 @@ def semantic_dedup_pairs(
         embeddings, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col,
         assign=assign,
     ).select(F.col(id_col), "cluster")
-    emb = embeddings.select(
-        F.col(id_col),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
+    emb = embeddings.selectExpr(
+        sqlx.qcol(id_col),
+        f"{sqlx.as_double_s(sqlx.qcol(vec_col))} AS __v",
     ).where(F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) > 0))
-    vecs = emb.join(assignments, on=id_col).select(
-        F.col(id_col),
+    vecs = emb.join(assignments, on=id_col).selectExpr(
+        sqlx.qcol(id_col),
         "cluster",
         "__v",
-        F.sqrt(
-            F.aggregate(
-                F.transform(F.col("__v"), lambda x: x * x),
-                F.lit(0.0),
-                lambda acc, d: acc + d,
-            )
-        ).alias("__n"),
+        f"{sqlx.norm_s('__v')} AS __n",
     )
     # an all-zero embedding has no direction: 0.0/0.0 = NaN, and Spark
     # orders NaN ABOVE every number, so `cosine >= threshold` would flag
@@ -464,7 +461,7 @@ def semantic_dedup_pairs(
     target = embeddings.sparkSession.sparkContext.defaultParallelism
     pairs = pairs.repartition(target, "id_a", "id_b")
     cosine = F.round(
-        dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")), 6
+        dot("__va", "__vb") / (F.col("__na") * F.col("__nb")), 6
     ) + F.lit(0.0)
     return pairs.select(
         "id_a", "id_b", "cluster", cosine.alias("cosine")

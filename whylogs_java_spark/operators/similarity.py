@@ -20,19 +20,37 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..ckpt import literal_df, materialize
+from ..functions import sqlexpr as sqlx
 
 
-def _as_double(vec: Column) -> Column:
+def _as_double(vec: Column | str) -> Column:
+    """Cast an array column to double elements.
+
+    Accepts a COLUMN NAME as a fast path: building the transform lambda
+    through the Column API costs ~10 ms of py4j round trips per call,
+    while one ``F.expr`` text parse is <1 ms and yields the identical
+    Catalyst tree (guide §4 applied to plan construction; see
+    functions/sqlexpr.py for the measurements). Same for ``dot``/``norm``.
+    """
+    if isinstance(vec, str):
+        return F.expr(sqlx.as_double_s(sqlx.qcol(vec)))
     return F.transform(vec, lambda x: x.cast("double"))
 
 
-def dot(a: Column, b: Column) -> Column:
+def dot(a: Column | str, b: Column | str) -> Column:
+    """Strict left-to-right double dot fold. String args take the
+    single-parse ``F.expr`` fast path (bit-identical tree)."""
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(sqlx.dot_s(sqlx.qcol(a), sqlx.qcol(b)))
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
 
 
-def norm(a: Column) -> Column:
+def norm(a: Column | str) -> Column:
+    """Strict-fold L2 norm. String args take the ``F.expr`` fast path."""
+    if isinstance(a, str):
+        return F.expr(sqlx.norm_s(sqlx.qcol(a)))
     return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
 
 
@@ -56,22 +74,22 @@ def cosine_topk(
     target = embeddings.sparkSession.sparkContext.defaultParallelism
     if embeddings.rdd.getNumPartitions() < target:
         embeddings = embeddings.repartition(target)
-    qv = _as_double(F.col(vec_col))
-    q = queries.select(
-        F.col(id_col).alias("query_id"), qv.alias("qv"), norm(qv).alias("qn")
+    # SQL-text selects: one parse call instead of ~10 py4j-built lambdas
+    # per side (identical trees — sqlexpr.py)
+    vd = sqlx.as_double_s(sqlx.qcol(vec_col))
+    q = queries.selectExpr(
+        f"{sqlx.qcol(id_col)} AS query_id", f"{vd} AS qv", f"{sqlx.norm_s(vd)} AS qn"
     ).where(F.col("qn") > 0)  # zero-norm: no defined cosine
-    c = embeddings.select(
-        F.col(id_col).alias("neighbor_id"), qv.alias("cv"), norm(qv).alias("cn")
+    c = embeddings.selectExpr(
+        f"{sqlx.qcol(id_col)} AS neighbor_id", f"{vd} AS cv", f"{sqlx.norm_s(vd)} AS cn"
     ).where(F.col("cn") > 0)  # zero-norm: never a neighbor
     sim = (
         c.crossJoin(F.broadcast(q))
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .select(
+        .selectExpr(
             "query_id",
             "neighbor_id",
-            (dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias(
-                "cosine"
-            ),
+            f"{sqlx.dot_s('qv', 'cv')} / (qn * cn) AS cosine",
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
@@ -103,9 +121,9 @@ def cosine_topk_exact(
     target = embeddings.sparkSession.sparkContext.defaultParallelism
     if embeddings.rdd.getNumPartitions() < target:
         embeddings = embeddings.repartition(target)
-    vecd = _as_double(F.col(vec_col))
-    vecs = embeddings.select(
-        F.col(id_col), vecd.alias("__v"), norm(vecd).alias("__n")
+    vd = sqlx.as_double_s(sqlx.qcol(vec_col))
+    vecs = embeddings.selectExpr(
+        sqlx.qcol(id_col), f"{vd} AS __v", f"{sqlx.norm_s(vd)} AS __n"
     ).where(F.col("__n") > 0)  # zero-norm: no defined cosine, never a neighbor
     q = vecs.where(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"),
@@ -117,9 +135,7 @@ def cosine_topk_exact(
         .select(
             "query_id",
             F.col(id_col).alias("neighbor_id"),
-            (
-                dot(F.col("__v"), F.col("qv")) / (F.col("__n") * F.col("qn"))
-            ).alias("cosine"),
+            (dot("__v", "qv") / (F.col("__n") * F.col("qn"))).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
@@ -149,9 +165,9 @@ def cosine_pairs_exact(
     target = embeddings.sparkSession.sparkContext.defaultParallelism
     if embeddings.rdd.getNumPartitions() < target:
         embeddings = embeddings.repartition(target)
-    vecd = _as_double(F.col(vec_col))
-    vecs = embeddings.select(
-        F.col(id_col), vecd.alias("__v"), norm(vecd).alias("__n")
+    vd = sqlx.as_double_s(sqlx.qcol(vec_col))
+    vecs = embeddings.selectExpr(
+        sqlx.qcol(id_col), f"{vd} AS __v", f"{sqlx.norm_s(vd)} AS __n"
     ).where(F.col("__n") > 0)  # zero-norm: no defined cosine, never a neighbor
     a = vecs.select(
         F.col(id_col).alias("id_a"), F.col("__v").alias("va"), F.col("__n").alias("na")
@@ -159,7 +175,7 @@ def cosine_pairs_exact(
     b = vecs.select(
         F.col(id_col).alias("id_b"), F.col("__v").alias("vb"), F.col("__n").alias("nb")
     )
-    cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    cos = dot("va", "vb") / (F.col("na") * F.col("nb"))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", (F.round(cos, 6) + 0.0).alias("cosine"))
@@ -186,6 +202,35 @@ def _plane_component(plane: int, dim: Column) -> Column:
     h = F.md5(F.concat(F.lit(f"p{plane}|"), dim.cast("string")))
     nibble = F.conv(F.substring(h, 1, 1), 16, 10).cast("int")
     return F.when(nibble % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+
+
+def _dims_seq_s(vec_s: str) -> str:
+    """SQL-text twin of ``_dims_seq``."""
+    return (
+        f"CASE WHEN size({vec_s}) > 0 THEN sequence(0, size({vec_s}) - 1) "
+        f"ELSE CAST(array() AS ARRAY<INT>) END"
+    )
+
+
+def _hyperplane_signature_s(vec_s: str, planes: int) -> str:
+    """SQL-text twin of ``hyperplane_signature`` — identical md5-parity
+    plane components, fold order and sign rule, built in ONE parser call
+    instead of ~planes x 4 py4j lambda constructions (guide §4 applied
+    to plan construction; sqlexpr.py has the 20 ms -> 0.5 ms numbers)."""
+    dims = _dims_seq_s(vec_s)
+    bits = []
+    for p in range(planes):
+        comp = (
+            f"CASE WHEN CAST(conv(substring(md5(concat('p{p}|', "
+            f"CAST(i AS STRING))), 1, 1), 16, 10) AS INT) % 2 = 0 "
+            f"THEN 1.0D ELSE -1.0D END"
+        )
+        proj = (
+            f"aggregate(zip_with({vec_s}, transform({dims}, i -> {comp}), "
+            f"(x, r) -> x * r), 0.0D, (acc, x) -> acc + x)"
+        )
+        bits.append(f"CASE WHEN {proj} >= 0 THEN '1' ELSE '0' END")
+    return "concat(" + ", ".join(bits) + ")"
 
 
 def hyperplane_signature(vec: Column, planes: int = 16) -> Column:
@@ -308,7 +353,7 @@ def ivf_topk(
         .select(
             "query_id",
             "neighbor_id",
-            (dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias(
+            (dot("qv", "cv") / (F.col("qn") * F.col("cn"))).alias(
                 "cosine"
             ),
         )
@@ -381,12 +426,10 @@ def ivf_topk_exact(
             ),
             "neighbor_id",
         )
-        .select(
+        .selectExpr(
             "query_id",
             "neighbor_id",
-            (dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn"))).alias(
-                "cosine"
-            ),
+            f"{sqlx.dot_s('qv', 'nv')} / (qn * nn) AS cosine",
         )
     )
     wk = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
@@ -436,13 +479,13 @@ def ivf_topk_quantized(
     target = embeddings.sparkSession.sparkContext.defaultParallelism
     if embeddings.rdd.getNumPartitions() < target:
         embeddings = embeddings.repartition(target)
-    vecd = _as_double(F.col(vec_col))
+    vd = sqlx.as_double_s(sqlx.qcol(vec_col))
     # zero-norm vectors have no defined cosine: excluded from the index
     # outright, else their 0/0=NaN exact-refine score sorts ABOVE all
     # numbers under DESC and surfaces at rank 1 (the same hazard
     # semantic_dedup_pairs guards against)
-    vecs = embeddings.select(
-        F.col(id_col), vecd.alias("__v"), norm(vecd).alias("__n")
+    vecs = embeddings.selectExpr(
+        sqlx.qcol(id_col), f"{vd} AS __v", f"{sqlx.norm_s(vd)} AS __n"
     ).where(F.col("__n") > 0)
 
     # per-dim affine census -> ONE broadcast row: array<struct<vmin,scale>>
@@ -468,31 +511,22 @@ def ivf_topk_quantized(
         ).alias("__carr")
     )
 
-    def recon(vcol):
-        # code = clamp(floor((x - vmin)/scale + 0.5), 0, levels); recon =
-        # vmin + code*scale — floor is IEEE-exact, round()'s half rule isn't
-        return F.zip_with(
-            vcol,
-            F.col("__carr"),
-            lambda x, c: F.when(c["scale"] == 0.0, c["vmin"]).otherwise(
-                c["vmin"]
-                + F.least(
-                    F.lit(float(levels)),
-                    F.greatest(
-                        F.lit(0.0),
-                        F.floor(
-                            (x - c["vmin"]) / c["scale"] + F.lit(0.5)
-                        ).cast("double"),
-                    ),
-                )
-                * c["scale"]
-            ),
-        )
-
+    # code = clamp(floor((x - vmin)/scale + 0.5), 0, levels); recon =
+    # vmin + code*scale — floor is IEEE-exact, round()'s half rule isn't.
+    # One SQL-text parse instead of the ~15 py4j-built lambda nodes.
+    recon_s = (
+        f"zip_with(__v, __carr, (x, c) -> CASE WHEN c.scale = 0.0D "
+        f"THEN c.vmin ELSE c.vmin + least({sqlx.dlit(float(levels))}, "
+        f"greatest(0.0D, CAST(floor((x - c.vmin) / c.scale + 0.5D) AS DOUBLE)))"
+        f" * c.scale END)"
+    )
     rvecs = (
         vecs.crossJoin(F.broadcast(carr))
-        .select(id_col, "__v", "__n", recon(F.col("__v")).alias("__rv"))
-        .select(id_col, "__v", "__n", "__rv", norm(F.col("__rv")).alias("__rn"))
+        .selectExpr(sqlx.qcol(id_col), "__v", "__n", f"{recon_s} AS __rv")
+        .selectExpr(
+            sqlx.qcol(id_col), "__v", "__n", "__rv",
+            f"{sqlx.norm_s('__rv')} AS __rn",
+        )
     )
 
     # the census row feeds every corpus partition and rvecs feeds list
@@ -512,7 +546,7 @@ def ivf_topk_quantized(
     cvecs = rvecs.join(
         F.broadcast(cent), rvecs[id_col] == cent["centroid_id"]
     ).select("centroid_id", F.col("__v").alias("cv"), F.col("__n").alias("cn"))
-    ccos = dot(F.col("__v"), F.col("cv")) / (F.col("__n") * F.col("cn"))
+    ccos = dot("__v", "cv") / (F.col("__n") * F.col("cn"))
     w = Window.partitionBy(id_col).orderBy(F.desc("ccos"), F.asc("centroid_id"))
     ranked = (
         rvecs.crossJoin(F.broadcast(cvecs))
@@ -552,9 +586,9 @@ def ivf_topk_quantized(
         .select(
             "query_id",
             "neighbor_id",
-            F.try_divide(
-                dot(F.col("qv"), F.col("rv")), F.col("qn") * F.col("rn")
-            ).alias("qcos"),
+            F.try_divide(dot("qv", "rv"), F.col("qn") * F.col("rn")).alias(
+                "qcos"
+            ),
         )
     )
     wq = Window.partitionBy("query_id").orderBy(
@@ -577,12 +611,10 @@ def ivf_topk_quantized(
             ),
             "neighbor_id",
         )
-        .select(
+        .selectExpr(
             "query_id",
             "neighbor_id",
-            (dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn"))).alias(
-                "cosine"
-            ),
+            f"{sqlx.dot_s('qv', 'nv')} / (qn * nn) AS cosine",
         )
     )
     wk = Window.partitionBy("query_id").orderBy(
@@ -947,7 +979,7 @@ def cosine_pairs_bucketed(
         vecs = embeddings.join(cand_ids, id_col, "left_semi").select(
             F.col(id_col), vecd.alias("__v"), norm(vecd).alias("__n")
         ).where(F.col("__n") > 0)  # zero-norm: no defined cosine
-        cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+        cos = dot("va", "vb") / (F.col("na") * F.col("nb"))
         return (
             pairs.join(
                 vecs.select(
@@ -1003,7 +1035,7 @@ def cosine_pairs_bucketed(
     vecs = embeddings.join(cand_ids, id_col, "left_semi").select(
         F.col(id_col), vecd.alias("__v"), norm(vecd).alias("__n")
     ).where(F.col("__n") > 0)  # zero-norm: no defined cosine, never a neighbor
-    cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    cos = dot("va", "vb") / (F.col("na") * F.col("nb"))
     return (
         pairs.join(
             vecs.select(
@@ -1055,18 +1087,19 @@ def lsh_bucket_topk(
     target = embeddings.sparkSession.sparkContext.defaultParallelism
     if embeddings.rdd.getNumPartitions() < target:
         embeddings = embeddings.repartition(target)
-    vecd = _as_double(F.col(vec_col))
-    e = embeddings.select(
-        F.col(id_col).alias("neighbor_id"),
-        vecd.alias("cv"),
-        norm(vecd).alias("cn"),
-        hyperplane_signature(vecd, planes).alias("bucket"),
+    vd = sqlx.as_double_s(sqlx.qcol(vec_col))
+    sig = _hyperplane_signature_s(vd, planes)
+    e = embeddings.selectExpr(
+        f"{sqlx.qcol(id_col)} AS neighbor_id",
+        f"{vd} AS cv",
+        f"{sqlx.norm_s(vd)} AS cn",
+        f"{sig} AS bucket",
     ).where(F.col("cn") > 0)  # zero-norm: never a neighbor
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        vecd.alias("qv"),
-        norm(vecd).alias("qn"),
-        hyperplane_signature(vecd, planes).alias("__sig"),
+    q = queries.selectExpr(
+        f"{sqlx.qcol(id_col)} AS query_id",
+        f"{vd} AS qv",
+        f"{sqlx.norm_s(vd)} AS qn",
+        f"{sig} AS __sig",
     ).where(F.col("qn") > 0)  # zero-norm: no defined cosine
     if probes:
         def flip(s, i: int):
@@ -1085,12 +1118,10 @@ def lsh_bucket_topk(
     sim = (
         e.join(F.broadcast(q), on="bucket")
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .select(
+        .selectExpr(
             "query_id",
             "neighbor_id",
-            (dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias(
-                "cosine"
-            ),
+            f"{sqlx.dot_s('qv', 'cv')} / (qn * cn) AS cosine",
         )
         # a neighbor can collide through several probe buckets; cosine is
         # identical per pair, so dedup on the scored 3-column rows
@@ -1154,7 +1185,7 @@ def knn_label_eval(
             "true_label",
             F.col(id_col).alias("neighbor_id"),
             F.col(label_col).alias("nbr_label"),
-            (dot(F.col("__v"), F.col("qv")) / (F.col("__n") * F.col("qn"))).alias(
+            (dot("__v", "qv") / (F.col("__n") * F.col("qn"))).alias(
                 "cosine"
             ),
         )
@@ -1203,9 +1234,9 @@ def _ivf_structures(
     target = embeddings.sparkSession.sparkContext.defaultParallelism
     if embeddings.rdd.getNumPartitions() < target:
         embeddings = embeddings.repartition(target)
-    vecd = _as_double(F.col(vec_col))
-    vecs = embeddings.select(
-        F.col(id_col), vecd.alias("__v"), norm(vecd).alias("__n")
+    vd = sqlx.as_double_s(sqlx.qcol(vec_col))
+    vecs = embeddings.selectExpr(
+        sqlx.qcol(id_col), f"{vd} AS __v", f"{sqlx.norm_s(vd)} AS __n"
     ).where(F.col("__n") > 0)
     if cvecs is None:
         cent = (
@@ -1222,7 +1253,7 @@ def _ivf_structures(
         ).select(
             "centroid_id", F.col("__v").alias("cv"), F.col("__n").alias("cn")
         )
-    ccos = dot(F.col("__v"), F.col("cv")) / (F.col("__n") * F.col("cn"))
+    ccos = dot("__v", "cv") / (F.col("__n") * F.col("cn"))
     w = Window.partitionBy(id_col).orderBy(F.desc("ccos"), F.asc("centroid_id"))
     ranked = (
         vecs.crossJoin(F.broadcast(cvecs))
@@ -1389,7 +1420,7 @@ def append_ivf_index(
     vecs = embeddings.select(
         F.col(id_col), vecd.alias("__v"), norm(vecd).alias("__n")
     ).where(F.col("__n") > 0)
-    ccos = dot(F.col("__v"), F.col("cv")) / (F.col("__n") * F.col("cn"))
+    ccos = dot("__v", "cv") / (F.col("__n") * F.col("cn"))
     w = Window.partitionBy(id_col).orderBy(
         F.desc("ccos"), F.asc("centroid_id")
     )
@@ -1440,7 +1471,7 @@ def ivf_topk_stored(
     q = queries.select(
         F.col(id_col).alias("query_id"), qd.alias("qv"), norm(qd).alias("qn")
     ).where(F.col("qn") > 0)
-    ccos = dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+    ccos = dot("qv", "cv") / (F.col("qn") * F.col("cn"))
     wq = Window.partitionBy("query_id").orderBy(
         F.desc("ccos"), F.asc("centroid_id")
     )
@@ -1457,7 +1488,7 @@ def ivf_topk_stored(
         .select(
             "query_id",
             F.col(id_col).alias("neighbor_id"),
-            (dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("n"))).alias(
+            (dot("qv", "v") / (F.col("qn") * F.col("n"))).alias(
                 "cosine"
             ),
         )
@@ -1610,52 +1641,54 @@ def pq_topk(
     # python left-to-right sums mirror the engines' strict folds exactly
     rn2 = [[sum((x * x for x in c), 0.0) for c in cb] for cb in codebooks]
 
-    def code_expr(j):
-        sl = F.slice(F.col("__v"), j * sub + 1, sub)
-        darr = F.array(*[_sq_l2(sl, c) for c in codebooks[j]])
-        pairs = F.zip_with(
-            darr,
-            F.sequence(F.lit(0), F.lit(codebook_k - 1)),
-            lambda d, i: F.struct(d.alias("d"), i.alias("i")),
+    # SQL-text encode/lookup expressions: the codebook literals and the
+    # argmin fold were the single biggest plan-construction cost in the
+    # bench (m*codebook_k*sub F.lit calls + m*codebook_k fold lambdas
+    # ~ 4.5 s of py4j chatter per build); one parser call per column
+    # yields the identical tree (sqlexpr.py)
+    def code_expr_s(j: int) -> str:
+        sl = f"slice(__v, {j * sub + 1}, {sub})"
+        darr_s = (
+            "array("
+            + ",".join(sqlx.sq_l2_s(sl, c) for c in codebooks[j])
+            + ")"
         )
-        best = F.aggregate(
-            pairs,
-            F.struct(F.lit(float("inf")).alias("d"), F.lit(-1).alias("i")),
-            lambda acc, x: F.when(x["d"] < acc["d"], x).otherwise(acc),
+        pairs = (
+            f"zip_with({darr_s}, sequence(0, {codebook_k - 1}), "
+            f"(d, i) -> named_struct('d', d, 'i', i))"
         )
-        return best["i"]
+        best = (
+            f"aggregate({pairs}, named_struct('d', CAST('Infinity' AS "
+            f"DOUBLE), 'i', -1), (acc, x) -> IF(x.d < acc.d, x, acc))"
+        )
+        return f"({best}).i"
 
-    coded = vecs.select(
-        F.col(id_col),
-        *[code_expr(j).alias(f"code_{j}") for j in range(m)],
+    coded = vecs.selectExpr(
+        sqlx.qcol(id_col),
+        *[f"{code_expr_s(j)} AS code_{j}" for j in range(m)],
     )
-    q = vecs.where(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("query_id"),
-        F.col("__v").alias("qv"),
-        F.col("__n").alias("qn"),
-        *[
-            F.array(
-                *[
-                    dot(
-                        F.slice(F.col("__v"), j * sub + 1, sub),
-                        F.array(*[F.lit(x) for x in c]),
-                    )
-                    for c in codebooks[j]
-                ]
-            ).alias(f"dt_{j}")
-            for j in range(m)
-        ],
-    )
-    score = F.element_at(F.col("dt_0"), F.col("code_0") + 1)
-    rn2_e = F.element_at(
-        F.array(*[F.lit(x) for x in rn2[0]]), F.col("code_0") + 1
-    )
-    for j in range(1, m):
-        score = score + F.element_at(F.col(f"dt_{j}"), F.col(f"code_{j}") + 1)
-        rn2_e = rn2_e + F.element_at(
-            F.array(*[F.lit(x) for x in rn2[j]]), F.col(f"code_{j}") + 1
+
+    def dt_expr_s(j: int) -> str:
+        sl = f"slice(__v, {j * sub + 1}, {sub})"
+        return (
+            "array("
+            + ",".join(sqlx.dot_s(sl, sqlx.darr(c)) for c in codebooks[j])
+            + ")"
         )
-    adc = F.try_divide(score, F.col("qn") * F.sqrt(rn2_e))
+
+    q = vecs.where(F.col(id_col).isin(query_ids)).selectExpr(
+        f"{sqlx.qcol(id_col)} AS query_id",
+        "__v AS qv",
+        "__n AS qn",
+        *[f"{dt_expr_s(j)} AS dt_{j}" for j in range(m)],
+    )
+    score_s = " + ".join(
+        f"element_at(dt_{j}, code_{j} + 1)" for j in range(m)
+    )
+    rn2_s = " + ".join(
+        f"element_at({sqlx.darr(rn2[j])}, code_{j} + 1)" for j in range(m)
+    )
+    adc = F.expr(f"try_divide({score_s}, qn * sqrt({rn2_s}))")
     cand = (
         coded.crossJoin(F.broadcast(q))
         .where(F.col(id_col) != F.col("query_id"))
@@ -1683,7 +1716,7 @@ def pq_topk(
     ).select(
         "query_id",
         "neighbor_id",
-        (dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn"))).alias(
+        (dot("qv", "nv") / (F.col("qn") * F.col("nn"))).alias(
             "cosine"
         ),
     )
@@ -1758,7 +1791,7 @@ def knn_label_eval_ivf(
         .select(
             "query_id",
             "neighbor_id",
-            (dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn"))).alias(
+            (dot("qv", "nv") / (F.col("qn") * F.col("nn"))).alias(
                 "cosine"
             ),
         )
@@ -2134,7 +2167,7 @@ def append_ivfpq_index(
     vecs = embeddings.select(
         F.col(id_col), vecd.alias("__v"), norm(vecd).alias("__n")
     ).where(F.col("__n") > 0)
-    ccos = dot(F.col("__v"), F.col("cv")) / (F.col("__n") * F.col("cn"))
+    ccos = dot("__v", "cv") / (F.col("__n") * F.col("cn"))
     w = Window.partitionBy(id_col).orderBy(
         F.desc("ccos"), F.asc("centroid_id")
     )
@@ -2218,7 +2251,7 @@ def ivfpq_topk_stored(
     q = queries.select(
         F.col(id_col).alias("query_id"), qd.alias("qv"), norm(qd).alias("qn")
     ).where(F.col("qn") > 0)
-    ccos = dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+    ccos = dot("qv", "cv") / (F.col("qn") * F.col("cn"))
     wq = Window.partitionBy("query_id").orderBy(
         F.desc("ccos"), F.asc("centroid_id")
     )
@@ -2293,7 +2326,7 @@ def ivfpq_topk_stored(
     ).select(
         "query_id",
         "neighbor_id",
-        (dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn"))).alias(
+        (dot("qv", "nv") / (F.col("qn") * F.col("nn"))).alias(
             "cosine"
         ),
     )
@@ -2367,31 +2400,32 @@ def rp_project(
     import math
 
     inv = 1.0 / math.sqrt(float(out_dim))
-    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    # SQL-text projection columns: the literal sign arrays + fold
+    # lambdas cost ~50 ms of py4j chatter PER OUTPUT DIM via the Column
+    # API (out_dim x dim F.lit calls); one parse per column is <1 ms
+    # and yields the identical tree (sqlexpr.py)
+    vec_s = sqlx.as_double_s(sqlx.qcol(vec_col))
     cols = []
     for j in range(out_dim):
         if dim is not None:
             # constant-folded literal sign vector (the
             # dedup_embedding_stream trick): zero per-row md5 work —
             # pass ``dim`` whenever the embedding width is known
-            signs = F.array(
-                *[F.lit(_rp_sign_value(j, i)) for i in range(dim)]
-            )
+            signs_s = sqlx.darr(_rp_sign_value(j, i) for i in range(dim))
         else:
-            # single-arg lambda: a 2-arg transform lambda would receive
-            # (element, index) and silently shadow the captured j;
-            # capture is safe because PySpark builds the expression
-            # eagerly here
-            signs = F.transform(_dims_seq(vec), lambda i: _rp_sign(j, i))
-        proj = F.aggregate(
-            F.zip_with(vec, signs, lambda x, s: x * s),
-            F.lit(0.0),
-            lambda a, x: a + x,
-        )
+            signs_s = (
+                f"transform({_dims_seq_s(vec_s)}, i -> CASE WHEN "
+                f"CAST(conv(substring(md5(concat('rp{j}|', "
+                f"CAST(i AS STRING))), 1, 1), 16, 10) AS INT) % 2 = 0 "
+                f"THEN 1.0D ELSE -1.0D END)"
+            )
+        proj_s = sqlx.dot_s(vec_s, signs_s)
         cols.append(
-            (F.round(proj * F.lit(inv), 6) + F.lit(0.0)).alias(f"rp_{j}")
+            f"round({proj_s} * {sqlx.dlit(inv)}, 6) + 0.0D AS rp_{j}"
         )
-    return df.select(F.col(id_col), *[F.col(c) for c in keep_cols], *cols)
+    return df.selectExpr(
+        sqlx.qcol(id_col), *[sqlx.qcol(c) for c in keep_cols], *cols
+    )
 
 
 def rp_topk(
@@ -2431,9 +2465,9 @@ def rp_topk(
     # 0.3 s this way — and the candidate join would then recompute the
     # folds per candidate pair on both sides.
     proj = materialize(rp_project(embeddings, id_col, vec_col, out_dim, dim=dim))
-    pv = F.array(*[F.col(f"rp_{j}") for j in range(out_dim)])
-    pvec = proj.select(
-        F.col(id_col), pv.alias("__pv"), norm(pv).alias("__pn")
+    pv_s = "array(" + ",".join(f"rp_{j}" for j in range(out_dim)) + ")"
+    pvec = proj.selectExpr(
+        sqlx.qcol(id_col), f"{pv_s} AS __pv", f"{sqlx.norm_s(pv_s)} AS __pn"
     ).where(F.col("__pn") > 0)
     q = pvec.where(F.col(id_col).isin(ids)).select(
         F.col(id_col).alias("query_id"),
@@ -2445,7 +2479,7 @@ def rp_topk(
         F.col(id_col).alias("neighbor_id"),
         (
             F.round(
-                dot(F.col("__pv"), F.col("qpv"))
+                dot("__pv", "qpv")
                 / (F.col("__pn") * F.col("qpn")),
                 6,
             )
@@ -2458,9 +2492,9 @@ def rp_topk(
     cut = cand.withColumn("rp_rank", F.row_number().over(w)).where(
         F.col("rp_rank") <= rerank
     )
-    vecd = _as_double(F.col(vec_col))
-    full = embeddings.select(
-        F.col(id_col), vecd.alias("__v"), norm(vecd).alias("__n")
+    vd = sqlx.as_double_s(sqlx.qcol(vec_col))
+    full = embeddings.selectExpr(
+        sqlx.qcol(id_col), f"{vd} AS __v", f"{sqlx.norm_s(vd)} AS __n"
     ).where(F.col("__n") > 0)
     qf = full.where(F.col(id_col).isin(ids)).select(
         F.col(id_col).alias("query_id"),
@@ -2475,7 +2509,7 @@ def rp_topk(
             "neighbor_id",
             (
                 F.round(
-                    dot(F.col("__v"), F.col("qv"))
+                    dot("__v", "qv")
                     / (F.col("__n") * F.col("qn")),
                     6,
                 )
@@ -2626,7 +2660,7 @@ def rp_topk_stored(
         F.col("id").alias("neighbor_id"),
         (
             F.round(
-                dot(F.col("pv"), F.col("qpv"))
+                dot("pv", "qpv")
                 / (F.col("pn") * F.col("qpn")),
                 6,
             )
@@ -2653,7 +2687,7 @@ def rp_topk_stored(
             "neighbor_id",
             (
                 F.round(
-                    dot(F.col("v"), F.col("qv"))
+                    dot("v", "qv")
                     / (F.col("n") * F.col("qn")),
                     6,
                 )
