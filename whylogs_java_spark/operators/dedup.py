@@ -914,23 +914,33 @@ def resolve_clusters(
     )
     labels = touched.select("id", F.col("id").alias("label"))
     rounds = 0
-    for _ in range(max_iters):
-        rounds += 1
-        nb = (
-            labels.join(edges, labels["id"] == edges["src"])
-            .groupBy("dst")
-            .agg(F.min("label").alias("nb_label"))
-            .withColumnRenamed("dst", "id")
-        )
-        new = (
-            labels.withColumnRenamed("label", "old")
-            .join(nb, on="id", how="left")
-            .select(
+    # TWO propagation steps per materialize + convergence count: labels
+    # are monotonically non-increasing, so comparing against the batch-
+    # start label detects a change made by either step — the fixpoint
+    # and the output are identical, but the driver pays half the
+    # checkpoint jobs and half the count jobs (the per-round action
+    # cost, not the shuffle volume, dominates these loops — guide §5).
+    # Worst case runs one propagation step past convergence, which is a
+    # no-op by idempotence.
+    while rounds < max_iters:
+        steps = min(2, max_iters - rounds)
+        cur = labels.select("id", "label", F.col("label").alias("old"))
+        for _ in range(steps):
+            rounds += 1
+            nb = (
+                cur.join(edges, cur["id"] == edges["src"])
+                .groupBy("dst")
+                .agg(F.min("label").alias("nb_label"))
+                .withColumnRenamed("dst", "id")
+            )
+            cur = cur.join(nb, on="id", how="left").select(
                 "id",
-                F.least(F.col("old"), F.coalesce("nb_label", "old")).alias("label"),
+                F.least(F.col("label"), F.coalesce("nb_label", "label")).alias(
+                    "label"
+                ),
                 "old",
             )
-        ).transform(_materialize)
+        new = cur.transform(_materialize)
         changed = new.where(F.col("label") != F.col("old")).count()
         labels = new.drop("old")
         if changed == 0:
