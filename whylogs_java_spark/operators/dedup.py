@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from ..ckpt import literal_df
 from ..ckpt import materialize as _materialize
 from ..functions.hof import let_bound
+from ..functions.sqlexpr import qcol
 
 
 def content_key(col: Column) -> Column:
@@ -760,6 +761,10 @@ def simhash(
     md5 reproduces the fingerprints exactly — the DuckDB oracle tier).
     Output: (id, simhash_bits array<int>, simhash_hex).
     """
+    # expressions emitted as SQL text: the 64 conditional-sum aggregates
+    # + nibble parses + hex rendering cost ~1 s of py4j chatter per
+    # build via the Column API; identical trees, one parse each
+    # (functions/sqlexpr.py)
     toks = _spread(df.select(id_col, text_col)).select(
         F.col(id_col), F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("tok")
     ).where(F.col("tok") != "")
@@ -767,51 +772,52 @@ def simhash(
         # parse each hex nibble ONCE in the pre-aggregation projection
         # (bits/4 convs per token) instead of once per BIT inside the 64
         # sum expressions (bits convs per token — 4x the parse work)
-        toks = toks.select(
-            id_col,
+        toks = toks.selectExpr(
+            qcol(id_col),
             *[
-                F.conv(F.substring(F.md5("tok"), 1 + i, 1), 16, 10)
-                .cast("int")
-                .alias(f"__nib{i}")
+                f"CAST(conv(substring(md5(tok), {1 + i}, 1), 16, 10) "
+                f"AS INT) AS __nib{i}"
                 for i in range(bits // 4)
             ],
         )
-
-        def bit_of(b: int) -> Column:
-            return F.shiftright(F.col(f"__nib{b // 4}"), b % 4).bitwiseAND(
-                F.lit(1)
-            )
-
         aggs = [
-            F.sum(F.when(bit_of(b) == 1, 1).otherwise(-1)).alias(f"b{b}")
+            F.expr(
+                f"sum(CASE WHEN (shiftright(__nib{b // 4}, {b % 4}) & 1) = 1 "
+                f"THEN 1 ELSE -1 END)"
+            ).alias(f"b{b}")
             for b in range(bits)
         ]
     else:
-        h = F.xxhash64("tok")
         aggs = [
-            F.sum(
-                F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            F.expr(
+                f"sum(CASE WHEN (shiftright(xxhash64(tok), {b}) & 1) = 1 "
+                f"THEN 1 ELSE -1 END)"
             ).alias(f"b{b}")
             for b in range(bits)
         ]
     sums = toks.groupBy(id_col).agg(*aggs)
-    bits_arr = F.array(
-        *[F.when(F.col(f"b{b}") > 0, 1).otherwise(0) for b in range(bits)]
+    bits_arr_s = (
+        "array("
+        + ",".join(
+            f"CASE WHEN b{b} > 0 THEN 1 ELSE 0 END" for b in range(bits)
+        )
+        + ")"
     )
-    out = sums.select(F.col(id_col), bits_arr.alias("simhash_bits"))
+    out = sums.selectExpr(qcol(id_col), f"{bits_arr_s} AS simhash_bits")
     # hex: 4 bits per nibble, most-significant bit first
     nibbles = [
-        F.conv(
-            F.concat(
-                *[F.col("simhash_bits").getItem(bits - 1 - (i * 4 + j)).cast("string") for j in range(4)]
-            ),
-            2,
-            16,
+        "conv(concat("
+        + ",".join(
+            f"CAST(simhash_bits[{bits - 1 - (i * 4 + j)}] AS STRING)"
+            for j in range(4)
         )
+        + "), 2, 16)"
         for i in range(bits // 4)
     ]
-    sig = out.select(
-        id_col, "simhash_bits", F.lower(F.concat(*nibbles)).alias("simhash_hex")
+    sig = out.selectExpr(
+        qcol(id_col),
+        "simhash_bits",
+        "lower(concat(" + ",".join(nibbles) + ")) AS simhash_hex",
     )
     zero_bits = F.array(*[F.lit(0) for _ in range(bits)])
     return (
@@ -1625,35 +1631,54 @@ def build_minhash_store(
         hash_family=hash_family, bands=bands,
     )
     bands_df = lsh_band_signatures(sig, id_col, num_hashes, bands)
-    (
-        bands_df.select(
-            F.col(id_col).alias("id"),
-            F.col("band"),
-            F.pmod(F.xxhash64("band_sig"), F.lit(n_buckets)).alias("bucket"),
-            F.col("band_sig"),
+
+    def _write_bands():
+        (
+            bands_df.select(
+                F.col(id_col).alias("id"),
+                F.col("band"),
+                F.pmod(F.xxhash64("band_sig"), F.lit(n_buckets)).alias(
+                    "bucket"
+                ),
+                F.col("band_sig"),
+            )
+            # cluster by the write-partition keys: one task/file per
+            # (band, bucket) dir instead of a sliver from every shuffle
+            # partition (the postings-write lesson, retrieval.py)
+            .repartition(F.col("band"), F.col("bucket"))
+            .write.mode("overwrite")
+            .partitionBy("band", "bucket")
+            .parquet(f"{path}/bands")
         )
-        # cluster by the write-partition keys: one task/file per
-        # (band, bucket) dir instead of a sliver from every shuffle
-        # partition (the postings-write lesson, retrieval.py)
-        .repartition(F.col("band"), F.col("bucket"))
-        .write.mode("overwrite")
-        .partitionBy("band", "bucket")
-        .parquet(f"{path}/bands")
-    )
-    sh = _shingler(shingle_size, char_ngrams)
-    shset = F.array_distinct(sh(F.col(text_col)))
-    (
-        df.select(
-            F.col(id_col).alias("id"),
-            F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_buckets)).alias("sbucket"),
-            shset.alias("shset"),
-            F.size(shset).cast("long").alias("size"),
+
+    def _write_shingles():
+        sh = _shingler(shingle_size, char_ngrams)
+        shset = F.array_distinct(sh(F.col(text_col)))
+        (
+            df.select(
+                F.col(id_col).alias("id"),
+                F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_buckets)).alias(
+                    "sbucket"
+                ),
+                shset.alias("shset"),
+                F.size(shset).cast("long").alias("size"),
+            )
+            .repartition(F.col("sbucket"))
+            .write.mode("overwrite")
+            .partitionBy("sbucket")
+            .parquet(f"{path}/shingles")
         )
-        .repartition(F.col("sbucket"))
-        .write.mode("overwrite")
-        .partitionBy("sbucket")
-        .parquet(f"{path}/shingles")
-    )
+
+    # the two table writes are independent jobs: overlap them so the
+    # second write's tasks back-fill the first one's straggler tail
+    # (optimization guide §2.6); FIFO scheduling preserves the
+    # back-fill shape, and parquet commits go to different directories
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        futs = [pool.submit(_write_bands), pool.submit(_write_shingles)]
+        for f in futs:
+            f.result()
     meta = literal_df(
         df.sparkSession,
         [

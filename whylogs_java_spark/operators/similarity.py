@@ -1879,9 +1879,44 @@ def ann_recall_report(
     """
     ids = list(query_ids)
     qdf = embeddings.where(F.col(id_col).isin(ids))
-    # the exact table feeds one join per tier: materialize its
-    # O(|queries| * k) rows once
-    exact = materialize(cosine_topk(embeddings, qdf, id_col, vec_col, k))
+    # the six tier builds are independent until the metric joins, and
+    # several run EAGER driver actions during construction (the exact
+    # side's checkpoint, pq/ivf_int8 materializes, sample collects):
+    # construct them from a small thread pool so those jobs overlap and
+    # back-fill each other's straggler tails (optimization guide §2.6)
+    # instead of running strictly one after another
+    from concurrent.futures import ThreadPoolExecutor
+
+    builders = {
+        "__exact": lambda: materialize(
+            cosine_topk(embeddings, qdf, id_col, vec_col, k)
+        ),
+        "ivf_int8": lambda: ivf_topk_quantized(
+            embeddings, ids, k=k, n_centroids=n_centroids, nprobe=nprobe,
+            rerank=rerank, id_col=id_col, vec_col=vec_col,
+        ),
+        "ivf_md5": lambda: ivf_topk_exact(
+            embeddings, ids, k=k, n_centroids=n_centroids, nprobe=nprobe,
+            id_col=id_col, vec_col=vec_col,
+        ),
+        "lsh": lambda: lsh_bucket_topk(
+            embeddings, qdf, id_col=id_col, vec_col=vec_col, k=k,
+            planes=planes, probes=probes,
+        ),
+        "pq": lambda: pq_topk(
+            embeddings, ids, k=k, m=pq_m, codebook_k=pq_codebook_k,
+            rerank=rerank, id_col=id_col, vec_col=vec_col,
+        ),
+        "rp": lambda: rp_topk(
+            embeddings, ids, k=k, out_dim=rp_out_dim, rerank=rerank,
+            id_col=id_col, vec_col=vec_col, dim=rp_dim,
+        ),
+    }
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        futs = {name: pool.submit(fn) for name, fn in builders.items()}
+        built = {name: f.result() for name, f in futs.items()}
+    exact = built.pop("__exact")
+    tiers = built
     ex = exact.select(
         "query_id", "neighbor_id", F.col("rank").alias("rank_e")
     )
@@ -1889,28 +1924,6 @@ def ann_recall_report(
         F.count_distinct("query_id").cast("long").alias("n_queries"),
         F.count(F.lit(1)).cast("long").alias("n_exact"),
     )
-    tiers = {
-        "ivf_int8": ivf_topk_quantized(
-            embeddings, ids, k=k, n_centroids=n_centroids, nprobe=nprobe,
-            rerank=rerank, id_col=id_col, vec_col=vec_col,
-        ),
-        "ivf_md5": ivf_topk_exact(
-            embeddings, ids, k=k, n_centroids=n_centroids, nprobe=nprobe,
-            id_col=id_col, vec_col=vec_col,
-        ),
-        "lsh": lsh_bucket_topk(
-            embeddings, qdf, id_col=id_col, vec_col=vec_col, k=k,
-            planes=planes, probes=probes,
-        ),
-        "pq": pq_topk(
-            embeddings, ids, k=k, m=pq_m, codebook_k=pq_codebook_k,
-            rerank=rerank, id_col=id_col, vec_col=vec_col,
-        ),
-        "rp": rp_topk(
-            embeddings, ids, k=k, out_dim=rp_out_dim, rerank=rerank,
-            id_col=id_col, vec_col=vec_col, dim=rp_dim,
-        ),
-    }
     return _recall_rows(ex, ex_stats, tiers, k)
 
 
