@@ -459,6 +459,13 @@ class BigramLM(NamedTuple):
     bigram_counts: DataFrame   # (prev, w, __cb) — exact top-B
     vocab_size: int
     alpha: float
+    # the FULL mapped-bigram census the two count tables derive from
+    # (≤ (V+1)² rows, checkpointed). Kept so downstream builders that
+    # need the same census (the KN trigram tier's unigram-continuation
+    # counts) reuse it instead of re-running the corpus pass; None when
+    # the LM was reconstructed from a store (stores persist only the
+    # bounded count tables).
+    bigram_type_counts: DataFrame | None = None
 
 
 def _lm_toks(c: Column) -> Column:
@@ -550,7 +557,10 @@ def build_bigram_lm(
     bigram_counts = bc_full.orderBy(
         F.desc("__cb"), F.asc("prev"), F.asc("w")
     ).limit(top_bigrams)
-    return BigramLM(vocab, prefix_counts, bigram_counts, vocab_size, alpha)
+    return BigramLM(
+        vocab, prefix_counts, bigram_counts, vocab_size, alpha,
+        bigram_type_counts=bc_full,
+    )
 
 
 def lm_score_with(
@@ -734,20 +744,33 @@ def build_trigram_lm(
         F.explode(_lm_toks(F.col(text_col))).alias("t0")
     )
     uv = bi.vocab.select(F.col("tok").alias("__uv"))
-    ug = (
-        toks.join(F.broadcast(uv), toks["t0"] == F.col("__uv"), "left")
-        .select(F.coalesce("__uv", F.lit("<unk>")).alias("w"))
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("__cu"))
-        .transform(materialize)
-    )
-    total = ug.agg(F.sum("__cu")).collect()[0][0] or 0
-    tc_full = (
-        _trigram_rows(_spread(src), text_col, bi.vocab, id_col=None)
-        .groupBy("prev2", "prev", "w")
-        .agg(F.count(F.lit(1)).alias("__ct"))
-        .transform(materialize)
-    )
+
+    # the unigram and trigram censuses are independent given the vocab:
+    # build them from two threads so their materialization jobs overlap
+    # (optimization guide §2.6) instead of running back to back
+    def _build_ug():
+        ug = (
+            toks.join(F.broadcast(uv), toks["t0"] == F.col("__uv"), "left")
+            .select(F.coalesce("__uv", F.lit("<unk>")).alias("w"))
+            .groupBy("w")
+            .agg(F.count(F.lit(1)).alias("__cu"))
+            .transform(materialize)
+        )
+        return ug, ug.agg(F.sum("__cu")).collect()[0][0] or 0
+
+    def _build_tc():
+        return (
+            _trigram_rows(_spread(src), text_col, bi.vocab, id_col=None)
+            .groupBy("prev2", "prev", "w")
+            .agg(F.count(F.lit(1)).alias("__ct"))
+            .transform(materialize)
+        )
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_ug, f_tc = pool.submit(_build_ug), pool.submit(_build_tc)
+        (ug, total), tc_full = f_ug.result(), f_tc.result()
     tcounts = tc_full.orderBy(
         F.desc("__ct"), F.asc("prev2"), F.asc("prev"), F.asc("w")
     ).limit(top_trigrams)
@@ -778,12 +801,19 @@ def build_trigram_lm(
     mid = cont.groupBy("prev").agg(
         F.sum("__npw").alias("__nmid"), F.count(F.lit(1)).alias("__tv")
     )
-    bg_types = (
-        _bigram_rows(_spread(src), text_col, bi.vocab, id_col=None)
-        .groupBy("prev", "w")
-        .agg(F.count(F.lit(1)).alias("__cb"))
-        .transform(materialize)
-    )
+    # the bigram-TYPE census is the exact aggregate build_bigram_lm
+    # already materialized as bc_full (same grouping, same __cb): reuse
+    # it instead of re-running the corpus pass (one full scan + shuffle
+    # + checkpoint removed from every KN build). The store path, which
+    # has no census, recomputes it as before.
+    bg_types = bi.bigram_type_counts
+    if bg_types is None:
+        bg_types = (
+            _bigram_rows(_spread(src), text_col, bi.vocab, id_col=None)
+            .groupBy("prev", "w")
+            .agg(F.count(F.lit(1)).alias("__cb"))
+            .transform(materialize)
+        )
     kn_uni = bg_types.groupBy("w").agg(F.count(F.lit(1)).alias("__n1w"))
     n11 = bg_types.count()
     return TrigramLM(
