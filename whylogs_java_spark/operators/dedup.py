@@ -920,19 +920,23 @@ def resolve_clusters(
     )
     labels = touched.select("id", F.col("id").alias("label"))
     rounds = 0
-    # TWO propagation steps per materialize + convergence count: labels
-    # are monotonically non-increasing, so comparing against the batch-
-    # start label detects a change made by either step — the fixpoint
-    # and the output are identical, but the driver pays half the
-    # checkpoint jobs and half the count jobs (the per-round action
-    # cost, not the shuffle volume, dominates these loops — guide §5).
-    # Worst case runs one propagation step past convergence, which is a
-    # no-op by idempotence.
+    # TWO propagation steps per materialize + ONE convergence count:
+    # propagation is deterministic and idempotent at the fixpoint, so
+    # "the second step changed nothing" proves convergence — the batch
+    # count compares step 2 against step 1 (column __mid), which exits
+    # after a single batch on the typical small-clique dup graph
+    # (diameter 2-3). Fixpoint and output are identical to the
+    # round-per-count loop, but the driver pays roughly half the
+    # checkpoint + count jobs (per-round ACTION cost, not shuffle
+    # volume, dominates these loops at any scale — guide §5).
     while rounds < max_iters:
         steps = min(2, max_iters - rounds)
-        cur = labels.select("id", "label", F.col("label").alias("old"))
+        cur = labels.select("id", "label", F.col("label").alias("__mid"))
         for _ in range(steps):
             rounds += 1
+            # __mid trails the label by exactly one step: after the
+            # loop it holds the second-to-last step's labels
+            cur = cur.select("id", "label", F.col("label").alias("__mid"))
             nb = (
                 cur.join(edges, cur["id"] == edges["src"])
                 .groupBy("dst")
@@ -944,11 +948,11 @@ def resolve_clusters(
                 F.least(F.col("label"), F.coalesce("nb_label", "label")).alias(
                     "label"
                 ),
-                "old",
+                "__mid",
             )
         new = cur.transform(_materialize)
-        changed = new.where(F.col("label") != F.col("old")).count()
-        labels = new.drop("old")
+        changed = new.where(F.col("label") != F.col("__mid")).count()
+        labels = new.drop("__mid")
         if changed == 0:
             break
     if stats is not None:
