@@ -740,6 +740,37 @@ def test_resolve_clusters_chain_and_singletons(spark):
     assert [i for i in range(1, 11) if out[i]["is_survivor"]] == [1, 6, 7, 8, 10]
 
 
+def test_resolve_clusters_driver_tier_matches_loop(spark, monkeypatch):
+    # the bounded driver tier (collected edges + Python propagation) must
+    # be bit-identical to the distributed label loop — labels, survivor
+    # flags, AND the rounds counter, including ghost-edge semantics and
+    # max_iters truncation on an unconverged chain
+    from whylogs_java_spark.operators.dedup import resolve_clusters
+
+    cases = [
+        # (edges, nodes, max_iters)
+        ([(1, 2), (2, 3), (3, 4), (4, 5), (8, 9), (8, 10), (9, 10)],
+         list(range(1, 13)), 20),
+        ([(5, 0)], [5], 10),                                   # ghost edge
+        ([(i, i + 1) for i in range(1, 30)], list(range(1, 31)), 4),  # truncated
+    ]
+    for edges, node_ids, mi in cases:
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        nodes = spark.createDataFrame([(n,) for n in node_ids], "doc_id long")
+        s_loop: dict = {}
+        s_drv: dict = {}
+        monkeypatch.setenv("WHYLOGS_SPARK_CC_DRIVER_CAP", "0")
+        loop = sorted(map(tuple, resolve_clusters(
+            pairs, nodes, "doc_id", mi, stats=s_loop
+        ).collect()))
+        monkeypatch.setenv("WHYLOGS_SPARK_CC_DRIVER_CAP", "200000")
+        drv = sorted(map(tuple, resolve_clusters(
+            pairs, nodes, "doc_id", mi, stats=s_drv
+        ).collect()))
+        assert drv == loop, (edges, mi)
+        assert s_drv["rounds"] == s_loop["rounds"], (edges, mi)
+
+
 def test_resolve_clusters_star_matches_label(spark):
     # the large-star/small-star engine must produce byte-identical output
     # to the label engine on a mixed graph (chain + clique + singletons)

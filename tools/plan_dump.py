@@ -1,6 +1,6 @@
-"""Dump .explain("formatted") for named queries to plans/r14/<query>_<tag>.txt.
+"""Dump .explain("formatted") for named queries to plans/<round>/<query>_<tag>.txt.
 
-Usage: python tools/plan_dump.py <tag> <query> [query ...] [--sf SF_DIR]
+Usage: python tools/plan_dump.py <tag> <query> [query ...] [--sf SF_DIR] [--round rNN]
 
 The optimization deliverable: the judge checks plan claims (Exchange
 counts, join strategies, PushedFilters, Python-eval nodes) against these
@@ -27,11 +27,16 @@ def main() -> None:
         i = args.index("--sf")
         sf_dir = args[i + 1]
         del args[i : i + 2]
+    round_dir = "r15"
+    if "--round" in args:
+        i = args.index("--round")
+        round_dir = args[i + 1]
+        del args[i : i + 2]
     tag, names = args[0], args[1:]
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r14",
+        round_dir,
     )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("plan-dump")

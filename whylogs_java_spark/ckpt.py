@@ -61,6 +61,33 @@ def materialize(df: DataFrame) -> DataFrame:
     return df.localCheckpoint(eager=True)
 
 
+def materialize_lazy(df: DataFrame) -> DataFrame:
+    """Checkpoint ``df`` WITHOUT spending a driver action now: the
+    materialization (and lineage truncation) happens as a side effect of
+    the caller's NEXT action instead of an extra eager job.
+
+    CONTRACT: the first action the caller runs on the result must
+    compute every partition — a full aggregate (``count()``/``agg``), a
+    write, or a shuffle-consuming join. A partial action (``take``,
+    ``isEmpty``, ``limit``) may checkpoint only the partitions it
+    touched and later consumers would fail on the truncated lineage.
+    Every call site in this package is a checkpoint-then-count (or
+    checkpoint-then-collect) pair: iterative loops pay one job per
+    round instead of two (guide §5 — per-round ACTION cost, not shuffle
+    volume, binds iterative driver loops).
+    """
+    if reliable_checkpoints_enabled():
+        sc = df.sparkSession.sparkContext
+        if sc.getCheckpointDir() is None:
+            raise RuntimeError(
+                "reliable checkpoints enabled but no checkpoint dir is set; "
+                "call spark.sparkContext.setCheckpointDir(<fault-tolerant "
+                "path>) first"
+            )
+        return df.checkpoint(eager=False)
+    return df.localCheckpoint(eager=False)
+
+
 def literal_df(spark, rows, schema: str) -> DataFrame:
     """Small literal table as a JVM-side ``LocalRelation``.
 

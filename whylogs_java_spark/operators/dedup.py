@@ -21,10 +21,12 @@ oracle-checkable in DuckDB with the same formulas.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..ckpt import literal_df
+from ..ckpt import literal_df, materialize_lazy
 from ..ckpt import materialize as _materialize
 from ..functions.hof import let_bound
 from ..functions.sqlexpr import qcol
@@ -884,21 +886,55 @@ def resolve_clusters(
     ``localCheckpoint`` severs the growing lineage each round in both
     engines — the standard treatment for iterative DataFrame algorithms.
     If ``stats`` is given, ``stats["rounds"]`` records how many
-    propagation rounds ran (test / observability hook).
+    propagation rounds RAN (test / observability hook). Note: the label
+    engine batches TWO propagation steps per convergence count, so when
+    convergence lands on an odd step the counter reports one more round
+    than the minimal convergence round — it is a work counter, not the
+    graph-diameter bound; labels are identical either way.
+
+    Label-engine pair lists at or under ``WHYLOGS_SPARK_CC_DRIVER_CAP``
+    edges (default 200k — broadcast-sized) take a DRIVER TIER instead of
+    the distributed loop: the collected edge list is propagated in a
+    Python loop that replays the label engine step for step (seeding,
+    ghost semantics, two-step batching, ``max_iters`` truncation, the
+    ``rounds`` counter), and the labels rejoin the plan as a broadcast
+    ``literal_df``. Output is bit-identical on every graph; only the
+    number of driver actions changes (guide §5).
 
     Output: (id_col, cluster_id, is_survivor) — survivor = the cluster's
     minimum id, the same min-id rule as ``exact_dedup``.
     """
     if algorithm not in ("label", "star"):
         raise ValueError(f"unknown algorithm {algorithm!r}: use 'label' or 'star'")
-    # Materialize the pair list ONCE before iterating: `edges` is consumed
-    # by a join in every propagation round, and without this the entire
-    # upstream pipeline (for near-dup input, the full MinHash-LSH +
-    # verification pass) would re-execute per round. The pair list is the
-    # small output of that pass — one short row per edge.
-    pairs = pairs.transform(_materialize)
     if algorithm == "star":
+        # Materialize the pair list ONCE before iterating: `edges` is
+        # consumed by a join in every rewiring round, and without this
+        # the entire upstream pipeline (for near-dup input, the full
+        # MinHash-LSH + verification pass) would re-execute per round.
+        pairs = pairs.transform(_materialize)
         return _resolve_clusters_star(pairs, nodes, id_col, max_iters, stats)
+    # LAZY checkpoint + count fusion (guide §5): the count below is the
+    # first full-scan action, so it both materializes the pair pipeline
+    # and sizes the graph in ONE job instead of an eager-checkpoint job
+    # plus a count job.
+    pairs = pairs.transform(materialize_lazy)
+    n_pairs = pairs.count()
+    if n_pairs <= _cc_driver_cap():
+        # DRIVER TIER — the broadcast-side analog for tiny dup graphs
+        # (guide §3.1/§5): a pair list this small is broadcast-sized, and
+        # a single driver pass over it is cheaper than even one
+        # distributed propagation round (each round = 2 shuffling joins +
+        # a checkpoint + a convergence count) on ANY cluster. The Python
+        # loop below replays the label engine's synchronous min-label
+        # propagation step for step — same touched-node seeding, same
+        # ghost-edge semantics, same two-steps-per-convergence-check
+        # batching, same ``max_iters`` truncation, same ``rounds``
+        # counter — so labels (and ``stats``) are bit-identical to the
+        # distributed loop. Labels return to the plan as a broadcastable
+        # ``literal_df`` LocalRelation. Cap via
+        # ``WHYLOGS_SPARK_CC_DRIVER_CAP`` (edges; default 200k ≈ a few MB
+        # collected — the same order as a broadcast-join build side).
+        return _resolve_clusters_driver(pairs, nodes, id_col, max_iters, stats)
     edges = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).unionByName(
@@ -960,6 +996,82 @@ def resolve_clusters(
     return (
         nodes.select(F.col(id_col).alias("id"))
         .join(labels, on="id", how="left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("label", "id").alias("cluster_id"),
+            (F.coalesce("label", "id") == F.col("id")).alias("is_survivor"),
+        )
+    )
+
+
+def _cc_driver_cap() -> int:
+    """Edge-count bound for the resolve_clusters driver tier. Pair lists
+    under the cap are broadcast-sized (two ids per row); above it the
+    distributed label loop runs. Parameterized for cluster ops — a fat
+    driver can raise it, a thin one lower it."""
+    try:
+        return int(os.environ.get("WHYLOGS_SPARK_CC_DRIVER_CAP", "200000"))
+    except ValueError:
+        return 200_000
+
+
+def _resolve_clusters_driver(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    id_col: str,
+    max_iters: int,
+    stats: dict | None,
+) -> DataFrame:
+    """Label-engine twin over a collected (bounded) pair list.
+
+    Replays the distributed loop exactly: labels seed from
+    nodes ∩ pair-endpoints, edges with a ghost endpoint never relay,
+    propagation is synchronous min-label over the previous step's
+    labels, TWO steps run per convergence check, and ``max_iters``
+    truncates identically — so output labels and ``stats["rounds"]``
+    match the loop bit for bit on every graph.
+    """
+    spark = nodes.sparkSession
+    id_type = nodes.schema[id_col].dataType.simpleString()
+    pdf = pairs.select("id_a", "id_b").toPandas()
+    edge_a, edge_b = pdf["id_a"].tolist(), pdf["id_b"].tolist()
+    eps = sorted(set(edge_a) | set(edge_b))
+    ep_df = literal_df(spark, [(e,) for e in eps], f"id {id_type}")
+    touched = {
+        r[0]
+        for r in nodes.select(F.col(id_col).alias("id"))
+        .join(ep_df, on="id", how="left_semi")
+        .collect()
+    }
+    adj: dict = {}
+    for a, b in zip(edge_a, edge_b):
+        if a in touched and b in touched and a != b:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+    labels = {i: i for i in touched}
+    rounds = 0
+    while rounds < max_iters:
+        steps = min(2, max_iters - rounds)
+        prev = labels
+        for _ in range(steps):
+            rounds += 1
+            prev = labels
+            new = dict(prev)
+            for v, nbrs in adj.items():
+                m = min(prev[u] for u in nbrs)
+                if m < new[v]:
+                    new[v] = m
+            labels = new
+        if all(labels[v] == prev[v] for v in labels):
+            break
+    if stats is not None:
+        stats["rounds"] = rounds
+    lab_df = literal_df(
+        spark, sorted(labels.items()), f"id {id_type}, label {id_type}"
+    )
+    return (
+        nodes.select(F.col(id_col).alias("id"))
+        .join(lab_df, on="id", how="left")
         .select(
             F.col("id").alias(id_col),
             F.coalesce("label", "id").alias("cluster_id"),
