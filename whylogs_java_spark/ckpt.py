@@ -66,15 +66,23 @@ def materialize_lazy(df: DataFrame) -> DataFrame:
     materialization (and lineage truncation) happens as a side effect of
     the caller's NEXT action instead of an extra eager job.
 
-    CONTRACT: the first action the caller runs on the result must
-    compute every partition — a full aggregate (``count()``/``agg``), a
-    write, or a shuffle-consuming join. A partial action (``take``,
-    ``isEmpty``, ``limit``) may checkpoint only the partitions it
-    touched and later consumers would fail on the truncated lineage.
-    Every call site in this package is a checkpoint-then-count (or
-    checkpoint-then-collect) pair: iterative loops pay one job per
-    round instead of two (guide §5 — per-round ACTION cost, not shuffle
-    volume, binds iterative driver loops).
+    Two uses, both action-count wins (guide §5):
+
+    - checkpoint-then-action fusion: a following ``count()``/collect
+      materializes the pipeline and reads the answer in ONE job instead
+      of an eager-checkpoint job plus an action job (iterative loops
+      halve their per-round jobs);
+    - zero-action plan dedup: a subtree consumed by several branches of
+      one final plan is computed and persisted once at the first action
+      instead of being replicated per consumer (and the plan Catalyst
+      must analyze shrinks accordingly).
+
+    Cheapest when the first action computes every partition (any full
+    aggregate, write, or shuffle-consuming join — every call site in
+    this package). A PARTIAL first action (``take``/``isEmpty``) is
+    still CORRECT: local checkpointing computes any missing partitions
+    in a fill-in job before truncating lineage — it just costs that
+    extra job, which eager materialization would have paid anyway.
     """
     if reliable_checkpoints_enabled():
         sc = df.sparkSession.sparkContext

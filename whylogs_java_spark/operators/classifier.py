@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..ckpt import materialize
+from ..ckpt import materialize_lazy
 
 _GRAD_SCALE = 1_000_000
 
@@ -90,19 +90,29 @@ def logistic_quality_train(
     If ``stats`` is given, records ``stats["prior"]`` = mean(y) — the
     base rate, exact (0/1 double sums are integer-exact), used by the
     ``threshold="prior"`` gating mode."""
-    feats = materialize(_feature_table(df, text_col, id_col, label))
-    if stats is not None:
-        r = feats.agg(
-            F.sum("__y").alias("sy"), F.count(F.lit(1)).alias("n")
-        ).first()
-        stats["prior"] = (r["sy"] / r["n"]) if r["n"] else 0.0
-        stats["n"] = r["n"]
-    return _train_on_feats(feats, n_iter, lr)
+    feats = materialize_lazy(_feature_table(df, text_col, id_col, label))
+    return _train_on_feats(feats, n_iter, lr, stats=stats)
 
 
-def _train_on_feats(feats: DataFrame, n_iter: int, lr: float) -> list[float]:
+def _prior_stats(feats: DataFrame, stats: dict) -> None:
+    r = feats.agg(
+        F.sum("__y").alias("sy"), F.count(F.lit(1)).alias("n")
+    ).first()
+    stats["prior"] = (r["sy"] / r["n"]) if r["n"] else 0.0
+    stats["n"] = r["n"]
+
+
+def _train_on_feats(
+    feats: DataFrame, n_iter: int, lr: float, stats: dict | None = None
+) -> list[float]:
+    """``n_iter`` batch-GD rounds. When ``stats`` is given, the prior
+    (mean(y) — an exact 0/1 integer sum) rides the FIRST iteration's
+    aggregate instead of a separate job (guide §5): same feature table,
+    same exact values, one fewer full-scan action. The feature table
+    may arrive lazily checkpointed — the first aggregate materializes
+    it for every later consumer."""
     w = [0.0] * len(FEATURES)
-    for _ in range(n_iter):
+    for it in range(n_iter):
         p = F.lit(1.0) / (F.lit(1.0) + F.exp(-_z(w)))
         aggs = [
             F.sum(
@@ -114,14 +124,26 @@ def _train_on_feats(feats: DataFrame, n_iter: int, lr: float) -> list[float]:
             ).alias(f"s{i}")
             for i, x in enumerate(FEATURES)
         ]
-        row = feats.agg(F.count(F.lit(1)).alias("n"), *aggs).first()
+        extra = (
+            [F.sum("__y").alias("sy")]
+            if stats is not None and it == 0
+            else []
+        )
+        row = feats.agg(F.count(F.lit(1)).alias("n"), *aggs, *extra).first()
         n = row["n"]
+        if stats is not None and it == 0:
+            stats["prior"] = (row["sy"] / n) if n else 0.0
+            stats["n"] = n
         if not n:
             return w
         w = [
             w[i] - lr * ((row[f"s{i}"] / n) / _GRAD_SCALE)
             for i in range(len(FEATURES))
         ]
+    if stats is not None and n_iter <= 0:
+        # zero-iteration callers still get the prior (separate agg —
+        # nothing to ride on)
+        _prior_stats(feats, stats)
     return w
 
 
@@ -172,13 +194,14 @@ def quality_filter(
     docs the model ranks above the corpus's own target-ness."""
     # ONE feature table serves the prior, every training iteration, AND
     # the final scoring (scoring through logistic_quality_score would
-    # rebuild the features from raw text — a whole extra corpus pass)
-    feats = materialize(_feature_table(df, text_col, id_col, label))
-    r = feats.agg(
-        F.sum("__y").alias("sy"), F.count(F.lit(1)).alias("n")
-    ).first()
-    prior = (r["sy"] / r["n"]) if r["n"] else 0.0
-    w = _train_on_feats(feats, n_iter, lr)
+    # rebuild the features from raw text — a whole extra corpus pass).
+    # The checkpoint is LAZY and the prior rides iteration 1's gradient
+    # aggregate: the first GD job materializes the table and returns
+    # the prior in the same pass (guide §5 — two fewer driver actions).
+    feats = materialize_lazy(_feature_table(df, text_col, id_col, label))
+    st: dict = {}
+    w = _train_on_feats(feats, n_iter, lr, stats=st)
+    prior = st["prior"]
     thr = prior if threshold == "prior" else float(threshold)
     score = (
         F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-_z(w))), 6) + F.lit(0.0)

@@ -1670,7 +1670,10 @@ def cross_dedup_pairs(
     bands_new = lsh_band_signatures(sig_new, id_col, num_hashes, bands)
     # Materialize the (small) candidate list once: it feeds both the
     # verify join and the ref-side prune below — without the checkpoint
-    # the band join would re-execute per consumer.
+    # the band join would re-execute per consumer. LAZY (guide §5): the
+    # caller's first action (the output write / downstream count)
+    # computes every candidate partition, persisting it for the other
+    # consumers in the same job — no separate eager-checkpoint job.
     cand = (
         bands_ref.select(F.col(id_col).alias("id_a"), "band", "band_sig")
         .join(
@@ -1679,7 +1682,7 @@ def cross_dedup_pairs(
         )
         .select("id_a", "id_b")
         .distinct()
-        .transform(_materialize)
+        .transform(materialize_lazy)
     )
     # Left-semi prune BEFORE shingling for verify: per-batch verify cost
     # must be O(batch + matched candidates), never O(corpus) — without
@@ -1785,32 +1788,38 @@ def build_minhash_store(
             .parquet(f"{path}/shingles")
         )
 
-    # the two table writes are independent jobs: overlap them so the
-    # second write's tasks back-fill the first one's straggler tail
-    # (optimization guide §2.6); FIFO scheduling preserves the
-    # back-fill shape, and parquet commits go to different directories
+    def _write_meta():
+        meta = literal_df(
+            df.sparkSession,
+            [
+                (
+                    num_hashes,
+                    bands,
+                    shingle_size,
+                    bool(char_ngrams),
+                    hash_family,
+                    n_buckets,
+                )
+            ],
+            "num_hashes int, bands int, shingle_size int, char_ngrams boolean, "
+            "hash_family string, n_buckets int",
+        )
+        meta.coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+    # the three table writes are independent jobs into different
+    # directories: overlap them so later writes' tasks back-fill the
+    # earlier ones' straggler tails (optimization guide §2.6); FIFO
+    # scheduling preserves the back-fill shape
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=2) as pool:
-        futs = [pool.submit(_write_bands), pool.submit(_write_shingles)]
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        futs = [
+            pool.submit(_write_bands),
+            pool.submit(_write_shingles),
+            pool.submit(_write_meta),
+        ]
         for f in futs:
             f.result()
-    meta = literal_df(
-        df.sparkSession,
-        [
-            (
-                num_hashes,
-                bands,
-                shingle_size,
-                bool(char_ngrams),
-                hash_family,
-                n_buckets,
-            )
-        ],
-        "num_hashes int, bands int, shingle_size int, char_ngrams boolean, "
-        "hash_family string, n_buckets int",
-    )
-    meta.coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
 
 
 def append_minhash_store(
@@ -1914,24 +1923,33 @@ def cross_dedup_stored(
     stored_bands = spark.read.parquet(f"{path}/bands").select(
         F.col("id").alias("id_a"), "band", "bucket", "band_sig"
     )
-    cand = (
+    # ONE materialized candidate table (was two: a cand checkpoint plus
+    # a keyed checkpoint re-materializing cand + one column — guide §5):
+    # the sbucket key is computed inline, the checkpoint is LAZY, and
+    # the bucket census collect below is the single action that both
+    # materializes the candidate pipeline and reads the ≤ n_buckets
+    # distinct values (the distinct's map stage scans every partition,
+    # satisfying the materialize_lazy contract).
+    keyed = (
         stored_bands.join(
             F.broadcast(bands_new), on=["band", "bucket", "band_sig"]
         )
         .select("id_a", "id_b")
         .distinct()
-        .transform(_materialize)
+        .select(
+            "id_a",
+            "id_b",
+            F.pmod(F.xxhash64("id_a"), F.lit(m["n_buckets"])).alias(
+                "sbucket"
+            ),
+        )
+        .transform(materialize_lazy)
     )
     # ref arrays: partition-pruned store scan keyed by the candidate
-    # ids' bucket — never a full-store read for a small batch. cand is
-    # already materialized, so the bucket census is a <= n_buckets-value
-    # collect (aggregate-sized) that becomes a LITERAL partition filter
-    # on the scan: static pruning, no DPP heuristics to satisfy.
-    keyed = cand.select(
-        "id_a",
-        "id_b",
-        F.pmod(F.xxhash64("id_a"), F.lit(m["n_buckets"])).alias("sbucket"),
-    ).transform(_materialize)
+    # ids' bucket — never a full-store read for a small batch. keyed is
+    # materialized by this collect, so the census is aggregate-sized
+    # and becomes a LITERAL partition filter on the scan: static
+    # pruning, no DPP heuristics to satisfy.
     hit_buckets = [
         r["sbucket"] for r in keyed.select("sbucket").distinct().collect()
     ]

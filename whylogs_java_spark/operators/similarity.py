@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..ckpt import literal_df, materialize
+from ..ckpt import literal_df, materialize, materialize_lazy
 from ..functions import sqlexpr as sqlx
 
 
@@ -978,7 +978,9 @@ def cosine_pairs_bucketed(
         pairs = pairs.repartition(target, "id_a")
         vecs = embeddings.join(cand_ids, id_col, "left_semi").select(
             F.col(id_col), vecd.alias("__v"), norm(vecd).alias("__n")
-        ).where(F.col("__n") > 0)  # zero-norm: no defined cosine
+        ).where(F.col("__n") > 0).transform(
+            materialize_lazy  # norm folds once, not once per join side
+        )  # zero-norm: no defined cosine
         cos = dot("va", "vb") / (F.col("na") * F.col("nb"))
         return (
             pairs.join(
@@ -1001,7 +1003,18 @@ def cosine_pairs_bucketed(
             .where(F.col("cosine") >= threshold)
         )
 
-    sig = hyperplane_buckets_exact(embeddings, id_col, vec_col, planes, bands=bands)
+    # LAZY checkpoint (guide §5/§3.3): the signature table feeds SIX
+    # consumers (both self-join sides, both cand_ids branches through
+    # pairs, and the verify prune) — statically that replicated the
+    # whole signature subtree (sign-array broadcast join + interpreted
+    # fold per plane) into a ~3000-line plan whose Catalyst analysis and
+    # repeated execution both cost real time. The lazy localCheckpoint
+    # adds NO extra driver action (the caller's first action computes
+    # and persists it once) while every consumer reads the materialized
+    # rows.
+    sig = hyperplane_buckets_exact(
+        embeddings, id_col, vec_col, planes, bands=bands
+    ).transform(materialize_lazy)
     join_keys = ["bucket"] if bands == 1 else ["band", "bucket"]
     a = sig.select(F.col(id_col).alias("id_a"), *join_keys)
     b = sig.select(F.col(id_col).alias("id_b"), *join_keys)
@@ -1012,6 +1025,9 @@ def cosine_pairs_bucketed(
         # a pair colliding in several bands must count once (the dot-product
         # fold below runs once per pair row)
         pairs = pairs.distinct()
+    # same treatment: pairs feeds three consumers (two cand_ids
+    # branches + the verify join)
+    pairs = pairs.transform(materialize_lazy)
     # Order-deterministic verify WITHOUT a dim explode: ``dot``/``norm``
     # are strict left-to-right array folds, so the IEEE double sums are
     # bit-identical in any engine folding the same order (the DuckDB
@@ -1034,7 +1050,9 @@ def cosine_pairs_bucketed(
     # for vectors that actually appear in a candidate pair
     vecs = embeddings.join(cand_ids, id_col, "left_semi").select(
         F.col(id_col), vecd.alias("__v"), norm(vecd).alias("__n")
-    ).where(F.col("__n") > 0)  # zero-norm: no defined cosine, never a neighbor
+    ).where(F.col("__n") > 0).transform(
+        materialize_lazy  # norm folds once, not once per join side
+    )  # zero-norm: no defined cosine, never a neighbor
     cos = dot("va", "vb") / (F.col("na") * F.col("nb"))
     return (
         pairs.join(
