@@ -36,7 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..ckpt import literal_df, materialize
+from ..ckpt import literal_df, materialize, materialize_lazy
 from ..functions import sqlexpr as sqlx
 
 INT_SCALE = 1_000_000
@@ -441,7 +441,7 @@ def semantic_dedup_pairs(
     # otherwise re-execute the k assignment folds + the norm fold over
     # the whole corpus (AQE exchange reuse does not cover a join whose
     # sides differ only in aliases)
-    vecs = vecs.transform(materialize)
+    vecs = vecs.transform(materialize_lazy)
     a = vecs.select(
         F.col(id_col).alias("id_a"),
         "cluster",

@@ -37,7 +37,7 @@ from typing import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..ckpt import materialize as _materialize
+from ..ckpt import materialize_lazy as _materialize_lazy
 
 from .decontam import decontaminate
 from .dedup import boilerplate_stats, exact_dedup, near_dup_clusters
@@ -90,13 +90,13 @@ def training_manifest(
         # parquet staging a cluster pipeline would do between phases —
         # set materialize=False to keep pure lineage (e.g. for plan
         # audits or when the input is already a materialized table).
-        s1 = s1.transform(_materialize)
+        s1 = s1.transform(_materialize_lazy)
     survivors = near_dup_clusters(
         s1, text_col, id_col, threshold=near_threshold
     ).where(F.col("is_survivor")).select(id_col)
     s2 = s1.join(survivors, id_col, "left_semi")
     if materialize:
-        s2 = s2.transform(_materialize)
+        s2 = s2.transform(_materialize_lazy)
     clean = decontaminate(s2, text_col, id_col, eval_df, n=ngram_n).where(
         ~F.col("contaminated")
     ).select(id_col)
@@ -170,13 +170,13 @@ def training_manifest_v2(
     )
     s1 = exact_dedup(base, text_col, id_col)
     if materialize:
-        s1 = s1.transform(_materialize)
+        s1 = s1.transform(_materialize_lazy)
     keep_span = duplicate_spans(
         s1, text_col, id_col, gram_words=span_gram
     ).where(F.col("dup_fraction") <= max_dup_fraction).select(id_col)
     s2 = s1.join(keep_span, id_col, "left_semi")
     if materialize:
-        s2 = s2.transform(_materialize)
+        s2 = s2.transform(_materialize_lazy)
     scored = quality_filter(
         s2, text_col, id_col, F.col("__lbl"),
         n_iter=clf_iter, threshold=clf_threshold,
@@ -292,7 +292,7 @@ def training_manifest_v3(
         bl.where(~F.col("blocked")).select(id_col), id_col, "left_semi"
     )
     if materialize:
-        keep = _materialize(keep)
+        keep = _materialize_lazy(keep)
     sp = leakage_safe_splits(
         keep, text_col, id_col, splits, threshold=threshold,
         num_hashes=num_hashes, bands=bands, shingle_size=shingle_size,
@@ -367,7 +367,7 @@ def training_manifest_v4(
         )
     )
     if materialize:
-        corpus = _materialize(corpus)
+        corpus = _materialize_lazy(corpus)
     scored = corpus.join(
         lm_score(
             corpus, "clean_text", id_col,
@@ -466,7 +466,7 @@ def training_manifest_v5(
         )
     )
     if materialize:
-        corpus = _materialize(corpus)
+        corpus = _materialize_lazy(corpus)
     scored = corpus.join(
         lm_score(
             corpus, "clean_text", id_col,

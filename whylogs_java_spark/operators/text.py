@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from ..functions.hof import let_bound
 
-from ..ckpt import literal_df, materialize
+from ..ckpt import literal_df, materialize, materialize_lazy
 
 # Minimal stopword lexicons for the n-gram/stopword language heuristic.
 LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
@@ -547,11 +547,15 @@ def build_bigram_lm(
         .select("tok")
         .transform(materialize)
     )
+    # LAZY checkpoint (guide §5): bc_full feeds the prefix/bigram
+    # tables (broadcast sides of the scoring plan) and the KN census —
+    # the caller's first action (KN's bigram-type count, or the scoring
+    # job itself) materializes it once with no extra eager job.
     bc_full = (
         _bigram_rows(_spread(src), text_col, vocab, id_col=None)
         .groupBy("prev", "w")
         .agg(F.count(F.lit(1)).alias("__cb"))
-        .transform(materialize)
+        .transform(materialize_lazy)
     )
     prefix_counts = bc_full.groupBy("prev").agg(F.sum("__cb").alias("__cp"))
     bigram_counts = bc_full.orderBy(
@@ -749,12 +753,15 @@ def build_trigram_lm(
     # build them from two threads so their materialization jobs overlap
     # (optimization guide §2.6) instead of running back to back
     def _build_ug():
+        # lazy checkpoint + total-count fusion (guide §5): the sum
+        # collect is the first full action, so one job materializes the
+        # unigram census AND returns the total
         ug = (
             toks.join(F.broadcast(uv), toks["t0"] == F.col("__uv"), "left")
             .select(F.coalesce("__uv", F.lit("<unk>")).alias("w"))
             .groupBy("w")
             .agg(F.count(F.lit(1)).alias("__cu"))
-            .transform(materialize)
+            .transform(materialize_lazy)
         )
         return ug, ug.agg(F.sum("__cu")).collect()[0][0] or 0
 
@@ -797,7 +804,7 @@ def build_trigram_lm(
     )
     cont = tc_full.groupBy("prev", "w").agg(
         F.count(F.lit(1)).alias("__npw")
-    ).transform(materialize)
+    ).transform(materialize_lazy)
     mid = cont.groupBy("prev").agg(
         F.sum("__npw").alias("__nmid"), F.count(F.lit(1)).alias("__tv")
     )
@@ -812,7 +819,7 @@ def build_trigram_lm(
             _bigram_rows(_spread(src), text_col, bi.vocab, id_col=None)
             .groupBy("prev", "w")
             .agg(F.count(F.lit(1)).alias("__cb"))
-            .transform(materialize)
+            .transform(materialize_lazy)  # the n11 count materializes it
         )
     kn_uni = bg_types.groupBy("w").agg(F.count(F.lit(1)).alias("__n1w"))
     n11 = bg_types.count()
