@@ -135,6 +135,45 @@ def test_corpus_overlap_identical_sources(spark):
         corpus_overlap(docs, "text", "source", num_hashes=225)
 
 
+def test_corpus_overlap_xxhash_tier_matches_exact_columns(spark):
+    # the production signature tier (xxhash64 instead of md5) must keep
+    # every EXACT column bit-identical to the md5 tier and preserve the
+    # estimator invariants: identical sets -> est 1.0, disjoint -> 0.0,
+    # and a J=1/3 pair within the same 3-sigma MinHash bracket
+    from whylogs_java_spark.operators.report import corpus_overlap
+
+    docs = spark.createDataFrame(
+        [
+            (1, "A", "a b c d e f"),
+            (2, "B", "c d e f g h"),
+            (3, "C", "x y z w"),
+            (4, "D", "a b c d e f"),   # D identical to A
+        ],
+        ["doc_id", "source", "text"],
+    )
+    exact_cols = ("source_a", "source_b", "n_a", "n_b", "n_common", "jaccard")
+
+    def run(tier):
+        return {
+            (r["source_a"], r["source_b"]): r
+            for r in corpus_overlap(
+                docs, "text", "source", num_hashes=64, hash_tier=tier
+            ).collect()
+        }
+
+    md5, xx = run("md5"), run("xxhash64")
+    assert set(md5) == set(xx)
+    for key in md5:
+        for c in exact_cols:
+            assert md5[key][c] == xx[key][c], (key, c)
+    assert xx[("A", "D")]["minhash_est"] == 1.0
+    assert xx[("A", "C")]["minhash_est"] == 0.0
+    sigma = math.sqrt((1 / 3) * (2 / 3) / 64)
+    assert abs(xx[("A", "B")]["minhash_est"] - 1 / 3) <= 3 * sigma
+    with pytest.raises(ValueError):
+        corpus_overlap(docs, "text", "source", hash_tier="bogus")
+
+
 def test_monitor_stream_matches_batch(spark, tmp_path):
     """Streamed store rows + foreachBatch re-score == batch
     metric_anomalies over the batch-aggregated store, row for row."""

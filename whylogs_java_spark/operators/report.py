@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..ckpt import materialize
+from ..ckpt import materialize_lazy
 
 from .dedup import boilerplate_stats
 from .text import encoding_scan, quality_metrics, token_counts
@@ -90,6 +90,7 @@ def corpus_overlap(
     source_col: str,
     num_hashes: int = 32,
     shingle_size: int = 3,
+    hash_tier: str = "md5",
 ) -> DataFrame:
     """Source-by-source corpus overlap matrix: exact shingle-set Jaccard
     plus the MinHash estimate of the same quantity, one row per unordered
@@ -111,6 +112,17 @@ def corpus_overlap(
     to at most S(S-1)/2 pair rows, so the join output is bounded by
     |distinct shingles| x S^2 with S small. Zero-intersection pairs are
     restored by a broadcast cross of the per-source size table.
+
+    ``hash_tier`` picks the signature hash family: ``"md5"`` (default)
+    is the oracle-portable tier (DuckDB computes identical digests);
+    ``"xxhash64"`` is the production tier — one 64-bit xxhash per
+    (i, shingle) instead of a 128-bit md5 + hex-prefix parse, roughly
+    halving the per-shingle signature cost (guide §2.3, cheaper hash
+    for the same uniform-argmin statistics). Exact columns (n_a, n_b,
+    n_common, jaccard) are bit-identical across tiers; only the
+    ``minhash_est`` estimator's randomness source changes (both are
+    per-i independent permutations; the identical-sets → est 1.0
+    invariant is pinned by test for both tiers).
     """
     from .dedup import _MAX_NUM_HASHES, _shingler
 
@@ -132,28 +144,34 @@ def corpus_overlap(
             ),
         )
         .distinct()
-        .transform(materialize)
+        .transform(materialize_lazy)  # the final action computes it once
     )
-    # per-i INDEPENDENT permutations (md5 re-keyed per hash index), not
-    # the affine h1 + i*h2 family the doc-level LSH uses: affine argmins
+    # per-i INDEPENDENT permutations (re-keyed per hash index), not the
+    # affine h1 + i*h2 family the doc-level LSH uses: affine argmins
     # are correlated across i (the globally-smallest h2 shingle wins
     # every large i), which collapses the estimator's variance story on
-    # small sets; here the estimate IS the deliverable, so pay the k md5s
+    # small sets; here the estimate IS the deliverable, so pay the k
+    # per-shingle hashes (md5 tier) — or k xxhash64s (production tier)
+    if hash_tier == "md5":
+        def _mh(i: int):
+            return F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"mh{i}|"), F.col("shingle"))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+    elif hash_tier == "xxhash64":
+        def _mh(i: int):
+            return F.xxhash64(F.concat(F.lit(f"mh{i}|"), F.col("shingle")))
+    else:
+        raise ValueError(
+            f"hash_tier must be 'md5' or 'xxhash64', got {hash_tier!r}"
+        )
     sig = sh.groupBy("source").agg(
-        *[
-            F.min(
-                F.conv(
-                    F.substring(
-                        F.md5(F.concat(F.lit(f"mh{i}|"), F.col("shingle"))),
-                        1,
-                        15,
-                    ),
-                    16,
-                    10,
-                ).cast("long")
-            ).alias(f"mh{i}")
-            for i in range(num_hashes)
-        ]
+        *[F.min(_mh(i)).alias(f"mh{i}") for i in range(num_hashes)]
     )
     sizes = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
 

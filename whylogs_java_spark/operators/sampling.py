@@ -459,7 +459,7 @@ def token_budget_scan(
     """
     from pyspark.sql.types import LongType, StructField, StructType
 
-    from ..ckpt import materialize
+    from ..ckpt import materialize_lazy
 
     base, _ = _budget_base(df, id_col, tokens_col, prefer_col, budget, quantize)
     spark = df.sparkSession
@@ -472,7 +472,12 @@ def token_budget_scan(
     # __tl is plumbing only. try_cast mirrors _budget_base (non-finite
     # -> NULL -> already rejected upstream, so __tl is never null
     # here).
-    ranged = materialize(
+    # LAZY checkpoint + census fusion (guide §5): the per-partition sum
+    # collect below is the first action — one job ranges+sorts+persists
+    # the corpus AND returns the partition totals (was an eager
+    # checkpoint job followed by the census job). The checkpoint still
+    # pins __pid: spark_partition_id() is computed exactly once.
+    ranged = materialize_lazy(
         base.withColumn("__tl", F.col(tokens_col).try_cast("long"))
         .repartitionByRange(
             n_part, F.col("__p").desc(), F.col(id_col).asc()
@@ -584,7 +589,7 @@ def token_budget_select(
     """
     from pyspark.sql import Window
 
-    from ..ckpt import materialize
+    from ..ckpt import materialize_lazy
 
     if method == "scan":
         return token_budget_scan(
@@ -601,7 +606,7 @@ def token_budget_select(
     # re-scanning the corpus); (2) running totals over the tiny table.
     per_val = base.groupBy("__p").agg(
         F.sum(toks).alias("__vt"), F.count(F.lit(1)).alias("__vn")
-    ).transform(materialize)
+    ).transform(materialize_lazy)  # the guard count materializes it
     n_distinct = per_val.count()
     if n_distinct > max_ladder:
         raise ValueError(
