@@ -2155,7 +2155,9 @@ def winnow_pairs(
         )
         .where(F.col("__df") <= df_cap)
         .drop("__df")
-        .transform(_materialize)
+        # LAZY: the caller's final action materializes the capped print
+        # table once for its three consumers — no eager job (guide §5)
+        .transform(materialize_lazy)
     )
     # sizes over the SAME df-capped print space the intersection uses —
     # mixing a rare-print numerator with an all-print denominator would
@@ -2245,7 +2247,7 @@ def winnow_screen(
                 F.array_distinct(F.transform(sel, lambda s: s["h"]))
             ).alias("print_hash"),
         )
-        .transform(_materialize)
+        .transform(materialize_lazy)  # final action computes it once
     )
     sizes = fps.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_prints")
@@ -2471,13 +2473,13 @@ def dedup_threshold_report(
     if not thresholds:
         raise ValueError("thresholds must be non-empty")
     ts = sorted(set(float(t) for t in thresholds))
-    pairs = _materialize(
+    pairs = materialize_lazy(
         near_dup_pairs(
             df, text_col, id_col, threshold=ts[0], num_hashes=num_hashes,
             bands=bands, shingle_size=shingle_size, char_ngrams=char_ngrams,
             hash_family=hash_family,
         ).select("id_a", "id_b", "jaccard")
-    )
+    )  # the report's first aggregate materializes the pair table
     n_corpus = df.agg(F.count(F.lit(1)).cast("long").alias("n_corpus"))
     ends = pairs.select(
         "jaccard", F.explode(F.array("id_a", "id_b")).alias("__d")
