@@ -182,6 +182,12 @@ def training_manifest_v2(
         n_iter=clf_iter, threshold=clf_threshold,
     )
     keep_q = scored.where(F.col("keep")).select(id_col, "score")
+    # NOTE (r15, measured and rejected): materialize_lazy(keep_q) A/B'd
+    # consistently WORSE (~1.18×) — the checkpointed RDD loses size
+    # statistics, so the s2 ⋈ keep_q join (replayed by the DSIR and
+    # manifest consumers) flips from broadcast to sort-merge. The
+    # underlying scoring plan is already cheap per copy (feats are
+    # checkpointed inside quality_filter; the weights are literals).
     s3 = s2.join(keep_q, id_col)
     w = dsir_weights(
         s3, text_col, id_col, F.col("__lbl"), n_buckets=dsir_buckets
@@ -304,6 +310,76 @@ def training_manifest_v3(
     )
 
 
+def _ccnet_tier_gate(
+    corpus: DataFrame,
+    id_col: str,
+    lang_col: str,
+    source_col: str,
+    drop_tiers: Sequence[str],
+    *,
+    vocab_size: int,
+    top_bigrams: int,
+    order: int = 2,
+    top_trigrams: int = 16384,
+    materialize: bool = True,
+) -> DataFrame:
+    """The v4/v5 CCNet tier gate: LM-score the cleaned corpus, assign
+    per-language exact terciles, drop ``drop_tiers``.
+
+    Semantically ``score_buckets`` + a self-join back onto the scored
+    corpus — but shaped for the composed pipeline (guide §2.3/§2.4):
+
+    - the scored table is PROJECTED to the five columns the rest of the
+      pipeline reads (id, lang, source, clean-token count, perplexity)
+      — ``clean_text`` never crosses a post-scoring exchange — and
+      lazily checkpointed, so the LM scoring pass runs ONCE instead of
+      once per consumer (the tercile aggregate, the tier join, and the
+      final manifest all replayed it);
+    - the tier label is the same CASE ``score_buckets_with`` applies,
+      taken against the broadcast cutoff row directly, which removes
+      the corpus-sized ``scored ⋈ tiers`` id-keyed self-join (two
+      exchanges at scale) the previous composition paid.
+
+    Returns the surviving rows with ``bucket`` and the ``__q``
+    preference column ``source_cap`` orders by.
+    """
+    from .sampling import score_cutoffs
+    from .text import lm_score
+
+    kwargs = {} if order == 2 else {
+        "order": order, "top_trigrams": top_trigrams,
+    }
+    scored = corpus.select(
+        F.col(id_col), F.col(lang_col), F.col(source_col), "__clean_tokens"
+    ).join(
+        lm_score(
+            corpus, "clean_text", id_col,
+            vocab_size=vocab_size, top_bigrams=top_bigrams, **kwargs,
+        ).select(F.col(id_col), "perplexity"),
+        id_col,
+    )
+    if materialize:
+        scored = _materialize_lazy(scored)
+    cutdf = score_cutoffs(scored, "perplexity", stratum_col=lang_col)
+    px = F.col("perplexity")
+    bucket = (
+        F.when(px.isNull() | F.col("__cuts").isNull(), F.lit(None))
+        .when(px <= F.element_at("__cuts", 1), F.lit("head"))
+        .when(px <= F.element_at("__cuts", 2), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return (
+        scored.join(F.broadcast(cutdf), on=lang_col, how="left")
+        .withColumn("bucket", bucket)
+        .drop("__cuts")
+        .where(
+            F.col("bucket").isNotNull()
+            & ~F.col("bucket").isin(*drop_tiers)
+        )
+        .withColumn("__q", -px)
+    )
+
+
 def training_manifest_v4(
     df: DataFrame,
     text_col: str,
@@ -349,8 +425,7 @@ def training_manifest_v4(
     the LM build twice and the scoring pass).
     """
     from .decontam import decontaminate_spans
-    from .sampling import score_buckets, source_cap
-    from .text import lm_score
+    from .sampling import source_cap
 
     cleaned = decontaminate_spans(df, text_col, id_col, eval_df, n=n)
     corpus = (
@@ -368,23 +443,10 @@ def training_manifest_v4(
     )
     if materialize:
         corpus = _materialize_lazy(corpus)
-    scored = corpus.join(
-        lm_score(
-            corpus, "clean_text", id_col,
-            vocab_size=vocab_size, top_bigrams=top_bigrams,
-        ).select(F.col(id_col), "perplexity"),
-        id_col,
-    )
-    tiers = score_buckets(
-        scored, id_col, "perplexity", stratum_col=lang_col
-    ).select(F.col(id_col), "bucket")
-    kept = (
-        scored.join(tiers, id_col)
-        .where(
-            F.col("bucket").isNotNull()
-            & ~F.col("bucket").isin(*drop_tiers)
-        )
-        .withColumn("__q", -F.col("perplexity"))
+    kept = _ccnet_tier_gate(
+        corpus, id_col, lang_col, source_col, drop_tiers,
+        vocab_size=vocab_size, top_bigrams=top_bigrams,
+        materialize=materialize,
     )
     capped = source_cap(kept, id_col, source_col, cap, "__q")
     return capped.select(
@@ -448,8 +510,7 @@ def training_manifest_v5(
     already-quota-capped survivor set (≤ cap × sources rows).
     """
     from .decontam import decontaminate_spans
-    from .sampling import score_buckets, source_cap, token_budget_select
-    from .text import lm_score
+    from .sampling import source_cap, token_budget_select
 
     cleaned = decontaminate_spans(df, text_col, id_col, eval_df, n=n)
     corpus = (
@@ -467,24 +528,10 @@ def training_manifest_v5(
     )
     if materialize:
         corpus = _materialize_lazy(corpus)
-    scored = corpus.join(
-        lm_score(
-            corpus, "clean_text", id_col,
-            vocab_size=vocab_size, top_bigrams=top_bigrams,
-            order=3, top_trigrams=top_trigrams,
-        ).select(F.col(id_col), "perplexity"),
-        id_col,
-    )
-    tiers = score_buckets(
-        scored, id_col, "perplexity", stratum_col=lang_col
-    ).select(F.col(id_col), "bucket")
-    kept = (
-        scored.join(tiers, id_col)
-        .where(
-            F.col("bucket").isNotNull()
-            & ~F.col("bucket").isin(*drop_tiers)
-        )
-        .withColumn("__q", -F.col("perplexity"))
+    kept = _ccnet_tier_gate(
+        corpus, id_col, lang_col, source_col, drop_tiers,
+        vocab_size=vocab_size, top_bigrams=top_bigrams,
+        order=3, top_trigrams=top_trigrams, materialize=materialize,
     )
     capped = source_cap(kept, id_col, source_col, cap, "__q").select(
         F.col(id_col),

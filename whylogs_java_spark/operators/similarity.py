@@ -1896,6 +1896,15 @@ def ann_recall_report(
     The metric joins and aggregates are all candidate-sized.
     """
     ids = list(query_ids)
+    # ONE corpus scan for the whole dashboard (guide §2.4): every tier
+    # build re-reads (id, vec) from storage otherwise — six parquet
+    # scans for one report. Materialized EAGERLY (not lazily) because
+    # the tier builds run concurrently below and each would otherwise
+    # race to compute the shared subtree's partitions. Values are
+    # unchanged — the tiers' own casts/norms apply on top — so every
+    # tier's output is bit-identical to its standalone form.
+    prep = materialize(embeddings.select(id_col, vec_col))
+    embeddings = prep
     qdf = embeddings.where(F.col(id_col).isin(ids))
     # the six tier builds are independent until the metric joins, and
     # several run EAGER driver actions during construction (the exact
