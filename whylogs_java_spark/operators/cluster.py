@@ -457,9 +457,17 @@ def semantic_dedup_pairs(
     pairs = a.join(b, on="cluster").where(F.col("id_a") < F.col("id_b"))
     # the join partitioning has only k distinct keys, so the interpreted
     # cosine folds would run on at most k cores — spread the pair table
-    # across the cluster before scoring (tiny rows: two vectors + norms)
+    # across the cluster before scoring (tiny rows: two vectors + norms).
+    # The repartition alone is NOT enough: Catalyst pushes the cosine
+    # projection back below RepartitionByExpression, and AQE coalesces
+    # the byte-tiny k-key join shuffle to ONE partition, so the folds
+    # ran on a single task (traced: one 3 s task scoring every pair
+    # while 31 cores idled). The lazy checkpoint is the barrier the
+    # pushdown cannot cross — the cheap pair ROWS materialize on the
+    # coalesced join, the checkpoint pins the 32-way spread, and the
+    # folds run above it at full width. Zero added actions (guide §5).
     target = embeddings.sparkSession.sparkContext.defaultParallelism
-    pairs = pairs.repartition(target, "id_a", "id_b")
+    pairs = materialize_lazy(pairs.repartition(target, "id_a", "id_b"))
     cosine = F.round(
         dot("__va", "__vb") / (F.col("__na") * F.col("__nb")), 6
     ) + F.lit(0.0)
