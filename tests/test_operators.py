@@ -304,10 +304,15 @@ def test_near_dup_materialize_matches_lazy(spark):
         ).collect()
     }
     assert lazy == staged and len(lazy) >= 5
-    # staged path must not leak intermediate caches: the only persisted RDD
-    # left is the localCheckpointed result itself (caller-owned)
+    # staged path must not leak intermediate caches. Persisted RDDs that
+    # legitimately remain are caller-owned checkpoints: each verify's
+    # lazily checkpointed scored-pair table (one per near_dup_pairs call
+    # above — the barrier that keeps the threshold filter out of the
+    # verify join's condition) plus the staged result's eager
+    # localCheckpoint. A leaked pairs/sh_cand .persist() would push the
+    # count past this bound.
     jsc = spark.sparkContext._jsc.sc()
-    assert jsc.getPersistentRDDs().size() <= 1
+    assert jsc.getPersistentRDDs().size() <= 3
 
 
 def test_minhash_num_hashes_overflow_guard(spark):
@@ -701,11 +706,18 @@ def test_banded32_family_restores_band_selectivity(spark):
     assert true_hits >= 0.8 * n_mut, f"banded32 recall dropped: {true_hits}/{n_mut}"
 
 
-def test_near_dup_executed_plan_two_explodes(spark):
+def test_near_dup_executed_plan_two_explodes(spark, monkeypatch):
     # the shingle explode is the expensive node in the near-dup pipeline:
     # AQE exchange reuse must keep the executed plan at exactly 2 Generate
     # explodes (one per join side), not re-derive shingles per consumer —
-    # round 1 shipped a 6-explode plan; this pins the fix loudly
+    # round 1 shipped a 6-explode plan; this pins the fix loudly.
+    # Production lazily checkpoints the verify's scored table (the
+    # filter-pushdown barrier), which hides everything below it from the
+    # outer executed plan — bypass the barrier here so the audit still
+    # sees the verify subtree.
+    from whylogs_java_spark.operators import dedup as dedup_mod
+
+    monkeypatch.setattr(dedup_mod, "materialize_lazy", lambda df: df)
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
     out = near_dup_pairs(docs, "text", "doc_id", threshold=0.7)
     out.collect()  # AQE finalizes the plan only after execution
@@ -721,6 +733,44 @@ def test_near_dup_executed_plan_two_explodes(spark):
     n_explodes = len(_re.findall(r"Generate explode\(CASE WHEN", plan))
     assert n_explodes <= 2, f"shingle explode recomputed: {n_explodes} nodes"
     assert "ReusedExchange" in plan
+
+
+def test_near_dup_verify_barrier_and_width(spark):
+    # pins the r15 verify-stage fix (guide §2.5's AQE blind spot):
+    # 1. the per-pair array_intersect must evaluate ONCE per candidate —
+    #    the scored table is lazily checkpointed, so the caller's
+    #    threshold filter sits ABOVE a Scan ExistingRDD and cannot be
+    #    pushed into the verify join's condition (where the jaccard
+    #    expression would re-evaluate the intersect per probed row);
+    # 2. candidate pairs are explicitly respread before the verify joins
+    #    so the compute-heavy intersect never runs on the 1-8 tasks AQE
+    #    coalesces the byte-tiny pair shuffle to (measured 12.3 s on ONE
+    #    task for the char-5-gram query at sf0.1 before the fix).
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    out = near_dup_pairs(docs, "text", "doc_id", threshold=0.7)
+    outer = out._jdf.queryExecution().executedPlan().toString()
+    assert "Scan ExistingRDD" in outer, "verify barrier missing"
+    assert "array_intersect" not in outer, (
+        "threshold filter crossed the barrier: the intersect would be "
+        "re-evaluated inside a join condition"
+    )
+
+    from whylogs_java_spark.operators.dedup import (
+        shingle_candidate_pairs,
+        shingle_sets,
+    )
+
+    sh = shingle_sets(docs, "text", "doc_id", 3, False)
+    pairs_plan = (
+        shingle_candidate_pairs(sh, "doc_id", 50, 2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the pair-generation join's width is pinned by an explicit
+    # user-numbered repartition on the join key (AQE leaves
+    # REPARTITION_BY_NUM alone)
+    assert "REPARTITION_BY_NUM" in pairs_plan
 
 
 def test_resolve_clusters_chain_and_singletons(spark):

@@ -458,25 +458,44 @@ def _jaccard_from_shingle_arrays(
         F.size("__shset").cast("long").alias("size_b"),
     )
     inter = F.size(F.array_intersect(F.col("__sa"), F.col("__sb"))).cast("long")
-    return (
-        pairs.join(a, on="id_a")
+    # Two stage-shape guards around the per-pair intersect — the
+    # compute-heavy fold over byte-tiny rows AQE cannot see (the
+    # SemDeDup pathology, guide §2.5):
+    # 1. candidate rows arrive from a distinct/groupBy whose shuffle is
+    #    a few KB, so AQE coalesces it to 1-8 partitions and the
+    #    interpreted intersect serializes on as many cores (measured
+    #    12.3 s on ONE task for the char-5-gram query at sf0.1). An
+    #    explicit round-robin spread of the 16-byte pair rows pins the
+    #    verify joins at cluster width for pennies of exchange;
+    # 2. the caller's threshold filter would otherwise be pushed into
+    #    the last join's CONDITION, where the jaccard expression
+    #    evaluates array_intersect twice more per candidate (plan node
+    #    audit: 3 evals/surviving row). The lazy checkpoint is a
+    #    barrier the pushdown cannot cross — the intersect runs ONCE
+    #    per candidate, and the checkpoint itself persists only
+    #    5-long stat rows as a side effect of the caller's action.
+    target = pairs.sparkSession.sparkContext.defaultParallelism
+    scored = (
+        pairs.repartition(target)
+        .join(a, on="id_a")
         .join(b, on="id_b")
-        .withColumn("inter", inter)
-        .select(
-            "id_a",
-            "id_b",
-            "inter",
-            "size_a",
-            "size_b",
-            (
-                F.round(
-                    F.col("inter")
-                    / (F.col("size_a") + F.col("size_b") - F.col("inter")),
-                    6,
-                )
-                + 0.0
-            ).alias("jaccard"),
-        )
+        .select("id_a", "id_b", inter.alias("inter"), "size_a", "size_b")
+        .transform(materialize_lazy)
+    )
+    return scored.select(
+        "id_a",
+        "id_b",
+        "inter",
+        "size_a",
+        "size_b",
+        (
+            F.round(
+                F.col("inter")
+                / (F.col("size_a") + F.col("size_b") - F.col("inter")),
+                6,
+            )
+            + 0.0
+        ).alias("jaccard"),
     )
 
 
@@ -1245,6 +1264,19 @@ def shingle_candidate_pairs(
     fragment shares ≥ ⌈0.9·s⌉ shingles, far above 2 for any fragment
     long enough to matter).
     """
+    # Pin the pair-generation join's width (guide §2.5's blind spot,
+    # same pathology as the verify tier): the rare-(id, shingle) shuffle
+    # is byte-tiny, so AQE coalesces the a ⋈ b join to a handful of
+    # tasks — but that join's OUTPUT explodes up to df_cap² rows per
+    # shingle and its CPU is invisible to byte-driven coalescing
+    # (measured 10.9 s over 8 tasks at sf0.1). One explicit hash
+    # repartition on the join key replaces the ENSURE_REQUIREMENTS
+    # exchange (the df census, the semi-join, and both pair-join sides
+    # all reuse it — no exchange is added) and AQE leaves user-numbered
+    # repartitions alone.
+    sh = sh.repartition(
+        sh.sparkSession.sparkContext.defaultParallelism, "shingle"
+    )
     counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
     rare = sh.join(
         counts.where((F.col("__df") >= 2) & (F.col("__df") <= df_cap)),
