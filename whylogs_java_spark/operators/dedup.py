@@ -753,11 +753,24 @@ def simhash_pairs(
         F.lit(0),
         lambda acc, d: acc + d,
     )
-    return (
-        cand.join(va, on="id_a")
+    # Same stage-shape guards as the near-dup verify (guide §2.5's AQE
+    # blind spot): the candidate distinct's shuffle is byte-tiny, so AQE
+    # coalesces it to one task and the interpreted Hamming fold
+    # serializes there (measured: a 1-task, 222k-row verify stage at
+    # sf0.1); respread the 16-byte pair rows, and checkpoint the scored
+    # rows so the max_hamming filter cannot fold the Hamming expression
+    # into the verify join's condition (one fold per candidate, not
+    # two).
+    target = df.sparkSession.sparkContext.defaultParallelism
+    scored = (
+        cand.repartition(target)
+        .join(va, on="id_a")
         .join(vb, on="id_b")
         .select("id_a", "id_b", hamming.alias("hamming"))
-        .where(F.col("hamming") <= F.lit(int(max_hamming)))
+        .transform(materialize_lazy)
+    )
+    return (
+        scored.where(F.col("hamming") <= F.lit(int(max_hamming)))
     )
 
 

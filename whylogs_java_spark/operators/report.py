@@ -136,6 +136,15 @@ def corpus_overlap(
     # self-join) — without the checkpoint each consumer re-runs the
     # corpus explode + distinct (4 scans, 4 wide shuffles; measured 12.5s
     # -> ~4s at sf0.1). Same pattern as cluster._prepared_vectors.
+    # The respread before the checkpoint pins every consumer's width
+    # (guide §2.5's AQE blind spot): the distinct's byte-small shuffle
+    # is AQE-coalesced to a handful of partitions, and the checkpoint
+    # freezes that — so the k-hashes-per-shingle signature aggregate ran
+    # its partial mins on 4 of 32 cores (measured ~10 s CPU at sf0.1).
+    # Hash repartition on the shingle key: deterministic, no
+    # sort-before-repartition, and min/count aggregates are
+    # order-independent so outputs are unchanged.
+    target = df.sparkSession.sparkContext.defaultParallelism
     sh = (
         df.select(
             F.col(source_col).alias("source"),
@@ -144,6 +153,7 @@ def corpus_overlap(
             ),
         )
         .distinct()
+        .repartition(target, "shingle")
         .transform(materialize_lazy)  # the final action computes it once
     )
     # per-i INDEPENDENT permutations (re-keyed per hash index), not the
